@@ -1,0 +1,195 @@
+"""Relational / dataflow operators — SURVEY.md §2.2 + §2.3 IDs.
+
+Each function is a pure, composable ``DataFrame -> DataFrame`` transform.
+Everything here is built-in Catalyst operators: predicate pushdown, column
+pruning, partial aggregation (map-side combine) and whole-stage codegen
+come for free. No Python UDFs, no collect() in the data path — the single
+deliberate exception is ``foreach_group`` which replicates the reference's
+*driver-side dependent fan-out* (see its docstring).
+
+Reference citations (P: = /root/reference/modules/src/prisma_report/lambda.py,
+A: = /root/reference/modules/src/aler_report/lambda.py) identify the behavior
+each operator re-expresses; the implementations are Spark-native, not ports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- pushdown-class operators (P:229-248,272-273 serialized these into ----
+# --- API payloads; here they are ordinary Catalyst ops that reach the scan)
+
+def filter_eq(df: DataFrame, col: str, value: object) -> DataFrame:
+    """Equality predicate (pd-filter-eq, P:229-237). Pushed to the scan."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def filter_in(df: DataFrame, col: str, values: Sequence[object]) -> DataFrame:
+    """Disjunctive membership (pd-filter-in, P:232-236)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def filter_range(df: DataFrame, col: str, lo: object, hi: object) -> DataFrame:
+    """Inclusive range predicate (pd-filter-range, P:238-244).
+
+    The reference computes month-start..end-of-today epoch-ms bounds
+    (P:218-226); callers pass explicit bounds so runs stay pure functions
+    of (config, run_date).
+    """
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def sort_desc(df: DataFrame, keys: Sequence[str], ascending: Sequence[bool] | None = None,
+              tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Multi-key sort (pd-sort, P:245-248). ``tiebreak`` keys make the
+    order total so limit() results are deterministic."""
+    asc = list(ascending) if ascending is not None else [False] * len(keys)
+    cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
+    cols += [F.col(t).asc() for t in tiebreak]
+    return df.orderBy(*cols)
+
+
+def limit_page(df: DataFrame, n: int) -> DataFrame:
+    """Limit (pd-limit-page, P:272-273). Pagination itself is connector-
+    internal (sources/rest.py); a global limit is all the query sees."""
+    return df.limit(n)
+
+
+# --- local operators (executed in pandas/python loops by the reference) ---
+
+def group_agg_count(df: DataFrame, keys: Sequence[str],
+                    aggs: Mapping[str, Column]) -> DataFrame:
+    """Group-by + aggregate (op-groupagg-count, P:320-334; pd-groupby, P:13).
+
+    The reference accumulates dicts row-at-a-time and keeps the *first seen*
+    value per group — an order-dependent accident (SURVEY §2.5.5). We take
+    deterministic aggregates (min/max/count) instead; Spark executes this
+    with partial aggregation before the shuffle, so cardinality reduction
+    happens map-side — the property that makes it scale to 100 TB.
+    """
+    return df.groupBy(*keys).agg(*[c.alias(name) for name, c in aggs.items()])
+
+
+def project_rename(df: DataFrame, mapping: Mapping[str, Column | str]) -> DataFrame:
+    """Projection + rename + literal enrichment (op-project-rename, P:335-348).
+
+    ``mapping`` is {output_name: source_col_name_or_Column}; plain strings
+    are treated as column references.
+    """
+    cols = [
+        (F.col(src) if isinstance(src, str) else src).alias(out)
+        for out, src in mapping.items()
+    ]
+    return df.select(*cols)
+
+
+def upper_cols(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Uppercase string columns in place (op-upper, P:340-341)."""
+    return df.withColumns({c: F.upper(F.col(c)) for c in cols})
+
+
+def fill_nulls(df: DataFrame, value: object = 0,
+               subset: Sequence[str] | None = None) -> DataFrame:
+    """Null replacement (op-fillna, P:178,354,405).
+
+    Parity note (FIXTURES.md): pandas ``fillna(0)`` hits every dtype;
+    Spark ``na.fill(0)`` only fills numeric columns — the sane behavior,
+    documented as a deviation.
+    """
+    return df.na.fill(value, subset=list(subset) if subset else None)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union-all of N homogeneous frames (op-union-all, P:403).
+
+    By-name with missing-column tolerance, because the reference's
+    ``pd.concat`` aligns on column names, not position.
+    """
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def empty_guard(df: DataFrame) -> DataFrame:
+    """Empty-input short-circuit (op-empty-guard, P:350-351).
+
+    In Spark an empty DataFrame with an explicit schema unions and writes
+    fine; this is the identity, kept as a named op so pipelines can assert
+    schema-stability on the empty path.
+    """
+    return df
+
+
+def foreach_group(df: DataFrame, key: str,
+                  scan_for_key: Callable[[object], DataFrame]) -> DataFrame:
+    """Driver-side dependent fan-out (op-foreach-group, P:394-401).
+
+    The reference iterates distinct ``serviceName`` values and issues a new
+    *remote* scan per value — a dependent join against a source that only
+    answers parameterized queries. That driver-side loop is inherent to the
+    access pattern (not a Spark shortcoming): the distinct-key set is tiny
+    (#services), each scan is an independent job, and the per-key frames
+    union lazily. When the source is local data, use a real groupBy/join
+    instead — see catalog.py's op-foreach-group query, whose oracle shows
+    the fan-out is semantically a group-by.
+    """
+    keys = [r[0] for r in df.select(key).distinct().collect()]
+    frames = [scan_for_key(k) for k in sorted(keys, key=str)]
+    return union_all(frames)
+
+
+def top_k_per_group(df: DataFrame, part_keys: Sequence[str], order_col: str,
+                    k: int, descending: bool = True,
+                    tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Per-group top-k via window row_number (north-star extension).
+
+    Scale note: Spark pushes a per-partition ``WindowGroupLimit`` (rank
+    limit) before the shuffle in recent versions; for extreme skew, a
+    two-phase approach (map-side partial top-k via groupBy + slice) is the
+    fallback. Deterministic given ``tiebreak`` totalizes the order.
+    """
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    order += [F.col(t).asc() for t in tiebreak]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*part_keys).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k)
+              .drop("_rn"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_cols: Mapping[str, str]) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys (north-star
+    extension; no reference analog).
+
+    Spark-first implementation: union the two sides tagged, sort within
+    each key partition by timestamp, and forward-fill the right side's
+    values with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+    window. One shuffle on the join keys, no O(n·m) expansion — unlike the
+    naive join+filter+max approach, this scales linearly and handles 100 TB
+    fact tables as long as keys distribute (salt if a key is hot).
+
+    ``right_cols``: {right_col: output_name} values carried onto left rows.
+    Left rows with no prior right row keep nulls.
+    """
+    from pyspark.sql.window import Window
+
+    tag = "_asof_side"
+    lt = left.withColumn(tag, F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rcols = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    rt = (right.select(*[F.col(k) for k in on], F.col(right_ts).alias("_ts"), *rcols)
+               .withColumn(tag, F.lit(0)))
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps (tag 0 < 1) so a
+    # right row at exactly left_ts is visible to that left row ("<=")
+    w = (Window.partitionBy(*on).orderBy(F.col("_ts").asc(), F.col(tag).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c, out in right_cols.items():
+        merged = merged.withColumn(out, F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    return (merged.filter(F.col(tag) == 1)
+                  .drop(tag, "_ts", *[f"_r_{c}" for c in right_cols]))

@@ -1,0 +1,100 @@
+"""Similarity search over an embedding column (array<float>) —
+north-star extensions (SURVEY.md §7.5).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (it's small by construction); candidates stream through a single
+  narrow join — no shuffle of the big side, per-partition scoring, then a
+  tiny top-k reduction. This is the correctness baseline.
+- ``lsh_bucket_topk``: random-hyperplane LSH variant — the scale path.
+  Candidates are restricted to vectors sharing the query's sign-bucket in
+  any of ``tables`` independent hash tables (equality joins on bucket
+  keys), then scored exactly. Recall < 1, cost ~ bucket sizes instead of N.
+
+Hyperplanes are derived deterministically from a seed via xxhash64 over
+(table, plane, dim) — reproducible across runs without shipping matrices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+from .relational import top_k_per_group
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, vec_id, cos_r) with deterministic tie-break on
+    neighbor id. ``queries`` is broadcast; the candidate scan stays
+    shuffle-free until the final per-query top-k (tiny).
+    """
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("_qv")))
+    c = candidates.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = (c.crossJoin(q)
+               .filter(F.col(id_col) != F.col("query_id"))
+               .withColumn("cos", cosine(F.col("_qv"), F.col("_cv"))))
+    top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
+                          tiebreak=[id_col])
+    return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]."""
+    import numpy as np
+    rng = np.random.RandomState(abs(hash((table, plane))) % (2**31))
+    return rng.uniform(-1.0, 1.0, size=dim).tolist()
+
+
+def signbits(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the vector against each hyperplane."""
+    terms = []
+    for p_idx, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        terms.append(F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, planes_per_table: int = 8,
+                    tables: int = 4) -> DataFrame:
+    """Approximate top-k: candidates must share a sign-bucket with the
+    query in at least one hash table; exact cosine re-rank inside.
+
+    Each table contributes one equality join on its bucket key — at 100 TB
+    this replaces the full scan per query with ~N/2^planes bucket reads.
+    """
+    tbl_planes = [[_hyperplane(t, p, dim) for p in range(planes_per_table)]
+                  for t in range(tables)]
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        cols = {f"{prefix}b{t}": signbits(F.col(vec_col), tbl_planes[t])
+                for t in range(tables)}
+        return df.withColumns(cols)
+
+    q = with_buckets(queries, "_q").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        *[F.col(f"_qb{t}") for t in range(tables)])
+    c = with_buckets(candidates, "_c").select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        *[F.col(f"_cb{t}") for t in range(tables)])
+    cand = None
+    for t in range(tables):
+        p = (c.join(F.broadcast(q), F.col(f"_cb{t}") == F.col(f"_qb{t}"))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", "_qv", id_col, "_cv"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["query_id", id_col])
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
+                          tiebreak=[id_col])
+    return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))

@@ -1,0 +1,104 @@
+"""Text-analysis operators for a large-scale training-data pipeline
+(north-star extensions; no reference analog — SURVEY.md §7.5).
+
+Design rule: everything is built-in ``pyspark.sql.functions`` (higher-order
+array functions, regexp, hashing) so the whole stage stays inside JVM
+codegen — at 100 TB a row-at-a-time Python UDF here would dominate the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small marker-stopword sets per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "den", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es": ("el", "la", "y", "los", "de", "que", "en", "un", "una", "es"),
+}
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_piece_count(col: Column) -> Column:
+    """Sub-word-ish token proxy: count of letter-runs, digit-runs and
+    single punctuation marks — a cheap, deterministic stand-in for a BPE
+    tokenizer's piece count (a real tokenizer would be a Pandas UDF)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set (with multiplicity)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Heuristic language ID: CJK-codepoint check, then stopword-marker
+    argmax with a fixed tie-break order (en > de > fr > es)."""
+    t = tokens(F.col(text_col))
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    s = {lang: marker_hits(t, ws) for lang, ws in LANG_MARKERS.items()}
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn(out, pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, mean token length,
+    punctuation ratio, stopword ratio, and a composite score in [0,1].
+
+    All ratios are exact-integer divisions evaluated in double with a fixed
+    expression shape, so the DuckDB oracle reproduces them bit-for-bit.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = token_count(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    stop_hits = marker_hits(t, STOPWORDS)
+    mean_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    # composite: reward stopword presence & moderate token length, punish punct
+    score = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+            F.lit(0.5) * stop_ratio * 5 + F.lit(0.3) * (1 - punct_ratio) + F.lit(0.2) * F.least(n_tok / 100.0, F.lit(1.0))
+        )), 4)
+    return df.withColumns({
+        "n_tokens": n_tok,
+        "mean_token_len": F.round(mean_tok_len, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality_score": score,
+    })
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, non-alphanumeric
+    runs collapsed to single spaces, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (The reference has no analog; rolling/content-defined chunking variants
+    would layer on the same normalized form.)
+    """
+    return df.withColumn(out, F.md5(normalized(F.col(text_col))))

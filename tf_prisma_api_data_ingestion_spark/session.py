@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Engine rule (SURVEY.md §2.5.1): no mutable global state — every run is a
+pure function of (config, run_date). The session itself is the only shared
+resource; everything else is passed explicitly.
+
+Scale posture: these configs are what we'd ship to a 1000-executor cluster
+(AQE on, skew-join handling, partition coalescing); only `master` and the
+shuffle-partition count are local-test artifacts, overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster ``master`` comes from spark-submit; locally we honor
+    $SPARK_GRAFT_CPUS (driver contract) and default to local[32].
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # deterministic timestamp semantics vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime re-plan, partition coalescing, skew-join
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow for any pandas-UDF path (the slow path, used sparingly)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep broadcast threshold default (10MB) — dims here are tiny;
+        # explicit broadcast() hints are still used at join sites
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    return builder.getOrCreate()
