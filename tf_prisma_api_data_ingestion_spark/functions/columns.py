@@ -45,8 +45,16 @@ def with_literal_columns(df: DataFrame, literals: Mapping[str, object]) -> DataF
 def url_encode_path(col: Column) -> Column:
     """Percent-encode like ``urllib.parse.quote`` (P:142).
 
-    Spark's ``url_encode`` is form-encoding (space -> '+'); a literal '+'
-    in the input becomes '%2B' first, so the post-replace of '+' -> '%20'
-    is unambiguous and yields path-style quoting for spaces.
+    Spark's ``url_encode`` is form-encoding and diverges from
+    ``urllib.parse.quote`` on four characters; each is patched after the
+    fact (the input's own '+' becomes '%2B' first, so every replace below
+    is unambiguous):
+      space: '+' -> '%20'   (form vs path encoding)
+      '/':  '%2F' -> '/'    (quote's default safe='/')
+      '~':  '%7E' -> '~'    (unreserved per RFC 3986; quote keeps it)
+      '*':  kept by url_encode, quoted by urllib -> '%2A'
     """
-    return F.replace(F.url_encode(col), F.lit("+"), F.lit("%20"))
+    out = F.replace(F.url_encode(col), F.lit("+"), F.lit("%20"))
+    out = F.replace(out, F.lit("%2F"), F.lit("/"))
+    out = F.replace(out, F.lit("%7E"), F.lit("~"))
+    return F.replace(out, F.lit("*"), F.lit("%2A"))

@@ -60,15 +60,23 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
 
     Emits (doc_a, doc_b, jaccard) for every pair sharing >=1 surviving
     shingle. Shingles in more than ``max_df`` docs are dropped from the
-    index (skew guard); set sizes still use the full set, so jaccard is
-    exact for any pair that shares at least one rare shingle.
+    index (skew guard). Set sizes still use the full set, so the jaccard
+    is exact when no shingle shared by a pair was dropped, and a *lower
+    bound* otherwise (dropped shingles reduce the counted intersection);
+    pass a large ``max_df`` for exact results on small corpora.
+
+    Scale note: only the tiny *hot* shingle set (df > max_df — by
+    construction at most corpus_size/max_df rows) is broadcast for a
+    left-anti join; the surviving index, which is nearly the whole corpus,
+    never moves to the driver.
     """
     sized = shingled.select(F.col(id_col).alias("_id"), F.col("shingles"),
                             F.size("shingles").alias("_m"))
     inv = (sized.select("_id", "_m", F.explode("shingles").alias("_s")))
     # document-frequency cap: drop shingles present in too many docs
     df_counts = inv.groupBy("_s").agg(F.count("*").alias("_df"))
-    inv = (inv.join(F.broadcast(df_counts.filter(F.col("_df") <= max_df).select("_s")), "_s"))
+    hot = df_counts.filter(F.col("_df") > max_df).select("_s")
+    inv = inv.join(F.broadcast(hot), "_s", "left_anti")
     a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_s")
     b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_s")
     inter = (a.join(b, "_s")
@@ -83,8 +91,10 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.2, max_df: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r)
-    with jaccard >= threshold, jaccard rounded to 4 for output."""
+    """N-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r) with
+    jaccard >= threshold, rounded to 4 for output. Exact when ``max_df``
+    exceeds every shingle's document frequency (see ``_pair_jaccard``);
+    otherwise a candidate filter whose jaccard is a lower bound."""
     shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
     pairs = _pair_jaccard(shingled, max_df, id_col)
     return (pairs.filter(F.col("jaccard") >= threshold)
@@ -177,7 +187,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     distance <= 3 agrees exactly on >=1 chunk -> equality join per chunk.
     """
     sigs = simhash_64(df, text_col, id_col)
-    chunks = [((F.col("simhash").bitwiseAND(F.lit(0xFFFF) << (16 * c)))).alias(f"_c{c}")
+
+    def band_mask(c: int) -> int:
+        # 16-bit band mask as a *signed* 64-bit constant: Python's
+        # 0xFFFF << 48 exceeds signed int64, so wrap to two's complement
+        # (Column has no << operator; precompute masks driver-side).
+        m = 0xFFFF << (16 * c)
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    chunks = [F.col("simhash").bitwiseAND(F.lit(band_mask(c))).alias(f"_c{c}")
               for c in range(4)]
     banded = sigs.select(F.col(id_col).alias("_id"), F.col("simhash"), *chunks)
     cand = None

@@ -25,9 +25,18 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = SparkSession.builder
+    # On a real cluster, master comes from spark-submit / SPARK_MASTER; only
+    # force local mode when nothing else configured it.
+    if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
+        # the driver's events.parquet uses TIMESTAMP(NANOS); Spark 4 refuses
+        # it unless nanos are surfaced as long (we convert explicitly where
+        # the query needs a timestamp — see tables.event_ts)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime re-plan, partition coalescing, skew-join
@@ -40,6 +49,5 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
         # keep broadcast threshold default (10MB) — dims here are tiny;
         # explicit broadcast() hints are still used at join sites
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     return builder.getOrCreate()

@@ -25,7 +25,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
+        # unless surfaced as a long; set defensively because the driver
+        # supplies its own session (runtime-settable conf).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def event_ts(col: str = "ts"):
+    """events.ts (nanos-as-long, see ``load``) -> TimestampType.
+
+    Integer DIV keeps full precision — a double division would lose bits
+    above 2^53 (epoch-nanos is ~1.7e18).
+    """
+    from pyspark.sql import functions as F
+    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
