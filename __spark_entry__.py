@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real content lives in ``tf_prisma_api_data_ingestion_spark.catalog``;
+this module only adapts it to the driver's function signatures.
 """
 
 from __future__ import annotations
@@ -15,24 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (EP3 alert report over events) on sf0.001."""
+    from tf_prisma_api_data_ingestion_spark.catalog import q_plan_alert_report
+    return q_plan_alert_report(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM-pipeline
+    extensions). Each callable takes (spark, sf_dir) and returns a
+    DataFrame with columns aliased to match ``oracle_sql``."""
+    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query key; keys without an oracle
+    (hash-seeded LSH internals) get the driver's rows-only check and are
+    invariant-tested in tests/ instead."""
+    from tf_prisma_api_data_ingestion_spark.catalog import ORACLES
+    return dict(ORACLES)

