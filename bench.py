@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+Each query is materialized with a cheap-but-total action (count on the
+final plan) so the full pipeline executes; timings exclude session startup
+and include one warm-up of the parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = (
+    "tpch-q1",            # scan -> partial agg -> shuffle agg
+    "tpch-q3",            # 3-way join with broadcast dims
+    "pd-groupby",         # group-by over orders
+    "op-groupagg-count",  # alert-shaped group over events
+    "top-k-per-group",    # window rank over lineitem
+    "asof-join",          # union + forward-fill window over events
+    "dedup-exact",        # hash groupBy over documents
+    "dedup-ngram-jaccard",# inverted-index jaccard
+    "dedup-minhash-lsh",  # banded LSH + verify
+    "dedup-simhash-pairs",# simhash banding
+    "dedup-embedding",    # blocked cosine pairs
+    "sim-bruteforce-topk",# broadcast-queries exact ANN
+    "sim-lsh-topk",       # sign-bucket LSH ANN
+    "text-quality",       # text feature extraction
+    "plan-alert-report",  # EP3 end-to-end plan
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the file-listing / footer caches so timings measure compute
+    from tf_prisma_api_data_ingestion_spark import tables
+    for t in tables.TABLE_NAMES:
+        tables.load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

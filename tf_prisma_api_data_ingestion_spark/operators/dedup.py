@@ -47,11 +47,18 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     Documents shorter than n tokens contribute their full token string as
     a single shingle so they still participate.
+
+    Formulated as n shifted slices + arrays_zip + a lambda that touches
+    ONLY its own variable: referencing the token array inside the lambda
+    (the naive sequence/slice formulation) makes Catalyst re-evaluate the
+    whole tokenize-regex expression per element — measured 3.5x slower on
+    the documents corpus.
     """
     t = tokens(normalized(col))
-    k = F.size(t) - F.lit(n - 1)
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+    parts = [F.slice(t, i + 1, k) for i in range(n)]
+    grams = F.transform(F.arrays_zip(*parts),
+                        lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
     return F.array_distinct(grams)
 
 
@@ -72,14 +79,23 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     """
     sized = shingled.select(F.col(id_col).alias("_id"), F.col("shingles"),
                             F.size("shingles").alias("_m"))
-    inv = (sized.select("_id", "_m", F.explode("shingles").alias("_s")))
+    # join on the 64-bit shingle hash, not the string: an 8-byte shuffle key
+    # instead of a ~50-byte one. xxhash64 collisions would merge two distinct
+    # shingles (inflating _inter by at most 1); negligible below ~2^32
+    # distinct shingles — at larger corpora re-verify survivors exactly as
+    # minhash_lsh_pairs does.
+    inv = sized.select("_id", "_m", F.explode("shingles").alias("_s")) \
+               .select("_id", "_m", F.xxhash64("_s").alias("_sk"))
     # document-frequency cap: drop shingles present in too many docs
-    df_counts = inv.groupBy("_s").agg(F.count("*").alias("_df"))
-    hot = df_counts.filter(F.col("_df") > max_df).select("_s")
-    inv = inv.join(F.broadcast(hot), "_s", "left_anti")
-    a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_s")
-    b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_s")
-    inter = (a.join(b, "_s")
+    df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
+    hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
+    # persist the surviving index (24 B/row): it feeds BOTH sides of the
+    # self-join, and without it each side re-runs shingling + the
+    # df_counts subquery over the full corpus.
+    inv = inv.join(F.broadcast(hot), "_sk", "left_anti").persist()
+    a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_sk")
+    b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_sk")
+    inter = (a.join(b, "_sk")
               .filter(F.col("doc_a") < F.col("doc_b"))
               .groupBy("doc_a", "doc_b", "_ma", "_mb")
               .agg(F.count("*").alias("_inter")))
@@ -130,21 +146,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = num_hashes // bands
     shingled = df.select(F.col(id_col).alias("_id"),
                          word_shingles(F.col(text_col), n).alias("shingles"))
+    # persist: the signature table is tiny relative to the corpus
+    # (n_docs x num_hashes longs); without it every self-join side would
+    # recompute shingling + 64 hash passes over the full corpus.
+    shingled = shingled.persist()
     sig = shingled.withColumn("_sig", minhash_signature(F.col("shingles"), num_hashes))
-    band_cols = [
+    band_arr = F.array(*[
         F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1)
-                                      for r in range(rows_per_band)]), F.lit(b)).alias(f"_band{b}")
+                                      for r in range(rows_per_band)]), F.lit(b))
         for b in range(bands)
-    ]
-    banded = sig.select("_id", "shingles", *band_cols)
-    # candidate pairs: same hash in any band; union of per-band equality joins
-    cand = None
-    for b in range(bands):
-        l = banded.select(F.col("_id").alias("doc_a"), F.col(f"_band{b}").alias("_bh"))
-        r = banded.select(F.col("_id").alias("doc_b"), F.col(f"_band{b}").alias("_bh"))
-        p = l.join(r, "_bh").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    ])
+    # ONE (band_idx, band_hash) posexplode + ONE self-join replaces the
+    # 16-way union-of-joins: a single shuffle keyed on (idx, hash), and the
+    # signature pipeline runs once per side instead of once per band.
+    banded = sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bh"))
+    l = banded.select(F.col("_id").alias("doc_a"), "_bidx", "_bh")
+    r = banded.select(F.col("_id").alias("doc_b"), "_bidx", "_bh")
+    cand = (l.join(r, ["_bidx", "_bh"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b")
+             .distinct())
     # verify candidates with exact jaccard via the shingle sets
     sa = shingled.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sa"))
     sb = shingled.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_sb"))
@@ -186,7 +207,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair with
     distance <= 3 agrees exactly on >=1 chunk -> equality join per chunk.
     """
-    sigs = simhash_64(df, text_col, id_col)
+    # persist: signatures are 2 longs per doc; recomputing simhash_64 (an
+    # explode + 64-agg pass over the corpus) per self-join side would
+    # dominate the job.
+    sigs = simhash_64(df, text_col, id_col).persist()
 
     def band_mask(c: int) -> int:
         # 16-bit band mask as a *signed* 64-bit constant: Python's
@@ -195,35 +219,53 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         m = 0xFFFF << (16 * c)
         return m - (1 << 64) if m >= (1 << 63) else m
 
-    chunks = [F.col("simhash").bitwiseAND(F.lit(band_mask(c))).alias(f"_c{c}")
-              for c in range(4)]
-    banded = sigs.select(F.col(id_col).alias("_id"), F.col("simhash"), *chunks)
-    cand = None
-    for c in range(4):
-        l = banded.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_sa"), F.col(f"_c{c}").alias("_k"))
-        r = banded.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_sb"), F.col(f"_c{c}").alias("_k"))
-        p = (l.join(r, "_k").filter(F.col("doc_a") < F.col("doc_b"))
-              .select("doc_a", "doc_b", "_sa", "_sb"))
-        cand = p if cand is None else cand.unionByName(p)
+    # ONE (chunk_idx, chunk_value) posexplode + ONE self-join replaces the
+    # 4-way union-of-joins (pigeonhole: hamming<=3 over 4 chunks implies
+    # equality on >=1 chunk).
+    chunk_arr = F.array(*[F.col("simhash").bitwiseAND(F.lit(band_mask(c)))
+                          for c in range(4)])
+    banded = sigs.select(F.col(id_col).alias("_id"), F.col("simhash"),
+                         F.posexplode(chunk_arr).alias("_cidx", "_ck"))
+    l = banded.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_sa"),
+                      "_cidx", "_ck")
+    r = banded.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_sb"),
+                      "_cidx", "_ck")
+    cand = (l.join(r, ["_cidx", "_ck"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "_sa", "_sb")
+             .distinct())
     dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (cand.distinct()
-                .withColumn("hamming", dist)
+    return (cand.withColumn("hamming", dist)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("doc_a", "doc_b", "hamming"))
 
 
 # ---------------------------------------------------- embedding near-dup ---
 
+def dot(u: Column, v: Column) -> Column:
+    """JVM-side dot product of two array<double> columns (zip_with +
+    sequential aggregate — deterministic double accumulation)."""
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def as_double_vec(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def norm2(a: Column) -> Column:
+    """Euclidean norm of an array<double> column."""
+    return F.sqrt(dot(a, a))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, computed
-    JVM-side with zip_with + aggregate (sequential double accumulation —
-    deterministic and reproducible by the DuckDB oracle)."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    def dot(u, v):
-        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+    JVM-side. Convenience form that recomputes both norms per call — for
+    pairwise scans, precompute a per-vector norm column once and divide a
+    plain dot() by it instead (3x less work; see
+    embedding_near_dup_pairs / similarity.brute_force_topk)."""
+    ad, bd = as_double_vec(a), as_double_vec(b)
+    return dot(ad, bd) / (norm2(ad) * norm2(bd))
 
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
@@ -235,12 +277,21 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     per-block join — at scale the block key comes from a coarse quantizer
     / LSH bucket, see similarity.lsh_bucket_topk). Exact within blocks.
     """
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
-                  *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
-                  *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    joined = a.join(b, on="_blk" if block_col else None, how="inner") if block_col else a.crossJoin(b)
+    # per-vector norm computed ONCE before the pairwise join (the naive
+    # cosine-per-pair recomputes both norms for every pair — 3x the flops)
+    vd = as_double_vec(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
+                     norm2(vd).alias("_n"),
+                     *([F.col(block_col).alias("_blk")] if block_col else []))
+    a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"),
+                    *([F.col("_blk")] if block_col else []))
+    b = base.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"),
+                    *([F.col("_blk")] if block_col else []))
+    joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
     pairs = (joined.filter(F.col("vec_a") < F.col("vec_b"))
-                   .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+                   .withColumn("cos", dot(F.col("_va"), F.col("_vb"))
+                               / (F.col("_na") * F.col("_nb")))
                    .filter(F.col("cos") >= threshold))
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import as_double_vec, dot, norm2
 from .relational import top_k_per_group
 
 
@@ -31,12 +31,14 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     neighbor id. ``queries`` is broadcast; the candidate scan stays
     shuffle-free until the final per-query top-k (tiny).
     """
+    qd, cd = as_double_vec(F.col(vec_col)), as_double_vec(F.col(vec_col))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("_qv")))
-    c = candidates.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+                                   qd.alias("_qv"), norm2(qd).alias("_qn")))
+    c = candidates.select(F.col(id_col), cd.alias("_cv"), norm2(cd).alias("_cn"))
     scored = (c.crossJoin(q)
                .filter(F.col(id_col) != F.col("query_id"))
-               .withColumn("cos", cosine(F.col("_qv"), F.col("_cv"))))
+               .withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
+                           / (F.col("_qn") * F.col("_cn"))))
     top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
                           tiebreak=[id_col])
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
@@ -76,25 +78,25 @@ def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     tbl_planes = [[_hyperplane(t, p, dim) for p in range(planes_per_table)]
                   for t in range(tables)]
 
-    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
-        cols = {f"{prefix}b{t}": signbits(F.col(vec_col), tbl_planes[t])
-                for t in range(tables)}
-        return df.withColumns(cols)
+    def bucket_arr(df: DataFrame) -> F.Column:
+        return F.array(*[signbits(F.col(vec_col), tbl_planes[t])
+                         for t in range(tables)])
 
-    q = with_buckets(queries, "_q").select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        *[F.col(f"_qb{t}") for t in range(tables)])
-    c = with_buckets(candidates, "_c").select(
-        F.col(id_col), F.col(vec_col).alias("_cv"),
-        *[F.col(f"_cb{t}") for t in range(tables)])
-    cand = None
-    for t in range(tables):
-        p = (c.join(F.broadcast(q), F.col(f"_cb{t}") == F.col(f"_qb{t}"))
-              .filter(F.col(id_col) != F.col("query_id"))
-              .select("query_id", "_qv", id_col, "_cv"))
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["query_id", id_col])
-    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    # ONE (table_idx, bucket) posexplode per side + ONE equality join
+    # replaces the per-table union-of-joins: the bucketing expressions run
+    # once over the candidate corpus instead of once per table.
+    vd = as_double_vec(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), vd.alias("_qv"),
+                       norm2(vd).alias("_qn"),
+                       F.posexplode(bucket_arr(queries)).alias("_tbl", "_bkt"))
+    c = candidates.select(F.col(id_col), vd.alias("_cv"), norm2(vd).alias("_cn"),
+                          F.posexplode(bucket_arr(candidates)).alias("_tbl", "_bkt"))
+    cand = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
+             .filter(F.col(id_col) != F.col("query_id"))
+             .select("query_id", "_qv", "_qn", id_col, "_cv", "_cn")
+             .dropDuplicates(["query_id", id_col]))
+    scored = cand.withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
+                             / (F.col("_qn") * F.col("_cn")))
     top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
                           tiebreak=[id_col])
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
