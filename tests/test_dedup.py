@@ -1,0 +1,123 @@
+"""Dedup-family tests: hand-computed Jaccard, LSH-subset/recall
+invariants (the CORRECTNESS gate can't cover the xxhash64-seeded ops —
+these tests are their verification, per catalog.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.operators import dedup
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words about spark engines"),
+    (5, "spark engines process completely different words"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(spark, docs):
+    got = {r.doc_id: r.dup_count for r in dedup.exact_dedup(docs).collect()}
+    assert got[1] == 2          # docs 1 and 3 collapse, min id kept
+    assert 3 not in got
+    assert got[2] == got[4] == got[5] == 1
+    assert sum(got.values()) == 5
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id LONG, text STRING")
+    got = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).first()
+    assert got.s == ["only two"]
+
+
+def test_word_shingles_hand_computed(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    got = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).first()
+    assert sorted(got.s) == ["a b c", "b c d"]
+
+
+def _exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(s):
+        t = s.split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard_r
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                              max_df=10**9).collect()}
+    want_12 = _exact_jaccard(DOCS[0][1], DOCS[1][1])
+    assert got[(1, 2)] == pytest.approx(round(want_12, 4))
+    assert got[(1, 3)] == 1.0 and got[(2, 3)] == got[(1, 2)]
+
+
+def test_minhash_lsh_subset_of_exact_with_full_recall_on_dups(spark, docs):
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                                max_df=10**9).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact                      # verified candidates only
+    assert (1, 3) in lsh                     # exact dup always collides
+    assert (1, 2) in lsh                     # 8/10 shingles shared
+
+
+def test_minhash_jaccard_is_exact_on_candidates(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard_r
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()}
+    for (a, b), j in got.items():
+        want = _exact_jaccard(DOCS[a - 1][1], DOCS[b - 1][1])
+        assert j == pytest.approx(round(want, 4)), (a, b)
+
+
+def test_simhash_stability_and_dup_collision(spark, docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_64(docs).collect()}
+    assert sig[1] == sig[3]                  # identical text -> identical sig
+    assert len(sig) == 5
+
+
+def test_simhash_pairs_hamming_bound(spark, docs):
+    got = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got}
+    assert pairs[(1, 3)] == 0                # exact dups at distance 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_embedding_near_dup_blocked(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0),
+         (4, [1.0, 0.0], 1)],                # same vec as 1 but other block
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    got = {(r.vec_a, r.vec_b): r.cos_r
+           for r in dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert (1, 4) not in got                 # blocking prevents cross-label
+    assert (1, 3) not in got                 # orthogonal
+
+
+def test_hot_shingle_cap_keeps_pairs_lower_bound(spark):
+    # a shingle shared by every doc is dropped at max_df=2; jaccard then
+    # undercounts (documented lower bound), never overcounts
+    docs = spark.createDataFrame(
+        [(1, "x y z a b c"), (2, "x y z a b d"), (3, "x y z q r s")],
+        "doc_id LONG, text STRING")
+    exact = {(r.doc_a, r.doc_b): r.jaccard_r
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01,
+                                                max_df=10**9).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard_r
+              for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01,
+                                                 max_df=2).collect()}
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9
