@@ -26,6 +26,8 @@ appear per query; implementations are Spark-native, not ports.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -754,6 +756,92 @@ FROM documents
 
 
 # =====================================================================
+# Sinks (round-trip queries: write -> read back -> compare to source)
+# =====================================================================
+
+_TMPOUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".tmpout")
+
+
+def _fresh_dir(name: str) -> str:
+    d = os.path.join(_TMPOUT, name)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def q_sink_csv(spark, sf_dir):
+    """sink-csv (P:374-383): header CSV write + schema-stable read-back.
+    String/int columns only — CSV doubles round-trip through text."""
+    from .sinks import write_csv_report
+    out = os.path.join(_fresh_dir("sink-csv"), "report")
+    report = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.upper("c_name").alias("name"), F.col("c_mktsegment").alias("segment"))
+    write_csv_report(report, out)
+    return spark.read.option("header", True).schema(
+        "c_custkey LONG, name STRING, segment STRING").csv(out)
+
+
+SQL_SINK_CSV = """
+SELECT c_custkey, upper(c_name) AS name, c_mktsegment AS segment FROM customer
+"""
+
+
+def q_sink_partition(spark, sf_dir):
+    """sink-partition (P:26-30): numeric year=/month= Hive layout so date
+    predicates prune partitions; values round-trip through parquet."""
+    from .sinks import write_partitioned
+    out = os.path.join(_fresh_dir("sink-partition"), "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    write_partitioned(o, out, ts_col="o_orderdate")
+    back = spark.read.parquet(out)
+    return back.select("o_orderkey", "o_totalprice",
+                       F.col("year").cast("long").alias("o_year"),
+                       F.col("month").cast("long").alias("o_month"))
+
+
+SQL_SINK_PARTITION = """
+SELECT o_orderkey, o_totalprice,
+       year(o_orderdate) AS o_year, month(o_orderdate) AS o_month
+FROM orders
+"""
+
+
+def q_sink_rollback(spark, sf_dir):
+    """sink-rollback (P:444-451, §2.5.3): staged-commit transaction.
+    Run 1 fails mid-run -> staging cleaned, nothing published, no manifest.
+    Run 2 succeeds -> outputs + manifest visible, rows preserved."""
+    from .sinks import StagedRun
+    base = _fresh_dir("sink-rollback")
+    part = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P") \
+                                      .select("o_orderkey", "o_totalprice")
+    try:
+        with StagedRun(base, "run-fail") as run:
+            run.stage(part, "orders_p")
+            raise RuntimeError("injected failure after first stage")
+    except RuntimeError:
+        pass
+    clean_after_fail = (not os.path.exists(os.path.join(base, "_staging", "run-fail"))
+                        and not os.path.exists(os.path.join(base, "orders_p"))
+                        and not os.path.exists(os.path.join(base, "_manifests", "run-fail.json")))
+    with StagedRun(base, "run-ok") as run:
+        run.stage(part, "orders_p")
+    published_ok = (os.path.exists(os.path.join(base, "orders_p"))
+                    and os.path.exists(os.path.join(base, "_manifests", "run-ok.json")))
+    published_rows = spark.read.parquet(os.path.join(base, "orders_p")).count()
+    return spark.createDataFrame(
+        [(clean_after_fail, published_ok, published_rows)],
+        "rollback_clean BOOLEAN, published_ok BOOLEAN, published_rows LONG")
+
+
+SQL_SINK_ROLLBACK = """
+SELECT true AS rollback_clean, true AS published_ok,
+       (SELECT count(*) FROM orders WHERE o_orderstatus = 'P') AS published_rows
+"""
+
+
+# =====================================================================
 # End-to-end plans (EP3 alert report; EP1 lives in plans/inventory.py)
 # =====================================================================
 
@@ -809,6 +897,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-lang-id": q_text_lang_id,
     "text-quality": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
+    # sinks
+    "sink-csv": q_sink_csv,
+    "sink-partition": q_sink_partition,
+    "sink-rollback": q_sink_rollback,
     # end-to-end plans
     "plan-alert-report": q_plan_alert_report,
 }
@@ -846,6 +938,9 @@ ORACLES: dict[str, str] = {
     "text-lang-id": _sql_lang_id(),
     "text-quality": _sql_quality(),
     "text-fingerprint": SQL_TEXT_FINGERPRINT,
+    "sink-csv": SQL_SINK_CSV,
+    "sink-partition": SQL_SINK_PARTITION,
+    "sink-rollback": SQL_SINK_ROLLBACK,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals

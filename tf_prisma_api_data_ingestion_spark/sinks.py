@@ -1,0 +1,155 @@
+"""Sinks: CSV/Parquet report writers, date-partitioned layout, and the
+staged-commit run transaction (SURVEY §2.1 sink-csv / sink-partition /
+sink-rollback; §7.4).
+
+Reference parity (citations into /root/reference/modules/src/prisma_report/
+lambda.py):
+- ``write_csv_report``     <- upload_report_to_s3, lambda.py:374-383 (CSV,
+  header, no index; QUOTE_NONNUMERIC ~ Spark quoteAll minus numeric quoting
+  — documented deviation, FIXTURES.md).
+- ``date_partition_cols``  <- folder layout, lambda.py:26-30. We use numeric
+  year=/month=/day= Hive partitions instead of the reference's
+  calendar.month_name path (which sorts alphabetically — SURVEY §2.1), so
+  partition PRUNING works on date predicates.
+- ``StagedRun``            <- rollback, lambda.py:444-451 + handler
+  try/except :431-441, WITHOUT the NameError on early failure (§2.5.3):
+  nothing is ever published until every output of the run is staged, so
+  there is nothing to delete from the public prefix on failure.
+
+Scale posture: each Spark write is already atomic per-directory via the
+file commit protocol; the run-level transaction stages every output under
+``<base>/_staging/<run_id>/`` and publishes by directory rename + a
+manifest written LAST. Readers that honor the manifest see either the
+whole run or none of it. On object stores, rename becomes copy — the
+manifest-last ordering is what carries the atomicity there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Mapping
+from datetime import date
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv_report(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """CSV report with header (sink-csv, lambda.py:374-383).
+
+    ``single_file`` coalesces to one part for report-sized outputs (the
+    reference emits one CSV per report); leave False for large outputs so
+    every core writes its own part.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def date_partition_cols(df: DataFrame, ts_col: str) -> DataFrame:
+    """Add numeric year/month/day partition columns from a timestamp column
+    (sink-partition, lambda.py:26-30, normalized to pruning-friendly form)."""
+    return df.withColumns({
+        "year": F.year(ts_col),
+        "month": F.month(ts_col),
+        "day": F.dayofmonth(ts_col),
+    })
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str | None = None,
+                      partition_cols: tuple[str, ...] = ("year", "month"),
+                      fmt: str = "parquet") -> None:
+    """Hive-style date-partitioned write; Catalyst prunes partitions on
+    year/month/day predicates at read time."""
+    if ts_col is not None:
+        df = date_partition_cols(df, ts_col)
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def run_date_literals(run_date: date) -> Mapping[str, str]:
+    """The reference's per-run constant columns (lambda.py:175-177) as a
+    pure function of run_date — no module-global state (§2.5.1)."""
+    return {"transaction_date": run_date.strftime("%Y-%m-%d")}
+
+
+class StagedRun:
+    """Run-scoped transaction: stage every output, publish all-or-nothing.
+
+    Usage::
+
+        with StagedRun(base, run_id) as run:
+            run.stage(df1, "inventory", fmt="csv")
+            run.stage(df2, "alerts", fmt="parquet")
+        # __exit__ publishes; any exception inside rolls staging back
+
+    Publish order: move every staged directory into place, then write
+    ``_manifests/<run_id>.json`` LAST — the manifest is the commit marker.
+    Failure before the manifest leaves only unreferenced files (and the
+    staging cleaner removes them); there is no state where a reader sees a
+    partial manifest. This replaces the reference's delete-published-keys
+    rollback (lambda.py:444-451), which references a variable that is
+    unbound on early failure (§2.5.3) and can delete a *previous* run's
+    file on key collision.
+    """
+
+    def __init__(self, base: str, run_id: str):
+        self.base = base
+        self.run_id = run_id
+        self.staging = os.path.join(base, "_staging", run_id)
+        self.manifest_dir = os.path.join(base, "_manifests")
+        self._staged: list[str] = []
+        self._published = False
+
+    # -- staging ---------------------------------------------------------
+    def stage(self, df: DataFrame, name: str, fmt: str = "parquet",
+              single_file: bool = False, partition_cols: tuple[str, ...] = ()) -> str:
+        path = os.path.join(self.staging, name)
+        out = df.coalesce(1) if single_file else df
+        writer = out.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.format(fmt).save(path)
+        self._staged.append(name)
+        return path
+
+    # -- commit protocol -------------------------------------------------
+    def publish(self) -> list[str]:
+        published = []
+        for name in self._staged:
+            dst = os.path.join(self.base, name)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(self.staging, name), dst)
+            published.append(dst)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".{self.run_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"run_id": self.run_id, "outputs": self._staged}, f)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"{self.run_id}.json"))
+        self._published = True
+        self.rollback()  # clear the now-empty staging prefix
+        return published
+
+    def rollback(self) -> None:
+        """Delete this run's staging prefix; published outputs are never
+        touched (they either all exist with a manifest, or none do)."""
+        if os.path.exists(self.staging):
+            shutil.rmtree(self.staging)
+
+    def manifest_path(self) -> str:
+        return os.path.join(self.manifest_dir, f"{self.run_id}.json")
+
+    # -- context manager -------------------------------------------------
+    def __enter__(self) -> "StagedRun":
+        os.makedirs(self.staging, exist_ok=True)
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.publish()
+        else:
+            self.rollback()
+        return False  # re-raise
