@@ -1,0 +1,101 @@
+"""REST connector tests against the in-process mock API: auth, backoff,
+serial + partition-per-page pagination, and the reference defects we
+must NOT replicate (stale-page replay, import-time login)."""
+
+from __future__ import annotations
+
+import urllib.error
+
+import pytest
+
+from tf_prisma_api_data_ingestion_spark.sources import mock_api
+from tf_prisma_api_data_ingestion_spark.sources.rest import (
+    RestClient,
+    fetch_all_pages,
+    register_alerts_source,
+    request_with_backoff,
+)
+
+
+@pytest.fixture(scope="module")
+def url():
+    return mock_api.mock_server_url()
+
+
+@pytest.fixture(scope="module")
+def client(url):
+    return RestClient(url, username=mock_api.MOCK_USER,
+                      password=mock_api.MOCK_PASSWORD, backoff_factor=0.01).login()
+
+
+def test_login_sets_token(client):
+    assert client.token == mock_api.MOCK_TOKEN
+
+
+def test_login_bad_credentials_raises(url):
+    with pytest.raises(urllib.error.HTTPError):
+        RestClient(url, username="x", password="wrong", backoff_factor=0.01).login()
+
+
+def test_get_json_requires_auth(url):
+    unauthed = RestClient(url, backoff_factor=0.01)
+    with pytest.raises(urllib.error.HTTPError):
+        unauthed.get_json("/v1/inventory")
+
+
+def test_get_json_inventory(client):
+    body = client.get_json("/v1/inventory").body
+    assert [g["serviceName"] for g in body["groupedAggregates"]] == \
+        ["Amazon EC2", "Azure VM", "GCS Bucket"]
+
+
+def test_backoff_retries_through_429s(url):
+    resp = RestClient(url, backoff_factor=0.01).get_json("/flaky")
+    assert resp.attempts == 3 and resp.body["ok"] is True
+
+
+def test_backoff_gives_up_after_retries(url):
+    # retries=1 -> attempts 2, both 429 -> RuntimeError, not silent None
+    with pytest.raises(RuntimeError):
+        request_with_backoff(url + "/flaky", retries=1, backoff_factor=0.0)
+    url and request_with_backoff(url + "/flaky", backoff_factor=0.0)  # drain to 200
+
+
+def test_non_retryable_error_raises_immediately(url):
+    with pytest.raises(urllib.error.HTTPError):
+        request_with_backoff(url + "/nope", retries=5, backoff_factor=0.0)
+
+
+def test_fetch_all_pages_serial(client):
+    items = list(fetch_all_pages(client, "/v2/alerts", {}, page_size=100))
+    assert len(items) == mock_api.N_ALERTS
+    assert items[0]["resource"]["account"] == "acct-0"
+    assert items[11]["resource"]["cloudAccountGroups"] == []
+
+
+def test_fetch_all_pages_respects_max_pages(client):
+    with pytest.raises(RuntimeError):
+        list(fetch_all_pages(client, "/v2/alerts", {}, page_size=10, max_pages=2))
+
+
+def test_datasource_partition_per_page(spark, url, client):
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("backoff_factor", "0.01").load())
+    assert df.rdd.getNumPartitions() == 3  # ceil(237 / 100)
+    rows = df.collect()
+    assert len(rows) == mock_api.N_ALERTS
+    got = {(r.account, r.accountId) for r in rows}
+    want = {(f"acct-{i % 7}", str(9000 + i)) for i in range(mock_api.N_ALERTS)}
+    assert got == want
+
+
+def test_datasource_matches_serial_fetch(spark, url, client):
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("backoff_factor", "0.01").load())
+    serial = [i["resource"]["accountId"]
+              for i in fetch_all_pages(client, "/v2/alerts", {})]
+    assert sorted(r.accountId for r in df.collect()) == sorted(serial)

@@ -756,6 +756,103 @@ FROM documents
 
 
 # =====================================================================
+# REST sources (against the in-process mock API; fixtures are fixed
+# constants, so the oracles are VALUES / range() SQL — full hash checks)
+# =====================================================================
+
+def q_src_login(spark, sf_dir):
+    """src-login (P:36-73): explicit auth handshake (never at import time,
+    §2.5.2); the token stays client-state, never a column."""
+    from .sources.mock_api import MOCK_PASSWORD, MOCK_USER, mock_server_url
+    from .sources.rest import RestClient
+    client = RestClient(mock_server_url(), username=MOCK_USER,
+                        password=MOCK_PASSWORD, backoff_factor=0.01).login()
+    return spark.createDataFrame(
+        [(client.token is not None, len(client.token or ""))],
+        "login_ok BOOLEAN, token_len INT")
+
+
+SQL_SRC_LOGIN = """
+SELECT true AS login_ok, 11 AS token_len
+"""
+
+
+def q_src_get_json(spark, sf_dir):
+    """src-get-json (P:75-103): authed GET -> typed DataFrame via explicit
+    StructType contract (§1.3), flatten + na.fill like the reference's
+    inventory path (P:165-178)."""
+    from .operators.json_ops import flatten_array_of_structs
+    from .sources.mock_api import MOCK_PASSWORD, MOCK_USER, mock_server_url
+    from .sources.rest import RestClient
+    client = RestClient(mock_server_url(), username=MOCK_USER,
+                        password=MOCK_PASSWORD, backoff_factor=0.01).login()
+    body = client.get_json("/v1/inventory").body
+    schema = ("timestamp LONG, requestedTimestamp LONG, groupedAggregates "
+              "ARRAY<STRUCT<serviceName STRING, cloudTypeName STRING, "
+              "failedResources LONG, passedResources LONG, totalResources LONG>>")
+    df = spark.createDataFrame([body], schema).select("groupedAggregates")
+    return flatten_array_of_structs(df, "groupedAggregates").na.fill(0)
+
+
+SQL_SRC_GET_JSON = """
+SELECT * FROM (VALUES
+  ('Amazon EC2', 'aws', CAST(14 AS BIGINT), CAST(120 AS BIGINT), CAST(134 AS BIGINT)),
+  ('Azure VM', 'azure', 5, 55, 60),
+  ('GCS Bucket', 'gcp', 2, 8, 0)
+) AS t(serviceName, cloudTypeName, failedResources, passedResources, totalResources)
+"""
+
+
+def q_src_paginated_post(spark, sf_dir):
+    """src-paginated-post (P:266-318): partition-per-page parallel fetch
+    through the Spark 4 Python DataSource (one probe learns the total,
+    executors pull pages independently — vs the reference's serial
+    1 page/s driver loop), then an alert-shaped aggregation. The empty
+    cloudAccountGroups rows (§2.5.6) are counted null-safely."""
+    from .sources.mock_api import MOCK_PASSWORD, MOCK_USER, mock_server_url
+    from .sources.rest import RestClient, register_alerts_source
+    url = mock_server_url()
+    client = RestClient(url, username=MOCK_USER, password=MOCK_PASSWORD,
+                        backoff_factor=0.01).login()
+    register_alerts_source(spark)
+    alerts = (spark.read.format("prisma_alerts")
+              .option("base_url", url).option("token", client.token)
+              .option("backoff_factor", "0.01").load())
+    return (alerts.groupBy("account")
+            .agg(F.count("*").alias("n_alerts"),
+                 F.min("accountId").alias("min_account_id"),
+                 F.sum(F.when(F.size("cloudAccountGroups") == 0, 1)
+                        .otherwise(0)).alias("n_missing_groups")))
+
+
+SQL_SRC_PAGINATED_POST = """
+SELECT 'acct-' || CAST(i % 7 AS VARCHAR) AS account,
+       count(*) AS n_alerts,
+       min(CAST(9000 + i AS VARCHAR)) AS min_account_id,
+       CAST(count(*) FILTER (i % 11 = 0) AS BIGINT) AS n_missing_groups
+FROM range(237) t(i) GROUP BY 1
+"""
+
+
+def q_src_backoff(spark, sf_dir):
+    """src-backoff (P:105-136 — dead code in the reference, live here):
+    the mock serves two 429s then a 200; exponential backoff retries
+    through them."""
+    from .sources.mock_api import mock_server_url
+    from .sources.rest import RestClient
+    client = RestClient(mock_server_url(), backoff_factor=0.01)
+    resp = client.get_json("/flaky")
+    return spark.createDataFrame(
+        [(resp.attempts, bool(resp.body.get("ok")))],
+        "attempts INT, ok BOOLEAN")
+
+
+SQL_SRC_BACKOFF = """
+SELECT 3 AS attempts, true AS ok
+"""
+
+
+# =====================================================================
 # Sinks (round-trip queries: write -> read back -> compare to source)
 # =====================================================================
 
@@ -897,6 +994,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-lang-id": q_text_lang_id,
     "text-quality": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
+    # REST sources (mock-served)
+    "src-login": q_src_login,
+    "src-get-json": q_src_get_json,
+    "src-paginated-post": q_src_paginated_post,
+    "src-backoff": q_src_backoff,
     # sinks
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
@@ -938,6 +1040,10 @@ ORACLES: dict[str, str] = {
     "text-lang-id": _sql_lang_id(),
     "text-quality": _sql_quality(),
     "text-fingerprint": SQL_TEXT_FINGERPRINT,
+    "src-login": SQL_SRC_LOGIN,
+    "src-get-json": SQL_SRC_GET_JSON,
+    "src-paginated-post": SQL_SRC_PAGINATED_POST,
+    "src-backoff": SQL_SRC_BACKOFF,
     "sink-csv": SQL_SINK_CSV,
     "sink-partition": SQL_SINK_PARTITION,
     "sink-rollback": SQL_SINK_ROLLBACK,

@@ -1,0 +1,205 @@
+"""REST source connector (SURVEY §2.1 src-login / src-get-json /
+src-paginated-post / src-backoff; §7.3).
+
+Reference parity (citations into /root/reference/modules/src/prisma_report/
+lambda.py):
+- ``RestClient.login``        <- prismacloud_login, lambda.py:36-73 — but
+  invoked explicitly, never at import time (§2.5.2), and credentials come
+  from arguments/env only, never source (§0 security note).
+- ``RestClient.get_json``     <- get_api_response, lambda.py:75-103 —
+  errors RAISE instead of print-and-return-None (§2.5.7).
+- ``request_with_backoff``    <- perform_request_with_backoff,
+  lambda.py:105-136 — the reference defines this and never calls it (dead
+  code); here every request goes through it.
+- ``fetch_all_pages``         <- the pageToken loop, lambda.py:266-318 —
+  WITHOUT the stale-response re-examine bug on non-200 (§2.5.4): a failed
+  page raises after retries, it never replays the previous page.
+
+Scale design: token-chained pagination is inherently serial, so the plain
+``fetch_all_pages`` is the strict-token fallback. When the API reports a
+total count (X-Total-Count here; a count endpoint in general), the Spark 4
+Python DataSource plans ONE INPUT PARTITION PER PAGE and executors fetch
+pages independently and in parallel — ingestion throughput then scales
+with the cluster instead of the driver's 1 page/s loop (the reference's
+ceiling, BASELINE.md). Rate limits are honored per-executor by the same
+exponential backoff.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+RETRYABLE = {429, 500, 502, 503, 504}
+
+
+@dataclass
+class RestResponse:
+    status: int
+    headers: dict
+    body: dict
+    attempts: int
+
+
+def request_with_backoff(url: str, method: str = "GET", headers: dict | None = None,
+                         payload: dict | None = None, retries: int = 5,
+                         backoff_factor: float = 1.0, timeout: float = 10.0) -> RestResponse:
+    """HTTP request with exponential backoff on 429/5xx (src-backoff).
+
+    Sleeps ``backoff_factor * 2**attempt`` between tries, raising after
+    ``retries`` retryable failures. Non-retryable HTTP errors raise
+    immediately.
+    """
+    data = json.dumps(payload).encode() if payload is not None else None
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(url, data=data, headers=hdrs, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = json.loads(resp.read() or b"{}")
+                return RestResponse(resp.status, dict(resp.headers), body, attempt + 1)
+        except urllib.error.HTTPError as e:
+            if e.code not in RETRYABLE:
+                raise
+            last_err = e
+            if attempt < retries:
+                time.sleep(backoff_factor * (2 ** attempt))
+    raise RuntimeError(f"{method} {url}: exhausted {retries} retries") from last_err
+
+
+@dataclass
+class RestClient:
+    """Authenticated JSON client. ``token`` is driver/executor-local state,
+    never a DataFrame column."""
+
+    base_url: str
+    username: str = ""
+    password: str = ""
+    prisma_id: str = ""
+    backoff_factor: float = 1.0
+    retries: int = 5
+    token: str | None = field(default=None, repr=False)
+
+    def login(self, path: str = "/login") -> "RestClient":
+        """Auth handshake (src-login): POST credentials -> bearer token."""
+        resp = request_with_backoff(
+            self.base_url + path, method="POST",
+            payload={"username": self.username, "password": self.password,
+                     "customerName": self.prisma_id},
+            retries=self.retries, backoff_factor=self.backoff_factor)
+        self.token = resp.body["token"]
+        return self
+
+    def _headers(self) -> dict:
+        h = {"Accept": "application/json"}
+        if self.token:
+            h["x-redlock-auth"] = self.token
+        return h
+
+    def get_json(self, path: str, params: str = "") -> RestResponse:
+        """GET with auth header (src-get-json)."""
+        url = self.base_url + path + (f"?{params}" if params else "")
+        return request_with_backoff(url, headers=self._headers(),
+                                    retries=self.retries,
+                                    backoff_factor=self.backoff_factor)
+
+    def post_json(self, path: str, payload: dict) -> RestResponse:
+        return request_with_backoff(self.base_url + path, method="POST",
+                                    headers=self._headers(), payload=payload,
+                                    retries=self.retries,
+                                    backoff_factor=self.backoff_factor)
+
+
+def fetch_all_pages(client: RestClient, path: str, payload: dict,
+                    page_size: int = 100, max_pages: int = 10_000) -> Iterator[dict]:
+    """Strict-token serial pagination (src-paginated-post fallback).
+
+    Stops when ``items`` is absent/short, like the reference's loop
+    (P:310-318) — but a non-200 page raises (after backoff retries) rather
+    than silently re-processing the previous page (§2.5.4), and
+    ``max_pages`` bounds the infinite-loop risk.
+    """
+    token: str | None = None
+    for _ in range(max_pages):
+        body = dict(payload, limit=page_size, **({"pageToken": token} if token else {}))
+        resp = client.post_json(path, body)
+        items = resp.body.get("items", [])
+        yield from items
+        token = resp.body.get("nextPageToken")
+        if len(items) < page_size or not token:
+            return
+    raise RuntimeError(f"pagination exceeded max_pages={max_pages}")
+
+
+# ---------------------------------------------------------------------
+# Spark 4 Python DataSource: partition-per-page parallel ingestion
+# ---------------------------------------------------------------------
+
+ALERT_SCHEMA = ("account STRING, accountId STRING, cloudType STRING, "
+                "cloudAccountGroups ARRAY<STRING>")
+
+
+def _alert_row(item: dict) -> tuple:
+    r = item["resource"]
+    return (r.get("account"), r.get("accountId"), r.get("cloudType"),
+            r.get("cloudAccountGroups", []))
+
+
+def register_alerts_source(spark) -> None:
+    """Register the ``prisma_alerts`` format. Import is deferred so the
+    module stays importable on Spark < 4 (the DataSource API is 4.0+)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Page(InputPartition):
+        def __init__(self, index: int):
+            self.index = index
+
+    class _AlertsReader(DataSourceReader):
+        def __init__(self, options):
+            self.base_url = options["base_url"]
+            self.token = options.get("token", "")
+            self.path = options.get("path", "/v2/alerts")
+            self.page_size = int(options.get("page_size", "100"))
+            self.backoff = float(options.get("backoff_factor", "1.0"))
+            self.filters = json.loads(options.get("filters", "{}"))
+
+        def _client(self) -> RestClient:
+            return RestClient(self.base_url, backoff_factor=self.backoff,
+                              token=self.token)
+
+        def partitions(self):
+            # one cheap page-0 probe learns the total; one partition per
+            # page -> executors fetch in parallel (vs the reference's
+            # serial 1 page/s driver loop)
+            resp = self._client().post_json(
+                self.path, dict(self.filters, limit=1))
+            total = int(resp.headers.get("X-Total-Count", "0"))
+            n = max(1, math.ceil(total / self.page_size))
+            return [_Page(i) for i in range(n)]
+
+        def read(self, partition):
+            body = dict(self.filters, limit=self.page_size,
+                        **({"pageToken": f"page-{partition.index}"}
+                           if partition.index else {}))
+            resp = self._client().post_json(self.path, body)
+            for item in resp.body.get("items", []):
+                yield _alert_row(item)
+
+    class PrismaAlertsDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "prisma_alerts"
+
+        def schema(self):
+            return ALERT_SCHEMA
+
+        def reader(self, schema):
+            return _AlertsReader(self.options)
+
+    spark.dataSource.register(PrismaAlertsDataSource)
