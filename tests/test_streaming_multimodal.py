@@ -1,0 +1,111 @@
+"""Streaming + multimodal + plan tests: watermark/append semantics, Arrow
+batch plumbing, EP3-from-fixtures golden output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+    got = windowed_event_counts(spark, SF_DIR, query_name="t_tumbling")
+    ev = tables.load(spark, SF_DIR, "events")
+    want = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events")))
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_append_mode_holds_back_open_windows(spark):
+    # the canonical watermark semantics: in append mode, windows the final
+    # watermark has not passed are NOT emitted on drain
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import _event_stream
+    agg = (_event_stream(spark, SF_DIR)
+           .withWatermark("ts_t", "10 minutes")
+           .groupBy(F.window("ts_t", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("t_append")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    appended = spark.table("t_append").count()
+    # at least the last open window is held back vs the complete count
+    from tf_prisma_api_data_ingestion_spark import tables
+    ev = tables.load(spark, SF_DIR, "events")
+    total_windows = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+                     .groupBy(F.window("ts_t", "1 hour")).count().count())
+    assert appended < total_windows
+
+
+def test_multimodal_decode_features(spark):
+    from tf_prisma_api_data_ingestion_spark.multimodal import (
+        fake_decode_features,
+        with_binary_payload,
+    )
+    df = spark.createDataFrame([(1, "abc"), (2, "a" * 700)],
+                               "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in
+           fake_decode_features(with_binary_payload(df)).collect()}
+    assert got[1].n_bytes == 3 and got[1].width == 3 and got[1].height == 21
+    assert got[2].n_bytes == 700 and got[2].width == 60 and got[2].height == 100
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from tf_prisma_api_data_ingestion_spark.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_frame_sample_cardinality(spark):
+    from tf_prisma_api_data_ingestion_spark.multimodal import (
+        fake_frame_sample,
+        with_binary_payload,
+    )
+    df = spark.createDataFrame([(1, "x" * 29)], "doc_id LONG, text STRING")
+    # 29 bytes -> n_frames = 29 % 30 + 1 = 30 -> frames 0,7,14,21,28
+    got = fake_frame_sample(with_binary_payload(df)).collect()
+    assert sorted(r.frame_idx for r in got) == [0, 7, 14, 21, 28]
+    assert all(r.n_frames == 30 for r in got)
+
+
+def test_alert_report_from_fixtures_golden(spark):
+    from tf_prisma_api_data_ingestion_spark.plans.report import (
+        alert_report_from_fixtures,
+    )
+    policies = spark.createDataFrame(
+        [("pol-1", "S3 public", "config", "high"),
+         ("pol-2", "Root MFA", "iam", "critical")],
+        "policyId STRING, policyName STRING, policyType STRING, severity STRING")
+    alerts = spark.createDataFrame(
+        [("pol-1", ("prod", "111", "aws", ["Default"])),
+         ("pol-1", ("prod", "111", "aws", ["Default"])),
+         ("pol-1", ("dev", "222", "gcp", [])),       # empty groups (§2.5.6)
+         ("pol-2", ("prod", "111", "aws", ["G2"]))],
+        "policyId STRING, resource STRUCT<account STRING, accountId STRING, "
+        "cloudType STRING, cloudAccountGroups ARRAY<STRING>>")
+    got = {(r["Policy Name"], r["Cloud Account Name"]): r
+           for r in alert_report_from_fixtures(policies, alerts).collect()}
+    prod = got[("S3 public", "prod")]
+    assert prod["Failed Resource Count"] == 2
+    assert prod["Policy Severity"] == "HIGH" and prod["Cloud Type"] == "AWS"
+    dev = got[("S3 public", "dev")]
+    assert dev["Cloud Account Group"] is None     # null-safe, no IndexError
+    assert got[("Root MFA", "prod")]["Policy Severity"] == "CRITICAL"
+
+
+def test_inventory_run_counts(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.plans.inventory import inventory_run
+    got = inventory_run(spark, SF_DIR)
+    p = tables.load(spark, SF_DIR, "part")
+    n_types = p.select("p_type").distinct().count()
+    n_pairs = p.select("p_type", "p_brand").distinct().count()
+    assert got.count() == n_types + n_pairs
+    svc = got.filter(F.col("resourceIdentity").isNull())
+    assert svc.agg(F.sum("totalResources")).first()[0] == p.count()

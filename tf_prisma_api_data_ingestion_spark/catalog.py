@@ -51,6 +51,7 @@ from .operators.relational import (
     top_k_per_group,
     upper_cols,
 )
+from .plans.inventory import INVENTORY_RUN_SQL as _INVENTORY_RUN_SQL
 from .plans.report import ALERT_REPORT_EVENTS_SQL, alert_report_events
 
 # epoch-nanos bounds for the events window queries (events data is Jan 2024)
@@ -947,6 +948,90 @@ def q_plan_alert_report(spark, sf_dir):
     return alert_report_events(spark, sf_dir)
 
 
+def q_plan_inventory_report(spark, sf_dir):
+    """EP1 inventory + resource-type run (P:386-441): the serial
+    per-service fan-out collapsed into one finer-grained aggregation."""
+    from .plans.inventory import inventory_run
+    return inventory_run(spark, sf_dir)
+
+
+# =====================================================================
+# Streaming (Structured Streaming drained with availableNow)
+# =====================================================================
+
+def q_stream_window_agg(spark, sf_dir):
+    """Tumbling event-time window + watermark over a file stream of
+    events; exact-decimal sums so the batch oracle hash-matches."""
+    from .streaming.windows import windowed_event_counts
+    return windowed_event_counts(spark, sf_dir, query_name="cat_stream_tumbling")
+
+
+SQL_STREAM_WINDOW_AGG = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding_window(spark, sf_dir):
+    """Sliding-window variant (1h window / 30m slide): each event lands in
+    two buckets; oracle replays via two shifted time_buckets."""
+    from .streaming.windows import sliding_event_counts
+    return sliding_event_counts(spark, sf_dir, query_name="cat_stream_sliding")
+
+
+SQL_STREAM_SLIDING_WINDOW = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_hour, event_type
+  FROM events),
+shifted AS (
+  SELECT half_hour AS window_start, event_type FROM b
+  UNION ALL
+  SELECT half_hour - INTERVAL '30 minutes', event_type FROM b)
+SELECT window_start, event_type, count(*) AS n_events
+FROM shifted GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Multimodal (binary payload + mapInPandas decode plumbing)
+# =====================================================================
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary payload + Arrow-batched mapInPandas feature extraction
+    (decode stub is a deterministic fake; plumbing is real)."""
+    from .multimodal import fake_decode_features, with_binary_payload
+    d = _t(spark, sf_dir, "documents")
+    return fake_decode_features(with_binary_payload(d))
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling shape: mapInPandas emitting N rows per input payload
+    (cardinality-changing decode-and-explode stage)."""
+    from .multimodal import fake_frame_sample, with_binary_payload
+    d = _t(spark, sf_dir, "documents")
+    return fake_frame_sample(with_binary_payload(d))
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(u AS INTEGER) AS frame_idx, CAST(n_frames AS INTEGER) AS n_frames
+FROM f, unnest(range(0, n_frames, 7)) t(u)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1003,8 +1088,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
     "sink-rollback": q_sink_rollback,
+    # streaming
+    "stream-window-agg": q_stream_window_agg,
+    "stream-sliding-window": q_stream_sliding_window,
+    # multimodal
+    "multimodal-decode": q_multimodal_decode,
+    "multimodal-frame-sample": q_multimodal_frame_sample,
     # end-to-end plans
     "plan-alert-report": q_plan_alert_report,
+    "plan-inventory-report": q_plan_inventory_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -1047,7 +1139,12 @@ ORACLES: dict[str, str] = {
     "sink-csv": SQL_SINK_CSV,
     "sink-partition": SQL_SINK_PARTITION,
     "sink-rollback": SQL_SINK_ROLLBACK,
+    "stream-window-agg": SQL_STREAM_WINDOW_AGG,
+    "stream-sliding-window": SQL_STREAM_SLIDING_WINDOW,
+    "multimodal-decode": SQL_MULTIMODAL_DECODE,
+    "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,
+    "plan-inventory-report": _INVENTORY_RUN_SQL,
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
     # are not DuckDB-expressible; invariants are covered by tests/ instead.
