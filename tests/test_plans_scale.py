@@ -1,0 +1,101 @@
+"""Plan-shape assertions: the properties that make these operators hold
+at 100x the data — filters reaching the parquet scan, column pruning,
+broadcast on the small side, rank-limit pushdown, and NO corpus-sized
+broadcasts in the dedup family."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan" in l]
+
+
+def test_filter_eq_pushed_to_scan(spark):
+    plan = plan_of(spark, "pd-filter-eq")
+    assert any("EqualTo(o_orderstatus,F)" in s for s in scans(plan))
+
+
+def test_filter_range_pushed_to_scan(spark):
+    plan = plan_of(spark, "pd-filter-range")
+    assert any("GreaterThanOrEqual(ts," in s for s in scans(plan))
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "tpch-q1")
+    scan = scans(plan)[0]
+    read = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    # 7 of 11 lineitem columns read; keys that the query never touches
+    # must not reach the scan
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_shipdate" in read and "l_extendedprice" in read
+
+
+def test_q3_broadcasts_the_small_dims(spark):
+    plan = plan_of(spark, "tpch-q3")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_rank_limit_pushed_below_shuffle(spark):
+    plan = plan_of(spark, "top-k-per-group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_single_shuffle_no_join_explosion(spark):
+    plan = plan_of(spark, "asof-join")
+    # union + window formulation: no join node at all, one exchange for
+    # the window partitioning (plus AQE read nodes)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_jaccard_broadcasts_only_the_hot_set(spark):
+    df = QUERIES["dedup-ngram-jaccard"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the broadcast HINT feeds the LEFT ANTI join (tiny hot-shingle set),
+    # never the surviving corpus-sized index (round-1 verdict scale-killer,
+    # fixed by inverting the guard)
+    anti = [l for l in plan.splitlines() if "BroadcastHashJoin" in l and "LeftAnti" in l]
+    assert anti, "hot-shingle guard must be a broadcast anti-join"
+    # the only broadcast HINT is the hot set — it appears once per
+    # self-join side of the shared index subtree (2 occurrences). Any other
+    # broadcast Spark picks is size-stat-driven and disappears at scale,
+    # which is the behavior we want.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+
+
+def test_bruteforce_topk_broadcasts_queries_not_candidates(spark):
+    plan = plan_of(spark, "sim-bruteforce-topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the big candidate side must not be exchanged before scoring
+    assert plan.count("Exchange") <= 2  # only the final tiny top-k shuffle
+
+
+def test_groupby_has_mapside_partial_agg(spark):
+    plan = plan_of(spark, "pd-groupby")
+    # partial aggregation before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    i_partial = plan.find("partial_count")
+    i_exch = plan.find("Exchange hashpartitioning")
+    assert -1 < i_exch < i_partial  # partial agg is BELOW the exchange
+
+
+@pytest.mark.parametrize("name", ["dedup-minhash-lsh", "dedup-simhash-pairs"])
+def test_lsh_families_single_band_join(spark, name):
+    plan = plan_of(spark, name)
+    # posexplode banding: exactly one candidate self-join keyed on the
+    # (band_idx, band_hash) pair, not an N-way union of joins
+    assert plan.count("Generate posexplode") == 2  # one per join side

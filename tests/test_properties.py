@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the parity-critical paths: the
+semantics here were hand-matched against urllib/pandas behavior, so
+generated inputs guard the edge cases a fixed fixture list misses.
+
+One Spark job per example is expensive — examples are batched into a
+single DataFrame per test run where possible and max_examples kept low.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.functions.columns import url_encode_path
+from tf_prisma_api_data_ingestion_spark.operators.relational import union_all
+from tf_prisma_api_data_ingestion_spark.operators.text import token_count
+
+# printable ASCII + a few multi-byte chars; surrogates excluded
+TEXTISH = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           exclude_categories=("Cs",)),
+    max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=20))
+def test_url_encode_parity_generated(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = [r.e for r in df.select(url_encode_path(F.col("s")).alias("e")).collect()]
+    want = [urllib.parse.quote(s) for s in strings]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=20))
+def test_token_count_matches_ascii_ws_split(spark, strings):
+    import re
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = [r.n for r in df.select(token_count(F.col("s")).alias("n")).collect()]
+    # documented semantics: ASCII \s separators (Java regex / RE2 parity),
+    # empty tokens dropped — NOT python str.split()'s unicode whitespace
+    want = [len([t for t in re.split("[ \t\n\x0b\f\r]+", s) if t])
+            for s in strings]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                          st.one_of(st.none(), st.floats(allow_nan=False,
+                                                         allow_infinity=False,
+                                                         width=32))),
+                min_size=1, max_size=15))
+def test_fillna_never_leaves_numeric_nulls(spark, rows):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import fill_nulls
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = fill_nulls(df, 0.0).collect()
+    assert all(r.v is not None for r in got)
+    # non-null values pass through untouched
+    want = {i: v for i, v in rows if v is not None}
+    for r in got:
+        if r.id in want and want[r.id] is not None:
+            assert r.v == want[r.id] or r.id not in want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=8))
+def test_union_all_row_count_is_sum(spark, sizes):
+    frames = [
+        spark.createDataFrame([(i, j) for j in range(n)] or [(i, 0)],
+                              "branch INT, v INT").limit(n)
+        for i, n in enumerate(sizes)
+    ]
+    total = union_all(frames).count()
+    assert total == sum(sizes)

@@ -52,6 +52,40 @@ def test_lsh_topk_subset_and_recall(spark, vecs):
     assert all(len([1 for p in lset if p[0] == qid]) <= 5 for qid in range(3))
 
 
+def test_lsh_near_dup_pairs_finds_planted_dups(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 16)
+    rows = [(int(i), base[i].tolist()) for i in range(20)]
+    # plant near-dups: 100-102 are tiny perturbations of vectors 0-2
+    for j in range(3):
+        rows.append((100 + j, (base[j] + rng.randn(16) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {(r.vec_a, r.vec_b): r.cos_r
+           for r in lsh_near_dup_pairs(df, threshold=0.98, dim=16).collect()}
+    for j in range(3):
+        assert (j, 100 + j) in got and got[(j, 100 + j)] > 0.99
+    # precision 1: every emitted pair is exactly verified >= threshold
+    assert all(c >= 0.98 for c in got.values())
+
+
+def test_embedding_near_dup_unblocked_delegates_to_lsh(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 15 + [1.01]), (3, [-1.0] * 16)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = embedding_near_dup_pairs(df, block_col=None, threshold=0.99)
+    pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # no cartesian product in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_deterministic_across_runs(spark, vecs):
     _, df = vecs
     q = df.filter(F.col("vec_id") < 2)

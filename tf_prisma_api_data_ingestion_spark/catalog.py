@@ -651,6 +651,15 @@ SELECT query_id, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rn <= 5
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Unblocked embedding near-dup via random-hyperplane LSH + exact
+    verification — the quadratic-free scale path (numpy-seeded hyperplanes
+    — rows-only check; recall/subset invariants in tests)."""
+    from .operators.similarity import lsh_near_dup_pairs
+    return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                              threshold=0.35, dim=64)
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     """Sign-bucket LSH approximate top-k (numpy-seeded hyperplanes — no SQL
     oracle; recall vs brute force is unit-tested)."""
@@ -673,8 +682,8 @@ def q_text_token_count(spark, sf_dir):
 
 SQL_TEXT_TOKEN_COUNT = """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces
 FROM documents
 """
@@ -719,8 +728,8 @@ def _sql_quality() -> str:
     return f"""
 WITH f AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS n_tok,
          length(text) AS n_chars,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
@@ -1071,6 +1080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-simhash": q_dedup_simhash,
     "dedup-simhash-pairs": q_dedup_simhash_pairs,
     "dedup-embedding": q_dedup_embedding,
+    "dedup-embedding-lsh": q_dedup_embedding_lsh,
     # similarity search
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,

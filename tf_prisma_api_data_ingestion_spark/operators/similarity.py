@@ -65,6 +65,44 @@ def signbits(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.9,
+                       dim: int = 64, planes_per_table: int = 8,
+                       tables: int = 8) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a block column: random-hyperplane
+    LSH blocking + exact cosine verification — the scale path that
+    replaces the all-pairs cross join (which is quadratic and only
+    acceptable inside small explicit blocks).
+
+    Recall: a pair at angle θ shares one table's bucket with prob
+    (1-θ/π)^planes; with ``tables`` independent tables the miss prob is
+    (1-p)^tables — at cos>=0.9 and (8 planes, 8 tables) that is <2%.
+    Every emitted pair is verified exactly, so precision is 1.
+
+    One posexplode (table_idx, bucket) self-join — same single-shuffle
+    shape as minhash_lsh_pairs.
+    """
+    tbl_planes = [[_hyperplane(t, p, dim) for p in range(planes_per_table)]
+                  for t in range(tables)]
+    vd = as_double_vec(F.col(vec_col))
+    buckets = F.array(*[signbits(F.col(vec_col), tbl_planes[t])
+                        for t in range(tables)])
+    base = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
+                     norm2(vd).alias("_n"),
+                     F.posexplode(buckets).alias("_tbl", "_bkt")).persist()
+    a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"), "_tbl", "_bkt")
+    b = base.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"), "_tbl", "_bkt")
+    cand = (a.join(b, ["_tbl", "_bkt"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .dropDuplicates(["vec_a", "vec_b"]))
+    pairs = (cand.withColumn("cos", dot(F.col("_va"), F.col("_vb"))
+                             / (F.col("_na") * F.col("_nb")))
+                 .filter(F.col("cos") >= threshold))
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
+
+
 def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, planes_per_table: int = 8,

@@ -22,13 +22,21 @@ STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Whitespace tokenization of lowercased text; empty tokens filtered.
+
+    The empty-filter matters: ``trim`` strips only spaces, so text with a
+    leading tab/newline would otherwise yield a phantom "" first token
+    (found by the hypothesis property suite). Whitespace is the ASCII
+    ``\\s`` class (Java regex) — unicode spaces like U+00A0 are NOT
+    separators, matching the DuckDB/RE2 oracle semantics.
+    """
+    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+    """Whitespace token count; empty/blank text counts 0 (empty tokens are
+    already filtered by ``tokens``)."""
+    return F.size(tokens(col))
 
 
 def bpe_ish_piece_count(col: Column) -> Column:
