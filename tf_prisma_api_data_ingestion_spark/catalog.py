@@ -530,6 +530,119 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_op_distinct(spark, sf_dir):
+    """Distinct projection (engine capability absent from the reference,
+    SURVEY §2.4): shuffle dedup with partial aggregation map-side."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+SQL_OP_DISTINCT = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+def q_op_intersect(spark, sf_dir):
+    """INTERSECT (SURVEY §2.4): nations that have both customers and
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_OP_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_op_except(spark, sf_dir):
+    """EXCEPT (SURVEY §2.4): nations with customers but no high-balance
+    supplier. ``subtract`` is SET difference like SQL EXCEPT (exceptAll
+    would be bag difference and leave per-key leftovers)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    return c.subtract(s)
+
+
+SQL_OP_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+"""
+
+
+def q_op_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (SURVEY §2.4): (status, priority) ->
+    (status) -> grand total, with exact-decimal sums."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _dec_sum("o_totalprice").alias("sum_total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n_orders", "sum_total"))
+
+
+SQL_OP_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_op_sessionize(spark, sf_dir):
+    """Gap-based sessionization over events (30-minute gap at µs
+    precision) — gap-and-islands window formulation, one shuffle."""
+    from .operators.relational import sessionize
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    gap_us = 30 * 60 * 1_000_000
+    s = sessionize(ev.withColumn("user_id", F.col("user_id").cast("string")),
+                   "user_id", "ts_us", gap_us)
+    return s.select("user_id", "session_id",
+                    F.col("session_start"), F.col("session_end"), "n_events")
+
+
+SQL_OP_SESSIONIZE = """
+WITH flagged AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+numbered AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, min(ts_us) AS session_start,
+       max(ts_us) AS session_end, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_op_apply_in_pandas(spark, sf_dir):
+    """Grouped applyInPandas (Arrow batches, SURVEY §2.4 UDF surface):
+    per-event-type centering against the group min (order-independent, so
+    the SQL oracle reproduces it exactly)."""
+    from .operators.relational import grouped_demean
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("value"))
+    return grouped_demean(ev, "event_type", "value")
+
+
+SQL_OP_APPLY_IN_PANDAS = """
+SELECT event_type, value,
+       value - min(value) OVER (PARTITION BY event_type) AS value_centered
+FROM events
+"""
+
+
 # =====================================================================
 # LLM-data-pipeline: dedup family (operators/dedup.py)
 # =====================================================================
@@ -1069,6 +1182,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-foreach-group": q_op_foreach_group,
     "src-url-gen": q_src_url_gen,
     # engine-level relational capability
+    "op-distinct": q_op_distinct,
+    "op-intersect": q_op_intersect,
+    "op-except": q_op_except,
+    "op-rollup": q_op_rollup,
+    "op-sessionize": q_op_sessionize,
+    "op-apply-in-pandas": q_op_apply_in_pandas,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "top-k-per-group": q_top_k_per_group,
@@ -1130,6 +1249,12 @@ ORACLES: dict[str, str] = {
     "op-empty-guard": SQL_OP_EMPTY_GUARD,
     "op-foreach-group": SQL_OP_FOREACH_GROUP,
     "src-url-gen": SQL_SRC_URL_GEN,
+    "op-distinct": SQL_OP_DISTINCT,
+    "op-intersect": SQL_OP_INTERSECT,
+    "op-except": SQL_OP_EXCEPT,
+    "op-rollup": SQL_OP_ROLLUP,
+    "op-sessionize": SQL_OP_SESSIONIZE,
+    "op-apply-in-pandas": SQL_OP_APPLY_IN_PANDAS,
     "tpch-q1": SQL_TPCH_Q1,
     "tpch-q3": SQL_TPCH_Q3,
     "top-k-per-group": SQL_TOP_K_PER_GROUP,

@@ -160,6 +160,60 @@ def top_k_per_group(df: DataFrame, part_keys: Sequence[str], order_col: str,
               .drop("_rn"))
 
 
+def sessionize(df: DataFrame, key: str, ts_col: str, gap: int) -> DataFrame:
+    """Gap-based sessionization (north-star extension; no reference
+    analog): rows for the same ``key`` belong to one session while
+    consecutive timestamps are within ``gap`` (same units as ``ts_col``).
+
+    Classic gap-and-islands, all window functions: lag -> new-session flag
+    -> running sum = session index -> per-session aggregate. One shuffle
+    on the key, linear in input; the batch twin of a streaming
+    applyInPandasWithState sessionizer (streaming/windows.py handles the
+    windowed path).
+
+    Returns (key, session_id, session_start, session_end, n_events).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    flagged = df.withColumn(
+        "_new", F.when(
+            (F.col(ts_col) - F.lag(ts_col).over(w) > gap)
+            | F.lag(ts_col).over(w).isNull(), 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (numbered.groupBy(key, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events")))
+
+
+def grouped_demean(df: DataFrame, key: str, value_col: str,
+                   out: str = "value_centered") -> DataFrame:
+    """Per-group centering against the group MINIMUM via Arrow-batched
+    applyInPandas (north-star extension): the UDF-registration surface
+    demo where Python semantics are genuinely wanted per group.
+
+    Centering on min (not mean) keeps the result exactly reproducible by
+    the SQL oracle: min is order-independent, while a pandas float mean
+    would differ from the engine's in the last bits.
+    """
+    import pandas as pd
+
+    schema = f"{key} STRING, {value_col} DOUBLE, {out} DOUBLE"
+
+    def center(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = pdf[value_col].min()
+        return pd.DataFrame({
+            key: pdf[key],
+            value_col: pdf[value_col],
+            out: pdf[value_col] - m,
+        })
+
+    return df.select(key, value_col).groupBy(key).applyInPandas(center, schema)
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_cols: Mapping[str, str]) -> DataFrame:
