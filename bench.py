@@ -26,9 +26,12 @@ HEADLINE = (
     "dedup-minhash-lsh",  # banded LSH + verify
     "dedup-simhash-pairs",# simhash banding
     "dedup-embedding",    # blocked cosine pairs
+    "dedup-embedding-lsh",# hyperplane-LSH near-dup (unblocked scale path)
     "sim-bruteforce-topk",# broadcast-queries exact ANN
     "sim-lsh-topk",       # sign-bucket LSH ANN
     "text-quality",       # text feature extraction
+    "op-sessionize",      # gap-and-islands sessionization
+    "stream-window-agg",  # structured-streaming tumbling window drain
     "plan-alert-report",  # EP3 end-to-end plan
 )
 

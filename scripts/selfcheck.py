@@ -45,6 +45,12 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(ddf.columns):
         problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
         return problems
+    # dtype-strict: the driver's hasher may not normalize int/timestamp
+    # widths, so any pre-normalization dtype divergence is a failure here
+    for c in sorted(sdf.columns):
+        a, b = str(sdf[c].dtype), str(ddf[c].dtype)
+        if a != b and not (a.startswith("datetime64") and b.startswith("datetime64")):
+            problems.append(f"dtype col {c}: spark={a} duck={b}")
     s, d = normalize(sdf), normalize(ddf)
     if len(s) != len(d):
         return problems

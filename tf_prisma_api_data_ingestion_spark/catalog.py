@@ -617,8 +617,8 @@ WITH flagged AS (
   FROM events),
 numbered AS (
   SELECT user_id, ts_us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, min(ts_us) AS session_start,
        max(ts_us) AS session_end, count(*) AS n_events
@@ -795,9 +795,10 @@ def q_text_token_count(spark, sf_dir):
 
 SQL_TEXT_TOKEN_COUNT = """
 SELECT doc_id,
-       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                       x -> x <> '')) AS n_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS INTEGER) AS n_pieces
 FROM documents
 """
 
@@ -854,7 +855,7 @@ r AS (
          CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END AS stop_ratio
   FROM f)
-SELECT doc_id, n_tok AS n_tokens,
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
        mean_tok_len AS mean_token_len,
        punct_ratio,
        stop_ratio AS stopword_ratio,
@@ -1089,7 +1090,8 @@ def q_stream_window_agg(spark, sf_dir):
 
 
 SQL_STREAM_WINDOW_AGG = """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
        count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
@@ -1108,10 +1110,11 @@ WITH b AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS half_hour, event_type
   FROM events),
 shifted AS (
-  SELECT half_hour AS window_start, event_type FROM b
+  SELECT half_hour AS ws, event_type FROM b
   UNION ALL
   SELECT half_hour - INTERVAL '30 minutes', event_type FROM b)
-SELECT window_start, event_type, count(*) AS n_events
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events
 FROM shifted GROUP BY 1, 2
 """
 

@@ -68,14 +68,14 @@ SELECT p_type AS serviceName,
        CAST(NULL AS VARCHAR) AS resourceTypeName,
        count(*) AS totalResources,
        CAST(sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS BIGINT) AS failedResources,
-       count(*) - sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS passedResources,
+       CAST(count(*) - sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS BIGINT) AS passedResources,
        '2024-02-01' AS transaction_date,
        CAST(NULL AS VARCHAR) AS resourceIdentity
 FROM part GROUP BY p_type
 UNION ALL
 SELECT p_type, p_brand, count(*),
        CAST(sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS BIGINT),
-       count(*) - sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END),
+       CAST(count(*) - sum(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS BIGINT),
        '2024-02-01', 'Resource Type'
 FROM part GROUP BY p_type, p_brand
 """

@@ -56,8 +56,11 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
     q = (agg.writeStream.format("memory").queryName(query_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    # window start as a formatted string: engine-neutral for the oracle
+    # hash (raw timestamps surface as ns vs µs pandas dtypes)
     return (spark.table(query_name)
-            .select(F.col("w.start").alias("window_start"), "event_type",
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"), "event_type",
                     "n_events", "sum_value"))
 
 
@@ -74,5 +77,6 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return (spark.table(query_name)
-            .select(F.col("w.start").alias("window_start"), "event_type",
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"), "event_type",
                     "n_events"))
