@@ -1071,6 +1071,60 @@ def q_plan_alert_report(spark, sf_dir):
     return alert_report_events(spark, sf_dir)
 
 
+def q_plan_e2e_alert(spark, sf_dir):
+    """EP3 through the REAL ingestion path: paginated connector scan
+    (partition-per-page) -> broadcast join to the policy frame -> the
+    alert-report stages (P:210-369). The mock's alert formula makes the
+    whole pipeline range()-reproducible for the oracle."""
+    from .plans.report import alert_report_from_fixtures
+    from .sources.mock_api import MOCK_PASSWORD, MOCK_USER, mock_server_url
+    from .sources.rest import RestClient, register_alerts_source
+    url = mock_server_url()
+    client = RestClient(url, username=MOCK_USER, password=MOCK_PASSWORD,
+                        backoff_factor=0.01).login()
+    register_alerts_source(spark)
+    alerts = (spark.read.format("prisma_alerts")
+              .option("base_url", url).option("token", client.token)
+              .option("backoff_factor", "0.01").load()
+              .withColumn("policyId", F.concat(F.lit("pol-"), F.col("cloudType"))))
+    policies = spark.createDataFrame(
+        [("pol-aws", "AWS baseline", "config", "high"),
+         ("pol-azure", "Azure baseline", "config", "medium"),
+         ("pol-gcp", "GCP baseline", "config", "low")],
+        "policyId STRING, policyName STRING, policyType STRING, severity STRING")
+    items = alerts.select(
+        "policyId",
+        F.struct("account", "accountId", "cloudType", "cloudAccountGroups")
+         .alias("resource"))
+    return alert_report_from_fixtures(policies, items)
+
+
+SQL_PLAN_E2E_ALERT = """
+WITH items AS (
+  SELECT i,
+         'acct-' || CAST(i % 7 AS VARCHAR) AS account,
+         CAST(9000 + i AS VARCHAR) AS accountId,
+         ['aws', 'azure', 'gcp'][(i % 3) + 1] AS cloudType,
+         CASE WHEN i % 11 = 0 THEN NULL
+              ELSE 'grp-' || CAST(i % 3 AS VARCHAR) END AS grp
+  FROM range(237) t(i)),
+pol AS (
+  SELECT * FROM (VALUES ('aws', 'AWS baseline', 'HIGH'),
+                        ('azure', 'Azure baseline', 'MEDIUM'),
+                        ('gcp', 'GCP baseline', 'LOW')) p(cloud, name, sev)),
+grouped AS (
+  SELECT cloudType, account, count(*) AS n, min(accountId) AS accountId,
+         min(grp) AS accountGroup
+  FROM items GROUP BY cloudType, account)
+SELECT p.name AS "Policy Name", 'config' AS "Policy Type",
+       p.sev AS "Policy Severity", upper(g.cloudType) AS "Cloud Type",
+       g.account AS "Cloud Account Name", g.accountId AS "Cloud Account Id",
+       g.accountGroup AS "Cloud Account Group", 'fail' AS "Status",
+       g.n AS "Failed Resource Count"
+FROM grouped g JOIN pol p ON g.cloudType = p.cloud
+"""
+
+
 def q_plan_inventory_report(spark, sf_dir):
     """EP1 inventory + resource-type run (P:386-441): the serial
     per-service fan-out collapsed into one finer-grained aggregation."""
@@ -1229,6 +1283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # end-to-end plans
     "plan-alert-report": q_plan_alert_report,
     "plan-inventory-report": q_plan_inventory_report,
+    "plan-e2e-alert": q_plan_e2e_alert,
 }
 
 ORACLES: dict[str, str] = {
@@ -1283,6 +1338,7 @@ ORACLES: dict[str, str] = {
     "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,
     "plan-inventory-report": _INVENTORY_RUN_SQL,
+    "plan-e2e-alert": SQL_PLAN_E2E_ALERT,
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
     # are not DuckDB-expressible; invariants are covered by tests/ instead.

@@ -89,9 +89,10 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     # document-frequency cap: drop shingles present in too many docs
     df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
     hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
-    # persist the surviving index (24 B/row): it feeds BOTH sides of the
-    # self-join, and without it each side re-runs shingling + the
-    # df_counts subquery over the full corpus.
+    # persist (MEMORY_AND_DISK) the surviving index: 24 B per shingle
+    # occurrence — corpus-scale but flat, disk-backed when large. It feeds
+    # BOTH sides of the self-join; without it each side re-runs shingling
+    # + the df_counts subquery over the full corpus.
     inv = inv.join(F.broadcast(hot), "_sk", "left_anti").persist()
     a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_sk")
     b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_sk")
@@ -146,9 +147,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = num_hashes // bands
     shingled = df.select(F.col(id_col).alias("_id"),
                          word_shingles(F.col(text_col), n).alias("shingles"))
-    # persist: the signature table is tiny relative to the corpus
-    # (n_docs x num_hashes longs); without it every self-join side would
-    # recompute shingling + 64 hash passes over the full corpus.
+    # persist (MEMORY_AND_DISK): the shingle index is the job's working
+    # set — sized like the tokenized corpus, disk-backed when it does not
+    # fit. It feeds the signature pass AND both verify joins; without it
+    # the shingling + 64 hash passes would run three times over the full
+    # corpus. At cluster scale, writing it to a staging parquet gives the
+    # same reuse with cheaper recovery.
     shingled = shingled.persist()
     sig = shingled.withColumn("_sig", minhash_signature(F.col("shingles"), num_hashes))
     band_arr = F.array(*[
