@@ -44,25 +44,40 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
 
 
-def _hyperplane(table: int, plane: int, dim: int) -> list:
-    """Deterministic pseudo-random hyperplane components in [-1, 1]."""
-    import numpy as np
-    rng = np.random.RandomState(abs(hash((table, plane))) % (2**31))
-    return rng.uniform(-1.0, 1.0, size=dim).tolist()
+def hyperplane(table: int, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane as a JVM-side expression:
+    component d = xxhash64(table, plane, d) folded into [-1, 1].
+
+    Computed inside the executors from three integers — no literal weight
+    matrices in the plan (an earlier numpy-literal version put 64 literals
+    per plane into codegen, dominating compile time) and nothing to ship
+    to a cluster: the seed IS the function.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx, lambda d: ((F.xxhash64(F.lit(table), F.lit(plane), d) % 2001
+                         + 2001) % 2001).cast("double") / 1000.0 - 1.0)
 
 
-def signbits(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = sign bits of the vector against each hyperplane."""
-    terms = []
-    for p_idx, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        terms.append(F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
+def signbits(vec: Column, table: int, planes_per_table: int, dim: int) -> Column:
+    """Bucket id = sign bits of the vector against each of the table's
+    hyperplanes."""
+    out = None
+    for p_idx in range(planes_per_table):
+        dot = F.aggregate(
+            F.zip_with(vec, hyperplane(table, p_idx, dim),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+        out = term if out is None else out + term
     return out
+
+
+def bucket_array(vec: Column, tables: int, planes_per_table: int,
+                 dim: int) -> Column:
+    """Per-table sign-bucket ids as one array column (posexplode-ready)."""
+    return F.array(*[signbits(vec, t, planes_per_table, dim)
+                     for t in range(tables)])
 
 
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -82,11 +97,8 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     One posexplode (table_idx, bucket) self-join — same single-shuffle
     shape as minhash_lsh_pairs.
     """
-    tbl_planes = [[_hyperplane(t, p, dim) for p in range(planes_per_table)]
-                  for t in range(tables)]
     vd = as_double_vec(F.col(vec_col))
-    buckets = F.array(*[signbits(F.col(vec_col), tbl_planes[t])
-                        for t in range(tables)])
+    buckets = bucket_array(F.col(vec_col), tables, planes_per_table, dim)
     base = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
                      norm2(vd).alias("_n"),
                      F.posexplode(buckets).alias("_tbl", "_bkt")).persist()
@@ -113,22 +125,16 @@ def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     Each table contributes one equality join on its bucket key — at 100 TB
     this replaces the full scan per query with ~N/2^planes bucket reads.
     """
-    tbl_planes = [[_hyperplane(t, p, dim) for p in range(planes_per_table)]
-                  for t in range(tables)]
-
-    def bucket_arr(df: DataFrame) -> F.Column:
-        return F.array(*[signbits(F.col(vec_col), tbl_planes[t])
-                         for t in range(tables)])
-
     # ONE (table_idx, bucket) posexplode per side + ONE equality join
     # replaces the per-table union-of-joins: the bucketing expressions run
     # once over the candidate corpus instead of once per table.
     vd = as_double_vec(F.col(vec_col))
+    buckets = bucket_array(F.col(vec_col), tables, planes_per_table, dim)
     q = queries.select(F.col(id_col).alias("query_id"), vd.alias("_qv"),
                        norm2(vd).alias("_qn"),
-                       F.posexplode(bucket_arr(queries)).alias("_tbl", "_bkt"))
+                       F.posexplode(buckets).alias("_tbl", "_bkt"))
     c = candidates.select(F.col(id_col), vd.alias("_cv"), norm2(vd).alias("_cn"),
-                          F.posexplode(bucket_arr(candidates)).alias("_tbl", "_bkt"))
+                          F.posexplode(buckets).alias("_tbl", "_bkt"))
     cand = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
              .filter(F.col(id_col) != F.col("query_id"))
              .select("query_id", "_qv", "_qn", id_col, "_cv", "_cn")
