@@ -64,6 +64,49 @@ def test_fillna_never_leaves_numeric_nulls(spark, rows):
             assert r.v == want[r.id] or r.id not in want
 
 
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 50)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 50),
+                          st.integers(-100, 100)),
+                min_size=0, max_size=12))
+def test_asof_join_matches_python_reference(spark, left_rows, right_rows):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import asof_join
+    # dedupe right on (key, ts): with duplicates "the most recent row" is
+    # ambiguous and the operator documents no tie order
+    seen = {}
+    for k, ts, v in right_rows:
+        seen[(k, ts)] = v
+    right_rows = [(k, ts, v) for (k, ts), v in seen.items()]
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        "lid INT, k STRING, ts LONG")
+    right = (spark.createDataFrame(right_rows, "k STRING, ts LONG, v LONG")
+             if right_rows else
+             spark.createDataFrame([], "k STRING, ts LONG, v LONG"))
+    got = {r.lid: r.last_v for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols={"v": "last_v"}).collect()}
+    for i, (k, ts) in enumerate(left_rows):
+        prior = [(rts, v) for rk, rts, v in right_rows if rk == k and rts <= ts]
+        want = max(prior)[1] if prior else None
+        assert got[i] == want, (i, k, ts)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import salted_join
+    left = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 100)], "key INT, uid INT")
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "miss")],
+                                  "key INT, tag STRING")
+    got = sorted((r.key, r.uid, r.tag) for r in
+                 salted_join(left, right, ["key"], salt=4,
+                             left_unique="uid").collect())
+    want = sorted((r.key, r.uid, r.tag) for r in
+                  left.join(right, "key").collect())
+    assert got == want
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.integers(0, 3), min_size=1, max_size=8))
 def test_union_all_row_count_is_sum(spark, sizes):

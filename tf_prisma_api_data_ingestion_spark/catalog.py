@@ -416,6 +416,41 @@ FROM part
 # Engine-level relational capability (headline/bench shapes)
 # =====================================================================
 
+def q_op_salted_join(spark, sf_dir):
+    """Hand-salted skew-safe join (lineitem ⋈ orders on l_orderkey):
+    deterministic salt splits each hot key across ``salt`` shuffle
+    partitions, the small side replicates per salt value. The result is
+    identical to the plain join — that identity IS the oracle."""
+    from .operators.relational import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                              "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"),
+                                           "o_orderstatus")
+    j = salted_join(li, o, on=["l_orderkey"], salt=8, left_unique="l_linenumber")
+    return j.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
+
+
+SQL_OP_SALTED_JOIN = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): per-type
+    running totals carried in GroupState, exact micro-unit accumulation so
+    the batch oracle hash-matches."""
+    from .streaming.windows import stateful_running_totals
+    return stateful_running_totals(spark, sf_dir, query_name="cat_stateful")
+
+
+SQL_STREAM_STATEFUL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: the canonical scan->agg plan
     (partial agg map-side; all money math in exact decimals)."""
@@ -1245,6 +1280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-rollup": q_op_rollup,
     "op-sessionize": q_op_sessionize,
     "op-apply-in-pandas": q_op_apply_in_pandas,
+    "op-salted-join": q_op_salted_join,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "top-k-per-group": q_top_k_per_group,
@@ -1277,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming
     "stream-window-agg": q_stream_window_agg,
     "stream-sliding-window": q_stream_sliding_window,
+    "stream-stateful-totals": q_stream_stateful,
     # multimodal
     "multimodal-decode": q_multimodal_decode,
     "multimodal-frame-sample": q_multimodal_frame_sample,
@@ -1313,6 +1350,7 @@ ORACLES: dict[str, str] = {
     "op-rollup": SQL_OP_ROLLUP,
     "op-sessionize": SQL_OP_SESSIONIZE,
     "op-apply-in-pandas": SQL_OP_APPLY_IN_PANDAS,
+    "op-salted-join": SQL_OP_SALTED_JOIN,
     "tpch-q1": SQL_TPCH_Q1,
     "tpch-q3": SQL_TPCH_Q3,
     "top-k-per-group": SQL_TOP_K_PER_GROUP,
@@ -1334,6 +1372,7 @@ ORACLES: dict[str, str] = {
     "sink-rollback": SQL_SINK_ROLLBACK,
     "stream-window-agg": SQL_STREAM_WINDOW_AGG,
     "stream-sliding-window": SQL_STREAM_SLIDING_WINDOW,
+    "stream-stateful-totals": SQL_STREAM_STATEFUL,
     "multimodal-decode": SQL_MULTIMODAL_DECODE,
     "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,

@@ -160,6 +160,27 @@ def top_k_per_group(df: DataFrame, part_keys: Sequence[str], order_col: str,
               .drop("_rn"))
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                salt: int = 8, left_unique: str | None = None) -> DataFrame:
+    """Inner equi-join with hand-salting for hot keys (the explicit skew
+    strategy; AQE's skew-join split is the automatic one — use this when
+    a single key is so hot that even split shuffle blocks overwhelm one
+    executor, e.g. a null-ish default key owning 10% of a 100 TB fact).
+
+    The big (left) side gets a DETERMINISTIC salt derived from
+    ``left_unique`` (any high-cardinality column; defaults to all left
+    columns), splitting each hot key into ``salt`` shuffle partitions; the
+    small (right) side is replicated once per salt value via a tiny
+    explode. Result set is identical to the plain join — verified by the
+    op-salted-join oracle.
+    """
+    keys = list(on)
+    salt_src = [F.col(left_unique)] if left_unique else [F.col(c) for c in left.columns]
+    lt = left.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt)))
+    rt = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return lt.join(rt, keys + ["_salt"]).drop("_salt")
+
+
 def sessionize(df: DataFrame, key: str, ts_col: str, gap: int) -> DataFrame:
     """Gap-based sessionization (north-star extension; no reference
     analog): rows for the same ``key`` belong to one session while

@@ -64,6 +64,50 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
                     "n_events", "sum_value"))
 
 
+def stateful_running_totals(spark: SparkSession, sf_dir: str,
+                            query_name: str = "stateful_totals") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-event-type running (count, exact decimal sum) carried in explicit
+    GroupState across micro-batches, emitted in update mode.
+
+    This is the escape hatch for aggregation logic Spark's built-in
+    windowed aggs can't express (per-key state machines, custom eviction);
+    here the logic is deliberately oracle-reproducible so the driver's
+    hash check covers the API path end to end.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total_micro = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact accumulation: values are 6-decimal, so sum in integer
+            # micro-units (pandas float sums would drift vs the oracle)
+            total_micro += int(round(pdf["value"].map(
+                lambda v: int(round(v * 1_000_000))).sum()))
+        state.update((n, total_micro))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                            "sum_value": [total_micro / 1_000_000]})
+
+    stream = _event_stream(spark, sf_dir)
+    out = (stream.groupBy("event_type")
+           .applyInPandasWithState(
+               update,
+               outputStructType="event_type STRING, n_events LONG, sum_value DOUBLE",
+               stateStructType="n LONG, total_micro LONG",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; running totals
+    # only grow, so the final state row per key is the max_by(n_events)
+    return (spark.table(query_name).groupBy("event_type")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("sum_value", "n_events").alias("sum_value")))
+
+
 def sliding_event_counts(spark: SparkSession, sf_dir: str,
                          window: str = "1 hour", slide: str = "30 minutes",
                          watermark: str = "10 minutes",
