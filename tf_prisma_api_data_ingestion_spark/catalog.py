@@ -416,6 +416,52 @@ FROM part
 # Engine-level relational capability (headline/bench shapes)
 # =====================================================================
 
+def q_op_pivot(spark, sf_dir):
+    """Pivot (wide report shape): order counts per priority x status.
+    Pivot values are pinned explicitly — at scale an unpinned pivot takes
+    an extra distinct-collect pass over the data to discover columns."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+            .select("o_orderpriority",
+                    F.col("F").alias("n_f"), F.col("O").alias("n_o"),
+                    F.col("P").alias("n_p")))
+
+
+SQL_OP_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_op_window_running_sum(spark, sf_dir):
+    """Running per-customer order total (window cumulative sum in exact
+    decimals, surfaced as double)."""
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_total"))
+
+
+SQL_OP_WINDOW_RUNNING_SUM = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
 def q_op_salted_join(spark, sf_dir):
     """Hand-salted skew-safe join (lineitem ⋈ orders on l_orderkey):
     deterministic salt splits each hot key across ``salt`` shuffle
@@ -1281,6 +1327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-sessionize": q_op_sessionize,
     "op-apply-in-pandas": q_op_apply_in_pandas,
     "op-salted-join": q_op_salted_join,
+    "op-pivot": q_op_pivot,
+    "op-window-running-sum": q_op_window_running_sum,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "top-k-per-group": q_top_k_per_group,
@@ -1351,6 +1399,8 @@ ORACLES: dict[str, str] = {
     "op-sessionize": SQL_OP_SESSIONIZE,
     "op-apply-in-pandas": SQL_OP_APPLY_IN_PANDAS,
     "op-salted-join": SQL_OP_SALTED_JOIN,
+    "op-pivot": SQL_OP_PIVOT,
+    "op-window-running-sum": SQL_OP_WINDOW_RUNNING_SUM,
     "tpch-q1": SQL_TPCH_Q1,
     "tpch-q3": SQL_TPCH_Q3,
     "top-k-per-group": SQL_TOP_K_PER_GROUP,
