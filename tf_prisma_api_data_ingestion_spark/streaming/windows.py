@@ -28,7 +28,11 @@ EVENTS_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, event_type STRING, "
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-defending confs (the driver's session may have neither): nanos
+    # parquet readability + UTC so formatted window bounds match the
+    # timezone-naive oracle even when this is the first query to run
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))

@@ -25,10 +25,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    # Defensive session confs (runtime-settable), because the DRIVER
+    # supplies its own session without session.get_spark's settings:
+    # - UTC: date_format/strftime parity with the (timezone-naive) DuckDB
+    #   oracle; otherwise formatted timestamps shift by the host zone.
+    # - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark 4
+    #   rejects outright otherwise.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
-        # unless surfaced as a long; set defensively because the driver
-        # supplies its own session (runtime-settable conf).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
