@@ -84,16 +84,17 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     # shingles (inflating _inter by at most 1); negligible below ~2^32
     # distinct shingles — at larger corpora re-verify survivors exactly as
     # minhash_lsh_pairs does.
-    inv = sized.select("_id", "_m", F.explode("shingles").alias("_s")) \
-               .select("_id", "_m", F.xxhash64("_s").alias("_sk"))
+    # persist (MEMORY_AND_DISK) the raw index: 24 B per shingle occurrence
+    # — corpus-scale but flat, disk-backed when large. It feeds the
+    # df-count pass AND (via the anti-join) both sides of the self-join,
+    # so the shingling regex pipeline runs exactly ONCE over the corpus.
+    inv = (sized.select("_id", "_m", F.explode("shingles").alias("_s"))
+                .select("_id", "_m", F.xxhash64("_s").alias("_sk"))
+                .persist())
     # document-frequency cap: drop shingles present in too many docs
     df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
     hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
-    # persist (MEMORY_AND_DISK) the surviving index: 24 B per shingle
-    # occurrence — corpus-scale but flat, disk-backed when large. It feeds
-    # BOTH sides of the self-join; without it each side re-runs shingling
-    # + the df_counts subquery over the full corpus.
-    inv = inv.join(F.broadcast(hot), "_sk", "left_anti").persist()
+    inv = inv.join(F.broadcast(hot), "_sk", "left_anti")
     a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_sk")
     b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_sk")
     inter = (a.join(b, "_sk")
