@@ -127,6 +127,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     Entirely JVM-side: transform + array_min per permutation; the standard
     (a*x+b mod p) permutation family is replaced by seeded xxhash64, which
     is an equally valid min-wise family in practice.
+
+    Callers on the hot path should pass a column of PRE-HASHED longs read
+    from a materialized (persisted) relation — seeding over 8-byte longs
+    beats re-hashing full strings per permutation, but ONLY when the
+    hashed array is materialized: deriving it inline re-evaluates the
+    string hashing once per permutation (Catalyst inlines captured
+    expressions into each transform).
     """
     return F.array(*[
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
@@ -146,8 +153,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     exact result (candidates only), each verified exactly.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(F.col(id_col).alias("_id"),
-                         word_shingles(F.col(text_col), n).alias("shingles"))
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"))
+    # _hashed: shingle ids as longs, materialized ONCE in the cache so the
+    # 64 signature permutations seed over 8-byte longs instead of
+    # re-hashing full strings per permutation.
+    shingled = shingled.withColumn(
+        "_hashed", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
     # persist (MEMORY_AND_DISK): the shingle index is the job's working
     # set — sized like the tokenized corpus, disk-backed when it does not
     # fit. It feeds the signature pass AND both verify joins; without it
@@ -155,7 +168,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # corpus. At cluster scale, writing it to a staging parquet gives the
     # same reuse with cheaper recovery.
     shingled = shingled.persist()
-    sig = shingled.withColumn("_sig", minhash_signature(F.col("shingles"), num_hashes))
+    sig = shingled.withColumn("_sig", minhash_signature(F.col("_hashed"), num_hashes))
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1)
                                       for r in range(rows_per_band)]), F.lit(b))
