@@ -92,6 +92,21 @@ def test_csv_golden_bytes(spark, tmp_path):
     assert open(part[0]).read() == "id,name\n1,x\n2,y\n"
 
 
+def test_csv_quote_nonnumeric_matches_pandas_bytes(spark, tmp_path):
+    import pandas as pd
+    import csv as csvmod
+    rows = [(1, "plain", 1.5), (2, 'has "quotes"', 2.0), (3, "comma, inc", -0.25)]
+    cols = ["id", "name", "score"]
+    want = pd.DataFrame(rows, columns=cols).to_csv(
+        index=False, quoting=csvmod.QUOTE_NONNUMERIC)
+    df = spark.createDataFrame(rows, "id INT, name STRING, score DOUBLE")
+    out = str(tmp_path / "qnn")
+    write_csv_report(df, out, quote_nonnumeric=True, order_by=("id",))
+    part = glob.glob(os.path.join(out, "part-*.txt"))
+    assert len(part) == 1
+    assert open(part[0]).read() == want
+
+
 def test_date_partition_cols(spark, df):
     got = date_partition_cols(df, "d").orderBy("id").collect()
     assert [(r.year, r.month, r.day) for r in got] == [(2024, 1, 5), (2024, 2, 10)]

@@ -36,15 +36,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_csv_report(df: DataFrame, path: str, single_file: bool = True) -> None:
+def write_csv_report(df: DataFrame, path: str, single_file: bool = True,
+                     quote_nonnumeric: bool = False,
+                     order_by: tuple[str, ...] = ()) -> None:
     """CSV report with header (sink-csv, lambda.py:374-383).
 
     ``single_file`` coalesces to one part for report-sized outputs (the
     reference emits one CSV per report); leave False for large outputs so
     every core writes its own part.
+
+    ``quote_nonnumeric=True`` byte-matches pandas ``to_csv(index=False,
+    quoting=QUOTE_NONNUMERIC)`` — the reference's exact output format
+    (lambda.py:377): every non-numeric cell quoted (embedded quotes
+    doubled), numeric cells bare. Spark's own ``quoteAll`` quotes numerics
+    too, so this mode formats rows JVM-side with concat_ws and writes
+    text. Byte-exact output needs a deterministic row order, so this mode
+    requires ``order_by`` key columns; the header sorts above every data
+    row with an explicit rank (union partition order is NOT stable through
+    coalesce — found the hard way).
     """
-    out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", True).csv(path)
+    if not quote_nonnumeric:
+        out = df.coalesce(1) if single_file else df
+        out.write.mode("overwrite").option("header", True).csv(path)
+        return
+    if not order_by:
+        raise ValueError("quote_nonnumeric mode needs order_by keys for "
+                         "deterministic file bytes")
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+    cells = []
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        c = F.col(name)
+        if base in numeric:
+            cells.append(F.when(c.isNull(), F.lit("")).otherwise(c.cast("string")))
+        else:
+            quoted = F.concat(F.lit('"'),
+                              F.replace(c.cast("string"), F.lit('"'), F.lit('""')),
+                              F.lit('"'))
+            cells.append(F.when(c.isNull(), F.lit('""')).otherwise(quoted))
+    header = ",".join(f'"{n}"' for n, _ in df.dtypes)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(*[F.col(k).asc() for k in order_by])
+    lines = df.select(F.concat_ws(",", *cells).alias("line"),
+                      F.row_number().over(w).alias("_seq"))
+    body = lines.sparkSession.createDataFrame([(header, 0)], "line STRING, _seq INT") \
+        .unionByName(lines)
+    (body.repartition(1).sortWithinPartitions("_seq").select("line")
+         .write.mode("overwrite").text(path))
 
 
 def date_partition_cols(df: DataFrame, ts_col: str) -> DataFrame:
