@@ -47,21 +47,17 @@ def test_token_count_matches_ascii_ws_split(spark, strings):
 
 
 @settings(max_examples=6, deadline=None)
-@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
-                          st.one_of(st.none(), st.floats(allow_nan=False,
-                                                         allow_infinity=False,
-                                                         width=32))),
+@given(st.lists(st.one_of(st.none(), st.floats(allow_nan=False,
+                                               allow_infinity=False,
+                                               width=32)),
                 min_size=1, max_size=15))
-def test_fillna_never_leaves_numeric_nulls(spark, rows):
+def test_fillna_never_leaves_numeric_nulls(spark, values):
     from tf_prisma_api_data_ingestion_spark.operators.relational import fill_nulls
+    rows = [(i, v) for i, v in enumerate(values)]  # unique ids by construction
     df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
-    got = fill_nulls(df, 0.0).collect()
-    assert all(r.v is not None for r in got)
-    # non-null values pass through untouched
-    want = {i: v for i, v in rows if v is not None}
-    for r in got:
-        if r.id in want and want[r.id] is not None:
-            assert r.v == want[r.id] or r.id not in want
+    got = {r.id: r.v for r in fill_nulls(df, 0.0).collect()}
+    for i, v in rows:
+        assert got[i] == (0.0 if v is None else v)
 
 
 @settings(max_examples=6, deadline=None)
