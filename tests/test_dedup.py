@@ -107,6 +107,25 @@ def test_embedding_near_dup_blocked(spark):
     assert (1, 3) not in got                 # orthogonal
 
 
+def test_dedup_clusters_chain_and_singleton(spark):
+    # chain 1-2-3 collapses to one cluster even though (1,3) is not an
+    # edge; 4 is isolated and keeps itself
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "doc_a LONG, doc_b LONG")
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id LONG")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_keep_list(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a LONG, doc_b LONG")
+    ids = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id LONG")
+    got = {r.doc_id: r.cluster_size
+           for r in dedup.dedup_keep_list(pairs, ids).collect()}
+    assert got == {1: 3, 4: 1}
+
+
 def test_hot_shingle_cap_keeps_pairs_lower_bound(spark):
     # a shingle shared by every doc is dropped at max_df=2; jaccard then
     # undercounts (documented lower bound), never overcounts

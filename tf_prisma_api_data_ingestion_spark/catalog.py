@@ -818,6 +818,37 @@ FROM pairs WHERE cos >= 0.35
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over jaccard>=0.2 near-dup edges: (doc_id,
+    cluster_id=min reachable id) for every document — the step that turns
+    pairwise near-dup output into keep-one-per-cluster decisions. The
+    oracle replays the same edges with a recursive CTE."""
+    from .operators.dedup import dedup_clusters
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=10**9)
+    return dedup_clusters(pairs, d.select("doc_id"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter WHERE i / (ma + mb - i) >= 0.2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM edges e JOIN reach r ON e.src = r.n)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
 # =====================================================================
 # LLM-data-pipeline: similarity search (operators/similarity.py)
 # =====================================================================
@@ -1341,6 +1372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-simhash-pairs": q_dedup_simhash_pairs,
     "dedup-embedding": q_dedup_embedding,
     "dedup-embedding-lsh": q_dedup_embedding_lsh,
+    "dedup-clusters": q_dedup_clusters,
     # similarity search
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,
@@ -1408,6 +1440,7 @@ ORACLES: dict[str, str] = {
     "dedup-exact": SQL_DEDUP_EXACT,
     "dedup-ngram-jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup-embedding": SQL_DEDUP_EMBEDDING,
+    "dedup-clusters": SQL_DEDUP_CLUSTERS,
     "sim-bruteforce-topk": SQL_SIM_BRUTEFORCE_TOPK,
     "text-token-count": SQL_TEXT_TOKEN_COUNT,
     "text-lang-id": _sql_lang_id(),

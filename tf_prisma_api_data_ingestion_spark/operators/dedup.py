@@ -258,6 +258,57 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .select("doc_a", "doc_b", "hamming"))
 
 
+# ------------------------------------------------------------- clusters ---
+
+def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
+                   max_iter: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: every id gets the MIN id
+    reachable through the pair graph as its ``cluster_id`` (singletons are
+    their own cluster). This is the step that turns pairwise near-dup
+    output into a keep-one-per-cluster dedup decision.
+
+    Min-label propagation: each round, every node takes the min label
+    among itself and its neighbors; converges in graph-diameter rounds
+    (near-dup clusters are shallow — dup groups are near-cliques, so a
+    handful of rounds). Each round is one shuffle join + groupBy;
+    ``localCheckpoint`` truncates lineage so the loop's plan doesn't grow.
+    At extreme scale, the large-star/small-star formulation (same
+    join/groupBy primitives, O(log n) rounds) is the drop-in upgrade.
+
+    ``pairs``: (doc_a, doc_b) edges; ``ids``: one row per id (defines the
+    node set, so isolated docs appear in the output).
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = ids.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.src == labels.n)
+                        .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neighbor_min, labels.n == neighbor_min.dst, "left")
+                      .select(F.col("n"),
+                              F.least(F.col("lbl"),
+                                      F.coalesce(F.col("nlbl"), F.col("lbl")))
+                               .alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("a").join(labels.alias("b"), "n")
+                   .filter(F.col("a.lbl") != F.col("b.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keep_list(pairs: DataFrame, ids: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """One kept id per near-dup cluster (the min id — deterministic)."""
+    clusters = dedup_clusters(pairs, ids, id_col)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"))
+            .select(F.col("cluster_id").alias(id_col), "cluster_size"))
+
+
 # ---------------------------------------------------- embedding near-dup ---
 
 def dot(u: Column, v: Column) -> Column:
