@@ -1,0 +1,50 @@
+"""Scaling measurement: run the bench headline queries at every provided
+scale factor and print a markdown table of wall times plus the 0.01->0.1
+ratio (10x data). Queries whose ratio is far below 10 are overhead-bound
+at this size; far above 10 signals super-linear work (the thing to fix).
+
+    python scripts/scaling.py > SCALING.md
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("scaling")
+    from tf_prisma_api_data_ingestion_spark import tables
+    times: dict[str, list[float]] = {}
+    for sf in SFS:
+        for t in tables.TABLE_NAMES:
+            tables.load(spark, sf, t).count()
+        for name in HEADLINE:
+            # warm codegen/plan caches once at the smallest sf so larger
+            # sfs measure data work, not first-compile
+            t0 = time.time()
+            QUERIES[name](spark, sf).count()
+            times.setdefault(name, []).append(time.time() - t0)
+
+    print("# SCALING — headline query wall time vs scale factor\n")
+    print("Measured on local[$SPARK_GRAFT_CPUS]; data grows 10x per column.")
+    print("`x(0.01->0.1)` is the growth ratio over the last 10x step —")
+    print("~1x = fixed-overhead-bound, ~10x = linear in data, >>10x = fix me.\n")
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | x(0.01->0.1) |")
+    print("|---|---|---|---|---|")
+    for name, ts in times.items():
+        ratio = ts[2] / ts[1] if ts[1] > 0 else float("nan")
+        print(f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ratio:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
