@@ -978,6 +978,50 @@ FROM r
 """
 
 
+def q_text_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequencies, top 20 (vocabulary building):
+    explode -> count with map-side partial agg; deterministic tie-break on
+    the token itself."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+
+
+SQL_TEXT_TOP_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter(
+        regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+      FROM documents) t
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_op_corrupt_capture(spark, sf_dir):
+    """Corrupt-record capture (§1.3 posture): a third of the props
+    payloads are corrupted in-flight; from_json yields null for those
+    instead of failing the job, and the query surfaces the split."""
+    ev = _t(spark, sf_dir, "events")
+    # corruption must be a PREFIX: Spark's from_json is lenient about
+    # trailing garbage after a valid leading object
+    mangled = ev.withColumn(
+        "raw", F.when(F.col("event_id") % 3 == 0,
+                      F.concat(F.lit("oops{"), F.col("props")))
+               .otherwise(F.col("props")))
+    parsed = mangled.withColumn("p", F.from_json("raw", "k INT"))
+    return (parsed.groupBy((F.col("event_id") % 3 == 0).alias("was_corrupted"))
+            .agg(F.count("*").alias("n"),
+                 F.count("p.k").alias("n_parsed")))
+
+
+SQL_OP_CORRUPT_CAPTURE = """
+SELECT event_id % 3 = 0 AS was_corrupted, count(*) AS n,
+       count(CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE json_extract(props, '$.k') END) AS n_parsed
+FROM events GROUP BY 1
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Deterministic document fingerprint: md5 of the normalized text."""
     d = _t(spark, sf_dir, "documents")
@@ -1381,6 +1425,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-lang-id": q_text_lang_id,
     "text-quality": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
+    "text-top-tokens": q_text_top_tokens,
+    "op-corrupt-capture": q_op_corrupt_capture,
     # REST sources (mock-served)
     "src-login": q_src_login,
     "src-get-json": q_src_get_json,
@@ -1446,6 +1492,8 @@ ORACLES: dict[str, str] = {
     "text-lang-id": _sql_lang_id(),
     "text-quality": _sql_quality(),
     "text-fingerprint": SQL_TEXT_FINGERPRINT,
+    "text-top-tokens": SQL_TEXT_TOP_TOKENS,
+    "op-corrupt-capture": SQL_OP_CORRUPT_CAPTURE,
     "src-login": SQL_SRC_LOGIN,
     "src-get-json": SQL_SRC_GET_JSON,
     "src-paginated-post": SQL_SRC_PAGINATED_POST,

@@ -48,7 +48,10 @@ def write_csv_report(df: DataFrame, path: str, single_file: bool = True,
     ``quote_nonnumeric=True`` byte-matches pandas ``to_csv(index=False,
     quoting=QUOTE_NONNUMERIC)`` — the reference's exact output format
     (lambda.py:377): every non-numeric cell quoted (embedded quotes
-    doubled), numeric cells bare. Spark's own ``quoteAll`` quotes numerics
+    doubled), numeric cells bare. Deviation: a NULL string cell writes
+    ``""`` (quoted empty) where pandas writes bare empty — the quoted form
+    round-trips as "empty string present" instead of ambiguating with
+    missing. Spark's own ``quoteAll`` quotes numerics
     too, so this mode formats rows JVM-side with concat_ws and writes
     text. Byte-exact output needs a deterministic row order, so this mode
     requires ``order_by`` key columns; the header sorts above every data
