@@ -1,0 +1,55 @@
+"""Emit PLANS.md: executed-plan evidence for the flagship queries —
+pushed filters, read schemas, join strategies, exchange counts — the
+properties asserted in tests/test_plans_scale.py, in human-readable form.
+
+    python scripts/plans_audit.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+AUDIT = (
+    ("tpch-q1", "scan -> partial agg -> shuffle agg; filter + pruning pushed"),
+    ("tpch-q3", "3-way join; filtered dims broadcast"),
+    ("pd-filter-range", "time-range predicate reaches the parquet scan"),
+    ("top-k-per-group", "rank limit pushed below the shuffle (WindowGroupLimit)"),
+    ("asof-join", "union + forward-fill window; NO join node, one shuffle"),
+    ("dedup-ngram-jaccard", "hot-set broadcast anti-join; corpus joins stat-driven"),
+    ("dedup-minhash-lsh", "single posexplode band self-join over cached signatures"),
+    ("sim-bruteforce-topk", "queries broadcast; candidate side unshuffled until top-k"),
+    ("op-salted-join", "salted keys split hot partitions; small side replicated"),
+)
+
+
+def main() -> None:
+    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("plans-audit", cpus=8, shuffle_partitions=8)
+    print("# PLANS — executed-plan evidence (sf0.01, local)\n")
+    print("Machine-checked versions of these properties live in "
+          "`tests/test_plans_scale.py`; this file is the human-readable dump.\n")
+    for name, claim in AUDIT:
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"## {name}\n\n*Claim:* {claim}\n")
+        print("```")
+        for line in plan.splitlines():
+            s = line.strip()
+            keep = ("FileScan" in s or "Join" in s or "Exchange" in s
+                    or "HashAggregate" in s or "WindowGroupLimit" in s
+                    or "Generate posexplode" in s or "Window" in s)
+            if not keep:
+                continue
+            s = re.sub(r", ReadSchema: struct<[^>]{80,}>", ", ReadSchema: <pruned cols>", s)
+            print(s[:220])
+        print("```\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
