@@ -462,6 +462,48 @@ FROM orders
 """
 
 
+def q_op_percentiles(spark, sf_dir):
+    """Exact quartiles of order totals per status. Linear interpolation of
+    2-decimal order stats has at most 4 decimals, so round(4) recovers the
+    exact value in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    g = o.groupBy("o_orderstatus").agg(pct.alias("_p"))
+    return g.select(
+        "o_orderstatus",
+        F.round(F.element_at("_p", 1), 4).alias("p25"),
+        F.round(F.element_at("_p", 2), 4).alias("p50"),
+        F.round(F.element_at("_p", 3), 4).alias("p75"))
+
+
+SQL_OP_PERCENTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch per event_type (the constant-
+    memory path for distinct counting at 100 TB; exact distinct needs a
+    full shuffle of the key space). Sketch estimates are algorithm-
+    specific — rows-only check; the error bound vs exact is unit-tested."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users")))
+
+
+def q_sketch_quantile(spark, sf_dir):
+    """Greenwald-Khanna approximate quantiles of event values (bounded-
+    memory sketch; rows-only check, error bound unit-tested)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile_approx("value", 0.5, 1000).alias("p50_approx")))
+
+
 def q_op_salted_join(spark, sf_dir):
     """Hand-salted skew-safe join (lineitem ⋈ orders on l_orderkey):
     deterministic salt splits each hot key across ``salt`` shuffle
@@ -1402,6 +1444,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-sessionize": q_op_sessionize,
     "op-apply-in-pandas": q_op_apply_in_pandas,
     "op-salted-join": q_op_salted_join,
+    "op-percentiles": q_op_percentiles,
+    "sketch-hll-distinct": q_sketch_hll_distinct,
+    "sketch-quantile": q_sketch_quantile,
     "op-pivot": q_op_pivot,
     "op-window-running-sum": q_op_window_running_sum,
     "tpch-q1": q_tpch_q1,
@@ -1477,6 +1522,7 @@ ORACLES: dict[str, str] = {
     "op-sessionize": SQL_OP_SESSIONIZE,
     "op-apply-in-pandas": SQL_OP_APPLY_IN_PANDAS,
     "op-salted-join": SQL_OP_SALTED_JOIN,
+    "op-percentiles": SQL_OP_PERCENTILES,
     "op-pivot": SQL_OP_PIVOT,
     "op-window-running-sum": SQL_OP_WINDOW_RUNNING_SUM,
     "tpch-q1": SQL_TPCH_Q1,
