@@ -352,9 +352,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     """
     if block_col is None:
         from .similarity import lsh_near_dup_pairs
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:  # empty input: schema-stable empty result
+            return df.sparkSession.createDataFrame(
+                [], f"vec_a LONG, vec_b LONG, cos_r DOUBLE")
         return lsh_near_dup_pairs(df, id_col=id_col, vec_col=vec_col,
-                                  threshold=threshold, dim=dim)
+                                  threshold=threshold, dim=len(first[0]))
     # per-vector norm computed ONCE before the pairwise join (the naive
     # cosine-per-pair recomputes both norms for every pair — 3x the flops)
     vd = as_double_vec(F.col(vec_col))
