@@ -138,3 +138,45 @@ def test_asof_join_forward_fill_and_equality(spark):
     # lid=1: right row at EXACTLY ts=10 is visible ("<=")
     # lid=2: forward-filled from ts=15; lid=3: nothing prior; lid=4: no key
     assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_range_join_matches_naive(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import range_join
+    points = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(40)], "pid LONG, x LONG")
+    intervals = spark.createDataFrame(
+        [(j, j * 13 % 80, j * 13 % 80 + 15) for j in range(12)],
+        "iid LONG, lo LONG, hi LONG")
+    got = {(r.pid, r.iid) for r in
+           range_join(points, intervals, "x", "lo", "hi", bin_width=10).collect()}
+    naive = {(r.pid, r.iid) for r in
+             points.crossJoin(intervals)
+                   .filter("x >= lo AND x <= hi").collect()}
+    assert got == naive and len(naive) > 0
+
+
+def test_range_join_emits_each_pair_once(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import range_join
+    points = spark.createDataFrame([(1, 50)], "pid LONG, x LONG")
+    # interval spans many bins; the pair must still appear exactly once
+    intervals = spark.createDataFrame([(1, 0, 100)], "iid LONG, lo LONG, hi LONG")
+    rows = range_join(points, intervals, "x", "lo", "hi", bin_width=10).collect()
+    assert len(rows) == 1
+
+
+def test_time_rollup_cascade_consistency(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import time_rollup
+    data = [(i * 37 % 200000, float(i % 13) + 0.25) for i in range(500)]
+    df = spark.createDataFrame(data, "sec LONG, v DOUBLE")
+    out = time_rollup(df, "sec", "v").collect()
+    by_grain = {}
+    for r in out:
+        g = by_grain.setdefault(r.grain, {"n": 0, "s": 0.0})
+        g["n"] += r.n_events
+        g["s"] += r.sum_value
+    # every grain partitions the same input: identical totals
+    assert by_grain["minute"]["n"] == by_grain["hour"]["n"] == by_grain["day"]["n"] == 500
+    assert abs(by_grain["minute"]["s"] - by_grain["day"]["s"]) < 1e-6
+    # buckets align to their grain
+    assert all(r.bucket_start % 3600 == 0 for r in out if r.grain == "hour")
+    assert all(r.bucket_start % 86400 == 0 for r in out if r.grain == "day")

@@ -92,3 +92,38 @@ def test_lsh_deterministic_across_runs(spark, vecs):
     a = sorted(map(tuple, similarity.lsh_bucket_topk(q, df, k=3, dim=16).collect()))
     b = sorted(map(tuple, similarity.lsh_bucket_topk(q, df, k=3, dim=16).collect()))
     assert a == b
+
+
+def test_ivf_exact_mode_equals_brute_force(spark, vecs):
+    """nprobe == nc probes every inverted list -> provably brute-force."""
+    rows, df = vecs
+    q = df.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(q, df, k=5)
+    ivf = similarity.ivf_topk(q, df, k=5, nc=4, nprobe=4, iters=1)
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_ivf_pruned_recall_and_shape(spark, vecs):
+    """nprobe < nc prunes lists; results are a high-recall subset with
+    exact (re-ranked) scores."""
+    rows, df = vecs
+    q = df.filter(F.col("vec_id") < 3)
+    brute = {(r.query_id, r.vec_id) for r in
+             similarity.brute_force_topk(q, df, k=5).collect()}
+    got = similarity.ivf_topk(q, df, k=5, nc=4, nprobe=2, iters=1).collect()
+    iset = {(r.query_id, r.vec_id) for r in got}
+    recall = len(brute & iset) / len(brute)
+    assert recall >= 0.4, f"recall {recall}"
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+
+
+def test_ivf_centroids_deterministic_count(spark, vecs):
+    _, df = vecs
+    c1 = similarity.ivf_centroids(df, nc=4, iters=0).collect()
+    c2 = similarity.ivf_centroids(df, nc=4, iters=0).collect()
+    assert len(c1) == 4
+    assert sorted((r.cid, tuple(r._cv)) for r in c1) == \
+           sorted((r.cid, tuple(r._cv)) for r in c2)

@@ -1410,6 +1410,132 @@ FROM f, unnest(range(0, n_frames, 7)) t(u)
 
 
 # =====================================================================
+# round-2 additions: range join, hypertable rollup, cube, IVF ANN, TPC-H Q6
+# =====================================================================
+
+def q_op_range_join(spark, sf_dir):
+    """Point-in-interval range join (operators/relational.py range_join):
+    clicks falling inside 5-minute incident windows opened by each error
+    event. Bin-blocked equi-join — NOT a BroadcastNestedLoopJoin: both
+    sides hash-shuffle on the bin key, so the plan survives 100 TB of
+    events. Compared at µs so the DuckDB µs view agrees with nanos-as-long."""
+    from .operators.relational import range_join
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.expr("ts DIV 1000").alias("us"), "event_type", "event_id")
+    wins = (base.filter(F.col("event_type") == "error")
+                .select(F.col("event_id").alias("win_id"),
+                        F.col("us").alias("w_start"),
+                        (F.col("us") + F.lit(300_000_000)).alias("w_end")))
+    clicks = base.filter(F.col("event_type") == "click").select("us")
+    j = range_join(clicks, wins, "us", "w_start", "w_end",
+                   bin_width=300_000_000)
+    return j.groupBy("win_id").agg(F.count(F.lit(1)).alias("clicks"))
+
+
+SQL_OP_RANGE_JOIN = """
+WITH base AS (SELECT epoch_us(ts) AS us, event_type, event_id FROM events),
+w AS (SELECT event_id AS win_id, us AS w_start, us + 300000000 AS w_end
+      FROM base WHERE event_type = 'error'),
+c AS (SELECT us FROM base WHERE event_type = 'click')
+SELECT w.win_id, count(*) AS clicks
+FROM c JOIN w ON c.us BETWEEN w.w_start AND w.w_end
+GROUP BY w.win_id
+"""
+
+
+def q_op_time_rollup(spark, sf_dir):
+    """Hypertable-style cascaded rollup (operators/relational.py
+    time_rollup): minute buckets from the raw events scan, hour from
+    minute, day from hour — one full-scan shuffle total, exact decimal
+    sums through every level. The single oracle verifies all three grains
+    at once (decimal addition is associative, so cascaded == direct)."""
+    from .operators.relational import time_rollup
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.expr("ts DIV 1000000000").alias("sec"), "value")
+    return time_rollup(base, "sec", "value")
+
+
+SQL_OP_TIME_ROLLUP = """
+WITH base AS (SELECT epoch_us(ts) // 1000000 AS sec, value FROM events),
+m AS (SELECT sec - sec % 60 AS b, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM base GROUP BY 1)
+SELECT 'minute' AS grain, b AS bucket_start, n AS n_events,
+       CAST(s AS DOUBLE) AS sum_value FROM m
+UNION ALL
+SELECT 'hour', b - b % 3600, CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2
+UNION ALL
+SELECT 'day', b - b % 86400, CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2
+"""
+
+
+def q_op_cube(spark, sf_dir):
+    """CUBE over (status, priority) — all four grouping sets in one
+    shuffle (SURVEY §2.4 gap category; completes rollup with the full
+    lattice). Exact-decimal sums; null grouping keys coalesced identically
+    on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _dec_sum("o_totalprice").alias("sum_total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n_orders", "sum_total"))
+
+
+SQL_OP_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shaped forecasting-revenue query: the canonical
+    full-pushdown plan — every predicate reaches the parquet scan
+    (PushedFilters on shipdate/discount/quantity), then a single partial+
+    final agg with exact decimal money math. No shuffle beyond the 1-row
+    final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN in exact mode: nprobe == nc probes every
+    inverted list, so the result is provably identical to brute-force
+    top-k — which is exactly what the oracle checks (same SQL as
+    sim-bruteforce-topk). The recall/cost trade of nprobe < nc is pinned
+    by tests/test_similarity.py instead (approximate results aren't
+    SQL-expressible). Centroids: deterministic xxhash64-seeded k-means."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5,
+                               nc=8, nprobe=8, iters=1)
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -1449,8 +1575,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch-quantile": q_sketch_quantile,
     "op-pivot": q_op_pivot,
     "op-window-running-sum": q_op_window_running_sum,
+    "op-range-join": q_op_range_join,
+    "op-time-rollup": q_op_time_rollup,
+    "op-cube": q_op_cube,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
+    "tpch-q6": q_tpch_q6,
     "top-k-per-group": q_top_k_per_group,
     "asof-join": q_asof_join,
     # dedup family
@@ -1465,6 +1595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,
+    "sim-ivf-topk": q_sim_ivf_topk,
     # text analysis
     "text-token-count": q_text_token_count,
     "text-lang-id": q_text_lang_id,
@@ -1526,6 +1657,10 @@ ORACLES: dict[str, str] = {
     "op-pivot": SQL_OP_PIVOT,
     "op-window-running-sum": SQL_OP_WINDOW_RUNNING_SUM,
     "tpch-q1": SQL_TPCH_Q1,
+    "tpch-q6": SQL_TPCH_Q6,
+    "op-range-join": SQL_OP_RANGE_JOIN,
+    "op-time-rollup": SQL_OP_TIME_ROLLUP,
+    "op-cube": SQL_OP_CUBE,
     "tpch-q3": SQL_TPCH_Q3,
     "top-k-per-group": SQL_TOP_K_PER_GROUP,
     "asof-join": SQL_ASOF_JOIN,
@@ -1534,6 +1669,9 @@ ORACLES: dict[str, str] = {
     "dedup-embedding": SQL_DEDUP_EMBEDDING,
     "dedup-clusters": SQL_DEDUP_CLUSTERS,
     "sim-bruteforce-topk": SQL_SIM_BRUTEFORCE_TOPK,
+    # IVF in exact mode (nprobe == nc) is definitionally brute-force top-k;
+    # the shared oracle pins that equivalence through DuckDB independently.
+    "sim-ivf-topk": SQL_SIM_BRUTEFORCE_TOPK,
     "text-token-count": SQL_TEXT_TOKEN_COUNT,
     "text-lang-id": _sql_lang_id(),
     "text-quality": _sql_quality(),

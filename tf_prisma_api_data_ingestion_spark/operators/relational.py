@@ -268,3 +268,72 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         merged = merged.withColumn(out, F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
     return (merged.filter(F.col(tag) == 1)
                   .drop(tag, "_ts", *[f"_r_{c}" for c in right_cols]))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, bin_width: int) -> DataFrame:
+    """Point-in-interval range join via bin blocking (north-star
+    extension; no reference analog — the nearest thing is the pushed-down
+    time-range filter, P:238-244, which is point-vs-constant).
+
+    A naive ``points.join(intervals, point BETWEEN lo AND hi)`` has no
+    equality key, so Spark plans BroadcastNestedLoopJoin — O(n·m) and
+    driver-bound; it falls over long before 100 TB. Instead both sides are
+    blocked onto an integer bin grid: each interval is exploded to every
+    bin it covers (±1 bin of slack so floating-point ``floor`` can never
+    drop an edge pair), each point lands in exactly one bin, and the join
+    becomes a plain shuffled equi-join on ``_bin`` followed by the exact
+    BETWEEN filter. Each qualifying (point, interval) pair is emitted
+    exactly once because a point owns exactly one bin. Pick ``bin_width``
+    near the typical interval length: cost is then O(points + intervals ·
+    avg_span/bin_width) with ordinary hash-shuffle parallelism, and AQE
+    handles residual bin skew.
+    """
+    pb = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long"))
+    ib = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long") - 1,
+            F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long") + 1)))
+    return (pb.join(ib, "_bin")
+              .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+              .drop("_bin"))
+
+
+def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
+                grains: Sequence[tuple[int, str]] = (
+                    (60, "minute"), (3600, "hour"), (86400, "day"))) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (north-star extension):
+    one pass aggregates the raw stream at the finest grain; every coarser
+    grain is re-aggregated FROM THE PREVIOUS LEVEL, never from the raw
+    table. At 100 TB that is the difference between one full-scan shuffle
+    plus tiny cascades (minute rows ≈ seconds/60 of the input) and
+    len(grains) full scans — the same continuous-aggregate trick
+    TimescaleDB/Druid use, expressed as plain Catalyst aggregates.
+
+    Sums stay exact DECIMAL through every level (addition is associative
+    in decimals, so cascaded totals are bit-identical to direct ones —
+    this is what lets a single DuckDB oracle verify all levels) and are
+    surfaced as DOUBLE only at the edge.
+
+    Returns (grain, bucket_start, n_events, sum_value); ``grains`` must be
+    ascending and each a multiple of the previous.
+    """
+    g0, label0 = grains[0]
+    cur = (df.withColumn("_b", F.col(ts_sec_col) - F.col(ts_sec_col) % g0)
+             .groupBy("_b")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s")))
+    levels = [cur.select(F.lit(label0).alias("grain"),
+                         F.col("_b").alias("bucket_start"),
+                         F.col("_n").alias("n_events"),
+                         F.col("_s").cast("double").alias("sum_value"))]
+    for g, label in grains[1:]:
+        cur = (cur.withColumn("_b", F.col("_b") - F.col("_b") % g)
+                  .groupBy("_b")
+                  .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s")))
+        levels.append(cur.select(F.lit(label).alias("grain"),
+                                 F.col("_b").alias("bucket_start"),
+                                 F.col("_n").alias("n_events"),
+                                 F.col("_s").cast("double").alias("sum_value")))
+    return reduce(lambda a, b: a.unionByName(b), levels)
