@@ -17,10 +17,13 @@ import time
 HEADLINE = (
     "tpch-q1",            # scan -> partial agg -> shuffle agg
     "tpch-q3",            # 3-way join with broadcast dims
+    "tpch-q6",            # full predicate pushdown + 1-row agg
     "pd-groupby",         # group-by over orders
     "op-groupagg-count",  # alert-shaped group over events
     "top-k-per-group",    # window rank over lineitem
     "asof-join",          # union + forward-fill window over events
+    "op-range-join",      # bin-blocked interval join over events
+    "op-time-rollup",     # cascaded minute/hour/day continuous aggregate
     "dedup-exact",        # hash groupBy over documents
     "dedup-ngram-jaccard",# inverted-index jaccard
     "dedup-minhash-lsh",  # banded LSH + verify
@@ -29,6 +32,7 @@ HEADLINE = (
     "dedup-embedding-lsh",# hyperplane-LSH near-dup (unblocked scale path)
     "sim-bruteforce-topk",# broadcast-queries exact ANN
     "sim-lsh-topk",       # sign-bucket LSH ANN
+    "sim-ivf-topk",       # IVF inverted-list ANN (exact mode)
     "text-quality",       # text feature extraction
     "op-sessionize",      # gap-and-islands sessionization
     "stream-window-agg",  # structured-streaming tumbling window drain

@@ -109,3 +109,24 @@ def test_inventory_run_counts(spark):
     assert got.count() == n_types + n_pairs
     svc = got.filter(F.col("resourceIdentity").isNull())
     assert svc.agg(F.sum("totalResources")).first()[0] == p.count()
+
+
+def test_session_window_gap_semantics(spark):
+    """Sessions merge events closer than the gap and split at >= gap;
+    every event lands in exactly one session."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        session_event_counts,
+    )
+    got = session_event_counts(spark, SF_DIR, query_name="t_sessions")
+    ev = tables.load(spark, SF_DIR, "events")
+    # partition property: session event counts sum to the input size
+    assert got.agg(F.sum("n_events")).first()[0] == ev.count()
+    # per-user session starts are >= gap apart
+    rows = got.orderBy("user_id", "session_start_sec").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_start_sec)
+    assert any(len(v) > 1 for v in by_user.values())
+    for starts in by_user.values():
+        assert all(b - a >= 1800 for a, b in zip(starts, starts[1:]))

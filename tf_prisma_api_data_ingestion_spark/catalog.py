@@ -1371,6 +1371,41 @@ FROM shifted GROUP BY 1, 2
 """
 
 
+def q_stream_session_window(spark, sf_dir):
+    """Session-window streaming aggregation (streaming/windows.py
+    session_event_counts): dynamic data-defined windows per user with a
+    30-minute gap, drained availableNow. The oracle replays the same
+    semantics as batch gap-and-islands SQL — a new session starts when the
+    inter-event gap reaches the 30-minute threshold (Spark's per-event
+    window is [ts, ts+gap), so an event exactly at session end opens a new
+    one)."""
+    from .streaming.windows import session_event_counts
+    return session_event_counts(spark, sf_dir, query_name="cat_stream_session")
+
+
+SQL_STREAM_SESSION_WINDOW = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events),
+flagged AS (
+  SELECT user_id, us, v,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                 >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base),
+numbered AS (
+  SELECT user_id, us, v,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, min(us) // 1000000 AS session_start_sec,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 # =====================================================================
 # Multimodal (binary payload + mapInPandas decode plumbing)
 # =====================================================================
@@ -1615,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming
     "stream-window-agg": q_stream_window_agg,
     "stream-sliding-window": q_stream_sliding_window,
+    "stream-session-window": q_stream_session_window,
     "stream-stateful-totals": q_stream_stateful,
     # multimodal
     "multimodal-decode": q_multimodal_decode,
@@ -1687,6 +1723,7 @@ ORACLES: dict[str, str] = {
     "sink-rollback": SQL_SINK_ROLLBACK,
     "stream-window-agg": SQL_STREAM_WINDOW_AGG,
     "stream-sliding-window": SQL_STREAM_SLIDING_WINDOW,
+    "stream-session-window": SQL_STREAM_SESSION_WINDOW,
     "stream-stateful-totals": SQL_STREAM_STATEFUL,
     "multimodal-decode": SQL_MULTIMODAL_DECODE,
     "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,

@@ -128,3 +128,32 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str,
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                      .alias("window_start"), "event_type",
                     "n_events"))
+
+
+def session_event_counts(spark: SparkSession, sf_dir: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "10 minutes",
+                         query_name: str = "session_event_counts") -> DataFrame:
+    """Session-window streaming aggregation: per-user sessions that merge
+    events separated by less than ``gap`` (dynamic, data-defined windows —
+    the third window family after tumbling and sliding).
+
+    Session state merges adjacent windows as events arrive; the watermark
+    is what lets Spark finalize (and evict) sessions whose close time has
+    passed — unbounded user counts stay bounded in the state store.
+    Complete mode on an availableNow drain emits every session, which is
+    what the batch gap-and-islands oracle reproduces.
+    """
+    agg = (_event_stream(spark, sf_dir)
+           .withWatermark("ts_t", watermark)
+           .groupBy(F.session_window("ts_t", gap).alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")))
+    q = (agg.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .select("user_id",
+                    F.unix_timestamp("w.start").alias("session_start_sec"),
+                    "n_events", "sum_value"))
