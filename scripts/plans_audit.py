@@ -22,6 +22,10 @@ AUDIT = (
     ("dedup-minhash-lsh", "single posexplode band self-join over cached signatures"),
     ("sim-bruteforce-topk", "queries broadcast; candidate side unshuffled until top-k"),
     ("op-salted-join", "salted keys split hot partitions; small side replicated"),
+    ("tpch-q6", "all five predicates pushed to the scan; 4-column pruned read"),
+    ("op-range-join", "bin-blocked interval join — hash join, never nested-loop"),
+    ("op-time-rollup", "cascaded grains read the persisted finer level, raw scanned once"),
+    ("sim-ivf-topk", "broadcast nc-row centroids; corpus partitioned into inverted lists"),
 )
 
 

@@ -99,3 +99,47 @@ def test_lsh_families_single_band_join(spark, name):
     # posexplode banding: exactly one candidate self-join keyed on the
     # (band_idx, band_hash) pair, not an N-way union of joins
     assert plan.count("Generate posexplode") == 2  # one per join side
+
+
+def formatted_plan_of(spark, name: str) -> str:
+    # toString() truncates long FileScan lines; formatted mode keeps the
+    # full PushedFilters list
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = formatted_plan_of(spark, "tpch-q6")
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount,0.05)",
+                   "LessThanOrEqual(l_discount,0.07)",
+                   "LessThan(l_quantity,24.0)"):
+        assert pushed in plan, pushed
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in read  # pruned to the 4 needed columns
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    plan = plan_of(spark, "op-range-join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_time_rollup_scans_raw_input_once(spark):
+    plan = plan_of(spark, "op-time-rollup")
+    # cascaded rollup: the persisted levels are the barrier — each of the
+    # three union branches reads a cache (InMemoryTableScan), so the raw
+    # events table is scanned once at runtime regardless of grain count.
+    # (FileScan lines still appear in the STRING inside each
+    # InMemoryRelation printout — that's the cached subtree's plan, not a
+    # separate execution.)
+    branches = [l for l in plan.splitlines()
+                if l.strip().startswith((":- Project", "+- Project"))
+                and "AS grain" in l]
+    assert len(branches) == 3
+    assert plan.count("InMemoryTableScan") >= 3

@@ -323,7 +323,14 @@ def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
     cur = (df.withColumn("_b", F.col(ts_sec_col) - F.col(ts_sec_col) % g0)
              .groupBy("_b")
              .agg(F.count(F.lit(1)).alias("_n"),
-                  F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s")))
+                  F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"))
+             # the persist barrier is LOAD-BEARING: each level feeds both
+             # its own union branch and the next level; without it Spark
+             # re-expands the whole cascade per branch and the raw table
+             # is scanned once PER GRAIN (verified via FileScan count in
+             # tests/test_plans_scale.py) — the exact failure mode this
+             # operator exists to avoid at 100 TB
+             .persist())
     levels = [cur.select(F.lit(label0).alias("grain"),
                          F.col("_b").alias("bucket_start"),
                          F.col("_n").alias("n_events"),
@@ -331,7 +338,8 @@ def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
     for g, label in grains[1:]:
         cur = (cur.withColumn("_b", F.col("_b") - F.col("_b") % g)
                   .groupBy("_b")
-                  .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s")))
+                  .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+                  .persist())
         levels.append(cur.select(F.lit(label).alias("grain"),
                                  F.col("_b").alias("bucket_start"),
                                  F.col("_n").alias("n_events"),
