@@ -81,9 +81,18 @@ def test_embedding_near_dup_unblocked_delegates_to_lsh(spark):
     got = embedding_near_dup_pairs(df, block_col=None, threshold=0.99)
     pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
-    # no cartesian product in the plan
+    # no corpus x corpus cartesian: the candidate-pair self-join must be
+    # an EQUI join on the (_tbl, _bkt) bucket keys. (A BroadcastNestedLoopJoin
+    # does appear — it is the broadcast against the CONSTANT-SIZE hyperplane
+    # table built from spark.range, reprinted at every cache site — so its
+    # presence alone is not the signal; the equi pair-join is.)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    equi = [l for l in plan.splitlines()
+            if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+                or "BroadcastHashJoin" in l)
+            and "_tbl" in l and "_bkt" in l]
+    assert equi, "bucket self-join must be an equi join on (_tbl, _bkt)"
 
 
 def test_lsh_deterministic_across_runs(spark, vecs):

@@ -59,9 +59,55 @@ def hyperplane(table: int, plane: int, dim: int) -> Column:
                          + 2001) % 2001).cast("double") / 1000.0 - 1.0)
 
 
+def hyperplanes_df(df: DataFrame, tables: int, planes_per_table: int,
+                   dim: int) -> DataFrame:
+    """All (table, plane) hyperplanes as a tiny broadcast-able DataFrame:
+    (_tbl, _p, _hv double-vec, _bitval). Components match ``hyperplane``
+    exactly (same xxhash64 fold), but materialized ONCE as tables×planes
+    rows instead of being inlined tables×planes times into one giant
+    per-row expression — which dominated runtime: 64 nested
+    aggregate-of-zip_with trees took ~7 s for 2 000 rows (measured at
+    sf0.1), vs <1 s for the join formulation.
+    """
+    n = tables * planes_per_table
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return (df.sparkSession.range(n)
+            .select((F.col("id") / planes_per_table).cast("int").alias("_tbl"),
+                    (F.col("id") % planes_per_table).cast("int").alias("_p"))
+            .select("_tbl", "_p",
+                    F.transform(idx, lambda d: (
+                        (F.xxhash64(F.col("_tbl"), F.col("_p"), d) % 2001
+                         + 2001) % 2001).cast("double") / 1000.0 - 1.0)
+                     .alias("_hv"),
+                    F.pow(F.lit(2.0), F.col("_p")).cast("long").alias("_bitval")))
+
+
+def bucket_table(df: DataFrame, id_col: str, vec_col: str, tables: int,
+                 planes_per_table: int, dim: int) -> DataFrame:
+    """Per-vector sign buckets as rows: (id, _tbl, _bkt).
+
+    One broadcast cross join against the nc=tables×planes hyperplane
+    rows, ONE compiled dot-product expression, then a bit-pack groupBy on
+    (id, table) over slim (id, _tbl, _bit) rows. Linear, shuffle is
+    vectors×tables tiny rows; replaces the expression-tree blow-up of
+    evaluating every plane inline per row.
+    """
+    hp = hyperplanes_df(df, tables, planes_per_table, dim)
+    vd = as_double_vec(F.col(vec_col))
+    v = df.select(F.col(id_col), vd.alias("_v"))
+    scored = (v.crossJoin(F.broadcast(hp))
+               .select(id_col, "_tbl",
+                       F.when(dot(F.col("_v"), F.col("_hv")) >= 0,
+                              F.col("_bitval")).otherwise(F.lit(0))
+                        .alias("_bit")))
+    return (scored.groupBy(id_col, "_tbl")
+                  .agg(F.sum("_bit").alias("_bkt")))
+
+
 def signbits(vec: Column, table: int, planes_per_table: int, dim: int) -> Column:
     """Bucket id = sign bits of the vector against each of the table's
-    hyperplanes."""
+    hyperplanes. Inline-expression form — kept for parity checks; the
+    hot paths use ``bucket_table`` (same values, join formulation)."""
     out = None
     for p_idx in range(planes_per_table):
         dot = F.aggregate(
@@ -71,13 +117,6 @@ def signbits(vec: Column, table: int, planes_per_table: int, dim: int) -> Column
         term = F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
         out = term if out is None else out + term
     return out
-
-
-def bucket_array(vec: Column, tables: int, planes_per_table: int,
-                 dim: int) -> Column:
-    """Per-table sign-bucket ids as one array column (posexplode-ready)."""
-    return F.array(*[signbits(vec, t, planes_per_table, dim)
-                     for t in range(tables)])
 
 
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -98,10 +137,11 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     shape as minhash_lsh_pairs.
     """
     vd = as_double_vec(F.col(vec_col))
-    buckets = bucket_array(F.col(vec_col), tables, planes_per_table, dim)
-    base = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
-                     norm2(vd).alias("_n"),
-                     F.posexplode(buckets).alias("_tbl", "_bkt")).persist()
+    v = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
+                  norm2(vd).alias("_n"))
+    bk = (bucket_table(df, id_col, vec_col, tables, planes_per_table, dim)
+          .withColumnRenamed(id_col, "_id"))
+    base = bk.join(v, "_id").persist()
     a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
                     F.col("_n").alias("_na"), "_tbl", "_bkt")
     b = base.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
@@ -125,16 +165,19 @@ def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     Each table contributes one equality join on its bucket key — at 100 TB
     this replaces the full scan per query with ~N/2^planes bucket reads.
     """
-    # ONE (table_idx, bucket) posexplode per side + ONE equality join
-    # replaces the per-table union-of-joins: the bucketing expressions run
-    # once over the candidate corpus instead of once per table.
+    # ONE (table_idx, bucket) row-set per side + ONE equality join
+    # replaces the per-table union-of-joins: the bucketing runs once over
+    # the candidate corpus instead of once per table (bucket_table's join
+    # formulation — the inline-expression version dominated runtime).
     vd = as_double_vec(F.col(vec_col))
-    buckets = bucket_array(F.col(vec_col), tables, planes_per_table, dim)
-    q = queries.select(F.col(id_col).alias("query_id"), vd.alias("_qv"),
-                       norm2(vd).alias("_qn"),
-                       F.posexplode(buckets).alias("_tbl", "_bkt"))
-    c = candidates.select(F.col(id_col), vd.alias("_cv"), norm2(vd).alias("_cn"),
-                          F.posexplode(buckets).alias("_tbl", "_bkt"))
+    q = (bucket_table(queries, id_col, vec_col, tables, planes_per_table, dim)
+         .withColumnRenamed(id_col, "query_id")
+         .join(queries.select(F.col(id_col).alias("query_id"),
+                              vd.alias("_qv"), norm2(vd).alias("_qn")),
+               "query_id"))
+    c = (bucket_table(candidates, id_col, vec_col, tables, planes_per_table, dim)
+         .join(candidates.select(F.col(id_col), vd.alias("_cv"),
+                                 norm2(vd).alias("_cn")), id_col))
     cand = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
              .filter(F.col(id_col) != F.col("query_id"))
              .select("query_id", "_qv", "_qn", id_col, "_cv", "_cn")
