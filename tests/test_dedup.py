@@ -140,3 +140,23 @@ def test_hot_shingle_cap_keeps_pairs_lower_bound(spark):
                                                  max_df=2).collect()}
     for pair, j in capped.items():
         assert j <= exact[pair] + 1e-9
+
+
+def test_md5_twins_find_planted_duplicates(spark):
+    """The oracle-verifiable md5 variants find the same planted near-dup
+    as the xxhash throughput variants (hash choice changes candidate
+    randomness, not what a true duplicate looks like)."""
+    from tf_prisma_api_data_ingestion_spark.operators import dedup as D
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark catalyst planning here"),
+            (4, "totally unrelated sentence mentioning neither fox nor dog at all")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    mh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_md5(df, threshold=0.9).collect()}
+    assert (1, 2) in mh and all(p == (1, 2) for p in mh)
+    sp = {(r.doc_a, r.doc_b) for r in D.simhash_md5_pairs(df).collect()}
+    assert (1, 2) in sp
+    # identical docs -> identical signatures, zero hamming
+    sig = {r.doc_id: (r.sim_hi, r.sim_lo) for r in D.simhash_md5(df).collect()}
+    assert sig[1] == sig[2] and sig[1] != sig[3]
+    assert all(0 <= h < 2**32 and 0 <= l < 2**32 for h, l in sig.values())

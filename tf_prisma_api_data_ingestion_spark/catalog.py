@@ -1558,6 +1558,103 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+_SQL_TOKENS = """
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+')) AS t
+  FROM documents
+"""
+
+
+def q_dedup_minhash_md5(spark, sf_dir):
+    """Fully-oracle-verified MinHash+LSH: the md5-seeded twin of
+    dedup-minhash-lsh (operators/dedup.py minhash_lsh_pairs_md5). DuckDB
+    replays the ENTIRE pipeline — shingles, 64 seeded 60-bit md5 minima,
+    16 band keys, candidate self-join, exact-jaccard verification — and
+    hash-compares the result, closing the gap that xxhash64-based LSH
+    (no DuckDB analog) can only rows-check."""
+    return dedup.minhash_lsh_pairs_md5(_t(spark, sf_dir, "documents"),
+                                       n=3, threshold=0.2)
+
+
+SQL_DEDUP_MINHASH_MD5 = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+pre AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+seeded AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
+  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
+  GROUP BY doc_id, i),
+sigs AS (
+  SELECT doc_id, i // 4 AS bidx,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
+  FROM seeded GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         len(sa.shingles) AS ma, len(sb.shingles) AS mb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(i / (ma + mb - i), 4) AS jaccard_r
+FROM verified WHERE i / (ma + mb - i) >= 0.2
+"""
+
+
+def q_dedup_simhash_md5(spark, sf_dir):
+    """Oracle-verified 64-bit SimHash signatures (md5 token bits, packed
+    as two int32 halves so both engines stay in signed-int64 arithmetic
+    — operators/dedup.py simhash_md5)."""
+    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH_MD5 = f"""
+WITH tok AS ({_SQL_TOKENS}),
+h AS (SELECT doc_id, md5(t) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, unnest(range(0, 64)) u(b) GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN b >= 32 AND s > 0
+                     THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS sim_hi,
+       CAST(SUM(CASE WHEN b < 32 AND s > 0
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash_md5_pairs(spark, sf_dir):
+    """Oracle-verified SimHash Hamming<=3 pairs: pigeonhole banding over
+    four 16-bit chunks of the md5 simhash halves, exact bit_count verify
+    (operators/dedup.py simhash_md5_pairs)."""
+    return dedup.simhash_md5_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH_MD5_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_SIMHASH_MD5}),
+chunks AS (
+  SELECT doc_id, sim_hi, sim_lo, c.cidx,
+         CASE c.cidx WHEN 0 THEN sim_lo % 65536
+                     WHEN 1 THEN sim_lo // 65536
+                     WHEN 2 THEN sim_hi % 65536
+                     ELSE sim_hi // 65536 END AS ck
+  FROM sig, unnest(range(0, 4)) c(cidx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sim_hi AS ha, a.sim_lo AS la, b.sim_hi AS hb, b.sim_lo AS lb
+  FROM chunks a JOIN chunks b ON a.cidx = b.cidx AND a.ck = b.ck
+                             AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+"""
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN in exact mode: nprobe == nc probes every
     inverted list, so the result is provably identical to brute-force
@@ -1627,6 +1724,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-embedding": q_dedup_embedding,
     "dedup-embedding-lsh": q_dedup_embedding_lsh,
     "dedup-clusters": q_dedup_clusters,
+    "dedup-minhash-md5": q_dedup_minhash_md5,
+    "dedup-simhash-md5": q_dedup_simhash_md5,
+    "dedup-simhash-md5-pairs": q_dedup_simhash_md5_pairs,
     # similarity search
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,
@@ -1704,6 +1804,9 @@ ORACLES: dict[str, str] = {
     "dedup-ngram-jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup-embedding": SQL_DEDUP_EMBEDDING,
     "dedup-clusters": SQL_DEDUP_CLUSTERS,
+    "dedup-minhash-md5": SQL_DEDUP_MINHASH_MD5,
+    "dedup-simhash-md5": SQL_DEDUP_SIMHASH_MD5,
+    "dedup-simhash-md5-pairs": SQL_DEDUP_SIMHASH_MD5_PAIRS,
     "sim-bruteforce-topk": SQL_SIM_BRUTEFORCE_TOPK,
     # IVF in exact mode (nprobe == nc) is definitionally brute-force top-k;
     # the shared oracle pins that equivalence through DuckDB independently.

@@ -383,3 +383,126 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                                / (F.col("_na") * F.col("_nb")))
                    .filter(F.col("cos") >= threshold))
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
+
+
+# ------------------------------------------------- md5 (oracle) twins ---
+
+def md5_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5 as a long.
+
+    DuckDB computes the identical value via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the primitive that lets
+    the minhash/simhash pipelines be oracle-verified end to end (xxhash64
+    has no DuckDB analog; 15 nibbles keep the value inside signed int64).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          num_hashes: int = 64, bands: int = 16,
+                          threshold: float = 0.2) -> DataFrame:
+    """Oracle-verifiable twin of ``minhash_lsh_pairs``: the identical
+    shingle -> signature -> band -> candidate -> exact-jaccard-verify
+    pipeline, but with seeded 60-bit md5 minhashing and plain string band
+    keys so EVERY intermediate value is reproducible in ANSI SQL (DuckDB
+    differential-checks the full result, not just row counts).
+
+    The xxhash64 variant stays the throughput path — md5 per (shingle,
+    seed) costs more per byte; the algorithmic shape (single posexplode
+    band self-join, exact verification) is byte-for-byte the same.
+    """
+    rpb = num_hashes // bands
+    shingled = df.select(F.col(id_col).alias("_id"),
+                         word_shingles(F.col(text_col), n).alias("shingles"))
+    # pre-hash shingles to their md5 hex once; seeds then hash short
+    # fixed-length strings instead of full shingles
+    shingled = shingled.withColumn(
+        "_mh", F.transform("shingles", lambda s: F.md5(s))).persist()
+    sig = shingled.withColumn("_sig", F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("_mh"),
+            lambda m: md5_hash60(F.concat_ws(",", m, i.cast("string")))))))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(",", F.transform(
+            F.slice(F.col("_sig"), b * rpb + 1, rpb),
+            lambda x: x.cast("string"))))
+    banded = sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bk"))
+    l = banded.select(F.col("_id").alias("doc_a"), "_bidx", "_bk")
+    r = banded.select(F.col("_id").alias("doc_b"), "_bidx", "_bk")
+    cand = (l.join(r, ["_bidx", "_bk"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b")
+             .distinct())
+    sa = shingled.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sa"))
+    sb = shingled.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_sb"))
+    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("jaccard", F.col("_inter") /
+                    (F.size("_sa") + F.size("_sb") - F.col("_inter"))))
+    return (verified.filter(F.col("jaccard") >= threshold)
+                    .select("doc_a", "doc_b",
+                            F.round("jaccard", 4).alias("jaccard_r")))
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Oracle-verifiable twin of ``simhash_64``: the 64-bit signature is
+    derived from each token's md5 (bit b = bit b of the first 16 hex
+    chars) and returned as two 32-bit halves (sim_hi, sim_lo) so all
+    arithmetic stays inside signed int64 in both engines — no unsigned
+    casts, no overflow, bit-identical in DuckDB.
+
+    Shape: explode (token, bit) -> per-(doc, bit) ±1 sums -> pack halves.
+    Two hash shuffles, rows = tokens x 64 — heavier than simhash_64's
+    single 64-aggregate pass (the throughput path), but every value is
+    ANSI-SQL-reproducible.
+    """
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(normalized(F.col(text_col)))).alias("_t"))
+             .withColumn("_h", F.md5("_t")))
+    bits = tok.select(id_col, "_h",
+                      F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_b"))
+    bit = F.expr("shiftright(instr('0123456789abcdef', "
+                 "substring(_h, 16 - _b DIV 4, 1)) - 1, _b % 4) & 1")
+    sums = (bits.withColumn("_bit", bit)
+                .groupBy(id_col, "_b")
+                .agg(F.sum(F.when(F.col("_bit") == 1, 1).otherwise(-1)).alias("_s")))
+    return (sums.groupBy(id_col).agg(
+        F.sum(F.when((F.col("_b") >= 32) & (F.col("_s") > 0),
+                     F.pow(F.lit(2.0), F.col("_b") - 32).cast("long"))
+               .otherwise(F.lit(0))).alias("sim_hi"),
+        F.sum(F.when((F.col("_b") < 32) & (F.col("_s") > 0),
+                     F.pow(F.lit(2.0), F.col("_b")).cast("long"))
+               .otherwise(F.lit(0))).alias("sim_lo")))
+
+
+def simhash_md5_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole-banded Hamming<=k pairs over the md5 simhash halves:
+    4 x 16-bit chunks, equality join on any chunk, exact bit_count verify
+    — same banding shape as ``simhash_pairs``, fully SQL-reproducible.
+    """
+    sigs = simhash_md5(df, text_col, id_col).persist()
+    chunk_arr = F.array(
+        F.col("sim_lo") % 65536, F.expr("sim_lo DIV 65536"),
+        F.col("sim_hi") % 65536, F.expr("sim_hi DIV 65536"))
+    banded = sigs.select(F.col(id_col).alias("_id"), "sim_hi", "sim_lo",
+                         F.posexplode(chunk_arr).alias("_cidx", "_ck"))
+    l = banded.select(F.col("_id").alias("doc_a"), F.col("sim_hi").alias("_ha"),
+                      F.col("sim_lo").alias("_la"), "_cidx", "_ck")
+    r = banded.select(F.col("_id").alias("doc_b"), F.col("sim_hi").alias("_hb"),
+                      F.col("sim_lo").alias("_lb"), "_cidx", "_ck")
+    cand = (l.join(r, ["_cidx", "_ck"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "_ha", "_la", "_hb", "_lb")
+             .distinct())
+    # cast: Spark bit_count is int32, the DuckDB oracle compares as BIGINT
+    hamming = (F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+               + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))).cast("long")
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("doc_a", "doc_b", "hamming"))
