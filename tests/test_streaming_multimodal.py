@@ -130,3 +130,25 @@ def test_session_window_gap_semantics(spark):
     assert any(len(v) > 1 for v in by_user.values())
     for starts in by_user.values():
         assert all(b - a >= 1800 for a, b in zip(starts, starts[1:]))
+
+
+def test_corpus_clean_invariants(spark):
+    """Survivors pass the quality gate, are unique by content, and no two
+    survivors are near-dups at the clustering threshold."""
+    from pyspark.sql import functions as F
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from tf_prisma_api_data_ingestion_spark.plans.corpus import corpus_clean
+    kept = corpus_clean(spark, SF_DIR)
+    rows = kept.collect()
+    assert 0 < len(rows) < tables.load(spark, SF_DIR, "documents").count()
+    assert all(r.quality_score >= 0.5 and r.n_tokens >= 10 for r in rows)
+    d = tables.load(spark, SF_DIR, "documents")
+    survivors = d.join(kept.select("doc_id"), "doc_id")
+    # content-unique
+    assert survivors.select(F.md5("text")).distinct().count() == len(rows)
+    # no surviving pair is a near-dup at the threshold
+    assert ngram_jaccard_pairs(survivors, n=3, threshold=0.5,
+                               max_df=10**9).count() == 0

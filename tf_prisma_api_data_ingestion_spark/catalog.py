@@ -1444,6 +1444,51 @@ FROM f, unnest(range(0, n_frames, 7)) t(u)
 """
 
 
+def q_plan_corpus_clean(spark, sf_dir):
+    """Flagship LLM training-data cleaning pipeline (plans/corpus.py):
+    quality filter -> exact dedup -> near-dup clusters -> keep-list, all
+    composed from this repo's operators; the oracle replays every stage
+    including recursive-CTE cluster reachability."""
+    from .plans.corpus import corpus_clean
+    return corpus_clean(spark, sf_dir)
+
+
+def _sql_corpus_clean() -> str:
+    return f"""
+WITH RECURSIVE
+q AS (SELECT * FROM ({_sql_quality()}) t
+      WHERE quality_score >= 0.5 AND n_tokens >= 10),
+qd AS (SELECT q.*, d.text FROM q JOIN documents d USING (doc_id)),
+ex AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+docs2 AS (SELECT qd.* FROM qd JOIN ex USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+') AS t
+        FROM docs2) toks),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT doc_a, doc_b FROM inter WHERE i / (ma + mb - i) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, mm) AS (
+  SELECT doc_id, doc_id FROM docs2
+  UNION
+  SELECT e.dst, r.mm FROM edges e JOIN reach r ON e.src = r.n),
+clus AS (SELECT n AS doc_id, min(mm) AS cluster_id FROM reach GROUP BY n),
+keep AS (SELECT min(doc_id) AS doc_id FROM clus GROUP BY cluster_id)
+SELECT d2.doc_id, d2.n_tokens, d2.quality_score
+FROM docs2 d2 JOIN keep USING (doc_id)
+"""
+
+
 # =====================================================================
 # round-2 additions: range join, hypertable rollup, cube, IVF ANN, TPC-H Q6
 # =====================================================================
@@ -1759,6 +1804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-alert-report": q_plan_alert_report,
     "plan-inventory-report": q_plan_inventory_report,
     "plan-e2e-alert": q_plan_e2e_alert,
+    "plan-corpus-clean": q_plan_corpus_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -1833,6 +1879,7 @@ ORACLES: dict[str, str] = {
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,
     "plan-inventory-report": _INVENTORY_RUN_SQL,
     "plan-e2e-alert": SQL_PLAN_E2E_ALERT,
+    "plan-corpus-clean": _sql_corpus_clean(),
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
     # are not DuckDB-expressible; invariants are covered by tests/ instead.

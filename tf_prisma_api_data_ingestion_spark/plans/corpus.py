@@ -1,0 +1,58 @@
+"""End-to-end LLM training-data cleaning pipeline (north-star flagship):
+the composition a 100 TB corpus actually runs, built entirely from this
+repo's operators —
+
+    quality filter -> exact dedup -> near-dup clustering -> keep-list
+
+Stage ordering is the scale story: the cheap quality filter (pure
+row-local expressions, fully pushdown-friendly) prunes the corpus BEFORE
+the expensive shingle inverted-index join; exact dedup (one hash groupBy)
+removes byte-identical copies before near-dup pairing; only then does the
+quadratic-free jaccard machinery run, over the smallest possible set.
+Every stage is a DataFrame -> DataFrame operator reused from
+operators/{text,dedup}.py, and the whole pipeline is replayed by a single
+DuckDB oracle (recursive CTE for the cluster reachability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
+from ..operators.text import quality_features
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str,
+                 min_quality: float = 0.5, min_tokens: int = 10,
+                 jaccard_threshold: float = 0.5) -> DataFrame:
+    """Returns the kept documents as (doc_id, n_tokens, quality_score).
+
+    Keep rule: the minimum doc_id of each near-dup cluster (clusters from
+    connected components over exact-jaccard >= threshold pairs), computed
+    over quality-passing, exact-deduped documents.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    q = (quality_features(d, "text")
+         .filter((F.col("quality_score") >= min_quality)
+                 & (F.col("n_tokens") >= min_tokens)))
+    # exact dedup: one representative (min id) per content hash; the
+    # aggregated keep-list is tiny -> Spark broadcasts it back onto q
+    keep_exact = (q.groupBy(F.md5(F.col("text")).alias("_h"))
+                   .agg(F.min("doc_id").alias("doc_id"))
+                   .select("doc_id"))
+    # persist: docs feeds the shingle pairing, the cluster node set, AND
+    # the final keep join — without the barrier the quality regexes and
+    # dedup groupBy re-run once per consumer (measured ~20 s -> ~8 s at
+    # sf0.1 with the cache)
+    docs = q.join(keep_exact, "doc_id").persist()
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
+                                max_df=10**9)
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
+                              docs.select("doc_id"))
+    keep = (clusters.groupBy("cluster_id")
+                    .agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id"))
+    return docs.join(keep, "doc_id").select("doc_id", "n_tokens",
+                                            "quality_score")
