@@ -1444,6 +1444,47 @@ FROM f, unnest(range(0, n_frames, 7)) t(u)
 """
 
 
+def q_op_udtf_chunk(spark, sf_dir):
+    """Python UDTF surface (operators/udx.py chunk_documents): document ->
+    context-window chunk rows via a registered table function + LATERAL.
+    The built-in slice+posexplode formulation is the 100 TB path; this
+    exercises the UDTF registration machinery with identical output."""
+    from .operators.udx import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=50)
+
+
+SQL_OP_UDTF_CHUNK = """
+WITH t AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         list_slice(toks, i * 50 + 1, i * 50 + 50) AS part
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) u(i)
+  WHERE len(toks) > 0)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(part) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(part, ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_op_pandas_udaf(spark, sf_dir):
+    """Pandas GROUPED_AGG UDAF surface (operators/udx.py micro_sum_udaf):
+    Arrow-batched per-group aggregation with an exact integer-micro-unit
+    accumulator, so the Python path reproduces the decimal oracle."""
+    from .operators.udx import micro_sum_udaf
+    return micro_sum_udaf(_t(spark, sf_dir, "events"))
+
+
+SQL_OP_PANDAS_UDAF = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_plan_corpus_clean(spark, sf_dir):
     """Flagship LLM training-data cleaning pipeline (plans/corpus.py):
     quality filter -> exact dedup -> near-dup clusters -> keep-list, all
@@ -1746,6 +1787,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-rollup": q_op_rollup,
     "op-sessionize": q_op_sessionize,
     "op-apply-in-pandas": q_op_apply_in_pandas,
+    "op-udtf-chunk": q_op_udtf_chunk,
+    "op-pandas-udaf": q_op_pandas_udaf,
     "op-salted-join": q_op_salted_join,
     "op-percentiles": q_op_percentiles,
     "sketch-hll-distinct": q_sketch_hll_distinct,
@@ -1880,6 +1923,8 @@ ORACLES: dict[str, str] = {
     "plan-inventory-report": _INVENTORY_RUN_SQL,
     "plan-e2e-alert": SQL_PLAN_E2E_ALERT,
     "plan-corpus-clean": _sql_corpus_clean(),
+    "op-udtf-chunk": SQL_OP_UDTF_CHUNK,
+    "op-pandas-udaf": SQL_OP_PANDAS_UDAF,
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
     # are not DuckDB-expressible; invariants are covered by tests/ instead.
