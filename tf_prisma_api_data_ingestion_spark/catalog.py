@@ -1444,6 +1444,32 @@ FROM f, unnest(range(0, n_frames, 7)) t(u)
 """
 
 
+def q_op_map_functions(spark, sf_dir):
+    """Map-type scalar functions (§2.4 gap category): JSON -> map<string,
+    long> via from_json, entry explode, per-key aggregation. Everything
+    JVM-side; the oracle walks the same entries with json_keys/
+    json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(F.explode(
+        F.from_json(F.col("props"), "map<string,bigint>")).alias("mkey", "mval"))
+    return (m.groupBy("mkey")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("mval").alias("sum_val"),
+                  F.min("mval").alias("min_val"),
+                  F.max("mval").alias("max_val")))
+
+
+SQL_OP_MAP_FUNCTIONS = """
+WITH kv AS (
+  SELECT k AS mkey, json_extract(props, '$.' || k)::BIGINT AS mval
+  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t)
+SELECT mkey, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(mval) AS BIGINT) AS sum_val,
+       min(mval) AS min_val, max(mval) AS max_val
+FROM kv GROUP BY mkey
+"""
+
+
 def q_op_udtf_chunk(spark, sf_dir):
     """Python UDTF surface (operators/udx.py chunk_documents): document ->
     context-window chunk rows via a registered table function + LATERAL.
@@ -1789,6 +1815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-apply-in-pandas": q_op_apply_in_pandas,
     "op-udtf-chunk": q_op_udtf_chunk,
     "op-pandas-udaf": q_op_pandas_udaf,
+    "op-map-functions": q_op_map_functions,
     "op-salted-join": q_op_salted_join,
     "op-percentiles": q_op_percentiles,
     "sketch-hll-distinct": q_sketch_hll_distinct,
@@ -1925,6 +1952,7 @@ ORACLES: dict[str, str] = {
     "plan-corpus-clean": _sql_corpus_clean(),
     "op-udtf-chunk": SQL_OP_UDTF_CHUNK,
     "op-pandas-udaf": SQL_OP_PANDAS_UDAF,
+    "op-map-functions": SQL_OP_MAP_FUNCTIONS,
     # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
     # dedup-simhash-pairs, sim-lsh-topk — xxhash64/numpy-seeded internals
     # are not DuckDB-expressible; invariants are covered by tests/ instead.
