@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalized, tokens
+from .text import normalized, normalized_tokens, tokens
 
 
 # ---------------------------------------------------------------- exact ---
@@ -54,7 +54,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     whole tokenize-regex expression per element — measured 3.5x slower on
     the documents corpus.
     """
-    t = tokens(normalized(col))
+    t = normalized_tokens(col)
     k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
     parts = [F.slice(t, i + 1, k) for i in range(n)]
     grams = F.transform(F.arrays_zip(*parts),
@@ -212,7 +212,7 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     signature bit b = (sum > 0). The 64 per-bit sums are 64 conditional
     aggregates in a single aggregation pass (map-side partial agg applies).
     """
-    tok = (df.select(F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("_t"))
+    tok = (df.select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("_t"))
              .withColumn("_h", F.xxhash64("_t")))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
@@ -461,7 +461,7 @@ def simhash_md5(df: DataFrame, text_col: str = "text",
     ANSI-SQL-reproducible.
     """
     tok = (df.select(F.col(id_col),
-                     F.explode(tokens(normalized(F.col(text_col)))).alias("_t"))
+                     F.explode(normalized_tokens(F.col(text_col))).alias("_t"))
              .withColumn("_h", F.md5("_t")))
     bits = tok.select(id_col, "_h",
                       F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_b"))
