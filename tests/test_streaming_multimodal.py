@@ -152,3 +152,43 @@ def test_corpus_clean_invariants(spark):
     # no surviving pair is a near-dup at the threshold
     assert ngram_jaccard_pairs(survivors, n=3, threshold=0.5,
                                max_df=10**9).count() == 0
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        clicks_joined_to_purchases,
+    )
+    got = clicks_joined_to_purchases(spark, SF_DIR, query_name="t_ss_join")
+    ev = (tables.load(spark, SF_DIR, "events")
+          .withColumn("us", F.expr("ts DIV 1000")))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("us").alias("c_us"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("us").alias("p_us"))
+    want = c.join(p, (F.col("cu") == F.col("pu"))
+                  & (F.col("p_us") >= F.col("c_us"))
+                  & (F.col("p_us") <= F.col("c_us") + 30 * 60 * 1_000_000))
+    assert got.count() == want.count()
+    # gaps are non-negative and within the 30-minute bound
+    bad = got.filter((F.col("gap_us") < 0)
+                     | (F.col("gap_us") > 30 * 60 * 1_000_000)).count()
+    assert bad == 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        deduped_daily_actions,
+    )
+    got = deduped_daily_actions(spark, SF_DIR, query_name="t_ss_dedup")
+    ev = tables.load(spark, SF_DIR, "events")
+    want = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("user_id", "event_type",
+                    F.date_format(F.date_trunc("day", "ts_t"),
+                                  "yyyy-MM-dd").alias("day"))
+            .distinct())
+    assert got.count() == want.count()
+    assert got.distinct().count() == got.count()

@@ -1406,6 +1406,43 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time range join (streaming/windows.py
+    clicks_joined_to_purchases): clicks matched to same-user purchases
+    within 30 minutes, watermarks on both sides bounding join state.
+    availableNow drain == the batch interval join the oracle runs."""
+    from .streaming.windows import clicks_joined_to_purchases
+    return clicks_joined_to_purchases(spark, sf_dir,
+                                      query_name="cat_stream_join")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup with watermark-bounded state (streaming/windows.py
+    deduped_daily_actions): first (user, event_type, day) wins; the day
+    bucket is the event-time key so old days age out of the state store.
+    Single-drain output == batch DISTINCT."""
+    from .streaming.windows import deduped_daily_actions
+    return deduped_daily_actions(spark, sf_dir, query_name="cat_stream_dedup")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events
+"""
+
+
 # =====================================================================
 # Multimodal (binary payload + mapInPandas decode plumbing)
 # =====================================================================
@@ -1641,6 +1678,246 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_op_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general lattice primitive under
+    rollup/cube: exactly the requested sets ((status), (priority), ()),
+    one shuffle via Expand. Spark DF API exposes only rollup/cube, so the
+    declarative SQL form is the idiomatic path."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+SQL_OP_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_op_window_rank(spark, sf_dir):
+    """Ranking/offset window battery per customer: rank, dense_rank,
+    ntile, lag, lead, first_value in ONE window spec — a single sort
+    per partition serves all six (ties impossible: o_orderkey is unique,
+    so every function is deterministic). Ints cast to long for DuckDB
+    BIGINT parity."""
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"))
+
+
+SQL_OP_WINDOW_RANK = """
+SELECT o_orderkey, o_custkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_op_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS): partition
+    customers by whether they have an urgent order. Semi/anti keep only
+    the left side's columns — no row multiplication, and the filtered
+    orders side is broadcast (it's a key-only projection)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    semi = (c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_name", F.lit("semi").alias("side")))
+    anti = (c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name", F.lit("anti").alias("side")))
+    return semi.unionByName(anti)
+
+
+SQL_OP_SEMI_ANTI_JOIN = """
+SELECT c_custkey, c_name, 'semi' AS side FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, c_name, 'anti' AS side FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_op_unpivot(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of per-flag aggregate columns — Spark's
+    native ``unpivot`` lowers to Expand (no shuffle, no UDF), the inverse
+    of op-pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        _dec_sum("l_quantity").alias("sum_qty"),
+        _dec_sum("l_extendedprice").alias("sum_price"))
+    return g.unpivot("l_returnflag", ["sum_qty", "sum_price"],
+                     "metric", "value")
+
+
+SQL_OP_UNPIVOT = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM g
+"""
+
+
+def q_op_string_functions(spark, sf_dir):
+    """Scalar string-function battery (substr/concat_ws/lpad/translate/
+    instr/levenshtein/regexp_extract/reverse) — all JVM codegen
+    expressions in one projection; no UDFs."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.translate("p_type", "AEIOU", "").alias("type_novowel"),
+        F.instr("p_type", "BRASS").cast("long").alias("brass_pos"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("lev_brand"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"))
+
+
+SQL_OP_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       substr(p_name, 1, 8) AS name8,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+       translate(p_type, 'AEIOU', '') AS type_novowel,
+       CAST(instr(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+       CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS lev_brand,
+       COALESCE(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+def q_op_array_functions(spark, sf_dir):
+    """Array-function battery over a per-row generated sequence: size,
+    higher-order aggregate (fold), membership, tail element, join-to-
+    string — all codegen'd array expressions, scalar outputs only (array
+    outputs would hash engine-differently)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sequence(F.lit(1), (F.col("l_linenumber") % 5) + 2)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.size(arr).cast("long").alias("arr_len"),
+        F.aggregate(arr, F.lit(0), lambda a, x: a + x).cast("long").alias("arr_sum"),
+        F.array_contains(arr, 3).alias("has_three"),
+        F.element_at(F.reverse(arr), 1).cast("long").alias("last_elem"),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), "-").alias("arr_str"))
+
+
+SQL_OP_ARRAY_FUNCTIONS = """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber,
+         range(1, (l_linenumber % 5) + 3) AS arr
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CAST(len(arr) AS BIGINT) AS arr_len,
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+       list_contains(arr, 3) AS has_three,
+       CAST(arr[-1] AS BIGINT) AS last_elem,
+       array_to_string(arr, '-') AS arr_str
+FROM g
+"""
+
+
+def q_op_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling: keep rows whose md5-derived bucket is
+    0 mod 20 (a reproducible ~5% sample — unlike ``df.sample``, stable
+    across partitioning, retries, and engines; the cross-engine md5
+    primitive from the minhash oracle twins)."""
+    o = _t(spark, sf_dir, "orders")
+    h = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                16, 10).cast("long"))
+    return (o.filter(h % 20 == 0)
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_OP_SAMPLE_HASH = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 20 = 0
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier-volume query: the 6-table join
+    (region→nation→{customer,supplier} + orders→lineitem) with revenue
+    per nation. Dimension chain (region/nation/supplier) is broadcast —
+    at sf0.1 supplier is ~1k rows, far under the broadcast threshold; the
+    two fact joins (orders⋈customer, lineitem⋈orders) shuffle on their
+    keys and AQE handles skew. c_nationkey == s_nationkey closes the
+    cycle on the broadcast side, not via an extra shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (_t(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", "c_nationkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    co = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .select("o_orderkey", "c_nationkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (li.join(co, li.l_orderkey == F.col("o_orderkey"))
+           .join(F.broadcast(s),
+                 (li.l_suppkey == F.col("s_suppkey"))
+                 & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    return (j.groupBy("n_name")
+             .agg(F.sum(rev).cast("double").alias("revenue"))
+             .orderBy(F.col("revenue").desc()))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6-shaped forecasting-revenue query: the canonical
     full-pushdown plan — every predicate reaches the parquet scan
@@ -1825,8 +2102,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-range-join": q_op_range_join,
     "op-time-rollup": q_op_time_rollup,
     "op-cube": q_op_cube,
+    "op-grouping-sets": q_op_grouping_sets,
+    "op-window-rank": q_op_window_rank,
+    "op-semi-anti-join": q_op_semi_anti_join,
+    "op-unpivot": q_op_unpivot,
+    "op-string-functions": q_op_string_functions,
+    "op-array-functions": q_op_array_functions,
+    "op-sample-hash": q_op_sample_hash,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
+    "tpch-q5": q_tpch_q5,
     "tpch-q6": q_tpch_q6,
     "top-k-per-group": q_top_k_per_group,
     "asof-join": q_asof_join,
@@ -1867,6 +2152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream-sliding-window": q_stream_sliding_window,
     "stream-session-window": q_stream_session_window,
     "stream-stateful-totals": q_stream_stateful,
+    "stream-stream-join": q_stream_stream_join,
+    "stream-dedup": q_stream_dedup,
     # multimodal
     "multimodal-decode": q_multimodal_decode,
     "multimodal-frame-sample": q_multimodal_frame_sample,
@@ -1913,7 +2200,15 @@ ORACLES: dict[str, str] = {
     "op-range-join": SQL_OP_RANGE_JOIN,
     "op-time-rollup": SQL_OP_TIME_ROLLUP,
     "op-cube": SQL_OP_CUBE,
+    "op-grouping-sets": SQL_OP_GROUPING_SETS,
+    "op-window-rank": SQL_OP_WINDOW_RANK,
+    "op-semi-anti-join": SQL_OP_SEMI_ANTI_JOIN,
+    "op-unpivot": SQL_OP_UNPIVOT,
+    "op-string-functions": SQL_OP_STRING_FUNCTIONS,
+    "op-array-functions": SQL_OP_ARRAY_FUNCTIONS,
+    "op-sample-hash": SQL_OP_SAMPLE_HASH,
     "tpch-q3": SQL_TPCH_Q3,
+    "tpch-q5": SQL_TPCH_Q5,
     "top-k-per-group": SQL_TOP_K_PER_GROUP,
     "asof-join": SQL_ASOF_JOIN,
     "dedup-exact": SQL_DEDUP_EXACT,
@@ -1944,6 +2239,8 @@ ORACLES: dict[str, str] = {
     "stream-sliding-window": SQL_STREAM_SLIDING_WINDOW,
     "stream-session-window": SQL_STREAM_SESSION_WINDOW,
     "stream-stateful-totals": SQL_STREAM_STATEFUL,
+    "stream-stream-join": SQL_STREAM_STREAM_JOIN,
+    "stream-dedup": SQL_STREAM_DEDUP,
     "multimodal-decode": SQL_MULTIMODAL_DECODE,
     "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,

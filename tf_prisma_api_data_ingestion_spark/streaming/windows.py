@@ -130,6 +130,70 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str,
                     "n_events"))
 
 
+def clicks_joined_to_purchases(spark: SparkSession, sf_dir: str,
+                               max_gap: str = "30 minutes",
+                               query_name: str = "clicks_purchases") -> DataFrame:
+    """Stream-stream inner join: each click joined to same-user purchases
+    within ``max_gap`` after the click (event-time range join).
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both sides — that pair is what lets Spark evict join state: a click
+    older than watermark+gap can never match a future purchase, so its
+    buffered row is dropped. Without the time bound, stream-stream join
+    state grows without limit at 100 TB/day.
+    """
+    ev = _event_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("click_id"),
+                        F.col("user_id").alias("c_user"),
+                        F.col("ts_t").alias("click_ts"))
+                .withWatermark("click_ts", "1 hour"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("purchase_id"),
+                           F.col("user_id").alias("p_user"),
+                           F.col("ts_t").alias("purchase_ts"))
+                   .withWatermark("purchase_ts", "1 hour"))
+    j = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner")
+    q = (j.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .select("click_id", "purchase_id",
+                    F.col("c_user").alias("user_id"),
+                    (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                    .alias("gap_us")))
+
+
+def deduped_daily_actions(spark: SparkSession, sf_dir: str,
+                          query_name: str = "deduped_daily") -> DataFrame:
+    """Streaming deduplication: first occurrence per (user, event_type,
+    day) survives; replays/retries within the same day are dropped.
+
+    The event-time column (day bucket) is part of the dedup key, so the
+    watermark evicts state for days that can no longer receive rows —
+    the difference between bounded and unbounded dedup state on an
+    always-on ingest stream. Drained with availableNow, the output is
+    exactly the batch DISTINCT the oracle computes.
+    """
+    ev = _event_stream(spark, sf_dir)
+    d = (ev.withColumn("day_t", F.date_trunc("day", F.col("ts_t")))
+           .select("user_id", "event_type", "day_t",
+                   F.col("ts_t").alias("ts_evt"))
+           .withWatermark("day_t", "1 day")
+           .dropDuplicates(["user_id", "event_type", "day_t"]))
+    q = (d.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .select("user_id", "event_type",
+                    F.date_format("day_t", "yyyy-MM-dd").alias("day")))
+
+
 def session_event_counts(spark: SparkSession, sf_dir: str,
                          gap: str = "30 minutes",
                          watermark: str = "10 minutes",
