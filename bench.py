@@ -17,6 +17,7 @@ import time
 HEADLINE = (
     "tpch-q1",            # scan -> partial agg -> shuffle agg
     "tpch-q3",            # 3-way join with broadcast dims
+    "tpch-q5",            # 6-table join, broadcast dim chain
     "tpch-q6",            # full predicate pushdown + 1-row agg
     "pd-groupby",         # group-by over orders
     "op-groupagg-count",  # alert-shaped group over events
@@ -34,8 +35,10 @@ HEADLINE = (
     "sim-lsh-topk",       # sign-bucket LSH ANN
     "sim-ivf-topk",       # IVF inverted-list ANN (exact mode)
     "text-quality",       # text feature extraction
+    "text-tfidf-top-terms",# corpus TF-IDF weighting + per-doc top-k
     "op-sessionize",      # gap-and-islands sessionization
     "stream-window-agg",  # structured-streaming tumbling window drain
+    "stream-stream-join", # watermarked stream-stream interval join
     "plan-alert-report",  # EP3 end-to-end plan
 )
 

@@ -1039,6 +1039,130 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing for training corpora: regex redaction of emails and
+    phone-shaped tokens, all JVM-side regexp_replace (no UDF). The corpus
+    has no organic PII, so every 5th doc gets a deterministic synthetic
+    email+phone appended in-flight (same pattern as op-corrupt-capture);
+    the redactor must strip exactly those."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(F.col("text"),
+                   F.lit(" contact user"), F.col("doc_id").cast("string"),
+                   F.lit("@example.com or call 555-"),
+                   F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    raw = F.when(F.col("doc_id") % 5 == 0, pii).otherwise(F.col("text"))
+    email_re = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone_re = r"[0-9]{3}-[0-9]{4}"
+    red = F.regexp_replace(F.regexp_replace(raw, email_re, "<EMAIL>"),
+                           phone_re, "<PHONE>")
+    return d.select("doc_id", red.alias("redacted"),
+                    (red != raw).alias("had_pii"))
+
+
+SQL_TEXT_PII_REDACT = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS r
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(r,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+       regexp_replace(regexp_replace(r,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') <> r AS had_pii
+FROM raw
+"""
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-3 salient terms by log-free TF-IDF
+    (tf * inverse-df: (cnt/doclen) * (N/df)) — the scoring pipeline behind
+    corpus term weighting, expressed with exact-integer inputs so the
+    double math is bit-identical in both engines (no ln(), whose last-ulp
+    behavior is libm-dependent). The tiny per-term df table is broadcast;
+    the doc-side join shuffles once on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, computed once driver-side
+    tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = ((F.col("cnt") / F.col("dlen"))
+             * (F.lit(n_docs) / F.col("df"))).alias("tfidf")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    scored = (tf.join(dl, "doc_id").join(F.broadcast(dfq), "term")
+                .select("doc_id", "term", score))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rn") <= 3)
+                  .select("doc_id", "term", "tfidf", "rn"))
+
+
+SQL_TEXT_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.cnt / dl.dlen) * ((SELECT count(*) FROM documents) / dfq.df) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term))
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+WHERE rn <= 3
+"""
+
+
+def q_op_profile(spark, sf_dir):
+    """Data-profiling operator (ingest QA): per-column row/null/distinct
+    counts in ONE scan — all metrics are aggregates of the same pass,
+    pivoted to long form with stack (Expand; no second scan, no
+    per-column job like naive profilers)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                     .cast("long").alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    g = o.agg(*aggs)
+    triples = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return (g.select(F.col("n_rows"),
+                     F.expr(f"stack({len(cols)}, {triples}) "
+                            "AS (col_name, n_null, n_distinct)"))
+             .select("col_name", "n_rows", "n_null", "n_distinct"))
+
+
+SQL_OP_PROFILE = """
+WITH g AS (
+  SELECT count(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_1,
+         count(DISTINCT o_orderstatus) AS dist_1,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_2,
+         count(DISTINCT o_orderpriority) AS dist_2,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_3,
+         count(DISTINCT o_custkey) AS dist_3
+  FROM orders)
+SELECT 'o_orderstatus' AS col_name, n_rows, null_1 AS n_null, dist_1 AS n_distinct FROM g
+UNION ALL
+SELECT 'o_orderpriority', n_rows, null_2, dist_2 FROM g
+UNION ALL
+SELECT 'o_custkey', n_rows, null_3, dist_3 FROM g
+"""
+
+
 def q_op_corrupt_capture(spark, sf_dir):
     """Corrupt-record capture (§1.3 posture): a third of the props
     payloads are corrupted in-flight; from_json yields null for those
@@ -2137,6 +2261,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-quality": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
     "text-top-tokens": q_text_top_tokens,
+    "text-pii-redact": q_text_pii_redact,
+    "text-tfidf-top-terms": q_text_tfidf,
+    "op-profile": q_op_profile,
     "op-corrupt-capture": q_op_corrupt_capture,
     # REST sources (mock-served)
     "src-login": q_src_login,
@@ -2227,6 +2354,9 @@ ORACLES: dict[str, str] = {
     "text-quality": _sql_quality(),
     "text-fingerprint": SQL_TEXT_FINGERPRINT,
     "text-top-tokens": SQL_TEXT_TOP_TOKENS,
+    "text-pii-redact": SQL_TEXT_PII_REDACT,
+    "text-tfidf-top-terms": SQL_TEXT_TFIDF,
+    "op-profile": SQL_OP_PROFILE,
     "op-corrupt-capture": SQL_OP_CORRUPT_CAPTURE,
     "src-login": SQL_SRC_LOGIN,
     "src-get-json": SQL_SRC_GET_JSON,
