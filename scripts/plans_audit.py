@@ -26,6 +26,10 @@ AUDIT = (
     ("op-range-join", "bin-blocked interval join — hash join, never nested-loop"),
     ("op-time-rollup", "cascaded grains read the persisted finer level, raw scanned once"),
     ("sim-ivf-topk", "broadcast nc-row centroids; corpus partitioned into inverted lists"),
+    ("tpch-q5", "6-table join: region/nation/supplier chain broadcast, facts shuffle once each"),
+    ("op-semi-anti-join", "semi/anti as BroadcastHashJoin LeftSemi/LeftAnti — no row multiplication"),
+    ("op-profile", "single FileScan feeds every per-column profile metric (one-pass profiler)"),
+    ("text-tfidf-top-terms", "tiny df table broadcast; one doc_id shuffle + WindowGroupLimit top-k"),
 )
 
 

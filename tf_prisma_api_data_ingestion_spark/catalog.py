@@ -1089,8 +1089,12 @@ def q_text_tfidf(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar, computed once driver-side
     tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # tf has 3 consumers (dlen, df, scored): persist so the corpus is
+    # tokenized/exploded exactly once; dlen/df are then aggregates of the
+    # much smaller (doc, term) relation, not re-scans of the raw text
+    tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+             .persist())
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = ((F.col("cnt") / F.col("dlen"))
              * (F.lit(n_docs) / F.col("df"))).alias("tfidf")
