@@ -192,3 +192,30 @@ def test_stream_dedup_matches_batch_distinct(spark):
             .distinct())
     assert got.count() == want.count()
     assert got.distinct().count() == got.count()
+
+
+def test_stream_parquet_sink_exactly_once_on_restart(spark, tmp_path):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        stream_to_partitioned_parquet,
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_events = tables.load(spark, SF_DIR, "events").count()
+
+    n1 = stream_to_partitioned_parquet(spark, SF_DIR, out, ckpt,
+                                       query_name="t_sink_run1")
+    written = spark.read.parquet(out)
+    assert n1 == n_events
+    assert written.count() == n_events
+    # day partition layout exists and prunes
+    assert "day" in written.columns
+    days = [r.day for r in written.select("day").distinct().collect()]
+    assert len(days) > 1
+
+    # restart against the same checkpoint: source offsets say everything
+    # is already committed -> zero new input, zero duplicate rows
+    n2 = stream_to_partitioned_parquet(spark, SF_DIR, out, ckpt,
+                                       query_name="t_sink_run2")
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == n_events

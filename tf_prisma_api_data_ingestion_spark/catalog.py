@@ -1355,6 +1355,32 @@ FROM orders
 """
 
 
+def q_stream_sink_parquet(spark, sf_dir):
+    """Streaming ingest -> date-partitioned parquet with exactly-once
+    checkpoint semantics (streaming twin of sink-partition). Runs the
+    availableNow drain TWICE against one checkpoint — the second run must
+    ingest 0 rows — then round-trips the table; the oracle checks the
+    published rows, so a duplicate-on-replay would fail the row count."""
+    from .streaming.windows import stream_to_partitioned_parquet
+    base = _fresh_dir("stream-sink-parquet")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    stream_to_partitioned_parquet(spark, sf_dir, out, ckpt,
+                                  query_name="cat_stream_sink1")
+    replay = stream_to_partitioned_parquet(spark, sf_dir, out, ckpt,
+                                           query_name="cat_stream_sink2")
+    back = spark.read.parquet(out)
+    return back.select("event_id", "user_id", "event_type", "value", "day",
+                       F.lit(replay).cast("long").alias("replay_rows"))
+
+
+SQL_STREAM_SINK_PARQUET = """
+SELECT event_id, user_id, event_type, value,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(0 AS LONG) AS replay_rows
+FROM events
+"""
+
+
 def q_sink_rollback(spark, sf_dir):
     """sink-rollback (P:444-451, §2.5.3): staged-commit transaction.
     Run 1 fails mid-run -> staging cleaned, nothing published, no manifest.
@@ -2285,6 +2311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream-stateful-totals": q_stream_stateful,
     "stream-stream-join": q_stream_stream_join,
     "stream-dedup": q_stream_dedup,
+    "stream-sink-parquet": q_stream_sink_parquet,
     # multimodal
     "multimodal-decode": q_multimodal_decode,
     "multimodal-frame-sample": q_multimodal_frame_sample,
@@ -2375,6 +2402,7 @@ ORACLES: dict[str, str] = {
     "stream-stateful-totals": SQL_STREAM_STATEFUL,
     "stream-stream-join": SQL_STREAM_STREAM_JOIN,
     "stream-dedup": SQL_STREAM_DEDUP,
+    "stream-sink-parquet": SQL_STREAM_SINK_PARQUET,
     "multimodal-decode": SQL_MULTIMODAL_DECODE,
     "multimodal-frame-sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "plan-alert-report": ALERT_REPORT_EVENTS_SQL,

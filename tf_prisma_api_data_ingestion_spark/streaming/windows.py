@@ -221,3 +221,35 @@ def session_event_counts(spark: SparkSession, sf_dir: str,
             .select("user_id",
                     F.unix_timestamp("w.start").alias("session_start_sec"),
                     "n_events", "sum_value"))
+
+
+def stream_to_partitioned_parquet(spark: SparkSession, sf_dir: str,
+                                  out_dir: str, checkpoint_dir: str,
+                                  query_name: str = "stream_sink") -> int:
+    """Streaming ingest to a date-partitioned parquet table with
+    exactly-once file-sink semantics.
+
+    The checkpoint (source offsets + sink file manifest) is what makes a
+    restart resume instead of re-ingest: a second availableNow run against
+    the same checkpoint processes only NEW files — zero duplicate rows on
+    replay (asserted in tests/test_streaming_multimodal.py). The
+    partitionBy('day') layout is the streaming twin of sink-partition, so
+    downstream batch queries partition-prune on day.
+
+    Returns the number of rows ingested by THIS run (0 on a pure restart).
+    """
+    ev = _event_stream(spark, sf_dir)
+    out = (ev.withColumn("day", F.date_format(
+               F.date_trunc("day", F.col("ts_t")), "yyyy-MM-dd"))
+             .select("event_id", "user_id", "event_type", "value", "day"))
+    q = (out.writeStream.format("parquet")
+         .queryName(query_name)
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .partitionBy("day")
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    q.awaitTermination()
+    last = q.lastProgress
+    return int(last["numInputRows"]) if last else 0
