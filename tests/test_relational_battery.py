@@ -1,0 +1,63 @@
+"""Invariant tests for the round-2 relational battery additions
+(window-rank, semi/anti join, unpivot, sampling, grouping sets).
+Oracle-differential value checks live in the catalog; these pin the
+structural properties that survive refactors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_window_rank_consistency(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_window_rank
+    r = q_op_window_rank(spark, SF_DIR)
+    # unique order keys per customer -> rank == dense_rank, both 1..n
+    assert r.filter(F.col("rnk") != F.col("drnk")).count() == 0
+    per_cust = r.groupBy("o_custkey").agg(
+        F.max("rnk").alias("mx"), F.count("*").alias("n"))
+    assert per_cust.filter(F.col("mx") != F.col("n")).count() == 0
+    # ntile buckets within 1..4
+    assert r.filter((F.col("quartile") < 1) | (F.col("quartile") > 4)).count() == 0
+
+
+def test_semi_anti_partition_customers(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_semi_anti_join
+    from tf_prisma_api_data_ingestion_spark import tables
+    r = q_op_semi_anti_join(spark, SF_DIR)
+    n_cust = tables.load(spark, SF_DIR, "customer").count()
+    # semi + anti is a disjoint partition of customers
+    assert r.count() == n_cust
+    assert r.select("c_custkey").distinct().count() == n_cust
+
+
+def test_sample_hash_deterministic(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_sample_hash
+    a = {r.o_orderkey for r in q_op_sample_hash(spark, SF_DIR).collect()}
+    b = {r.o_orderkey for r in q_op_sample_hash(spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0
+    from tf_prisma_api_data_ingestion_spark import tables
+    n = tables.load(spark, SF_DIR, "orders").count()
+    # ~5% sample: loose bounds that hold for any reasonable hash
+    assert 0.005 * n < len(a) < 0.15 * n
+
+
+def test_unpivot_row_count_and_metrics(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_unpivot
+    r = q_op_unpivot(spark, SF_DIR)
+    flags = r.select("l_returnflag").distinct().count()
+    assert r.count() == flags * 2
+    assert {x.metric for x in r.select("metric").distinct().collect()} == {
+        "sum_qty", "sum_price"}
+
+
+def test_grouping_sets_totals(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_grouping_sets
+    from tf_prisma_api_data_ingestion_spark import tables
+    r = q_op_grouping_sets(spark, SF_DIR).collect()
+    n = tables.load(spark, SF_DIR, "orders").count()
+    grand = [x for x in r if x.status == "ALL" and x.priority == "ALL"]
+    assert len(grand) == 1 and grand[0].n_orders == n
+    by_status = sum(x.n_orders for x in r if x.status != "ALL")
+    assert by_status == n
