@@ -143,3 +143,51 @@ def test_time_rollup_scans_raw_input_once(spark):
                 and "AS grain" in l]
     assert len(branches) == 3
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_q5_at_scale_dims_broadcast_facts_shuffle(spark):
+    # At sf0.001 the stats-driven planner broadcasts EVERYTHING (even
+    # lineitem — correct at 6k rows). To pin the 100x behavior, disable
+    # auto-broadcast so only the EXPLICIT broadcast() hints survive: the
+    # dim chain must still broadcast, and both fact joins (orders⋈customer,
+    # lineitem⋈co) must become shuffle joins with lineitem never built.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "tpch-q5")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # hinted: region->nation, nation->customer, nation->supplier, s->li
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # lineitem is never inside a BroadcastExchange subtree (= every line
+    # at strictly deeper tree indent than the exchange node)
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        for nxt in lines[i + 1:]:
+            if depth(nxt) <= d:
+                break
+            assert "lineitem.parquet" not in nxt
+
+
+def test_semi_anti_are_single_pass_joins(spark):
+    plan = plan_of(spark, "op-semi-anti-join")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_profile_is_single_scan(spark):
+    plan = plan_of(spark, "op-profile")
+    assert len(scans(plan)) == 1
+
+
+def test_window_rank_single_sort_window(spark):
+    # all six window functions share one window spec -> exactly one Window
+    # node (one sort per partition serves rank/lag/lead/ntile/first)
+    plan = plan_of(spark, "op-window-rank")
+    assert len([l for l in plan.splitlines()
+                if re.search(r"\bWindow\b", l) and "windowspecdefinition" in l]) == 1

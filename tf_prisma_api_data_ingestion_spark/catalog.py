@@ -577,17 +577,20 @@ FROM g
 
 
 def q_tpch_q3(spark, sf_dir):
-    """TPC-H Q3-shaped shipping-priority join: customer ⋈ orders ⋈ lineitem
-    with the small filtered dims broadcast; top-10 by exact-decimal revenue
-    so the sort order is identical in both engines."""
+    """TPC-H Q3-shaped shipping-priority join: customer ⋈ orders ⋈ lineitem,
+    top-10 by exact-decimal revenue so the sort order is identical in both
+    engines. Join strategy is deliberately stats-driven (NO broadcast
+    hints): filtered orders/customer are fact-sized fractions that stats +
+    AQE broadcast at small sf and shuffle at 100 TB — a hint would force
+    the broadcast at every scale."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey))
     g = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(F.sum(revenue).cast("double").alias("revenue")))
     return (g.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -1101,7 +1104,10 @@ def q_text_tfidf(spark, sf_dir):
     from pyspark.sql.window import Window
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
                                              F.col("term").asc())
-    scored = (tf.join(dl, "doc_id").join(F.broadcast(dfq), "term")
+    # dfq (per-term df) is vocabulary-sized — small here, but a 100 TB
+    # corpus's long-tail vocabulary is not broadcastable; leave the join
+    # strategy to stats rather than hint it
+    scored = (tf.join(dl, "doc_id").join(dfq, "term")
                 .select("doc_id", "term", score))
     return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
                   .filter(F.col("rn") <= 3)
@@ -1894,15 +1900,16 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 def q_op_semi_anti_join(spark, sf_dir):
     """Left-semi + left-anti joins (EXISTS / NOT EXISTS): partition
     customers by whether they have an urgent order. Semi/anti keep only
-    the left side's columns — no row multiplication, and the filtered
-    orders side is broadcast (it's a key-only projection)."""
+    the left side's columns — no row multiplication. The orders side is a
+    key-only projection but still fact-sized, so the build strategy is
+    left to stats/AQE (broadcast at small sf, shuffle at 100 TB)."""
     c = _t(spark, sf_dir, "customer")
     o = (_t(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey"))
-    semi = (c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
              .select("c_custkey", "c_name", F.lit("semi").alias("side")))
-    anti = (c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .select("c_custkey", "c_name", F.lit("anti").alias("side")))
     return semi.unionByName(anti)
 
@@ -2026,11 +2033,13 @@ WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 20 = 0
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5-shaped local-supplier-volume query: the 6-table join
     (region→nation→{customer,supplier} + orders→lineitem) with revenue
-    per nation. Dimension chain (region/nation/supplier) is broadcast —
-    at sf0.1 supplier is ~1k rows, far under the broadcast threshold; the
-    two fact joins (orders⋈customer, lineitem⋈orders) shuffle on their
-    keys and AQE handles skew. c_nationkey == s_nationkey closes the
-    cycle on the broadcast side, not via an extra shuffle."""
+    per nation. Only the provably-constant dims (region=5, nation=25 rows
+    at EVERY scale factor) carry broadcast hints; supplier grows with SF,
+    so its join strategy is stats-driven (broadcast at small sf, shuffle
+    at 100 TB). The two fact joins (orders⋈customer, lineitem⋈orders)
+    shuffle on their keys and AQE handles skew; c_nationkey ==
+    s_nationkey closes the cycle inside the supplier join, not via an
+    extra shuffle."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = (_t(spark, sf_dir, "nation")
          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -2050,8 +2059,7 @@ def q_tpch_q5(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     j = (li.join(co, li.l_orderkey == F.col("o_orderkey"))
-           .join(F.broadcast(s),
-                 (li.l_suppkey == F.col("s_suppkey"))
+           .join(s, (li.l_suppkey == F.col("s_suppkey"))
                  & (F.col("c_nationkey") == F.col("s_nationkey"))))
     return (j.groupBy("n_name")
              .agg(F.sum(rev).cast("double").alias("revenue"))
