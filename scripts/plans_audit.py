@@ -14,7 +14,7 @@ sys.path.insert(0, ".")
 
 AUDIT = (
     ("tpch-q1", "scan -> partial agg -> shuffle agg; filter + pruning pushed"),
-    ("tpch-q3", "3-way join; filtered dims broadcast"),
+    ("tpch-q3", "3-way join; stats-driven broadcast of the filtered sides (no hints)"),
     ("pd-filter-range", "time-range predicate reaches the parquet scan"),
     ("top-k-per-group", "rank limit pushed below the shuffle (WindowGroupLimit)"),
     ("asof-join", "union + forward-fill window; NO join node, one shuffle"),
@@ -26,8 +26,8 @@ AUDIT = (
     ("op-range-join", "bin-blocked interval join — hash join, never nested-loop"),
     ("op-time-rollup", "cascaded grains read the persisted finer level, raw scanned once"),
     ("sim-ivf-topk", "broadcast nc-row centroids; corpus partitioned into inverted lists"),
-    ("tpch-q5", "6-table join: region/nation/supplier chain broadcast, facts shuffle once each"),
-    ("op-semi-anti-join", "semi/anti as BroadcastHashJoin LeftSemi/LeftAnti — no row multiplication"),
+    ("tpch-q5", "6-table join: constant dims (region/nation) hint-broadcast, the rest stats-driven"),
+    ("op-semi-anti-join", "semi/anti joins — no row multiplication; build side stats-driven"),
     ("op-profile", "single FileScan feeds every per-column profile metric (one-pass profiler)"),
     ("text-tfidf-top-terms", "tiny df table broadcast; one doc_id shuffle + WindowGroupLimit top-k"),
 )
