@@ -48,7 +48,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark import cache
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        QUERIES,
+        THROUGHPUT_QUERIES,
+    )
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -59,9 +63,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        cache.release_all()  # bound cache growth across the loop
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -84,6 +84,8 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from tf_prisma_api_data_ingestion_spark import cache
+
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
@@ -92,6 +94,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            cache.release_all()
         except Exception:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc(limit=4)

@@ -99,3 +99,45 @@ def test_datasource_matches_serial_fetch(spark, url, client):
     serial = [i["resource"]["accountId"]
               for i in fetch_all_pages(client, "/v2/alerts", {})]
     assert sorted(r.accountId for r in df.collect()) == sorted(serial)
+
+
+def test_datasource_token_mode_single_partition(spark, url, client):
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("paging", "token")
+          .option("backoff_factor", "0.01").load())
+    # opaque-token APIs can't be index-addressed: one serial partition
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == mock_api.N_ALERTS
+
+
+def test_retry_after_header_is_honored(monkeypatch):
+    import urllib.error
+    from tf_prisma_api_data_ingestion_spark.sources.rest import _retry_delay
+    err = urllib.error.HTTPError("u", 429, "rate", {"Retry-After": "0.25"}, None)
+    assert _retry_delay(err, backoff_factor=9.0, attempt=3) == 0.25
+    err2 = urllib.error.HTTPError("u", 429, "rate", {"Retry-After": "nonsense"}, None)
+    assert _retry_delay(err2, backoff_factor=1.0, attempt=2) == 4.0
+
+
+# keep LAST in the file: briefly expires the shared mock server's token
+def test_reauth_on_token_expiry_mid_pagination(url):
+    c = RestClient(url, username=mock_api.MOCK_USER,
+                   password=mock_api.MOCK_PASSWORD, backoff_factor=0.01).login()
+    pages = iter(fetch_all_pages(c, "/v2/alerts", {}, page_size=100))
+    first = [next(pages) for _ in range(100)]      # page 0 fully consumed
+    request_with_backoff(url + "/admin/expire", method="POST", payload={})
+    rest = list(pages)                             # page 1 -> 401 -> re-login
+    assert len(first) + len(rest) == mock_api.N_ALERTS
+    assert c.token == mock_api.MOCK_TOKEN          # token constant by design
+
+
+def test_tokenless_client_401_raises(url):
+    request_with_backoff(url + "/admin/expire", method="POST", payload={})
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            RestClient(url, backoff_factor=0.01).get_json("/v1/inventory")
+    finally:  # re-validate the shared token for any later module
+        RestClient(url, username=mock_api.MOCK_USER,
+                   password=mock_api.MOCK_PASSWORD, backoff_factor=0.01).login()

@@ -1,0 +1,46 @@
+"""Bounded lifetime for persist() barriers.
+
+Several operators persist intermediates as LOAD-BEARING recompute
+barriers (projection collapse would otherwise re-run shingling /
+signature work per consumer — measured 6.5s -> 47s without the barrier,
+SCALING.md). The frames are consumed lazily by the CALLER's action, so
+the operator itself can never unpersist safely; without cleanup,
+repeated invocations (bench loops, selfcheck sweeps, long-lived
+sessions) accumulate cache entries until executor storage churns under
+eviction pressure.
+
+``tracked_persist`` registers every such frame in a process-local list;
+harnesses call ``release_all()`` after the action that consumed the
+query (bench.py per query, selfcheck per key, conftest per test module)
+to drop the cache without touching operator logic. Entries are held
+weakly-by-intent: releasing twice is a no-op, and releasing frames whose
+session is already stopped is swallowed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame,
+                    level: StorageLevel | None = None) -> DataFrame:
+    """persist() + register for later ``release_all()``."""
+    out = df.persist(level) if level is not None else df.persist()
+    _TRACKED.append(out)
+    return out
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

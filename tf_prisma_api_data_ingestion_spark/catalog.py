@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import tables
+from . import cache, tables
 from .functions.columns import derive_ts_columns, url_encode_path
 from .operators import dedup, similarity, text
 from .operators.json_ops import flatten_array_of_structs, parse_json_col
@@ -1096,7 +1096,7 @@ def q_text_tfidf(spark, sf_dir):
     # tokenized/exploded exactly once; dlen/df are then aggregates of the
     # much smaller (doc, term) relation, not re-scans of the raw text
     tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-             .persist())
+             .transform(cache.tracked_persist))
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = ((F.col("cnt") / F.col("dlen"))

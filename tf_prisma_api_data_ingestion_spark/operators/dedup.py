@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from .text import normalized, normalized_tokens, tokens
 
 
@@ -88,9 +89,9 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     # — corpus-scale but flat, disk-backed when large. It feeds the
     # df-count pass AND (via the anti-join) both sides of the self-join,
     # so the shingling regex pipeline runs exactly ONCE over the corpus.
-    inv = (sized.select("_id", "_m", F.explode("shingles").alias("_s"))
-                .select("_id", "_m", F.xxhash64("_s").alias("_sk"))
-                .persist())
+    inv = tracked_persist(
+        sized.select("_id", "_m", F.explode("shingles").alias("_s"))
+             .select("_id", "_m", F.xxhash64("_s").alias("_sk")))
     # document-frequency cap: drop shingles present in too many docs
     df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
     hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
@@ -174,7 +175,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # the shingling + 64 hash passes would run three times over the full
     # corpus. At cluster scale, writing it to a staging parquet gives the
     # same reuse with cheaper recovery.
-    shingled = shingled.persist()
+    shingled = tracked_persist(shingled)
     sig = shingled.withColumn("_sig", minhash_signature(F.col("_hashed"), num_hashes))
     # one transform over band indices (vs `bands` inlined concat trees);
     # same band hash values: concat_ws over the sliced signature chunk
@@ -238,7 +239,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # persist: signatures are 2 longs per doc; recomputing simhash_64 (an
     # explode + 64-agg pass over the corpus) per self-join side would
     # dominate the job.
-    sigs = simhash_64(df, text_col, id_col).persist()
+    sigs = tracked_persist(simhash_64(df, text_col, id_col))
 
     def band_mask(c: int) -> int:
         # 16-bit band mask as a *signed* 64-bit constant: Python's
@@ -420,8 +421,8 @@ def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
                          word_shingles(F.col(text_col), n).alias("shingles"))
     # pre-hash shingles to their md5 hex once; seeds then hash short
     # fixed-length strings instead of full shingles
-    shingled = shingled.withColumn(
-        "_mh", F.transform("shingles", lambda s: F.md5(s))).persist()
+    shingled = tracked_persist(shingled.withColumn(
+        "_mh", F.transform("shingles", lambda s: F.md5(s))))
     sig = shingled.withColumn("_sig", F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(
@@ -489,7 +490,7 @@ def simhash_md5_pairs(df: DataFrame, text_col: str = "text",
     4 x 16-bit chunks, equality join on any chunk, exact bit_count verify
     — same banding shape as ``simhash_pairs``, fully SQL-reproducible.
     """
-    sigs = simhash_md5(df, text_col, id_col).persist()
+    sigs = tracked_persist(simhash_md5(df, text_col, id_col))
     chunk_arr = F.array(
         F.col("sim_lo") % 65536, F.expr("sim_lo DIV 65536"),
         F.col("sim_hi") % 65536, F.expr("sim_hi DIV 65536"))

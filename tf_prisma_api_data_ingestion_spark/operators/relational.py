@@ -20,6 +20,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 # --- pushdown-class operators (P:229-248,272-273 serialized these into ----
 # --- API payloads; here they are ordinary Catalyst ops that reach the scan)
@@ -330,7 +332,7 @@ def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
              # is scanned once PER GRAIN (verified via FileScan count in
              # tests/test_plans_scale.py) — the exact failure mode this
              # operator exists to avoid at 100 TB
-             .persist())
+             .transform(tracked_persist))
     levels = [cur.select(F.lit(label0).alias("grain"),
                          F.col("_b").alias("bucket_start"),
                          F.col("_n").alias("n_events"),
@@ -339,7 +341,7 @@ def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
         cur = (cur.withColumn("_b", F.col("_b") - F.col("_b") % g)
                   .groupBy("_b")
                   .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
-                  .persist())
+                  .transform(tracked_persist))
         levels.append(cur.select(F.lit(label).alias("grain"),
                                  F.col("_b").alias("bucket_start"),
                                  F.col("_n").alias("n_events"),

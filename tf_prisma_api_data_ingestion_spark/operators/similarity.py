@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from .dedup import as_double_vec, dot, norm2
 from .relational import top_k_per_group
 
@@ -141,7 +142,7 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                   norm2(vd).alias("_n"))
     bk = (bucket_table(df, id_col, vec_col, tables, planes_per_table, dim)
           .withColumnRenamed(id_col, "_id"))
-    base = bk.join(v, "_id").persist()
+    base = tracked_persist(bk.join(v, "_id"))
     a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
                     F.col("_n").alias("_na"), "_tbl", "_bkt")
     b = base.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
@@ -271,8 +272,8 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
     Returns (query_id, vec_id, cos_r) like ``brute_force_topk``.
     """
-    cents = ivf_centroids(candidates, nc=nc, id_col=id_col,
-                          vec_col=vec_col, iters=iters).persist()
+    cents = tracked_persist(ivf_centroids(candidates, nc=nc, id_col=id_col,
+                                          vec_col=vec_col, iters=iters))
     cand = ivf_assign(candidates, cents, id_col=id_col, vec_col=vec_col,
                       nprobe=1)
     qa = (ivf_assign(queries, cents, id_col=id_col, vec_col=vec_col,

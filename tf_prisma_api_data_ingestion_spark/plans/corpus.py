@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
+from ..cache import tracked_persist
 from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
 from ..operators.text import quality_features
 
@@ -46,7 +47,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     # the final keep join — without the barrier the quality regexes and
     # dedup groupBy re-run once per consumer (measured ~20 s -> ~8 s at
     # sf0.1 with the cache)
-    docs = q.join(keep_exact, "doc_id").persist()
+    docs = tracked_persist(q.join(keep_exact, "doc_id"))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
                                 max_df=10**9)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),

@@ -164,6 +164,10 @@ class StagedRun:
             dst = os.path.join(self.base, name)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
+            # nested output names (year=/month=/... from plans/e2e) need
+            # the parent to exist or shutil.move degrades to a non-atomic
+            # copytree; with it, same-filesystem publish stays a rename
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(self.staging, name), dst)
             published.append(dst)
         os.makedirs(self.manifest_dir, exist_ok=True)

@@ -63,7 +63,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def _authed(self) -> bool:
-        return self.headers.get("x-redlock-auth") == MOCK_TOKEN
+        # token expiry fixture: /admin/expire invalidates the (constant)
+        # token until the next /login re-validates it — tokens stay a pure
+        # constant so the VALUES/range() oracles stay reproducible
+        expired = getattr(self.server, "token_expired", False)
+        return (not expired
+                and self.headers.get("x-redlock-auth") == MOCK_TOKEN)
 
     # ------------------------------------------------------------- GET --
     def do_GET(self):
@@ -88,9 +93,15 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/login":
             if (payload.get("username") == MOCK_USER
                     and payload.get("password") == MOCK_PASSWORD):
-                self._send(200, {"token": MOCK_TOKEN})
+                self.server.token_expired = False
+                self.server.login_count = getattr(self.server, "login_count", 0) + 1
+                self._send(200, {"token": MOCK_TOKEN,
+                                 "login_count": self.server.login_count})
             else:
                 self._send(401, {"error": "bad credentials"})
+        elif self.path == "/admin/expire":
+            self.server.token_expired = True
+            self._send(200, {"expired": True})
         elif self.path == "/v2/alerts":
             if not self._authed():
                 self._send(401, {"error": "unauthorized"})

@@ -51,9 +51,10 @@ def request_with_backoff(url: str, method: str = "GET", headers: dict | None = N
                          backoff_factor: float = 1.0, timeout: float = 10.0) -> RestResponse:
     """HTTP request with exponential backoff on 429/5xx (src-backoff).
 
-    Sleeps ``backoff_factor * 2**attempt`` between tries, raising after
-    ``retries`` retryable failures. Non-retryable HTTP errors raise
-    immediately.
+    Sleeps ``backoff_factor * 2**attempt`` between tries — unless the
+    server sent a ``Retry-After`` header (seconds form), which takes
+    precedence (capped at 60s) — raising after ``retries`` retryable
+    failures. Non-retryable HTTP errors raise immediately.
     """
     data = json.dumps(payload).encode() if payload is not None else None
     hdrs = {"Content-Type": "application/json", **(headers or {})}
@@ -69,8 +70,21 @@ def request_with_backoff(url: str, method: str = "GET", headers: dict | None = N
                 raise
             last_err = e
             if attempt < retries:
-                time.sleep(backoff_factor * (2 ** attempt))
+                time.sleep(_retry_delay(e, backoff_factor, attempt))
     raise RuntimeError(f"{method} {url}: exhausted {retries} retries") from last_err
+
+
+def _retry_delay(err: urllib.error.HTTPError, backoff_factor: float,
+                 attempt: int) -> float:
+    """Server-directed Retry-After (seconds form) wins over exponential
+    backoff; HTTP-date form and garbage fall back to the exponential."""
+    ra = err.headers.get("Retry-After") if err.headers else None
+    if ra:
+        try:
+            return min(60.0, max(0.0, float(ra)))
+        except ValueError:
+            pass
+    return backoff_factor * (2 ** attempt)
 
 
 @dataclass
@@ -102,18 +116,36 @@ class RestClient:
             h["x-redlock-auth"] = self.token
         return h
 
+    def _authed(self, url: str, method: str = "GET",
+                payload: dict | None = None) -> RestResponse:
+        """Issue a request; on 401 with credentials available, re-login
+        ONCE and replay. A long-running parallel ingest outlives bearer
+        tokens — the reference never refreshes (login-at-import,
+        lambda.py:73) and dies mid-scan when the token expires. Without
+        credentials (e.g. a token-only executor client) the 401 raises.
+        """
+        try:
+            return request_with_backoff(url, method=method,
+                                        headers=self._headers(), payload=payload,
+                                        retries=self.retries,
+                                        backoff_factor=self.backoff_factor)
+        except urllib.error.HTTPError as e:
+            if e.code != 401 or not self.username:
+                raise
+            self.login()
+            return request_with_backoff(url, method=method,
+                                        headers=self._headers(), payload=payload,
+                                        retries=self.retries,
+                                        backoff_factor=self.backoff_factor)
+
     def get_json(self, path: str, params: str = "") -> RestResponse:
-        """GET with auth header (src-get-json)."""
+        """GET with auth header (src-get-json); re-auths once on 401."""
         url = self.base_url + path + (f"?{params}" if params else "")
-        return request_with_backoff(url, headers=self._headers(),
-                                    retries=self.retries,
-                                    backoff_factor=self.backoff_factor)
+        return self._authed(url)
 
     def post_json(self, path: str, payload: dict) -> RestResponse:
-        return request_with_backoff(self.base_url + path, method="POST",
-                                    headers=self._headers(), payload=payload,
-                                    retries=self.retries,
-                                    backoff_factor=self.backoff_factor)
+        return self._authed(self.base_url + path, method="POST",
+                            payload=payload)
 
 
 def fetch_all_pages(client: RestClient, path: str, payload: dict,
@@ -153,7 +185,25 @@ def _alert_row(item: dict) -> tuple:
 
 def register_alerts_source(spark) -> None:
     """Register the ``prisma_alerts`` format. Import is deferred so the
-    module stays importable on Spark < 4 (the DataSource API is 4.0+)."""
+    module stays importable on Spark < 4 (the DataSource API is 4.0+).
+
+    Paging modes (option ``paging``):
+
+    - ``indexed`` (default): PRECONDITION — the endpoint must accept
+      index-addressable page tokens (``pageToken: "page-{i}"``) and
+      report ``X-Total-Count``. Only then can the planner emit one input
+      partition per page for parallel executor-side fetch. The real
+      Prisma Cloud API does NOT satisfy this: its ``nextPageToken``
+      (lambda.py:266-318) is an opaque server-issued token that can only
+      be discovered by walking the chain.
+    - ``token``: strict-token fallback — ONE input partition that walks
+      the ``nextPageToken`` chain serially via the same logic as
+      ``fetch_all_pages``. Correct against any conforming API, but
+      throughput is bounded by the chain walk (the reference's ceiling).
+
+    Optional ``username``/``password``/``prisma_id`` options enable
+    executor-side 401 re-login mid-scan (long scans outlive tokens).
+    """
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _Page(InputPartition):
@@ -168,15 +218,26 @@ def register_alerts_source(spark) -> None:
             self.page_size = int(options.get("page_size", "100"))
             self.backoff = float(options.get("backoff_factor", "1.0"))
             self.filters = json.loads(options.get("filters", "{}"))
+            self.paging = options.get("paging", "indexed")
+            self.username = options.get("username", "")
+            self.password = options.get("password", "")
+            self.prisma_id = options.get("prisma_id", "")
+            if self.paging not in ("indexed", "token"):
+                raise ValueError(f"paging must be indexed|token, got {self.paging!r}")
 
         def _client(self) -> RestClient:
             return RestClient(self.base_url, backoff_factor=self.backoff,
-                              token=self.token)
+                              token=self.token, username=self.username,
+                              password=self.password, prisma_id=self.prisma_id)
 
         def partitions(self):
-            # one cheap page-0 probe learns the total; one partition per
-            # page -> executors fetch in parallel (vs the reference's
-            # serial 1 page/s driver loop)
+            if self.paging == "token":
+                # opaque server tokens: pages are only discoverable by
+                # walking the chain -> a single serial partition
+                return [_Page(-1)]
+            # indexed mode: one cheap page-0 probe learns the total; one
+            # partition per page -> executors fetch in parallel (vs the
+            # reference's serial 1 page/s driver loop)
             resp = self._client().post_json(
                 self.path, dict(self.filters, limit=1))
             total = int(resp.headers.get("X-Total-Count", "0"))
@@ -184,6 +245,12 @@ def register_alerts_source(spark) -> None:
             return [_Page(i) for i in range(n)]
 
         def read(self, partition):
+            if partition.index < 0:  # token mode: serial chain walk
+                for item in fetch_all_pages(self._client(), self.path,
+                                            dict(self.filters),
+                                            page_size=self.page_size):
+                    yield _alert_row(item)
+                return
             body = dict(self.filters, limit=self.page_size,
                         **({"pageToken": f"page-{partition.index}"}
                            if partition.index else {}))

@@ -251,5 +251,7 @@ def stream_to_partitioned_parquet(spark: SparkSession, sf_dir: str,
          .outputMode("append")
          .start())
     q.awaitTermination()
-    last = q.lastProgress
-    return int(last["numInputRows"]) if last else 0
+    # an availableNow drain may split into several micro-batches
+    # (maxFilesPerTrigger); lastProgress covers only the final one, so
+    # sum numInputRows over the whole retained progress history
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
