@@ -34,7 +34,10 @@ AUDIT = (
 
 
 def main() -> None:
-    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+    QUERIES,
+    THROUGHPUT_QUERIES,
+)
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("plans-audit", cpus=8, shuffle_partitions=8)
@@ -42,7 +45,7 @@ def main() -> None:
     print("Machine-checked versions of these properties live in "
           "`tests/test_plans_scale.py`; this file is the human-readable dump.\n")
     for name, claim in AUDIT:
-        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        df = (QUERIES.get(name) or THROUGHPUT_QUERIES[name])(spark, "/root/testdata/sf0.01")
         plan = df._jdf.queryExecution().executedPlan().toString()
         print(f"## {name}\n\n*Claim:* {claim}\n")
         print("```")

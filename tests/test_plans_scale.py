@@ -9,13 +9,16 @@ import re
 
 import pytest
 
-from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+from tf_prisma_api_data_ingestion_spark.catalog import (
+    QUERIES,
+    THROUGHPUT_QUERIES,
+)
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return (QUERIES.get(name) or THROUGHPUT_QUERIES[name])(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def scans(plan: str) -> list[str]:
@@ -108,7 +111,7 @@ def formatted_plan_of(spark, name: str) -> str:
     import io
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        QUERIES[name](spark, SF).explain("formatted")
+        (QUERIES.get(name) or THROUGHPUT_QUERIES[name])(spark, SF).explain("formatted")
     return buf.getvalue()
 
 

@@ -1,43 +1,88 @@
-"""Sketch-op verification (no SQL oracle — algorithm-specific estimates):
-error bounds against exact answers, per the catalog's rows-only notes."""
+"""Sketch-op verification: the oracle-gated estimators (KMV distinct,
+hash-sample quantile) are checked for error bounds AND determinism; the
+non-SQL-expressible throughput twins (HLL, GK) keep their error-bound
+checks via THROUGHPUT_QUERIES."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from tf_prisma_api_data_ingestion_spark import tables
-from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+from tf_prisma_api_data_ingestion_spark.catalog import (
+    QUERIES,
+    THROUGHPUT_QUERIES,
+)
 
 SF = "/root/testdata/sf0.01"
 
 
+def _exact_distinct(spark):
+    return {r.event_type: r.n for r in
+            tables.load(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+
+
 def test_hll_within_relative_error(spark):
     got = {r.event_type: r.approx_users
-           for r in QUERIES["sketch-hll-distinct"](spark, SF).collect()}
-    exact = {r.event_type: r.n for r in
-             tables.load(spark, SF, "events")
-             .groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("n")).collect()}
-    for k, n in exact.items():
+           for r in THROUGHPUT_QUERIES["sketch-hll-distinct"](spark, SF).collect()}
+    for k, n in _exact_distinct(spark).items():
         assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
 
 
-def test_approx_quantile_within_rank_error(spark):
+def test_kmv_within_relative_error(spark):
+    # KMV with k=64 has relative stderr ~1/sqrt(k-2) ≈ 12.7%; allow 3σ
+    got = {r.event_type: r.distinct_est
+           for r in QUERIES["sketch-kmv-distinct"](spark, SF).collect()}
+    for k, n in _exact_distinct(spark).items():
+        assert abs(got[k] - n) <= max(2, 0.4 * n), (k, got[k], n)
+
+
+def test_kmv_exact_below_k(spark):
+    # groups with fewer than k distinct keys return the EXACT count
+    import tf_prisma_api_data_ingestion_spark.catalog as cat
+    got = {r.event_type: r.distinct_est
+           for r in cat.q_sketch_kmv_distinct(spark, SF).collect()}
+    exact = _exact_distinct(spark)
+    for k, est in got.items():
+        if exact[k] < cat.KMV_K:
+            assert est == exact[k]
+
+
+def test_sample_quantile_within_rank_error(spark):
+    rows = QUERIES["sketch-quantile"](spark, SF).collect()
+    got = {r.event_type: (r.p50_sample, r.sample_n) for r in rows}
+    ev = tables.load(spark, SF, "events")
+    for k, (approx, m) in got.items():
+        vals = sorted(r.value for r in
+                      ev.filter(F.col("event_type") == k).select("value").collect())
+        # sample-median rank error has stderr ≈ 0.5/sqrt(m) of n; allow 3σ
+        n = len(vals)
+        tol = max(2, int(1.5 / (m ** 0.5) * n))
+        lo, hi = vals[max(0, n // 2 - tol)], vals[min(n - 1, n // 2 + tol)]
+        assert lo <= approx <= hi, (k, approx, m, lo, hi)
+
+
+def test_gk_quantile_within_rank_error(spark):
     got = {r.event_type: r.p50_approx
-           for r in QUERIES["sketch-quantile"](spark, SF).collect()}
+           for r in THROUGHPUT_QUERIES["sketch-gk-quantile"](spark, SF).collect()}
     ev = tables.load(spark, SF, "events")
     for k, approx in got.items():
         vals = sorted(r.value for r in
                       ev.filter(F.col("event_type") == k).select("value").collect())
-        # GK sketch with accuracy 1000 targets rank error ~n/1000; allow
-        # 1% of n as the practical bound (implementation constants)
         n = len(vals)
         tol = max(2, n // 100)
         lo, hi = vals[max(0, n // 2 - tol)], vals[min(n - 1, n // 2 + tol)]
         assert lo <= approx <= hi, (k, approx, lo, hi)
 
 
-def test_hll_deterministic(spark):
-    a = sorted(map(tuple, QUERIES["sketch-hll-distinct"](spark, SF).collect()))
-    b = sorted(map(tuple, QUERIES["sketch-hll-distinct"](spark, SF).collect()))
+def test_kmv_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["sketch-kmv-distinct"](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES["sketch-kmv-distinct"](spark, SF).collect()))
+    assert a == b
+
+
+def test_sample_quantile_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["sketch-quantile"](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES["sketch-quantile"](spark, SF).collect()))
     assert a == b

@@ -61,30 +61,52 @@ def hyperplane(table: int, plane: int, dim: int) -> Column:
 
 
 def hyperplanes_df(df: DataFrame, tables: int, planes_per_table: int,
-                   dim: int) -> DataFrame:
+                   dim: int, mode: str = "xx") -> DataFrame:
     """All (table, plane) hyperplanes as a tiny broadcast-able DataFrame:
-    (_tbl, _p, _hv double-vec, _bitval). Components match ``hyperplane``
+    (_tbl, _p, _hv vec, _bitval). Components match ``hyperplane``
     exactly (same xxhash64 fold), but materialized ONCE as tables×planes
     rows instead of being inlined tables×planes times into one giant
     per-row expression — which dominated runtime: 64 nested
     aggregate-of-zip_with trees took ~7 s for 2 000 rows (measured at
     sf0.1), vs <1 s for the join formulation.
+
+    ``mode="md5"`` derives INTEGER components in [-1000, 1000] from the
+    cross-engine 60-bit md5 primitive (``dedup.md5_hash60``) so the
+    bucketing is reproducible in ANSI SQL — with integer dot products the
+    sign decision is exact arithmetic, immune to float association order.
+    DuckDB twin of a component:
+    ``(('0x'||substr(md5('hp,'||t||','||p||','||d),1,15))::BIGINT % 2001) - 1000``.
     """
+    from .dedup import md5_hash60
+
     n = tables * planes_per_table
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    if mode == "md5":
+        comp = lambda d: (md5_hash60(  # noqa: E731
+            F.concat_ws(",", F.lit("hp"), F.col("_tbl"), F.col("_p"),
+                        d.cast("string"))) % 2001 - 1000)
+    else:
+        comp = lambda d: ((F.xxhash64(F.col("_tbl"), F.col("_p"), d)  # noqa: E731
+                           % 2001 + 2001) % 2001).cast("double") / 1000.0 - 1.0
     return (df.sparkSession.range(n)
             .select((F.col("id") / planes_per_table).cast("int").alias("_tbl"),
                     (F.col("id") % planes_per_table).cast("int").alias("_p"))
             .select("_tbl", "_p",
-                    F.transform(idx, lambda d: (
-                        (F.xxhash64(F.col("_tbl"), F.col("_p"), d) % 2001
-                         + 2001) % 2001).cast("double") / 1000.0 - 1.0)
-                     .alias("_hv"),
+                    F.transform(idx, comp).alias("_hv"),
                     F.pow(F.lit(2.0), F.col("_p")).cast("long").alias("_bitval")))
 
 
+def quantized_vec(vec: Column) -> Column:
+    """floor(v * 10000) as long per component — the md5-mode vector form.
+    floor (unlike round) is bit-identical across Spark and DuckDB, and
+    integer dot products make every sign decision exact."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * 10000.0)
+                       .cast("long"))
+
+
 def bucket_table(df: DataFrame, id_col: str, vec_col: str, tables: int,
-                 planes_per_table: int, dim: int) -> DataFrame:
+                 planes_per_table: int, dim: int,
+                 mode: str = "xx") -> DataFrame:
     """Per-vector sign buckets as rows: (id, _tbl, _bkt).
 
     One broadcast cross join against the nc=tables×planes hyperplane
@@ -92,9 +114,14 @@ def bucket_table(df: DataFrame, id_col: str, vec_col: str, tables: int,
     (id, table) over slim (id, _tbl, _bit) rows. Linear, shuffle is
     vectors×tables tiny rows; replaces the expression-tree blow-up of
     evaluating every plane inline per row.
+
+    ``mode="md5"``: integer hyperplanes × floor-quantized vectors — the
+    oracle-verifiable twin (sign decisions are exact int64 arithmetic,
+    reproducible in DuckDB); ``"xx"`` is the xxhash64 throughput path.
     """
-    hp = hyperplanes_df(df, tables, planes_per_table, dim)
-    vd = as_double_vec(F.col(vec_col))
+    hp = hyperplanes_df(df, tables, planes_per_table, dim, mode=mode)
+    vd = (quantized_vec(F.col(vec_col)) if mode == "md5"
+          else as_double_vec(F.col(vec_col)))
     v = df.select(F.col(id_col), vd.alias("_v"))
     scored = (v.crossJoin(F.broadcast(hp))
                .select(id_col, "_tbl",
@@ -123,7 +150,7 @@ def signbits(vec: Column, table: int, planes_per_table: int, dim: int) -> Column
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        dim: int = 64, planes_per_table: int = 8,
-                       tables: int = 8) -> DataFrame:
+                       tables: int = 8, mode: str = "xx") -> DataFrame:
     """Embedding near-dup pairs WITHOUT a block column: random-hyperplane
     LSH blocking + exact cosine verification — the scale path that
     replaces the all-pairs cross join (which is quadratic and only
@@ -140,7 +167,8 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     vd = as_double_vec(F.col(vec_col))
     v = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
                   norm2(vd).alias("_n"))
-    bk = (bucket_table(df, id_col, vec_col, tables, planes_per_table, dim)
+    bk = (bucket_table(df, id_col, vec_col, tables, planes_per_table, dim,
+                       mode=mode)
           .withColumnRenamed(id_col, "_id"))
     base = tracked_persist(bk.join(v, "_id"))
     a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
@@ -159,7 +187,7 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, planes_per_table: int = 8,
-                    tables: int = 4) -> DataFrame:
+                    tables: int = 4, mode: str = "xx") -> DataFrame:
     """Approximate top-k: candidates must share a sign-bucket with the
     query in at least one hash table; exact cosine re-rank inside.
 
@@ -171,12 +199,14 @@ def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     # the candidate corpus instead of once per table (bucket_table's join
     # formulation — the inline-expression version dominated runtime).
     vd = as_double_vec(F.col(vec_col))
-    q = (bucket_table(queries, id_col, vec_col, tables, planes_per_table, dim)
+    q = (bucket_table(queries, id_col, vec_col, tables, planes_per_table, dim,
+                      mode=mode)
          .withColumnRenamed(id_col, "query_id")
          .join(queries.select(F.col(id_col).alias("query_id"),
                               vd.alias("_qv"), norm2(vd).alias("_qn")),
                "query_id"))
-    c = (bucket_table(candidates, id_col, vec_col, tables, planes_per_table, dim)
+    c = (bucket_table(candidates, id_col, vec_col, tables, planes_per_table,
+                      dim, mode=mode)
          .join(candidates.select(F.col(id_col), vd.alias("_cv"),
                                  norm2(vd).alias("_cn")), id_col))
     cand = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
