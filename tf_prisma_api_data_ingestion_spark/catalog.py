@@ -1272,17 +1272,20 @@ def q_text_tfidf(spark, sf_dir):
     behavior is libm-dependent). The tiny per-term df table is broadcast;
     the doc-side join shuffles once on doc_id."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar, computed once driver-side
     tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
-    # tf has 3 consumers (dlen, df, scored): persist so the corpus is
-    # tokenized/exploded exactly once; dlen/df are then aggregates of the
-    # much smaller (doc, term) relation, not re-scans of the raw text
+    # tf has 4 consumers (dlen, df, n_docs, scored): persist so the corpus
+    # is tokenized/exploded exactly once; dlen/df/N are then aggregates of
+    # the much smaller (doc, term) relation, not re-scans of the raw text
     tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
              .transform(cache.tracked_persist))
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N = docs with >=1 token, derived from tf via a broadcast 1-row cross
+    # join — no second documents scan and no driver-side action (an empty
+    # doc contributes nothing to df, so this is the consistent TF-IDF N)
+    nd = tf.agg(F.countDistinct("doc_id").alias("_n"))
     score = ((F.col("cnt") / F.col("dlen"))
-             * (F.lit(n_docs) / F.col("df"))).alias("tfidf")
+             * (F.col("_n") / F.col("df"))).alias("tfidf")
     from pyspark.sql.window import Window
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
                                              F.col("term").asc())
@@ -1290,6 +1293,7 @@ def q_text_tfidf(spark, sf_dir):
     # corpus's long-tail vocabulary is not broadcastable; leave the join
     # strategy to stats rather than hint it
     scored = (tf.join(dl, "doc_id").join(dfq, "term")
+                .crossJoin(F.broadcast(nd))
                 .select("doc_id", "term", score))
     return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
                   .filter(F.col("rn") <= 3)
@@ -1306,7 +1310,7 @@ dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         (tf.cnt / dl.dlen) * ((SELECT count(*) FROM documents) / dfq.df) AS tfidf
+         (tf.cnt / dl.dlen) * ((SELECT count(DISTINCT doc_id) FROM tf) / dfq.df) AS tfidf
   FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term))
 SELECT doc_id, term, tfidf, rn FROM (
   SELECT doc_id, term, tfidf,

@@ -281,10 +281,14 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
     Min-label propagation: each round, every node takes the min label
     among itself and its neighbors; converges in graph-diameter rounds
     (near-dup clusters are shallow — dup groups are near-cliques, so a
-    handful of rounds). Each round is one shuffle join + groupBy;
-    ``localCheckpoint`` truncates lineage so the loop's plan doesn't grow.
-    At extreme scale, the large-star/small-star formulation (same
-    join/groupBy primitives, O(log n) rounds) is the drop-in upgrade.
+    handful of rounds). Each round is ONE Spark job: the neighbor-min
+    join/groupBy carries a per-node changed flag, a lazy
+    ``localCheckpoint`` truncates lineage, and the convergence sum is the
+    action that materializes it — no separate old-vs-new compare join and
+    no second pass (the previous formulation paid a full shuffle join
+    per round just to count changes). At extreme scale, the
+    large-star/small-star formulation (same join/groupBy primitives,
+    O(log n) rounds instead of O(diameter)) is the drop-in upgrade.
 
     ``pairs``: (doc_a, doc_b) edges; ``ids``: one row per id (defines the
     node set, so isolated docs appear in the output).
@@ -297,16 +301,20 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.src == labels.n)
                         .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        # labels only ever decrease, so "< old" IS the changed flag —
+        # computed in the same pass that produces the new labels
         new_labels = (labels.join(neighbor_min, labels.n == neighbor_min.dst, "left")
-                      .select(F.col("n"),
+                      .select(F.col("n"), F.col("lbl").alias("_old"),
                               F.least(F.col("lbl"),
                                       F.coalesce(F.col("nlbl"), F.col("lbl")))
                                .alias("lbl"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("a").join(labels.alias("b"), "n")
-                   .filter(F.col("a.lbl") != F.col("b.lbl")).count())
-        labels = new_labels
-        if changed == 0:
+                      .select("n", "lbl",
+                              (F.col("lbl") < F.col("_old")).cast("long")
+                               .alias("_chg"))
+                      .localCheckpoint(eager=False))
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.select("n", "lbl")
+        if not changed:
             break
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))
 
