@@ -110,3 +110,28 @@ def test_csv_quote_nonnumeric_matches_pandas_bytes(spark, tmp_path):
 def test_date_partition_cols(spark, df):
     got = date_partition_cols(df, "d").orderBy("id").collect()
     assert [(r.year, r.month, r.day) for r in got] == [(2024, 1, 5), (2024, 2, 10)]
+
+
+def test_reference_date_folder_golden_keys():
+    from datetime import date
+
+    from tf_prisma_api_data_ingestion_spark.sinks import reference_date_folder
+
+    # byte-parity with the reference's f"{year}/{month_name}/{day}-..."
+    # (lambda.py:26-30): unpadded day, English month names
+    assert reference_date_folder(date(2026, 8, 13)) == "2026/August/13-August-2026/"
+    assert reference_date_folder(date(2025, 1, 2)) == "2025/January/2-January-2025/"
+
+
+def test_write_reference_layout(spark, tmp_path):
+    import os
+    from datetime import date
+
+    from tf_prisma_api_data_ingestion_spark.sinks import write_reference_layout
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    out = write_reference_layout(df, str(tmp_path), date(2026, 8, 13),
+                                 "Alert_Report.csv", order_by=("id",))
+    assert "2026/August/13-August-2026/Alert_Report.csv" in out.replace(os.sep, "/")
+    files = [f for f in os.listdir(out) if f.endswith(".csv") or f.startswith("part-")]
+    assert files, os.listdir(out)

@@ -109,6 +109,34 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str | None = None,
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def reference_date_folder(run_date: date) -> str:
+    """Byte-parity shim for the reference's month-name output layout
+    (lambda.py:26-30): ``{year}/{MonthName}/{day}-{MonthName}-{year}/``,
+    with the day unpadded exactly as the reference formats it.
+
+    Opt-in ONLY: month names sort alphabetically (April < January) and
+    Hive partition pruning never applies, so the numeric
+    ``year=/month=/day=`` layout (``date_partition_cols``) stays the
+    default. Use this solely when downstream consumers require key-level
+    compatibility with the reference's S3 prefixes.
+    """
+    import calendar
+
+    m = calendar.month_name[run_date.month]
+    return f"{run_date.year}/{m}/{run_date.day}-{m}-{run_date.year}/"
+
+
+def write_reference_layout(df: DataFrame, base: str, run_date: date,
+                           name: str, order_by: tuple[str, ...] = (),
+                           quote_nonnumeric: bool = False) -> str:
+    """Write a CSV report under the reference's month-name date folder
+    (see ``reference_date_folder``); returns the report directory path."""
+    path = os.path.join(base, reference_date_folder(run_date), name)
+    write_csv_report(df, path, single_file=True,
+                     quote_nonnumeric=quote_nonnumeric, order_by=order_by)
+    return path
+
+
 def run_date_literals(run_date: date) -> Mapping[str, str]:
     """The reference's per-run constant columns (lambda.py:175-177) as a
     pure function of run_date — no module-global state (§2.5.1)."""

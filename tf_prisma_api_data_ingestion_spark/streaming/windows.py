@@ -18,8 +18,34 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Stateful streaming ops pay a FIXED per-shuffle-partition cost: every
+# partition opens its own state store instance(s) — a stream-stream join
+# opens four per partition (two per side). Inheriting the batch shuffle
+# conf (32 here, often 200+ on clusters) multiplies that setup cost for
+# no benefit when per-partition state is small: measured at sf0.1 on
+# local[32], the stream-stream join drains in 11.6 s with 32 partitions
+# vs 2.8 s with 8. Size state partitions to STATE VOLUME (keys ×
+# bytes/key / target-partition-size), not to input cores — the file
+# source's read parallelism is unaffected by this setting.
+DEFAULT_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions to a streaming drain (the
+    micro-batch planner snapshots it at query start; checkpointed queries
+    pin it from their first run)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # explicit contract (§1.3): ts is LONG because events.parquet stores
 # TIMESTAMP(NANOS) and the session reads nanos-as-long (see tables.load)
@@ -42,7 +68,8 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_event_counts(spark: SparkSession, sf_dir: str,
                           window: str = "1 hour",
                           watermark: str = "10 minutes",
-                          query_name: str = "windowed_event_counts") -> DataFrame:
+                          query_name: str = "windowed_event_counts",
+                          state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Tumbling-window count + exact-decimal value sum per event_type,
     drained with availableNow into an in-memory sink and returned as a
     finished DataFrame.
@@ -57,9 +84,10 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
            .agg(F.count("*").alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                  .alias("sum_value")))
-    q = (agg.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     # window start as a formatted string: engine-neutral for the oracle
     # hash (raw timestamps surface as ns vs µs pandas dtypes)
     return (spark.table(query_name)
@@ -69,7 +97,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
 
 
 def stateful_running_totals(spark: SparkSession, sf_dir: str,
-                            query_name: str = "stateful_totals") -> DataFrame:
+                            query_name: str = "stateful_totals",
+                            state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-event-type running (count, exact decimal sum) carried in explicit
     GroupState across micro-batches, emitted in update mode.
@@ -102,9 +131,10 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str,
                stateStructType="n LONG, total_micro LONG",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
-    q = (out.writeStream.format("memory").queryName(query_name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (out.writeStream.format("memory").queryName(query_name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     # update mode emits one row per key per micro-batch; running totals
     # only grow, so the final state row per key is the max_by(n_events)
     return (spark.table(query_name).groupBy("event_type")
@@ -115,15 +145,17 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str,
 def sliding_event_counts(spark: SparkSession, sf_dir: str,
                          window: str = "1 hour", slide: str = "30 minutes",
                          watermark: str = "10 minutes",
-                         query_name: str = "sliding_event_counts") -> DataFrame:
+                         query_name: str = "sliding_event_counts",
+                         state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Sliding-window variant: each event lands in window/slide buckets."""
     agg = (_event_stream(spark, sf_dir)
            .withWatermark("ts_t", watermark)
            .groupBy(F.window("ts_t", window, slide).alias("w"), "event_type")
            .agg(F.count("*").alias("n_events")))
-    q = (agg.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(query_name)
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                      .alias("window_start"), "event_type",
@@ -132,7 +164,8 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str,
 
 def clicks_joined_to_purchases(spark: SparkSession, sf_dir: str,
                                max_gap: str = "30 minutes",
-                               query_name: str = "clicks_purchases") -> DataFrame:
+                               query_name: str = "clicks_purchases",
+                               state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Stream-stream inner join: each click joined to same-user purchases
     within ``max_gap`` after the click (event-time range join).
 
@@ -159,9 +192,10 @@ def clicks_joined_to_purchases(spark: SparkSession, sf_dir: str,
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
         "inner")
-    q = (j.writeStream.format("memory").queryName(query_name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (j.writeStream.format("memory").queryName(query_name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(query_name)
             .select("click_id", "purchase_id",
                     F.col("c_user").alias("user_id"),
@@ -170,7 +204,8 @@ def clicks_joined_to_purchases(spark: SparkSession, sf_dir: str,
 
 
 def deduped_daily_actions(spark: SparkSession, sf_dir: str,
-                          query_name: str = "deduped_daily") -> DataFrame:
+                          query_name: str = "deduped_daily",
+                          state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Streaming deduplication: first occurrence per (user, event_type,
     day) survives; replays/retries within the same day are dropped.
 
@@ -186,9 +221,10 @@ def deduped_daily_actions(spark: SparkSession, sf_dir: str,
                    F.col("ts_t").alias("ts_evt"))
            .withWatermark("day_t", "1 day")
            .dropDuplicates(["user_id", "event_type", "day_t"]))
-    q = (d.writeStream.format("memory").queryName(query_name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (d.writeStream.format("memory").queryName(query_name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(query_name)
             .select("user_id", "event_type",
                     F.date_format("day_t", "yyyy-MM-dd").alias("day")))
@@ -197,7 +233,8 @@ def deduped_daily_actions(spark: SparkSession, sf_dir: str,
 def session_event_counts(spark: SparkSession, sf_dir: str,
                          gap: str = "30 minutes",
                          watermark: str = "10 minutes",
-                         query_name: str = "session_event_counts") -> DataFrame:
+                         query_name: str = "session_event_counts",
+                         state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
     """Session-window streaming aggregation: per-user sessions that merge
     events separated by less than ``gap`` (dynamic, data-defined windows —
     the third window family after tumbling and sliding).
@@ -214,9 +251,10 @@ def session_event_counts(spark: SparkSession, sf_dir: str,
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                  .alias("sum_value")))
-    q = (agg.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(query_name)
             .select("user_id",
                     F.unix_timestamp("w.start").alias("session_start_sec"),
