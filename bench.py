@@ -67,7 +67,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        cache.release_all()  # bound cache growth across the loop
+        # blocking: a lazily-evicting cache from query N inflates query
+        # N+1's persist pressure (measured 13.7s -> 57s on minhash at 10x
+        # sf0.1 with a stale ngram index still resident)
+        cache.release_all(blocking=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -18,7 +18,10 @@ SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 def main() -> None:
     from bench import HEADLINE
-    from tf_prisma_api_data_ingestion_spark.catalog import QUERIES
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        QUERIES,
+        THROUGHPUT_QUERIES,
+    )
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("scaling")
@@ -31,7 +34,7 @@ def main() -> None:
             # warm codegen/plan caches once at the smallest sf so larger
             # sfs measure data work, not first-compile
             t0 = time.time()
-            QUERIES[name](spark, sf).count()
+            (QUERIES.get(name) or THROUGHPUT_QUERIES[name])(spark, sf).count()
             times.setdefault(name, []).append(time.time() - t0)
 
     print("# SCALING — headline query wall time vs scale factor\n")

@@ -25,7 +25,13 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
-    builder = SparkSession.builder
+    # local mode runs driver+executors in ONE JVM whose default heap is
+    # 1g — 32 task threads sharing 1g OOMs the shingle index at ~50k docs
+    # (measured) and GC-throttles everything below that. A real executor
+    # gets tens of GB; give the local JVM the equivalent. Must be set
+    # before JVM launch; no-op via getOrCreate on an existing session.
+    mem = os.environ.get("SPARK_GRAFT_MEM", "24g")
+    builder = SparkSession.builder.config("spark.driver.memory", mem)
     # On a real cluster, master comes from spark-submit / SPARK_MASTER; only
     # force local mode when nothing else configured it.
     if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
