@@ -60,6 +60,12 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark import tables
     for t in tables.TABLE_NAMES:
         tables.load(spark, sf_dir, t).count()
+    # warm the Structured Streaming machinery (micro-batch planner, state
+    # store provider classes, memory sink) on the tiny sf so the first
+    # timed streaming query measures its own drain, not one-time JVM init
+    from tf_prisma_api_data_ingestion_spark.streaming import windows as _w
+    _w.windowed_event_counts(spark, "/root/testdata/sf0.001",
+                             query_name="bench_stream_warmup").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -188,7 +188,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # ONE (band_idx, band_hash) posexplode + ONE self-join replaces the
     # 16-way union-of-joins: a single shuffle keyed on (idx, hash), and the
     # signature pipeline runs once per side instead of once per band.
-    banded = sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bh"))
+    # persist: the two join sides project different aliases out of this
+    # relation, so their exchanges don't canonicalize equal and
+    # ReuseExchange can NOT dedup them — without the barrier the whole
+    # signature pipeline runs twice (n x bands slim rows; cheap to cache)
+    banded = tracked_persist(
+        sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bh")))
     l = banded.select(F.col("_id").alias("doc_a"), "_bidx", "_bh")
     r = banded.select(F.col("_id").alias("doc_b"), "_bidx", "_bh")
     cand = (l.join(r, ["_bidx", "_bh"])
@@ -441,7 +446,10 @@ def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
         lambda b: F.concat_ws(",", F.transform(
             F.slice(F.col("_sig"), b * rpb + 1, rpb),
             lambda x: x.cast("string"))))
-    banded = sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bk"))
+    # persist: same ReuseExchange caveat as minhash_lsh_pairs — the two
+    # aliased sides would otherwise re-run the md5 signature pipeline
+    banded = tracked_persist(
+        sig.select("_id", F.posexplode(band_arr).alias("_bidx", "_bk")))
     l = banded.select(F.col("_id").alias("doc_a"), "_bidx", "_bk")
     r = banded.select(F.col("_id").alias("doc_b"), "_bidx", "_bk")
     cand = (l.join(r, ["_bidx", "_bk"])
