@@ -160,3 +160,45 @@ def test_md5_twins_find_planted_duplicates(spark):
     sig = {r.doc_id: (r.sim_hi, r.sim_lo) for r in D.simhash_md5(df).collect()}
     assert sig[1] == sig[2] and sig[1] != sig[3]
     assert all(0 <= h < 2**32 and 0 <= l < 2**32 for h, l in sig.values())
+
+
+def test_star_clusters_match_propagation_on_real_pairs(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_star, ngram_jaccard_pairs)
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=10**9)
+    ids = d.select("doc_id")
+    a = sorted(map(tuple, dedup_clusters(pairs, ids).collect()))
+    b = sorted(map(tuple, dedup_clusters_star(pairs, ids).collect()))
+    assert a == b
+
+
+def test_star_clusters_chain_graph_logarithmic(spark):
+    # a 400-node path: diameter 400 — min-label propagation would need
+    # 400 rounds; the star algorithm must finish in max_iter=25
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_clusters_star)
+    n = 400
+    pairs = (spark.range(n - 1)
+             .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")))
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = dedup_clusters_star(pairs, ids, max_iter=25).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out), [r for r in out if r.cluster_id][:3]
+
+
+def test_star_clusters_singletons_and_two_components(spark):
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_clusters_star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a LONG, doc_b LONG")
+    ids = spark.range(13).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters_star(pairs, ids).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[0] == 0 and got[12] == 12

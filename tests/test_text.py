@@ -73,3 +73,35 @@ def test_normalized(spark):
     got = _one(spark, "  A-B?? c9 ").select(
         text.normalized(F.col("text")).alias("v")).first()
     assert got.v == "a b c9"
+
+
+def test_repetition_features_hand_computed(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        repetition_features)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct -> 4/7
+         (2, "all distinct words here now"),  # 3 grams, all distinct -> 0
+         (3, "short"),               # 1 gram ("short"), distinct -> 0
+         (4, "")],                   # no grams -> 0
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_grams, r.n_distinct, round(r.dup_frac, 6))
+           for r in repetition_features(df, n=3).collect()}
+    assert got[1] == (7, 3, round(4 / 7, 6))
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (1, 1, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_contamination_hand_computed(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        contamination_hits)
+    df = spark.createDataFrame(
+        [(0, "the secret benchmark prompt answer pair"),   # benchmark doc
+         (1, "contains the secret benchmark prompt answer pair verbatim"),
+         (2, "totally unrelated clean training document text")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in contamination_hits(df, n=5, bench_mod=100).collect()}
+    assert 0 not in got            # benchmark docs excluded from output
+    assert got[1][0] >= 1 and got[1][1] is True
+    assert got[2] == (0, False)

@@ -972,6 +972,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, d.select("doc_id"))
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same connected-components contract as dedup-clusters, computed by
+    the alternating large-star/small-star algorithm (O(log n) rounds —
+    the adversarial-topology scale path; see dedup.dedup_clusters_star).
+    Oracle: identical recursive-CTE reachability — the two algorithms
+    must agree exactly, and DuckDB pins both."""
+    from .operators.dedup import dedup_clusters_star
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=10**9)
+    return dedup_clusters_star(pairs, d.select("doc_id"))
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
 inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
@@ -1221,6 +1233,66 @@ FROM (SELECT unnest(list_filter(
         regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
       FROM documents) t
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+_SQL_WS_TOKENS = """
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+"""
+
+
+def _sql_ngrams(n: int, distinct: bool) -> str:
+    """DuckDB twin of text.word_ngrams over whitespace tokens: short docs
+    contribute their full token string, empty docs an empty list."""
+    body = (f"list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))")
+    if distinct:
+        body = f"list_distinct({body})"
+    return (f"SELECT doc_id, CASE WHEN len(t) = 0 THEN []::VARCHAR[] "
+            f"ELSE {body} END AS grams FROM t")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repeated-3-gram fraction (Gopher/MassiveText repetition
+    rule) — pure per-row map, no shuffle; the boilerplate/spam signal for
+    the corpus filtering stage."""
+    return text.repetition_features(_t(spark, sf_dir, "documents"), n=3)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+g AS ({_sql_ngrams(3, distinct=False)})
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+            ELSE 0.0 END AS dup_frac
+FROM g
+"""
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark n-gram collision decontamination: corpus docs flagged on
+    any 5-gram shared with the benchmark slice (doc_id % 100 == 0); bank
+    broadcast so the corpus never shuffles on gram strings."""
+    return text.contamination_hits(_t(spark, sf_dir, "documents"), n=5,
+                                   bench_mod=100)
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+g AS ({_sql_ngrams(5, distinct=True)}),
+corpus AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 100 <> 0),
+bank AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 100 = 0),
+hits AS (SELECT c.doc_id, count(*) AS n_hits
+         FROM corpus c JOIN bank b ON c.gr = b.gr GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 100 <> 0
 """
 
 
@@ -2424,6 +2496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-embedding": q_dedup_embedding,
     "dedup-embedding-lsh": q_dedup_embedding_lsh,
     "dedup-clusters": q_dedup_clusters,
+    "dedup-clusters-star": q_dedup_clusters_star,
     # similarity search
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,
@@ -2435,6 +2508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-fingerprint": q_text_fingerprint,
     "text-top-tokens": q_text_top_tokens,
     "text-pii-redact": q_text_pii_redact,
+    "text-repetition": q_text_repetition,
+    "text-contamination": q_text_contamination,
     "text-tfidf-top-terms": q_text_tfidf,
     "op-profile": q_op_profile,
     "op-corrupt-capture": q_op_corrupt_capture,
@@ -2587,6 +2662,7 @@ ORACLES: dict[str, str] = {
     "dedup-ngram-jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup-embedding": SQL_DEDUP_EMBEDDING,
     "dedup-clusters": SQL_DEDUP_CLUSTERS,
+    "dedup-clusters-star": SQL_DEDUP_CLUSTERS,
     "dedup-minhash-md5": SQL_DEDUP_MINHASH_MD5,
     "dedup-simhash-md5": SQL_DEDUP_SIMHASH_MD5,
     "dedup-simhash-md5-pairs": SQL_DEDUP_SIMHASH_MD5_PAIRS,
@@ -2600,6 +2676,8 @@ ORACLES: dict[str, str] = {
     "text-fingerprint": SQL_TEXT_FINGERPRINT,
     "text-top-tokens": SQL_TEXT_TOP_TOKENS,
     "text-pii-redact": SQL_TEXT_PII_REDACT,
+    "text-repetition": SQL_TEXT_REPETITION,
+    "text-contamination": SQL_TEXT_CONTAMINATION,
     "text-tfidf-top-terms": SQL_TEXT_TFIDF,
     "op-profile": SQL_OP_PROFILE,
     "op-corrupt-capture": SQL_OP_CORRUPT_CAPTURE,

@@ -123,3 +123,69 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     would layer on the same normalized form.)
     """
     return df.withColumn(out, F.md5(normalized(F.col(text_col))))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """NON-distinct word n-gram list over whitespace tokens — repetition
+    analysis needs multiplicity (``dedup.word_shingles`` keeps the SET).
+    Shifted-slices + arrays_zip formulation (lambda touches only its own
+    variable) for the same recompute reason as word_shingles; documents
+    shorter than n tokens yield their full token string as one gram,
+    empty documents yield an empty list."""
+    t = tokens(col)
+    k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+    parts = [F.slice(t, i + 1, k) for i in range(n)]
+    return F.transform(F.arrays_zip(*parts),
+                       lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Within-document repetition signal (the Gopher/MassiveText-style
+    quality rule): the fraction of n-gram slots occupied by repeated
+    n-grams, per document. High dup_frac marks boilerplate/spam/looping
+    text for the filtering stage.
+
+    Entirely JVM-side: one tokenize, one gram build, two array sizes —
+    no shuffle at all (per-row computation), so the stage is a pure
+    map over the corpus scan at any scale.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.when(F.size(grams) > 0,
+               (F.size(grams) - F.size(F.array_distinct(grams)))
+               / F.size(grams))
+         .otherwise(F.lit(0.0)).alias("dup_frac"))
+
+
+def contamination_hits(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       bench_mod: int = 100) -> DataFrame:
+    """Benchmark-overlap decontamination check (the GPT-3/PaLM-style
+    n-gram collision test): a corpus document is flagged when any of its
+    distinct word n-grams appears in the benchmark set's n-gram bank.
+    The benchmark stand-in is the deterministic slice doc_id % bench_mod
+    == 0 (in production: the eval suites you must not train on).
+
+    Scale shape: the bank is eval-suite-sized -> broadcast, so the corpus
+    side never shuffles on gram strings; the only shuffle is the per-doc
+    hit count on id. Returns (id, n_hits, contaminated) for every
+    NON-benchmark document.
+    """
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    is_bench = F.col(id_col) % bench_mod == 0
+    g = (df.filter(~is_bench)
+           .select(F.col(id_col), F.explode(grams).alias("_g")))
+    bank = (df.filter(is_bench)
+              .select(F.explode(grams).alias("_g"))
+              .distinct())
+    hits = (g.join(F.broadcast(bank), "_g")
+             .groupBy(id_col).agg(F.count(F.lit(1)).alias("_h")))
+    return (df.filter(~is_bench).select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
