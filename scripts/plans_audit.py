@@ -30,6 +30,9 @@ AUDIT = (
     ("op-semi-anti-join", "semi/anti joins — no row multiplication; build side stats-driven"),
     ("op-profile", "single FileScan feeds every per-column profile metric (one-pass profiler)"),
     ("text-tfidf-top-terms", "tiny df table broadcast; one doc_id shuffle + WindowGroupLimit top-k"),
+    ("text-contamination", "benchmark n-gram bank broadcast; corpus side never shuffles on gram strings"),
+    ("text-repetition", "pure per-row map over the corpus scan — zero exchanges"),
+    ("sim-lsh-topk", "md5 integer hyperplanes broadcast; one bucket equality join + exact re-rank"),
 )
 
 

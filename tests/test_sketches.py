@@ -86,3 +86,11 @@ def test_sample_quantile_deterministic(spark):
     a = sorted(map(tuple, QUERIES["sketch-quantile"](spark, SF).collect()))
     b = sorted(map(tuple, QUERIES["sketch-quantile"](spark, SF).collect()))
     assert a == b
+
+
+def test_every_throughput_query_runs(spark):
+    # the xx/HLL/GK twins live outside the oracle gate; pin that each runs
+    # and emits a sane row count at the smoke sf
+    for name, fn in THROUGHPUT_QUERIES.items():
+        n = fn(spark, "/root/testdata/sf0.001").count()
+        assert n >= 0, name
