@@ -1548,6 +1548,43 @@ FROM range(237) t(i) GROUP BY 1
 """
 
 
+def q_src_stream_alerts(spark, sf_dir):
+    """Streaming twin of src-paginated-post: the Spark 4 Python STREAMING
+    DataSource (SimpleDataSourceStreamReader) drains every page available
+    at trigger time with availableNow and checkpoints the page cursor —
+    a restart resumes after the last ingested page instead of re-reading
+    the whole export (the reference Lambda's model). Result aggregated
+    per cloud for a compact deterministic snapshot; oracle replays the
+    mock's alert formula over range(237)."""
+    from .sources.mock_api import MOCK_PASSWORD, MOCK_USER, mock_server_url
+    from .sources.rest import RestClient, register_alerts_stream_source
+    url = mock_server_url()
+    client = RestClient(url, username=MOCK_USER, password=MOCK_PASSWORD,
+                        backoff_factor=0.01).login()
+    register_alerts_stream_source(spark)
+    stream = (spark.readStream.format("prisma_alerts_stream")
+              .option("base_url", url).option("token", client.token)
+              .option("backoff_factor", "0.01").load())
+    q = (stream.writeStream.format("memory").queryName("src_stream_alerts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    t = spark.table("src_stream_alerts")
+    return (t.groupBy("cloudType")
+            .agg(F.count(F.lit(1)).alias("n_alerts"),
+                 F.min("accountId").alias("min_account_id"),
+                 F.sum(F.when(F.size("cloudAccountGroups") == 0, 1)
+                        .otherwise(0)).cast("long").alias("n_missing_groups")))
+
+
+SQL_SRC_STREAM_ALERTS = """
+SELECT CASE i % 3 WHEN 0 THEN 'aws' WHEN 1 THEN 'azure' ELSE 'gcp' END AS cloudType,
+       count(*) AS n_alerts,
+       min(CAST(9000 + i AS VARCHAR)) AS min_account_id,
+       CAST(count(*) FILTER (i % 11 = 0) AS BIGINT) AS n_missing_groups
+FROM range(237) t(i) GROUP BY 1
+"""
+
+
 def q_src_backoff(spark, sf_dir):
     """src-backoff (P:105-136 — dead code in the reference, live here):
     the mock serves two 429s then a 200; exponential backoff retries
@@ -2518,6 +2555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src-get-json": q_src_get_json,
     "src-paginated-post": q_src_paginated_post,
     "src-backoff": q_src_backoff,
+    "src-stream-alerts": q_src_stream_alerts,
     # sinks
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
@@ -2685,6 +2723,7 @@ ORACLES: dict[str, str] = {
     "src-get-json": SQL_SRC_GET_JSON,
     "src-paginated-post": SQL_SRC_PAGINATED_POST,
     "src-backoff": SQL_SRC_BACKOFF,
+    "src-stream-alerts": SQL_SRC_STREAM_ALERTS,
     "sink-csv": SQL_SINK_CSV,
     "sink-partition": SQL_SINK_PARTITION,
     "sink-rollback": SQL_SINK_ROLLBACK,
