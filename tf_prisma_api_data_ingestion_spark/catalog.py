@@ -2048,6 +2048,69 @@ FROM docs2 d2 JOIN keep USING (doc_id)
 """
 
 
+def q_plan_corpus_clean_v2(spark, sf_dir):
+    """Modern pre-training filter chain end-to-end: quality -> repetition
+    -> benchmark decontamination -> exact dedup -> near-dup keep-list
+    (plans/corpus.py corpus_clean_v2). Row-local filters and the
+    broadcast contamination bank prune BEFORE the shingle join; one
+    recursive-CTE oracle replays the whole composition."""
+    from .plans.corpus import corpus_clean_v2
+    return corpus_clean_v2(spark, sf_dir)
+
+
+def _sql_corpus_clean_v2() -> str:
+    return f"""
+WITH RECURSIVE
+qf AS (SELECT * FROM ({_sql_quality()}) t
+       WHERE quality_score >= 0.5 AND n_tokens >= 10),
+t AS ({_SQL_WS_TOKENS}),
+rg AS ({_sql_ngrams(3, distinct=False)}),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+              ELSE 0.0 END AS dup_frac
+  FROM rg),
+cg AS ({_sql_ngrams(5, distinct=True)}),
+corpus AS (SELECT doc_id, unnest(grams) AS gr FROM cg WHERE doc_id % 100 <> 0),
+bank AS (SELECT DISTINCT unnest(grams) AS gr FROM cg WHERE doc_id % 100 = 0),
+cont AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bank b ON c.gr = b.gr),
+clean AS (
+  SELECT qf.doc_id, qf.n_tokens, qf.quality_score, rep.dup_frac
+  FROM qf JOIN rep USING (doc_id)
+  WHERE rep.dup_frac <= 0.5 AND qf.doc_id % 100 <> 0
+    AND qf.doc_id NOT IN (SELECT doc_id FROM cont)),
+qd AS (SELECT clean.*, d.text FROM clean JOIN documents d USING (doc_id)),
+ex AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+docs2 AS (SELECT qd.* FROM qd JOIN ex USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+') AS t
+        FROM docs2) toks),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT doc_a, doc_b FROM inter WHERE i / (ma + mb - i) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, mm) AS (
+  SELECT doc_id, doc_id FROM docs2
+  UNION
+  SELECT e.dst, r.mm FROM edges e JOIN reach r ON e.src = r.n),
+clus AS (SELECT n AS doc_id, min(mm) AS cluster_id FROM reach GROUP BY n),
+keep AS (SELECT min(doc_id) AS doc_id FROM clus GROUP BY cluster_id)
+SELECT d2.doc_id, d2.n_tokens, d2.quality_score, d2.dup_frac
+FROM docs2 d2 JOIN keep USING (doc_id)
+"""
+
+
 # =====================================================================
 # round-2 additions: range join, hypertable rollup, cube, IVF ANN, TPC-H Q6
 # =====================================================================
@@ -2576,6 +2639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-inventory-report": q_plan_inventory_report,
     "plan-e2e-alert": q_plan_e2e_alert,
     "plan-corpus-clean": q_plan_corpus_clean,
+    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
     # temporal join + sketches (oracle-able forms)
     "asof-join": q_asof_join,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -2740,6 +2804,7 @@ ORACLES: dict[str, str] = {
     "plan-inventory-report": _INVENTORY_RUN_SQL,
     "plan-e2e-alert": SQL_PLAN_E2E_ALERT,
     "plan-corpus-clean": _sql_corpus_clean(),
+    "plan-corpus-clean-v2": _sql_corpus_clean_v2(),
     "op-udtf-chunk": SQL_OP_UDTF_CHUNK,
     "op-pandas-udaf": SQL_OP_PANDAS_UDAF,
     "op-map-functions": SQL_OP_MAP_FUNCTIONS,

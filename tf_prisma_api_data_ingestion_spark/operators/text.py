@@ -139,6 +139,18 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
                        lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
 
 
+def dup_ngram_frac(col: Column, n: int = 3) -> Column:
+    """Column form of the repeated-n-gram fraction — composable into a
+    single-pass feature select (corpus_clean_v2 computes quality AND
+    repetition in one scan with it; a per-feature DataFrame + join would
+    rescan and shuffle per feature)."""
+    grams = word_ngrams(col, n)
+    return (F.when(F.size(grams) > 0,
+                   (F.size(grams) - F.size(F.array_distinct(grams)))
+                   / F.size(grams))
+             .otherwise(F.lit(0.0)))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Within-document repetition signal (the Gopher/MassiveText-style
@@ -155,10 +167,7 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.size(grams).cast("long").alias("n_grams"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
-        F.when(F.size(grams) > 0,
-               (F.size(grams) - F.size(F.array_distinct(grams)))
-               / F.size(grams))
-         .otherwise(F.lit(0.0)).alias("dup_frac"))
+        dup_ngram_frac(F.col(text_col), n).alias("dup_frac"))
 
 
 def contamination_hits(df: DataFrame, text_col: str = "text",

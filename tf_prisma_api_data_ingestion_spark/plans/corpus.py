@@ -57,3 +57,51 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
                     .select("doc_id"))
     return docs.join(keep, "doc_id").select("doc_id", "n_tokens",
                                             "quality_score")
+
+
+def corpus_clean_v2(spark: SparkSession, sf_dir: str,
+                    min_quality: float = 0.5, min_tokens: int = 10,
+                    max_dup_frac: float = 0.5,
+                    jaccard_threshold: float = 0.5,
+                    bench_mod: int = 100) -> DataFrame:
+    """The full modern pre-training filter chain: quality -> repetition
+    -> benchmark decontamination -> exact dedup -> near-dup keep-list.
+
+    Same stage-ordering logic as ``corpus_clean`` — every row-local
+    filter (quality regexes, repeated-3-gram fraction) and the
+    broadcast-bank contamination check run BEFORE the expensive shingle
+    inverted-index join, so the pair machinery sees the smallest possible
+    corpus. Benchmark docs (doc_id % bench_mod == 0) are held out of the
+    output entirely. Returns (doc_id, n_tokens, quality_score, dup_frac).
+    """
+    from ..operators.text import contamination_hits, dup_ngram_frac
+
+    d = tables.load(spark, sf_dir, "documents")
+    # ONE pass for every row-local feature: quality AND the repetition
+    # fraction are columns of the same select, so the corpus is scanned
+    # and tokenized once for both (a per-feature DataFrame + doc_id join
+    # would re-scan and shuffle per feature)
+    q = (quality_features(d, "text")
+         .withColumn("dup_frac", dup_ngram_frac(F.col("text"), 3))
+         .filter((F.col("quality_score") >= min_quality)
+                 & (F.col("n_tokens") >= min_tokens)
+                 & (F.col("dup_frac") <= max_dup_frac)))
+    clean_ids = (contamination_hits(d, n=5, bench_mod=bench_mod)
+                 .filter(~F.col("contaminated"))
+                 .select("doc_id"))
+    # quality_features preserves source columns, so base still carries
+    # text for the md5 dedup key and the shingle pairing
+    base = q.join(clean_ids, "doc_id")
+    keep_exact = (base.groupBy(F.md5(F.col("text")).alias("_h"))
+                  .agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+    docs = tracked_persist(base.join(keep_exact, "doc_id"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
+                                max_df=10**9)
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
+                              docs.select("doc_id"))
+    keep = (clusters.groupBy("cluster_id")
+                    .agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id"))
+    return docs.join(keep, "doc_id").select("doc_id", "n_tokens",
+                                            "quality_score", "dup_frac")
