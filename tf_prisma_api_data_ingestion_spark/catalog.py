@@ -2307,6 +2307,103 @@ SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM g
 """
 
 
+def q_op_math_functions(spark, sf_dir):
+    """Math + bit scalar-function battery over lineitem, restricted to
+    operations that are bit-exact IEEE/integer in BOTH engines (+ - * /
+    sqrt abs floor ceil sign greatest least pmod, bitwise and/or/xor,
+    shifts, hex conv). exp/ln/trig are deliberately excluded: their
+    last-ulp behavior is libm- vs StrictMath-dependent, and an oracle
+    that 'usually matches' is worse than none."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    x, q = F.col("l_extendedprice"), F.col("l_quantity")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (x + q).alias("add_v"), (x - q).alias("sub_v"),
+        (x * q).alias("mul_v"), (x / q).alias("div_v"),
+        F.sqrt(x).alias("sqrt_v"), F.abs(-x).alias("abs_v"),
+        F.floor(x).cast("long").alias("floor_v"),
+        F.ceil(x).cast("long").alias("ceil_v"),
+        F.signum(x - F.lit(30000.0)).alias("sign_v"),
+        F.greatest(x, q * 1000).alias("greatest_v"),
+        F.least(x, q * 1000).alias("least_v"),
+        F.pmod(k, F.lit(97)).cast("long").alias("pmod_v"),
+        k.bitwiseAND(F.lit(255)).cast("long").alias("band_v"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("bor_v"),
+        k.bitwiseXOR(F.col("l_linenumber")).cast("long").alias("bxor_v"),
+        F.shiftleft(k, 3).cast("long").alias("shl_v"),
+        F.shiftright(k, 2).cast("long").alias("shr_v"),
+        F.lower(F.hex(k)).alias("hex_v"))
+
+
+SQL_OP_MATH_FUNCTIONS = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice + l_quantity AS add_v,
+       l_extendedprice - l_quantity AS sub_v,
+       l_extendedprice * l_quantity AS mul_v,
+       l_extendedprice / l_quantity AS div_v,
+       sqrt(l_extendedprice) AS sqrt_v,
+       abs(-l_extendedprice) AS abs_v,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+       CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sign_v,
+       greatest(l_extendedprice, l_quantity * 1000) AS greatest_v,
+       least(l_extendedprice, l_quantity * 1000) AS least_v,
+       l_orderkey % 97 AS pmod_v,
+       l_orderkey & 255 AS band_v,
+       l_orderkey | 4096 AS bor_v,
+       xor(l_orderkey, l_linenumber) AS bxor_v,
+       l_orderkey << 3 AS shl_v,
+       l_orderkey >> 2 AS shr_v,
+       lower(hex(l_orderkey)) AS hex_v
+FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def q_op_date_functions(spark, sf_dir):
+    """Date/time scalar battery over orders: trunc, add/sub, diff,
+    last_day, extract fields, epoch days — all exact integer/date
+    semantics in both engines (formatted as strings/longs per the
+    timestamp-parity rule)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_eoy"),
+        F.year(d).cast("long").alias("yy"),
+        F.quarter(d).cast("long").alias("qq"),
+        F.month(d).cast("long").alias("mm"),
+        F.dayofmonth(d).cast("long").alias("dd"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.unix_date(d).cast("long").alias("epoch_days"))
+
+
+SQL_OP_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       strftime(d, '%Y-%m-%d') AS d,
+       strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+       strftime(d + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       strftime(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       strftime(last_day(d), '%Y-%m-%d') AS month_end,
+       datediff('day', d, DATE '1998-12-31') AS days_to_eoy,
+       CAST(year(d) AS BIGINT) AS yy,
+       CAST(quarter(d) AS BIGINT) AS qq,
+       CAST(month(d) AS BIGINT) AS mm,
+       CAST(day(d) AS BIGINT) AS dd,
+       CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       datediff('day', DATE '1970-01-01', d) AS epoch_days
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+      WHERE o_orderkey <= 1000) t
+"""
+
+
 def q_op_string_functions(spark, sf_dir):
     """Scalar string-function battery (substr/concat_ws/lpad/translate/
     instr/levenshtein/regexp_extract/reverse) — all JVM codegen
@@ -2644,6 +2741,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof-join": q_asof_join,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
     "sketch-quantile": q_sketch_quantile,
+    "op-math-functions": q_op_math_functions,
+    "op-date-functions": q_op_date_functions,
     # headline TPC-H-shaped analytics (driver-green in r2)
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
@@ -2754,6 +2853,8 @@ ORACLES: dict[str, str] = {
     "op-semi-anti-join": SQL_OP_SEMI_ANTI_JOIN,
     "op-unpivot": SQL_OP_UNPIVOT,
     "op-string-functions": SQL_OP_STRING_FUNCTIONS,
+    "op-math-functions": SQL_OP_MATH_FUNCTIONS,
+    "op-date-functions": SQL_OP_DATE_FUNCTIONS,
     "op-array-functions": SQL_OP_ARRAY_FUNCTIONS,
     "op-sample-hash": SQL_OP_SAMPLE_HASH,
     "tpch-q3": SQL_TPCH_Q3,
