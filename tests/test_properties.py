@@ -113,3 +113,53 @@ def test_union_all_row_count_is_sum(spark, sizes):
     ]
     total = union_all(frames).count()
     assert total == sum(sizes)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1,
+                max_size=6))
+def test_word_ngrams_matches_naive(spark, texts):
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark.operators.text import word_ngrams
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    got = {r.doc_id: r.g for r in
+           df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.strip().lower().split() if w]
+        if not toks:
+            want = []
+        elif len(toks) <= 3:
+            want = [" ".join(toks)]
+        else:
+            want = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        assert got[i] == want, (t, got[i], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="xy z", min_size=0, max_size=40), min_size=1,
+                max_size=5))
+def test_dup_frac_bounded(spark, texts):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        repetition_features)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    for r in repetition_features(df, id_col="doc_id").collect():
+        assert 0.0 <= r.dup_frac <= 1.0
+        assert r.n_distinct <= r.n_grams
+
+
+def test_star_cluster_id_is_min_member(spark):
+    # cluster_id must be a member of its own cluster and the minimum one
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_clusters_star)
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (2, 4), (11, 3)], "doc_a LONG, doc_b LONG")
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    rows = dedup_clusters_star(pairs, ids).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members), (cid, members)
