@@ -33,6 +33,7 @@ AUDIT = (
     ("text-contamination", "benchmark n-gram bank broadcast; corpus side never shuffles on gram strings"),
     ("text-repetition", "pure per-row map over the corpus scan — zero exchanges"),
     ("sim-lsh-topk", "md5 integer hyperplanes broadcast; one bucket equality join + exact re-rank"),
+    ("plan-corpus-clean-v2", "quality+repetition in ONE corpus pass; contamination bank broadcast; shingle join last"),
 )
 
 

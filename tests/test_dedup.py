@@ -202,3 +202,16 @@ def test_star_clusters_singletons_and_two_components(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
     assert got[0] == 0 and got[12] == 12
+
+
+def test_embedding_block_size_guard(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_near_dup_pairs(e, block_col="label", max_block_size=2)
+    # generous budget: behaves exactly like the unguarded call
+    n = embedding_near_dup_pairs(e, block_col="label", threshold=0.35,
+                                 max_block_size=10**6).count()
+    m = embedding_near_dup_pairs(e, block_col="label", threshold=0.35).count()
+    assert n == m

@@ -432,11 +432,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id", block_col: str | None = "label",
-                             threshold: float = 0.9) -> DataFrame:
+                             threshold: float = 0.9,
+                             max_block_size: int | None = None) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine >= threshold.
 
     Blocked on ``block_col`` when given: exact within blocks (the block
     key is a pre-existing coarse quantizer — label, cluster id, shard).
+    This path is deliberately QUADRATIC WITHIN EACH BLOCK — it is the
+    exact baseline, safe only while blocks stay small. Pass
+    ``max_block_size`` to make that assumption explicit: one cheap
+    groupBy pre-checks block sizes and raises (naming the offending
+    block and the LSH alternative) instead of silently launching an
+    n² join when a block outgrew the budget.
     With NO block column this delegates to
     ``similarity.lsh_near_dup_pairs`` — random-hyperplane LSH blocking
     with exact verification — because an unblocked all-pairs cross join is
@@ -451,6 +458,16 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                 [], f"vec_a LONG, vec_b LONG, cos_r DOUBLE")
         return lsh_near_dup_pairs(df, id_col=id_col, vec_col=vec_col,
                                   threshold=threshold, dim=len(first[0]))
+    if max_block_size is not None:
+        biggest = (df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
+                     .orderBy(F.col("_n").desc()).first())
+        if biggest and biggest["_n"] > max_block_size:
+            raise ValueError(
+                f"block {biggest[block_col]!r} has {biggest['_n']} vectors "
+                f"(> max_block_size={max_block_size}); the within-block "
+                f"exact join is quadratic — use "
+                f"similarity.lsh_near_dup_pairs (block_col=None) or a "
+                f"finer coarse quantizer for blocks this large")
     # per-vector norm computed ONCE before the pairwise join (the naive
     # cosine-per-pair recomputes both norms for every pair — 3x the flops)
     vd = as_double_vec(F.col(vec_col))
