@@ -105,3 +105,19 @@ def test_contamination_hand_computed(spark):
     assert 0 not in got            # benchmark docs excluded from output
     assert got[1][0] >= 1 and got[1][1] is True
     assert got[2] == (0, False)
+
+
+def test_pack_sequences_hand_computed(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import pack_sequences
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"),        # 3 tokens -> bin 0 offset 0
+         (2, "d e f g", "s1"),      # 4 tokens -> starts at 3: bin 0 offset 3
+         (3, "h i", "s1"),          # starts at 7: bin 1 offset 2 (budget 5)
+         (10, "x y z", "s2")],      # separate shard packs from 0
+        "doc_id LONG, text STRING, source STRING")
+    got = {r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+           for r in pack_sequences(df, budget=5).collect()}
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (4, 0, 3)   # spans the bin boundary, starts in bin 0
+    assert got[3] == (2, 1, 2)
+    assert got[10] == (3, 0, 0)

@@ -198,3 +198,31 @@ def contamination_hits(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"))
             .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   shard_col: str = "source") -> DataFrame:
+    """Deterministic contiguous sequence packing for training batches:
+    documents are laid end-to-end in (shard, id) order and cut into
+    fixed ``budget``-token bins — each doc gets (bin_id, bin_offset),
+    and docs may span a bin boundary exactly as a real packer's token
+    stream does.
+
+    Scale shape: packing is a running sum, which is inherently
+    sequential — so it runs PER SHARD (``shard_col``: source, date,
+    bucket), one window partition each, never a global single-partition
+    sort. Bin ids are globally unique via (shard, local bin).
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(n_tok).over(w)
+    before = (cum - n_tok).cast("long")
+    return df.select(
+        F.col(id_col), F.col(shard_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(before / budget).cast("long").alias("bin_id"),
+        (before % budget).cast("long").alias("bin_offset"))
