@@ -194,3 +194,24 @@ def test_window_rank_single_sort_window(spark):
     plan = plan_of(spark, "op-window-rank")
     assert len([l for l in plan.splitlines()
                 if re.search(r"\bWindow\b", l) and "windowspecdefinition" in l]) == 1
+
+
+def test_contamination_bank_is_broadcast(spark):
+    plan = plan_of(spark, "text-contamination")
+    # the benchmark n-gram bank must broadcast; the corpus side must not
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pack_sequences_partitions_by_shard_only(spark):
+    plan = plan_of(spark, "text-pack-sequences")
+    # per-shard window: exactly one hash exchange on source, and never a
+    # global single-partition sort
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_temperature_sample_rates_broadcast(spark):
+    plan = plan_of(spark, "text-temperature-sample")
+    # the per-source rate table is tiny -> broadcast back onto the corpus
+    assert "BroadcastHashJoin" in plan
