@@ -61,3 +61,22 @@ def test_grouping_sets_totals(spark):
     assert len(grand) == 1 and grand[0].n_orders == n
     by_status = sum(x.n_orders for x in r if x.status != "ALL")
     assert by_status == n
+
+
+def test_max_concurrency_hand_computed(spark, tmp_path):
+    # intervals on one key: [0,10) [5,8) [6,9) -> peak 3 open at t=6;
+    # second key: back-to-back [0,5) [5,10) never overlap (end sorts
+    # before start at the same instant) -> peak 1
+    import tf_prisma_api_data_ingestion_spark.catalog as cat
+    rows = [
+        (1, 0, "a", 10.0), (2, 5_000_000_000, "a", 3.0), (3, 6_000_000_000, "a", 3.0),
+        (4, 0, "b", 5.0), (5, 5_000_000_000, "b", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts LONG, event_type STRING, value DOUBLE")
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    got = {r.event_type: (r.peak_concurrency, r.peak_start_sec)
+           for r in cat.q_op_max_concurrency(spark, str(tmp_path)).collect()}
+    assert got["a"] == (3, 6)
+    assert got["b"] == (1, 0)

@@ -2430,6 +2430,75 @@ FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
 """
 
 
+def q_op_max_concurrency(spark, sf_dir):
+    """Sweep-line interval-overlap aggregation: each event occupies
+    [ts, ts + value seconds); per event_type, the maximum number of
+    concurrently-open intervals and when that peak starts. The classic
+    occupancy/concurrency query (sessions online, rooms booked, GPU
+    leases held) as +1/-1 endpoint deltas -> per-key ordered running sum
+    -> argmax. One explode + one window shuffle on the group key — no
+    self-join, no interval cross product, linear at any scale.
+
+    Tie discipline: endpoints sort by (time, delta, event_id) with ends
+    (-1) before starts (+1) at the same instant, so back-to-back
+    intervals never double-count; the deterministic order also makes the
+    peak-start timestamp unique for the oracle hash."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    # integer DIV, never float division: ts is LONG nanos (~1.7e18) and a
+    # double quotient is off by up to ~4e-7 s — enough to flip a second
+    # boundary vs the oracle's exact integer division. Durations use an
+    # explicit floor: Spark's double->long cast truncates, DuckDB's
+    # rounds — floor() agrees everywhere.
+    dur = F.greatest(F.floor("value").cast("long"), F.lit(1))
+    base = ev.select(
+        "event_type", "event_id",
+        F.expr("ts DIV 1000000000").alias("_s"),
+        (F.expr("ts DIV 1000000000") + dur).alias("_e"))
+    pts = base.select(
+        "event_type", "event_id",
+        F.explode(F.array(
+            F.struct(F.col("_s").alias("t"), F.lit(1).alias("d")),
+            F.struct(F.col("_e").alias("t"), F.lit(-1).alias("d")))).alias("p"))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("p.t"), F.col("p.d"), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = pts.select("event_type", F.col("p.t").alias("t"),
+                     F.sum("p.d").over(w).alias("open"))
+    wk = Window.partitionBy("event_type")
+    run = run.withColumn("_mx", F.max("open").over(wk))
+    return (run.groupBy("event_type")
+            .agg(F.max("open").alias("peak_concurrency"),
+                 F.min(F.when(F.col("open") == F.col("_mx"), F.col("t")))
+                  .alias("peak_start_sec")))
+
+
+SQL_OP_MAX_CONCURRENCY = """
+WITH base AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000
+           + greatest(CAST(FLOOR(value) AS BIGINT), 1) AS e
+  FROM events),
+pts AS (
+  SELECT event_type, event_id, s AS t, 1 AS d FROM base
+  UNION ALL
+  SELECT event_type, event_id, e AS t, -1 AS d FROM base),
+run AS (
+  SELECT event_type, t,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                      ROWS UNBOUNDED PRECEDING) AS open
+  FROM pts),
+runx AS (
+  SELECT event_type, t, open,
+         max(open) OVER (PARTITION BY event_type) AS mx
+  FROM run)
+SELECT event_type, CAST(max(open) AS BIGINT) AS peak_concurrency,
+       min(CASE WHEN open = mx THEN t END) AS peak_start_sec
+FROM runx GROUP BY event_type
+"""
+
+
 def q_op_null_functions(spark, sf_dir):
     """Null-handling scalar battery over customer: coalesce chains,
     nullif, null-safe equality, nvl2-style branching, null-aware
@@ -2848,6 +2917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window is full): zero state, judge-verifiable via
     # scripts/selfcheck.py like everything else
     "op-math-functions": q_op_math_functions,
+    "op-max-concurrency": q_op_max_concurrency,
     "op-null-functions": q_op_null_functions,
     "text-temperature-sample": q_text_temperature_sample,
     "op-time-rollup": q_op_time_rollup,
@@ -2953,6 +3023,7 @@ ORACLES: dict[str, str] = {
     "op-string-functions": SQL_OP_STRING_FUNCTIONS,
     "op-math-functions": SQL_OP_MATH_FUNCTIONS,
     "op-date-functions": SQL_OP_DATE_FUNCTIONS,
+    "op-max-concurrency": SQL_OP_MAX_CONCURRENCY,
     "op-null-functions": SQL_OP_NULL_FUNCTIONS,
     "text-temperature-sample": SQL_TEXT_TEMPERATURE_SAMPLE,
     "op-array-functions": SQL_OP_ARRAY_FUNCTIONS,
