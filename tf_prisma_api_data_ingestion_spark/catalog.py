@@ -2430,6 +2430,41 @@ FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
 """
 
 
+def q_sql_subqueries(spark, sf_dir):
+    """The pure-SQL surface end to end: temp views + spark.sql with a
+    scalar subquery, an IN-subquery, a correlated EXISTS, and a window —
+    the subquery classes Catalyst rewrites into joins (scalar agg ->
+    broadcast, IN -> left-semi, EXISTS -> correlated semi). Everything
+    else in this catalog exercises the DataFrame API; this key proves a
+    SQL-first user gets the same engine."""
+    for t in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_acctbal,
+               CAST(rank() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                    AS BIGINT) AS bal_rank
+        FROM v_customer c
+        WHERE c.c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,2)))
+                             FROM v_customer)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM v_nation
+                                WHERE n_regionkey <= 2)
+          AND EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+    """)
+
+
+SQL_SQL_SUBQUERIES = """
+SELECT c.c_custkey, c.c_acctbal,
+       rank() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS bal_rank
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
 def q_op_max_concurrency(spark, sf_dir):
     """Sweep-line interval-overlap aggregation: each event occupies
     [ts, ts + value seconds); per event_type, the maximum number of
@@ -2918,6 +2953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/selfcheck.py like everything else
     "op-math-functions": q_op_math_functions,
     "op-max-concurrency": q_op_max_concurrency,
+    "sql-subqueries": q_sql_subqueries,
     "op-null-functions": q_op_null_functions,
     "text-temperature-sample": q_text_temperature_sample,
     "op-time-rollup": q_op_time_rollup,
@@ -3024,6 +3060,7 @@ ORACLES: dict[str, str] = {
     "op-math-functions": SQL_OP_MATH_FUNCTIONS,
     "op-date-functions": SQL_OP_DATE_FUNCTIONS,
     "op-max-concurrency": SQL_OP_MAX_CONCURRENCY,
+    "sql-subqueries": SQL_SQL_SUBQUERIES,
     "op-null-functions": SQL_OP_NULL_FUNCTIONS,
     "text-temperature-sample": SQL_TEXT_TEMPERATURE_SAMPLE,
     "op-array-functions": SQL_OP_ARRAY_FUNCTIONS,
