@@ -1708,6 +1708,56 @@ FROM events
 """
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (streaming/windows.py
+    enriched_segment_counts): events stream ⋈ static customer dim ->
+    daily exact-decimal totals per market segment. The static side is
+    stateless (re-planned per micro-batch); only the windowed agg holds
+    watermark-bounded state. availableNow drain == the batch join the
+    oracle runs."""
+    from .streaming.windows import enriched_segment_counts
+    return enriched_segment_counts(spark, sf_dir,
+                                   query_name="cat_stream_static")
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, c_mktsegment,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY day, c_mktsegment
+"""
+
+
+def q_stream_upsert(spark, sf_dir):
+    """foreachBatch keyed upsert (streaming/windows.py
+    upsert_latest_state): latest event per user merged into a parquet
+    state table, last-writer-wins on (ts, event_id), published by atomic
+    swap. Runs the drain TWICE against one checkpoint — the replay must
+    be a no-op — then returns the keyed table; the oracle computes the
+    same latest-row-per-user in SQL."""
+    from .streaming.windows import upsert_latest_state
+    base = _fresh_dir("stream-upsert")
+    tgt, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
+    upsert_latest_state(spark, sf_dir, tgt, ckpt, query_name="cat_upsert1")
+    final = upsert_latest_state(spark, sf_dir, tgt, ckpt,
+                                query_name="cat_upsert2")
+    return final.select("user_id", F.expr("ts DIV 1000").alias("last_ts_us"),
+                        F.col("event_id").alias("last_event_id"),
+                        F.col("event_type").alias("last_event_type"),
+                        F.col("value").alias("last_value"))
+
+
+SQL_STREAM_UPSERT = """
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS _rn
+      FROM events) t
+WHERE _rn = 1
+"""
+
+
 def q_sink_rollback(spark, sf_dir):
     """sink-rollback (P:444-451, §2.5.3): staged-commit transaction.
     Run 1 fails mid-run -> staging cleaned, nothing published, no manifest.
@@ -2760,6 +2810,396 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# =====================================================================
+# round-4 TPC-H widening: the remaining query shapes expressible on the
+# driver's schema (no partsupp table, so Q2/Q11/Q16/Q20 are out of
+# reach; Q12/Q19/Q21 need l_shipmode/l_commitdate, absent here).
+# =====================================================================
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: EXISTS correlated subquery
+    compiled to a LEFT SEMI join with a non-equi conjunct (l_shipdate >
+    o_orderdate). Catalyst keeps the equi key (orderkey) as the shuffle
+    key and evaluates the date conjunct as a join residual, so the plan
+    scales like a plain fact-fact join; the date window prunes orders at
+    the scan (PushedFilters)."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = o.join(li, (o.o_orderkey == li.l_orderkey)
+                & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return (sj.groupBy("o_orderpriority")
+              .agg(F.count("*").alias("order_count"))
+              .orderBy("o_orderpriority"))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-shaped two-nation shipping volume: supplier nation x
+    customer nation x ship year. The nation dim is constant-cardinality
+    (25 rows at every sf) so BOTH nation joins broadcast by hint; the
+    supplier/customer/orders joins are stats-driven. The symmetric
+    two-nation predicate is applied after both nation names are attached
+    — one residual filter, no union of two plans."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate").between(F.lit("1996-01-01").cast("timestamp"),
+                                              F.lit("1997-12-31").cast("timestamp"))))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+             .agg(F.sum(vol).cast("double").alias("revenue"))
+             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+    lost to returns in a quarter. Returnflag + date predicates reach both
+    fact scans; nation broadcasts by hint; customer join is stats-driven.
+    Deterministic top-20 via (revenue DESC, c_custkey ASC) tiebreak —
+    TopK (orderBy+limit) never global-sorts, it merges per-partition
+    heaps."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")))
+    g = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(F.sum(rev).cast("double").alias("revenue")))
+    return (g.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+             .limit(20)
+             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-shaped promo-revenue share: conditional aggregation over
+    a fact x dim join (p_type is an exact category here, not a LIKE
+    prefix — the synthetic part table has 6 flat types). One month of
+    lineitem reaches the scan as a pushed filter; the single output row
+    is one double division of two exact decimal sums."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,6)")))
+         .cast("double").alias("_promo"),
+        F.sum(vol).cast("double").alias("_total"))
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias("promo_revenue_pct"))
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 *
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: revenue per supplier over a
+    quarter, then the supplier(s) hitting the global max. The scalar
+    max-subquery becomes a 1-row broadcast cross-join against the
+    per-supplier aggregate (computed once, reused for both sides —
+    Catalyst reuses the exchange rather than re-aggregating). Exact
+    decimal revenue makes the double equality engine-stable."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    r = (li.groupBy("l_suppkey")
+           .agg(F.sum(rev).cast("double").alias("total_revenue")))
+    mx = r.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (r.join(F.broadcast(mx), r.total_revenue == mx._mx)
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .select("s_suppkey", "s_name", "total_revenue")
+             .orderBy("s_suppkey"))
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: the correlated scalar
+    subquery (0.2 x per-part avg quantity) decorrelates into a per-part
+    aggregate joined back to the filtered fact — the textbook rewrite
+    Catalyst applies to correlated scalars. The threshold avg is an
+    exact-decimal sum / count double, so the boundary comparison is
+    bit-identical in both engines."""
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5))
+         .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    # per-part avg over ALL lineitem rows of that part (not just the
+    # brand-filtered ones) — matches the subquery's scope
+    avg_q = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_partkey")
+               .agg((_dec_sum("l_quantity") / F.count(F.lit(1))).alias("_avg_q")))
+    flt = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+             .join(avg_q.withColumnRenamed("l_partkey", "_pk"),
+                   F.col("l_partkey") == F.col("_pk"))
+             .filter(F.col("l_quantity") < 0.2 * F.col("_avg_q")))
+    return flt.agg(F.round(_dec_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+
+
+SQL_TPCH_Q17 = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size <= 5
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume customers: the IN-subquery over a
+    HAVING aggregate becomes aggregate -> filter -> semi-join back to
+    orders. The qty aggregate runs ONCE; Spark's semi-join needs only
+    the (orderkey, sum_qty) pairs, which at any sf are a tiny filtered
+    fraction — broadcast by stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(_dec_sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 300))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (o.join(big, o.o_orderkey == big.l_orderkey)
+          .join(c, o.o_custkey == c.c_custkey))
+    return (j.select("c_name", "c_custkey", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                     "o_totalprice", "sum_qty")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, sum_qty
+FROM customer, orders,
+     (SELECT l_orderkey AS _ok,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300) big
+WHERE o_orderkey = _ok AND c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+# =====================================================================
+# round-4 sketches / windows / layout
+# =====================================================================
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 1024  # buckets per row
+
+
+def q_sketch_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the document token stream:
+    d=4 seeded 60-bit md5 hash rows x w=1024 buckets; est(token) =
+    min_i count(bucket_i(token)) — the classic CMS upper bound, fully
+    deterministic, every intermediate replayable in SQL.
+
+    Scale shape: the sketch itself is the groupBy((row, bucket)) count —
+    at most d*w = 4096 rows REGARDLESS of corpus size (that's the point
+    of a sketch), so the estimate join is a broadcast of the sketch, and
+    the only corpus-sized shuffle is the distinct-token candidate set.
+    On a 100 TB corpus the same plan holds: sketch still 4096 rows,
+    candidates pruned by any cheap pre-filter before the join."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    hashed = (tok.select("token", F.explode(rows).alias("_i"))
+                 .withColumn("_b", F.pmod(
+                     dedup.md5_hash60(F.concat_ws(":", F.col("_i"), F.col("token"))),
+                     F.lit(CMS_WIDTH))))
+    sketch = hashed.groupBy("_i", "_b").agg(F.count("*").alias("_c"))
+    cand = (tok.select("token").distinct()
+               .select("token", F.explode(rows).alias("_i"))
+               .withColumn("_b", F.pmod(
+                   dedup.md5_hash60(F.concat_ws(":", F.col("_i"), F.col("token"))),
+                   F.lit(CMS_WIDTH))))
+    est = (cand.join(F.broadcast(sketch), ["_i", "_b"])
+               .groupBy("token").agg(F.min("_c").alias("est_count")))
+    return (est.orderBy(F.col("est_count").desc(), F.col("token").asc())
+               .limit(20))
+
+
+SQL_SKETCH_CMS_TOPK = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+hashed AS (
+  SELECT token, i.i AS _i,
+         ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || token), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS _b
+  FROM tok, (SELECT unnest(range(0, {CMS_DEPTH})) AS i) i),
+sketch AS (SELECT _i, _b, count(*) AS _c FROM hashed GROUP BY _i, _b),
+cand AS (SELECT DISTINCT token, _i, _b FROM hashed)
+SELECT token, min(_c) AS est_count
+FROM cand JOIN sketch USING (_i, _b)
+GROUP BY token ORDER BY est_count DESC, token ASC LIMIT 20
+"""
+
+
+def q_op_window_range_frame(spark, sf_dir):
+    """RANGE-framed window: per-user rolling 1-hour event-value sum at
+    event granularity (RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW
+    over the µs timeline — simultaneous events share a frame, which is
+    what distinguishes RANGE from ROWS). Exact decimal accumulation so
+    every rolling sum hash-matches; partitioned by user, so the window
+    sort is per-user-shard, never global."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts DIV 1000").alias("ts_us")
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.select("event_id", "user_id", us, "value")
+              .withColumn("rolling_1h_sum",
+                          F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                           .cast("double"))
+              .select("event_id", "user_id", "ts_us", "rolling_1h_sum"))
+
+
+SQL_OP_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS rolling_1h_sum
+FROM events
+"""
+
+
+def q_op_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout stats for multi-dimensional data skipping:
+    interleave the low 16 bits of (l_partkey, l_suppkey) into a 32-bit
+    z-value with pure JVM bit ops, then report per-z-range file stats
+    (row count + min/max of BOTH keys) for 64 contiguous z-ranges —
+    exactly the min/max index a writer produces via
+    ``repartitionByRange(zval).sortWithinPartitions(zval)``.
+
+    Why it matters at 100 TB: range-partitioning on z interleaves both
+    dimensions, so a predicate on EITHER key prunes most files (each
+    z-range holds a bounded sub-rectangle of the key space); single-key
+    layouts prune only their own key. The narrow min/max spans in this
+    output ARE the pruning evidence the optimizer would use."""
+    from .operators.layout import morton_interleave
+    li = _t(spark, sf_dir, "lineitem")
+    z = morton_interleave(F.col("l_partkey").bitwiseAND(F.lit(0xFFFF)),
+                          F.col("l_suppkey").bitwiseAND(F.lit(0xFFFF)))
+    # 64 contiguous z-ranges == 64 output files of a range-partitioned
+    # z-ordered write (2^32 / 64 = 2^26 z-values per range)
+    return (li.select(z.alias("_z"), "l_partkey", "l_suppkey")
+              .groupBy((F.col("_z") / F.lit(1 << 26)).cast("long").alias("z_range"))
+              .agg(F.count("*").alias("n_rows"),
+                   F.min("l_partkey").alias("min_partkey"),
+                   F.max("l_partkey").alias("max_partkey"),
+                   F.min("l_suppkey").alias("min_suppkey"),
+                   F.max("l_suppkey").alias("max_suppkey"))
+              .orderBy("z_range"))
+
+
+def _sql_morton_spread(x: str) -> str:
+    """DuckDB twin of layout._spread16 (16 -> even bits of 32)."""
+    s = f"({x} & 65535)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"
+    s = f"(({s} | ({s} << 4)) & 252645135)"
+    s = f"(({s} | ({s} << 2)) & 858993459)"
+    s = f"(({s} | ({s} << 1)) & 1431655765)"
+    return s
+
+
+SQL_OP_ZORDER_LAYOUT = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         ({_sql_morton_spread('l_partkey')} | ({_sql_morton_spread('l_suppkey')} << 1)) AS _z
+  FROM lineitem)
+SELECT CAST(_z // {1 << 26} AS BIGINT) AS z_range, count(*) AS n_rows,
+       min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+       min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey
+FROM z GROUP BY z_range ORDER BY z_range
+"""
+
+
 _SQL_TOKENS = """
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(lower(
@@ -3011,6 +3451,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
     "sketch-quantile": q_sketch_quantile,
     "op-date-functions": q_op_date_functions,
+    # -- round-4 additions (selfcheck-verified; rotate forward next round) --
+    "tpch-q4": q_tpch_q4,
+    "tpch-q7": q_tpch_q7,
+    "tpch-q10": q_tpch_q10,
+    "tpch-q14": q_tpch_q14,
+    "tpch-q15": q_tpch_q15,
+    "tpch-q17": q_tpch_q17,
+    "tpch-q18": q_tpch_q18,
+    "sketch-cms-topk": q_sketch_cms_topk,
+    "op-window-range-frame": q_op_window_range_frame,
+    "op-zorder-layout": q_op_zorder_layout,
+    "stream-static-join": q_stream_static_join,
+    "stream-upsert": q_stream_upsert,
 }
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
@@ -3133,6 +3586,19 @@ ORACLES: dict[str, str] = {
     "dedup-embedding-lsh": SQL_DEDUP_EMBEDDING_LSH,
     "sketch-kmv-distinct": SQL_SKETCH_KMV_DISTINCT,
     "sketch-quantile": SQL_SKETCH_QUANTILE,
+    # round-4 additions
+    "tpch-q4": SQL_TPCH_Q4,
+    "tpch-q7": SQL_TPCH_Q7,
+    "tpch-q10": SQL_TPCH_Q10,
+    "tpch-q14": SQL_TPCH_Q14,
+    "tpch-q15": SQL_TPCH_Q15,
+    "tpch-q17": SQL_TPCH_Q17,
+    "tpch-q18": SQL_TPCH_Q18,
+    "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
+    "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
+    "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
+    "stream-static-join": SQL_STREAM_STATIC_JOIN,
+    "stream-upsert": SQL_STREAM_UPSERT,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

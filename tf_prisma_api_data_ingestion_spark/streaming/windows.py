@@ -61,14 +61,15 @@ EVENTS_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, event_type STRING, "
                  "value DOUBLE, props STRING")
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(spark: SparkSession, sf_dir: str,
+                  glob: str = "events.parquet") -> DataFrame:
     # self-defending confs (the driver's session may have neither): nanos
     # parquet readability + UTC so formatted window bounds match the
     # timezone-naive oracle even when this is the first query to run
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
-              .option("pathGlobFilter", "events.parquet")
+              .option("pathGlobFilter", glob)
               .parquet(sf_dir))
     return stream.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
 
@@ -301,3 +302,95 @@ def stream_to_partitioned_parquet(spark: SparkSession, sf_dir: str,
     # (maxFilesPerTrigger); lastProgress covers only the final one, so
     # sum numInputRows over the whole retained progress history
     return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+
+def enriched_segment_counts(spark: SparkSession, sf_dir: str,
+                            window: str = "1 day",
+                            watermark: str = "10 minutes",
+                            query_name: str = "enriched_segments",
+                            state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
+    """Stream-static join + windowed aggregation: the streaming events
+    feed joins the STATIC customer dimension (user_id -> c_custkey) and
+    aggregates exact-decimal value per (window, market segment).
+
+    Stream-static joins are stateless — the static side is re-planned per
+    micro-batch (picking up dim updates between batches) and joins as an
+    ordinary broadcast/shuffle join, with NO join state stored. Only the
+    downstream windowed agg keeps state, bounded by its watermark. This
+    is the standard enrichment shape for an always-on ingest: dims stay
+    in a table, facts stream past them.
+    """
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    agg = (_event_stream(spark, sf_dir)
+           .join(dim, "user_id")                     # stream-static, stateless
+           .withWatermark("ts_t", watermark)
+           .groupBy(F.window("ts_t", window).alias("w"), "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return (spark.table(query_name)
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                    "c_mktsegment", "n_events", "sum_value"))
+
+
+def upsert_latest_state(spark: SparkSession, sf_dir: str, target_dir: str,
+                        checkpoint_dir: str,
+                        query_name: str = "upsert_latest",
+                        glob: str = "events.parquet") -> DataFrame:
+    """foreachBatch keyed upsert: maintain a parquet table of each user's
+    LATEST event (last-writer-wins on (ts, event_id)) from the stream.
+
+    This is the MERGE-into-keyed-table pattern (the file-sink analog of
+    Delta/Iceberg MERGE): the file sink alone is append-only, so upserts
+    go through foreachBatch, which (1) reduces the incoming batch to one
+    row per key, (2) unions the existing table, (3) keeps the winner per
+    key, (4) publishes by atomic directory swap. Re-running a batch
+    produces the same table — max() is idempotent — which is what makes
+    foreachBatch's at-least-once contract safe here.
+
+    Scale shape: the rewrite cost is O(table), the right baseline for a
+    compact keyed state table (one row per user). A 100 TB fact table is
+    NOT upserted this way — that's what the watermarked aggregations are
+    for; this pattern is for the bounded latest-state dimension derived
+    from the stream. Returns the final keyed table.
+    """
+    import os
+    import shutil
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        latest_b = (batch.groupBy("user_id")
+                    .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
+                          .alias("_m"))
+                    .select("user_id", "_m.ts", "_m.event_id",
+                            "_m.event_type", "_m.value"))
+        if os.path.isdir(target_dir):
+            cur = sp.read.parquet(target_dir)
+            latest_b = (cur.unionByName(latest_b)
+                        .groupBy("user_id")
+                        .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
+                              .alias("_m"))
+                        .select("user_id", "_m.ts", "_m.event_id",
+                                "_m.event_type", "_m.value"))
+        tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
+        latest_b.write.mode("overwrite").parquet(tmp)
+        old = target_dir.rstrip("/") + "._old"
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    ev = _event_stream(spark, sf_dir, glob=glob).select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    q = (ev.writeStream.foreachBatch(merge)
+         .queryName(query_name)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(target_dir)
