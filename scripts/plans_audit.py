@@ -34,6 +34,15 @@ AUDIT = (
     ("text-repetition", "pure per-row map over the corpus scan — zero exchanges"),
     ("sim-lsh-topk", "md5 integer hyperplanes broadcast; one bucket equality join + exact re-rank"),
     ("plan-corpus-clean-v2", "quality+repetition in ONE corpus pass; contamination bank broadcast; shingle join last"),
+    ("tpch-q4", "EXISTS -> left-semi; date conjunct as join residual, never nested-loop"),
+    ("tpch-q7", "nation dims hint-broadcast on both legs; fact joins stats-driven"),
+    ("tpch-q10", "returnflag + quarter predicates pushed to both fact scans; deterministic TakeOrdered top-20"),
+    ("tpch-q15", "per-supplier aggregate persisted; max probe + equality join read the cache, lineitem scanned once"),
+    ("tpch-q17", "correlated scalar avg decorrelated; brand/size predicates pushed; per-part avg broadcast back"),
+    ("tpch-q18", "HAVING aggregate semi-joins orders; qty agg computed once"),
+    ("sketch-cms-topk", "sketch is a bounded 4x1024 aggregate -> broadcast to the candidate join"),
+    ("op-zorder-layout", "morton interleave inside the scan projection; one groupBy exchange"),
+    ("op-window-range-frame", "per-user shard sort only — single hash exchange, no global sort"),
 )
 
 

@@ -2964,15 +2964,18 @@ def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15-shaped top supplier: revenue per supplier over a
     quarter, then the supplier(s) hitting the global max. The scalar
     max-subquery becomes a 1-row broadcast cross-join against the
-    per-supplier aggregate (computed once, reused for both sides —
-    Catalyst reuses the exchange rather than re-aggregating). Exact
-    decimal revenue makes the double equality engine-stable."""
+    per-supplier aggregate. The aggregate feeds BOTH the max and the
+    equality probe, so it is persisted (a supplier-cardinality frame —
+    tiny relative to the fact scan it saves) rather than recomputed;
+    without the barrier the lineitem scan+agg runs twice. Exact decimal
+    revenue makes the double equality engine-stable."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    r = (li.groupBy("l_suppkey")
-           .agg(F.sum(rev).cast("double").alias("total_revenue")))
+    r = cache.tracked_persist(
+        li.groupBy("l_suppkey")
+          .agg(F.sum(rev).cast("double").alias("total_revenue")))
     mx = r.agg(F.max("total_revenue").alias("_mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (r.join(F.broadcast(mx), r.total_revenue == mx._mx)
