@@ -126,6 +126,42 @@ def test_q15_matches_manual_max(spark):
         assert r.total_revenue == mx
 
 
+# ------------------------------------------------- runtime bloom filter ---
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst injects a runtime bloom filter built from the selective
+    join side into the fact scan (shuffle joins only — locally the scan
+    threshold must drop to trigger what a 100 TB scan triggers by size).
+    The filtered plan must stay result-identical to the plain join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF}/orders.parquet")
+             .filter(F.col("o_orderstatus") == "P"))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), "no runtime bloom filter injected"
+        n_bloom = j.count()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .filter(F.col("o_orderstatus") == "P"))
+    assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
 # ------------------------------------------------------ streaming upsert ---
 
 def test_upsert_merges_across_runs(spark, tmp_path):

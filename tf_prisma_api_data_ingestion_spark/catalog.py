@@ -915,6 +915,33 @@ FROM inter WHERE i / (ma + mb - i) >= 0.2
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py
+    incremental_jaccard_pairs): documents with doc_id % 10 == 0 play the
+    incoming batch, the rest the accepted corpus; each new doc is checked
+    against the index only — no index self-join, the always-growing-corpus
+    production shape. max_df is far above any shingle's df at sf<=0.01,
+    so the jaccard values are exact."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_jaccard_pairs(new, idx, n=3, threshold=0.2)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+         a.m AS mn, b.m AS mi, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2, 3, 4)
+SELECT new_id, index_id, round(i / (mn + mi - i), 4) AS jaccard_r
+FROM inter WHERE i / (mn + mi - i) >= 0.2
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH banded candidates verified with exact Jaccard. Depends
     on Spark's xxhash64 — no SQL oracle (rows-only check); the pytest suite
@@ -1705,6 +1732,54 @@ SELECT event_id, user_id, event_type, value,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(0 AS LONG) AS replay_rows
 FROM events
+"""
+
+
+def q_op_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance via DYNAMIC partition overwrite
+    (the batch analog of a continuously-maintained rollup): a daily
+    (day, event_type) aggregate table is built from history, then a
+    restatement arrives for the tail days and ONLY those partitions are
+    recomputed and swapped — partitionOverwriteMode=dynamic replaces
+    exactly the partitions present in the incoming write, untouched days
+    keep their original files.
+
+    100 TB shape: the nightly delta touches O(delta days), not O(table):
+    recompute affected days from source, overwrite those partitions.
+    The oracle is the full recompute — incremental maintenance must be
+    indistinguishable from it, which is precisely what the hash check
+    asserts."""
+    out = os.path.join(_fresh_dir("op-incremental-agg"), "daily")
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    daily = (ev.withColumn("day", day)
+               .groupBy("day", "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                     .alias("sum_value")))
+    cut = "2024-01-24"
+    # initial build: history only (tail days deliberately stale/absent)
+    daily.filter(F.col("day") < cut).write.mode("overwrite") \
+         .partitionBy("day").parquet(out)
+    # restatement: recompute ONLY the affected tail days, swap their
+    # partitions in place; scan prunes to the tail before aggregating
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        daily.filter(F.col("day") >= cut).write.mode("overwrite") \
+             .partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(out)
+    return back.select(F.col("day").cast("string"), "event_type",
+                       "n_events", "sum_value")
+
+
+SQL_OP_INCREMENTAL_AGG = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY day, event_type
 """
 
 
@@ -3467,6 +3542,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-zorder-layout": q_op_zorder_layout,
     "stream-static-join": q_stream_static_join,
     "stream-upsert": q_stream_upsert,
+    "op-incremental-agg": q_op_incremental_agg,
+    "dedup-incremental": q_dedup_incremental,
 }
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
@@ -3602,6 +3679,8 @@ ORACLES: dict[str, str] = {
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
     "stream-static-join": SQL_STREAM_STATIC_JOIN,
     "stream-upsert": SQL_STREAM_UPSERT,
+    "op-incremental-agg": SQL_OP_INCREMENTAL_AGG,
+    "dedup-incremental": SQL_DEDUP_INCREMENTAL,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -126,6 +126,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")))
 
 
+def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3, threshold: float = 0.2,
+                              max_df: int = 1000) -> DataFrame:
+    """Incremental near-dup check: Jaccard pairs of NEW documents against
+    an EXISTING corpus index only — the production shape for a growing
+    corpus, where each ingest batch is deduped against everything already
+    accepted without ever re-pairing the existing corpus with itself.
+
+    Returns (new_id, index_id, jaccard) for every cross pair sharing a
+    surviving shingle with jaccard >= threshold. The document-frequency
+    cap is computed over the INDEX side (the stable, corpus-scale
+    statistic) and hot shingles are dropped from both sides, mirroring
+    ``_pair_jaccard``'s skew guard.
+
+    Scale shape: cost is O(|batch| x avg postings) — the index side's
+    inverted postings are joined only where a new doc's shingle hits
+    them; the index never self-joins. At 100 TB the shingle index is a
+    persisted table maintained across ingests; here it is rebuilt per
+    call, which is the only sf-scale difference.
+    """
+    sh_new = new_df.select(F.col(id_col).alias("new_id"),
+                           word_shingles(F.col(text_col), n).alias("sh"))
+    sh_idx = index_df.select(F.col(id_col).alias("index_id"),
+                             word_shingles(F.col(text_col), n).alias("sh"))
+    inv_idx = tracked_persist(
+        sh_idx.select("index_id", F.size("sh").alias("_mi"),
+                      F.explode("sh").alias("_s"))
+              .select("index_id", "_mi", F.xxhash64("_s").alias("_sk")))
+    hot = (inv_idx.groupBy("_sk").agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") > max_df).select("_sk"))
+    inv_idx_cold = inv_idx.join(F.broadcast(hot), "_sk", "left_anti")
+    inv_new = (sh_new.select("new_id", F.size("sh").alias("_mn"),
+                             F.explode("sh").alias("_s"))
+                     .select("new_id", "_mn", F.xxhash64("_s").alias("_sk"))
+                     .join(F.broadcast(hot), "_sk", "left_anti"))
+    inter = (inv_new.join(inv_idx_cold, "_sk")
+                    .groupBy("new_id", "index_id", "_mn", "_mi")
+                    .agg(F.count("*").alias("_i")))
+    jac = F.col("_i") / (F.col("_mn") + F.col("_mi") - F.col("_i"))
+    return (inter.filter(jac >= threshold)
+                 .select("new_id", "index_id", F.round(jac, 4).alias("jaccard_r")))
+
+
 # -------------------------------------------------------------- minhash ---
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
