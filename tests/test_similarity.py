@@ -136,3 +136,54 @@ def test_ivf_centroids_deterministic_count(spark, vecs):
     assert len(c1) == 4
     assert sorted((r.cid, tuple(r._cv)) for r in c1) == \
            sorted((r.cid, tuple(r._cv)) for r in c2)
+
+
+# ------------------------------------------------------------------- PQ ---
+
+def test_pq_recall_and_shape(spark, vecs):
+    """PQ shortlist + exact re-rank: high-recall subset of brute force,
+    exact cosine scores on the survivors, <= k rows per query."""
+    _, df = vecs
+    q = df.filter(F.col("vec_id") < 3)
+    bf = similarity.brute_force_topk(q, df, k=5).collect()
+    bset = {(r.query_id, r.vec_id) for r in bf}
+    bscore = {(r.query_id, r.vec_id): r.cos_r for r in bf}
+    got = similarity.pq_topk(q, df, k=5, m=8, ksub=8, dim=16,
+                             shortlist=30).collect()
+    pset = {(r.query_id, r.vec_id) for r in got}
+    recall = len(bset & pset) / len(bset)
+    assert recall >= 0.6, f"recall {recall}"
+    # survivors carry EXACT scores (re-rank), not quantized ones
+    for r in got:
+        key = (r.query_id, r.vec_id)
+        if key in bscore:
+            assert r.cos_r == bscore[key]
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+
+
+def test_pq_full_shortlist_is_exact(spark, vecs):
+    """shortlist >= corpus makes the re-rank exhaustive: PQ == brute
+    force exactly, regardless of quantization quality."""
+    _, df = vecs
+    q = df.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(q, df, k=5)
+    pq = similarity.pq_topk(q, df, k=5, m=4, ksub=4, dim=16, shortlist=60)
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, pq.collect()))
+
+
+def test_pq_encode_deterministic_and_bounded(spark, vecs):
+    _, df = vecs
+    books = similarity.pq_codebooks(df, m=4, ksub=8, dim=16, iters=1)
+    assert books.count() <= 4 * 8
+    c1 = similarity.pq_encode(df, books, m=4, dim=16).collect()
+    c2 = similarity.pq_encode(df, books, m=4, dim=16).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+    # every vector gets exactly m codes, all within [0, ksub)
+    per_id = {}
+    for r in c1:
+        per_id[r.vec_id] = per_id.get(r.vec_id, 0) + 1
+        assert 0 <= r.code < 8
+    assert set(per_id.values()) == {4}

@@ -3550,8 +3550,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # HLL / GK internals). NOT part of the driver gate: benched by bench.py
 # under their family names and pinned by invariant tests instead; each
 # has an oracle-checked md5/KMV/sample twin in QUERIES.
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_topk): ADC
+    over an m=16-codes-per-vector compressed corpus, exact re-rank of the
+    per-query shortlist. Float k-means codebook means have no bit-stable
+    SQL replay, so this lives beside the xxhash64 twins: benched here,
+    recall/determinism pinned in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
 THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-minhash-lsh": q_dedup_minhash_lsh,
+    "sim-pq-topk": q_sim_pq_topk,
     "dedup-simhash": q_dedup_simhash,
     "dedup-simhash-pairs": q_dedup_simhash_pairs,
     "dedup-embedding-lsh-xx": q_dedup_embedding_lsh_xx,

@@ -317,3 +317,141 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     top = top_k_per_group(joined, ["query_id"], "cos", k, descending=True,
                           tiebreak=[id_col])
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
+
+
+# ----------------------------------------------------------------- PQ ---
+
+def _l2sq(u: Column, v: Column) -> Column:
+    """Squared L2 distance of two array<double> columns."""
+    return F.aggregate(F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subvectors(df: DataFrame, m: int, dsub: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, sub, _sv): each vector split into ``m`` contiguous ``dsub``-dim
+    subvectors — a per-row posexplode, no shuffle."""
+    vd = as_double_vec(F.col(vec_col))
+    slices = F.array(*[F.slice(vd, s * dsub + 1, dsub) for s in range(m)])
+    return df.select(F.col(id_col),
+                     F.posexplode(slices).alias("sub", "_sv"))
+
+
+def pq_codebooks(candidates: DataFrame, m: int = 16, ksub: int = 16,
+                 dim: int = 64, iters: int = 1, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic per-subspace PQ codebooks: for each of ``m``
+    subspaces, ``ksub`` codewords seeded by xxhash64(id) order and
+    refined with k-means iterations (assign by squared L2, recompute as
+    per-dimension means — same shape as ``ivf_centroids``, run once per
+    subspace in a single plan, never a per-subspace driver loop).
+
+    Returns (sub, code, _cv, _c2): m*ksub rows — broadcast-sized at any
+    corpus scale (the codebook is a training artifact, not data).
+    """
+    from pyspark.sql.window import Window
+
+    dsub = dim // m
+    sv = _subvectors(candidates, m, dsub, id_col, vec_col)
+    w = Window.partitionBy("sub").orderBy(F.xxhash64(F.col(id_col).cast("string")),
+                                          F.col(id_col))
+    books = (sv.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= ksub)
+               .select("sub", (F.col("_rn") - 1).alias("code"),
+                       F.col("_sv").alias("_cv")))
+    for _ in range(iters):
+        assigned = _pq_assign(sv, books)
+        books = (assigned.join(books.select("sub", "code", "_cv"),
+                               ["sub", "code"])
+                 .select("sub", "code", F.posexplode("_sv").alias("_d", "_x"))
+                 .groupBy("sub", "code", "_d").agg(F.avg("_x").alias("_m"))
+                 .groupBy("sub", "code")
+                 .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm"))
+                 .select("sub", "code",
+                         F.transform("_dm", lambda s: s["_m"]).alias("_cv")))
+    return books.withColumn("_c2", dot(F.col("_cv"), F.col("_cv")))
+
+
+def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest codeword per (id, sub) by squared L2 against the broadcast
+    codebook — keeps the subvector column for the k-means mean step."""
+    id_col = sv.columns[0]
+    scored = (sv.join(F.broadcast(books.select("sub", "code", "_cv")), "sub")
+                .withColumn("_d2", _l2sq(F.col("_sv"), F.col("_cv")))
+                .select(id_col, "sub", "_sv", "code", "_d2"))
+    top = top_k_per_group(scored, [id_col, "sub"], "_d2", 1,
+                          descending=False, tiebreak=["code"])
+    return top.select(id_col, "sub", "_sv", "code")
+
+
+def pq_encode(df: DataFrame, books: DataFrame, m: int = 16, dim: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Compress each vector to ``m`` codebook ids: (id, sub, code).
+
+    This IS the memory story of PQ at 100 TB: m bytes per vector
+    (m * log2(ksub) bits) instead of dim * 4 — a 64-dim float corpus
+    compresses 32x, so the searchable index of a corpus that doesn't fit
+    in cluster RAM does.
+    """
+    sv = _subvectors(df, m, dim // m, id_col, vec_col)
+    return _pq_assign(sv, books).select(id_col, "sub", "code")
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+            m: int = 16, ksub: int = 16, dim: int = 64, shortlist: int = 128,
+            iters: int = 1, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ approximate top-k cosine via asymmetric distance computation
+    (ADC) + exact re-rank — the third FAISS leg beside IVF and LSH,
+    covering the memory axis (IVF cuts compute, PQ cuts index bytes).
+
+    ADC: each query precomputes dot(q_s, codeword) for every (sub, code)
+    — an m*ksub lookup table per query, broadcast — then a candidate's
+    approximate score is the SUM over its m codes of table entries: the
+    corpus side is scanned as (id, sub, code) triples, never as floats.
+    The approximate cosine divides by the reconstruction norm
+    sqrt(sum_s |c_s|^2). The top-``shortlist`` per query then re-ranks
+    EXACTLY against the full vectors, so accuracy degrades to recall of
+    the shortlist, not to quantization error of the scores.
+
+    Returns (query_id, vec_id, cos_r) like ``brute_force_topk``.
+    Recall/determinism pinned by tests; no SQL oracle (float k-means
+    means have no bit-stable SQL replay) — rows-only, like the xxhash64
+    LSH twins.
+    """
+    books = tracked_persist(pq_codebooks(candidates, m=m, ksub=ksub, dim=dim,
+                                         iters=iters, id_col=id_col,
+                                         vec_col=vec_col))
+    codes = pq_encode(candidates, books, m=m, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    # per-query ADC lookup table: (query_id, sub, code, partial dot, |c|^2)
+    qsv = _subvectors(queries, m, dim // m, id_col, vec_col) \
+        .withColumnRenamed(id_col, "query_id")
+    qn = (queries.select(F.col(id_col).alias("query_id"),
+                         norm2(as_double_vec(F.col(vec_col))).alias("_qn")))
+    lut = (qsv.join(F.broadcast(books), "sub")
+              .select("query_id", "sub", "code",
+                      dot(F.col("_sv"), F.col("_cv")).alias("_pd"), "_c2"))
+    scored = (codes.join(F.broadcast(lut), ["sub", "code"])
+                   .filter(F.col(id_col) != F.col("query_id"))
+                   .groupBy("query_id", id_col)
+                   .agg(F.sum("_pd").alias("_ad"), F.sum("_c2").alias("_ac2"))
+                   .join(F.broadcast(qn), "query_id")
+                   .withColumn("_acos", F.col("_ad")
+                               / (F.col("_qn") * F.sqrt("_ac2"))))
+    short = top_k_per_group(scored, ["query_id"], "_acos", shortlist,
+                            descending=True, tiebreak=[id_col])
+    # exact re-rank of the shortlist against full vectors
+    cd = as_double_vec(F.col(vec_col))
+    cv = candidates.select(F.col(id_col), cd.alias("_cv"), norm2(cd).alias("_cn"))
+    qv = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                    as_double_vec(F.col(vec_col)).alias("_qv"),
+                                    norm2(as_double_vec(F.col(vec_col))).alias("_qn2")))
+    rer = (short.select("query_id", id_col)
+                .join(cv, id_col).join(qv, "query_id")
+                .withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
+                            / (F.col("_qn2") * F.col("_cn"))))
+    top = top_k_per_group(rer, ["query_id"], "cos", k, descending=True,
+                          tiebreak=[id_col])
+    return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
