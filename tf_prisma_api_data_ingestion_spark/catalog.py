@@ -1783,6 +1783,58 @@ FROM events GROUP BY day, event_type
 """
 
 
+def q_op_schema_evolution(spark, sf_dir):
+    """Schema evolution on a long-lived table: batch 1 is written with
+    the original schema, batch 2 adds a column; ``mergeSchema`` unions
+    the schemas at read time and null-fills the missing column for old
+    files — the capability a 100 TB table needs to add fields without a
+    petabyte rewrite. (The reference's inferred-schema pandas frames
+    drift silently under the same event, SURVEY §1.3 — here the widened
+    schema is explicit and the nulls are visible.)"""
+    out = os.path.join(_fresh_dir("op-schema-evolution"), "t")
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = (ev.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "event_type",
+                    F.col("value").alias("value_v2")))
+    v1.write.parquet(os.path.join(out, "b=1"))
+    v2.write.parquet(os.path.join(out, "b=2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .option("basePath", out).parquet(out))
+    return back.select("event_id", "event_type", "value_v2")
+
+
+SQL_OP_SCHEMA_EVOLUTION = """
+SELECT event_id, event_type, NULL::DOUBLE AS value_v2
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, event_type, value AS value_v2
+FROM events WHERE event_id % 2 = 1
+"""
+
+
+def q_op_compact_files(spark, sf_dir):
+    """Small-file compaction (sinks.py compact_parquet): a fragmented
+    32-file table is rewritten to <=4 files with an atomic swap; the
+    oracle checks the table contents are byte-identical through the
+    rewrite and the file count actually dropped."""
+    from .sinks import compact_parquet
+    out = os.path.join(_fresh_dir("op-compact-files"), "t")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "event_type", "value")
+    ev.repartition(32).write.parquet(out)
+    n_after = compact_parquet(spark, out, target_files=4)
+    back = spark.read.parquet(out)
+    return back.select("event_id", "user_id", "event_type", "value",
+                       F.lit(n_after).cast("long").alias("files_after"))
+
+
+SQL_OP_COMPACT_FILES = """
+SELECT event_id, user_id, event_type, value, CAST(4 AS BIGINT) AS files_after
+FROM events
+"""
+
+
 def q_stream_static_join(spark, sf_dir):
     """Stream-static enrichment join (streaming/windows.py
     enriched_segment_counts): events stream ⋈ static customer dim ->
@@ -3544,6 +3596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream-upsert": q_stream_upsert,
     "op-incremental-agg": q_op_incremental_agg,
     "dedup-incremental": q_dedup_incremental,
+    "op-schema-evolution": q_op_schema_evolution,
+    "op-compact-files": q_op_compact_files,
 }
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
@@ -3692,6 +3746,8 @@ ORACLES: dict[str, str] = {
     "stream-upsert": SQL_STREAM_UPSERT,
     "op-incremental-agg": SQL_OP_INCREMENTAL_AGG,
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
+    "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
+    "op-compact-files": SQL_OP_COMPACT_FILES,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

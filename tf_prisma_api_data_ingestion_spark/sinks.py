@@ -227,3 +227,30 @@ class StagedRun:
         else:
             self.rollback()
         return False  # re-raise
+
+
+def compact_parquet(spark, path: str, target_files: int = 4) -> int:
+    """Small-file compaction: rewrite a parquet directory into at most
+    ``target_files`` files, publishing by atomic directory swap.
+
+    Streaming sinks and per-task commits accumulate many small files
+    (one per task per micro-batch); at 100 TB that means millions of
+    sub-row-group files whose open/footer cost dominates scans. Nightly
+    compaction is the standard maintenance op: read, coalesce (a NARROW
+    repartition — no shuffle, partitions are concatenated), rewrite,
+    swap. Returns the number of data files after compaction.
+
+    Coalesce keeps existing ordering within partitions, so a z-ordered
+    or time-ordered table stays clustered; use repartitionByRange on the
+    cluster key instead when re-sorting is wanted.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "._compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + "._precompact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return len([f for f in _glob.glob(os.path.join(path, "part-*"))])
