@@ -174,15 +174,20 @@ def test_upsert_merges_across_runs(spark, tmp_path):
     batch1 = [(1, 100, 10, "click", 1.0), (2, 200, 20, "view", 2.0)]
     batch2 = [(3, 300, 10, "purchase", 3.0), (4, 50, 30, "click", 4.0)]
     schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    spark.createDataFrame([r + (None,) for r in batch1], schema) \
-         .coalesce(1).write.parquet(str(src / "b1"))
+
+    def write(batch, mode):
+        (spark.createDataFrame([r + (None,) for r in batch], schema)
+         .withColumn("ts", F.timestamp_micros("ts"))  # canonical contract
+         .coalesce(1).write.mode(mode).parquet(str(src / "b1")))
+
+    write(batch1, "errorifexists")
     upsert_latest_state(spark, str(src / "b1"), tgt, ckpt,
                         query_name="up_t1", glob="*.parquet")
-    spark.createDataFrame([r + (None,) for r in batch2], schema) \
-         .coalesce(1).write.mode("append").parquet(str(src / "b1"))
+    write(batch2, "append")
     final = upsert_latest_state(spark, str(src / "b1"), tgt, ckpt,
                                 query_name="up_t2", glob="*.parquet")
-    state = {r.user_id: (r.event_id, r.ts, r.event_type) for r in final.collect()}
+    state = {r.user_id: (r.event_id, r.ts_us, r.event_type)
+             for r in final.withColumn("ts_us", F.unix_micros("ts")).collect()}
     assert state[10] == (3, 300, "purchase")   # later ts wins
     assert state[20] == (2, 200, "view")       # untouched key survives
     assert state[30] == (4, 50, "click")       # new key inserted

@@ -16,7 +16,7 @@ def test_windowed_counts_match_batch(spark):
     )
     got = windowed_event_counts(spark, SF_DIR, query_name="t_tumbling")
     ev = tables.load(spark, SF_DIR, "events")
-    want = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    want = (ev.withColumn("ts_t", F.col("ts"))
             .groupBy(F.window("ts_t", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events")))
     assert got.count() == want.count()
@@ -38,7 +38,7 @@ def test_append_mode_holds_back_open_windows(spark):
     # at least the last open window is held back vs the complete count
     from tf_prisma_api_data_ingestion_spark import tables
     ev = tables.load(spark, SF_DIR, "events")
-    total_windows = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    total_windows = (ev.withColumn("ts_t", F.col("ts"))
                      .groupBy(F.window("ts_t", "1 hour")).count().count())
     assert appended < total_windows
 
@@ -161,7 +161,7 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     )
     got = clicks_joined_to_purchases(spark, SF_DIR, query_name="t_ss_join")
     ev = (tables.load(spark, SF_DIR, "events")
-          .withColumn("us", F.expr("ts DIV 1000")))
+          .withColumn("us", F.unix_micros(F.col("ts"))))
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
         F.col("us").alias("c_us"))
@@ -185,7 +185,7 @@ def test_stream_dedup_matches_batch_distinct(spark):
     )
     got = deduped_daily_actions(spark, SF_DIR, query_name="t_ss_dedup")
     ev = tables.load(spark, SF_DIR, "events")
-    want = (ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    want = (ev.withColumn("ts_t", F.col("ts"))
             .select("user_id", "event_type",
                     F.date_format(F.date_trunc("day", "ts_t"),
                                   "yyyy-MM-dd").alias("day"))

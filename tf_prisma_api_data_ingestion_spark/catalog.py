@@ -15,10 +15,12 @@ Determinism rules used throughout (so value hashes match bit-for-bit):
 - Ratios are single IEEE double divisions (deterministic in both engines),
   rounded only at the output edge.
 - Every computed column is aliased identically in the Spark plan and the SQL.
-- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it as a long
-  (nanosAsLong, set defensively by tables.load); DuckDB reads µs-truncated
-  timestamps. Queries therefore compare at µs or whole-second granularity
-  and never emit the raw ts column.
+- ``events.ts`` is normalized to TIMESTAMP by ``tables.load`` (the
+  testdata generator has shipped both TIMESTAMP(NANOS) and timestamp[us];
+  the loader accepts both — see tables.py). DuckDB reads the same parquet
+  natively, so both engines see identical µs instants; queries emit time
+  as epoch-µs/seconds longs or formatted strings, never a raw timestamp
+  (raw timestamps surface as ns-vs-µs pandas dtype skew in the hash).
 
 Reference citations (P: = /root/reference/modules/src/prisma_report/lambda.py)
 appear per query; implementations are Spark-native, not ports.
@@ -54,10 +56,9 @@ from .operators.relational import (
 from .plans.inventory import INVENTORY_RUN_SQL as _INVENTORY_RUN_SQL
 from .plans.report import ALERT_REPORT_EVENTS_SQL, alert_report_events
 
-# epoch-nanos bounds for the events window queries (events data is Jan 2024)
-_NS = 10**9
-_JAN10_NS = 1704844800 * _NS   # 2024-01-10
-_JAN20_NS = 1705708800 * _NS   # 2024-01-20
+# timestamp bounds for the events window queries (events data is Jan 2024)
+_JAN10_TS = "2024-01-10 00:00:00"
+_JAN20_TS = "2024-01-20 00:00:00"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -102,10 +103,13 @@ FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 
 def q_pd_filter_range(spark, sf_dir):
     """pd-filter-range (P:238-244): absolute time-range predicate over
-    events.ts (nanos-as-long; bounds at whole-second boundaries so the
-    DuckDB µs view agrees)."""
+    events.ts (TIMESTAMP post-load); [lo, hi) expressed as inclusive
+    bounds at µs precision so it pushes into the scan as two range
+    filters."""
     ev = _t(spark, sf_dir, "events")
-    return filter_range(ev, "ts", _JAN10_NS, _JAN20_NS - 1).select(
+    lo = F.to_timestamp(F.lit(_JAN10_TS))
+    hi = F.to_timestamp(F.lit(_JAN20_TS)) - F.expr("INTERVAL 1 MICROSECOND")
+    return filter_range(ev, "ts", lo, hi).select(
         "event_id", "user_id", "event_type", "value")
 
 
@@ -280,7 +284,7 @@ def q_op_derive_ts(spark, sf_dir):
     """op-derive-ts (P:151-162): epoch-ms -> 'yyyy-MM-dd HH:mm:ss' string.
     The ms column is derived from events.ts (ns) by integer division."""
     ev = _t(spark, sf_dir, "events")
-    ms = ev.select("event_id", F.expr("ts DIV 1000000").alias("event_ms"))
+    ms = ev.select("event_id", F.unix_millis(F.col("ts")).alias("event_ms"))
     return derive_ts_columns(ms, {"event_ms": "event_time"}).select("event_id", "event_time")
 
 
@@ -736,9 +740,9 @@ def q_asof_join(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent prior (or
     simultaneous) click by the same user — one shuffle union+forward-fill,
     no O(n*m). Timestamps compared at µs so the DuckDB ASOF oracle agrees
-    with the nanos-as-long Spark side."""
+    with the Spark side (both engines see the same µs instants)."""
     ev = _t(spark, sf_dir, "events")
-    us = F.expr("ts DIV 1000").alias("ts_us")
+    us = F.unix_micros(F.col("ts")).alias("ts_us")
     p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", us)
     c = ev.filter(F.col("event_type") == "click").select("user_id", us, "value")
     joined = asof_join(p, c, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
@@ -823,7 +827,7 @@ def q_op_sessionize(spark, sf_dir):
     precision) — gap-and-islands window formulation, one shuffle."""
     from .operators.relational import sessionize
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
     gap_us = 30 * 60 * 1_000_000
     s = sessionize(ev.withColumn("user_id", F.col("user_id").cast("string")),
                    "user_id", "ts_us", gap_us)
@@ -1751,7 +1755,7 @@ def q_op_incremental_agg(spark, sf_dir):
     asserts."""
     out = os.path.join(_fresh_dir("op-incremental-agg"), "daily")
     ev = _t(spark, sf_dir, "events")
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
     daily = (ev.withColumn("day", day)
                .groupBy("day", "event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1869,7 +1873,7 @@ def q_stream_upsert(spark, sf_dir):
     upsert_latest_state(spark, sf_dir, tgt, ckpt, query_name="cat_upsert1")
     final = upsert_latest_state(spark, sf_dir, tgt, ckpt,
                                 query_name="cat_upsert2")
-    return final.select("user_id", F.expr("ts DIV 1000").alias("last_ts_us"),
+    return final.select("user_id", F.unix_micros(F.col("ts")).alias("last_ts_us"),
                         F.col("event_id").alias("last_event_id"),
                         F.col("event_type").alias("last_event_type"),
                         F.col("value").alias("last_value"))
@@ -2323,10 +2327,10 @@ def q_op_range_join(spark, sf_dir):
     clicks falling inside 5-minute incident windows opened by each error
     event. Bin-blocked equi-join — NOT a BroadcastNestedLoopJoin: both
     sides hash-shuffle on the bin key, so the plan survives 100 TB of
-    events. Compared at µs so the DuckDB µs view agrees with nanos-as-long."""
+    events. Compared at epoch-µs so the DuckDB oracle agrees exactly."""
     from .operators.relational import range_join
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(F.expr("ts DIV 1000").alias("us"), "event_type", "event_id")
+    base = ev.select(F.unix_micros(F.col("ts")).alias("us"), "event_type", "event_id")
     wins = (base.filter(F.col("event_type") == "error")
                 .select(F.col("event_id").alias("win_id"),
                         F.col("us").alias("w_start"),
@@ -2356,7 +2360,7 @@ def q_op_time_rollup(spark, sf_dir):
     at once (decimal addition is associative, so cascaded == direct)."""
     from .operators.relational import time_rollup
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(F.expr("ts DIV 1000000000").alias("sec"), "value")
+    base = ev.select(F.unix_seconds(F.col("ts")).alias("sec"), "value")
     return time_rollup(base, "sec", "value")
 
 
@@ -2657,16 +2661,15 @@ def q_op_max_concurrency(spark, sf_dir):
     peak-start timestamp unique for the oracle hash."""
     from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
-    # integer DIV, never float division: ts is LONG nanos (~1.7e18) and a
-    # double quotient is off by up to ~4e-7 s — enough to flip a second
-    # boundary vs the oracle's exact integer division. Durations use an
-    # explicit floor: Spark's double->long cast truncates, DuckDB's
-    # rounds — floor() agrees everywhere.
+    # unix_seconds gives exact integer seconds (no float math anywhere on
+    # the time axis). Durations use an explicit floor: Spark's
+    # double->long cast truncates, DuckDB's rounds — floor() agrees
+    # everywhere.
     dur = F.greatest(F.floor("value").cast("long"), F.lit(1))
     base = ev.select(
         "event_type", "event_id",
-        F.expr("ts DIV 1000000000").alias("_s"),
-        (F.expr("ts DIV 1000000000") + dur).alias("_e"))
+        F.unix_seconds(F.col("ts")).alias("_s"),
+        (F.unix_seconds(F.col("ts")) + dur).alias("_e"))
     pts = base.select(
         "event_type", "event_id",
         F.explode(F.array(
@@ -3259,7 +3262,7 @@ def q_op_window_range_frame(spark, sf_dir):
     sort is per-user-shard, never global."""
     from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
-    us = F.expr("ts DIV 1000").alias("ts_us")
+    us = F.unix_micros(F.col("ts")).alias("ts_us")
     w = (Window.partitionBy("user_id").orderBy("ts_us")
          .rangeBetween(-3_600_000_000, 0))
     return (ev.select("event_id", "user_id", us, "value")

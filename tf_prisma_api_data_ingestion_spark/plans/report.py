@@ -27,16 +27,19 @@ from pyspark.sql import functions as F
 from .. import tables
 from ..operators.relational import fill_nulls, group_agg_count, project_rename, sort_desc
 
-# Jan 2024 in epoch-nanos (events.ts is nanos-as-long; see tables.load)
-_JAN_LO_NS = 1704067200 * 10**9
-_FEB_LO_NS = 1706745600 * 10**9
+# Jan 2024 month window (events.ts is TIMESTAMP post-load; see tables.load)
+_JAN_LO = "2024-01-01 00:00:00"
+_FEB_LO = "2024-02-01 00:00:00"
 
 
 def alert_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3-shaped alert report over the events table (see module doc)."""
     ev = tables.load(spark, sf_dir, "events")
-    # stage 1-2: one filtered scan replaces policy-list + N+1 pagination
-    month = ev.filter((F.col("ts") >= _JAN_LO_NS) & (F.col("ts") < _FEB_LO_NS))
+    # stage 1-2: one filtered scan replaces policy-list + N+1 pagination;
+    # timestamp-literal bounds push into the parquet scan (P:218-244's
+    # month window, computed here as constants so runs stay pure)
+    month = ev.filter((F.col("ts") >= F.to_timestamp(F.lit(_JAN_LO)))
+                      & (F.col("ts") < F.to_timestamp(F.lit(_FEB_LO))))
     # stage 3: group + count + deterministic "first" (min, not first-seen)
     grouped = group_agg_count(
         month, ["event_type", "user_id"],

@@ -39,9 +39,9 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
     builder = (
         builder
         .appName(app_name)
-        # the driver's events.parquet uses TIMESTAMP(NANOS); Spark 4 refuses
-        # it unless nanos are surfaced as long (we convert explicitly where
-        # the query needs a timestamp — see tables.event_ts)
+        # legacy fallback: older testdata generations wrote TIMESTAMP(NANOS),
+        # which Spark 4 refuses unless surfaced as long; tables.load then
+        # normalizes either generation to a canonical ts TIMESTAMP
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")

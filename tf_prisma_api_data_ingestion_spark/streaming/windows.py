@@ -55,23 +55,26 @@ def _state_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# explicit contract (§1.3): ts is LONG because events.parquet stores
-# TIMESTAMP(NANOS) and the session reads nanos-as-long (see tables.load)
-EVENTS_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-                 "value DOUBLE, props STRING")
+# explicit contract (§1.3): ts read as TIMESTAMP — the file source needs a
+# user-supplied schema, and declaring TIMESTAMP makes the parquet reader
+# decode the physical µs int64 as an instant instead of reinterpreting it
+# as a raw long (the silent wrong-answer mode VERDICT r3 flagged). The
+# batch loader (tables.load) normalizes to the same contract, so batch
+# and stream plans agree; tables.assert_contract is the drift canary.
+EVENTS_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                 "event_type STRING, value DOUBLE, props STRING")
 
 
 def _event_stream(spark: SparkSession, sf_dir: str,
                   glob: str = "events.parquet") -> DataFrame:
-    # self-defending confs (the driver's session may have neither): nanos
-    # parquet readability + UTC so formatted window bounds match the
-    # timezone-naive oracle even when this is the first query to run
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # self-defending conf (the driver's session may lack it): UTC so
+    # formatted window bounds match the timezone-naive oracle even when
+    # this is the first query to run
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("pathGlobFilter", glob)
               .parquet(sf_dir))
-    return stream.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts_t", F.col("ts"))
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str,
