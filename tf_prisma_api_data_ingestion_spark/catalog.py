@@ -3463,7 +3463,60 @@ def q_sim_ivf_topk(spark, sf_dir):
 #                 in case the window is wider than 50, then the
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- r03 window: dedup family (LLM-pipeline north star) --
+    # ---- r04 driver window (first 50): ts-normalization fixes,
+    # ---- never-checked keys, regenerated-data re-confirmations ----
+    "plan-alert-report": q_plan_alert_report,
+    "asof-join": q_asof_join,
+    "stream-window-agg": q_stream_window_agg,
+    "stream-sliding-window": q_stream_sliding_window,
+    "stream-session-window": q_stream_session_window,
+    "stream-stateful-totals": q_stream_stateful,
+    "stream-stream-join": q_stream_stream_join,
+    "stream-dedup": q_stream_dedup,
+    "stream-sink-parquet": q_stream_sink_parquet,
+    "stream-static-join": q_stream_static_join,
+    "stream-upsert": q_stream_upsert,
+    "src-stream-alerts": q_src_stream_alerts,
+    "pd-filter-range": q_pd_filter_range,
+    "op-derive-ts": q_op_derive_ts,
+    "op-sessionize": q_op_sessionize,
+    "op-range-join": q_op_range_join,
+    "op-time-rollup": q_op_time_rollup,
+    "op-max-concurrency": q_op_max_concurrency,
+    "op-window-range-frame": q_op_window_range_frame,
+    "op-incremental-agg": q_op_incremental_agg,
+    "sketch-quantile": q_sketch_quantile,
+    "sketch-cms-topk": q_sketch_cms_topk,
+    "op-math-functions": q_op_math_functions,
+    "op-date-functions": q_op_date_functions,
+    "op-null-functions": q_op_null_functions,
+    "sql-subqueries": q_sql_subqueries,
+    "op-profile": q_op_profile,
+    "op-corrupt-capture": q_op_corrupt_capture,
+    "op-zorder-layout": q_op_zorder_layout,
+    "op-schema-evolution": q_op_schema_evolution,
+    "op-compact-files": q_op_compact_files,
+    "tpch-q4": q_tpch_q4,
+    "tpch-q7": q_tpch_q7,
+    "tpch-q10": q_tpch_q10,
+    "tpch-q14": q_tpch_q14,
+    "tpch-q15": q_tpch_q15,
+    "tpch-q17": q_tpch_q17,
+    "tpch-q18": q_tpch_q18,
+    "plan-inventory-report": q_plan_inventory_report,
+    "plan-e2e-alert": q_plan_e2e_alert,
+    "plan-corpus-clean": q_plan_corpus_clean,
+    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
+    "sketch-kmv-distinct": q_sketch_kmv_distinct,
+    "src-login": q_src_login,
+    "src-get-json": q_src_get_json,
+    "src-paginated-post": q_src_paginated_post,
+    "src-backoff": q_src_backoff,
+    "sink-csv": q_sink_csv,
+    "sink-partition": q_sink_partition,
+    "sink-rollback": q_sink_rollback,
+    # ---- entry 50 boundary: driver-green in r2/r3 (oracle checks are
+    # ---- data-relative, so prior green rows stay valid) ----
     "dedup-exact": q_dedup_exact,
     "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
     "dedup-minhash-md5": q_dedup_minhash_md5,
@@ -3474,11 +3527,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-clusters": q_dedup_clusters,
     "dedup-clusters-star": q_dedup_clusters_star,
     "dedup-incremental": q_dedup_incremental,
-    # -- r03 window: similarity search --
     "sim-bruteforce-topk": q_sim_bruteforce_topk,
     "sim-lsh-topk": q_sim_lsh_topk,
     "sim-ivf-topk": q_sim_ivf_topk,
-    # -- r03 window: text analysis --
     "text-token-count": q_text_token_count,
     "text-lang-id": q_text_lang_id,
     "text-quality": q_text_quality,
@@ -3490,85 +3541,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-pack-sequences": q_text_pack_sequences,
     "text-tfidf-top-terms": q_text_tfidf,
     "text-temperature-sample": q_text_temperature_sample,
-    # -- r03 window: streaming --
-    "stream-window-agg": q_stream_window_agg,
-    "stream-sliding-window": q_stream_sliding_window,
-    "stream-session-window": q_stream_session_window,
-    "stream-stateful-totals": q_stream_stateful,
-    "stream-stream-join": q_stream_stream_join,
-    "stream-dedup": q_stream_dedup,
-    "stream-sink-parquet": q_stream_sink_parquet,
-    "stream-static-join": q_stream_static_join,
-    "stream-upsert": q_stream_upsert,
-    "src-stream-alerts": q_src_stream_alerts,
-    # -- r03 window: end-to-end plans --
-    "plan-alert-report": q_plan_alert_report,
-    "plan-inventory-report": q_plan_inventory_report,
-    "plan-e2e-alert": q_plan_e2e_alert,
-    "plan-corpus-clean": q_plan_corpus_clean,
-    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
-    # -- r03 window: REST sources (mock-served) --
-    "src-login": q_src_login,
-    "src-get-json": q_src_get_json,
-    "src-paginated-post": q_src_paginated_post,
-    "src-backoff": q_src_backoff,
-    # -- r03 window: sinks --
-    "sink-csv": q_sink_csv,
-    "sink-partition": q_sink_partition,
-    "sink-rollback": q_sink_rollback,
-    # -- r03 window: multimodal --
     "multimodal-decode": q_multimodal_decode,
     "multimodal-frame-sample": q_multimodal_frame_sample,
-    # -- r03 window: temporal join + sketch (former err row, now oracled) --
-    "asof-join": q_asof_join,
-    "sketch-kmv-distinct": q_sketch_kmv_distinct,
-    # ---- entry 50 boundary ----
-    # -- never driver-checked: sketches + scalar batteries + maintenance --
-    "sketch-quantile": q_sketch_quantile,
-    "sketch-cms-topk": q_sketch_cms_topk,
-    "op-math-functions": q_op_math_functions,
-    "op-date-functions": q_op_date_functions,
-    "op-null-functions": q_op_null_functions,
-    "op-max-concurrency": q_op_max_concurrency,
-    "sql-subqueries": q_sql_subqueries,
-    "op-profile": q_op_profile,
-    "op-corrupt-capture": q_op_corrupt_capture,
-    "op-window-range-frame": q_op_window_range_frame,
-    "op-zorder-layout": q_op_zorder_layout,
-    "op-incremental-agg": q_op_incremental_agg,
-    "op-schema-evolution": q_op_schema_evolution,
-    "op-compact-files": q_op_compact_files,
-    # -- never driver-checked: TPC-H widening --
-    "tpch-q4": q_tpch_q4,
-    "tpch-q7": q_tpch_q7,
-    "tpch-q10": q_tpch_q10,
-    "tpch-q14": q_tpch_q14,
-    "tpch-q15": q_tpch_q15,
-    "tpch-q17": q_tpch_q17,
-    "tpch-q18": q_tpch_q18,
-    # -- r02-green (CORRECTNESS_r02.json rows on disk): TPC-H headliners --
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "tpch-q5": q_tpch_q5,
     "tpch-q6": q_tpch_q6,
     "top-k-per-group": q_top_k_per_group,
     "op-salted-join": q_op_salted_join,
-    "op-range-join": q_op_range_join,
-    "op-time-rollup": q_op_time_rollup,
-    # -- r02-green: §2.3 pushdown ops --
     "pd-filter-eq": q_pd_filter_eq,
     "pd-filter-in": q_pd_filter_in,
-    "pd-filter-range": q_pd_filter_range,
     "pd-sort": q_pd_sort,
     "pd-limit-page": q_pd_limit_page,
     "pd-groupby": q_pd_groupby,
-    # -- r02-green: §2.2 local ops --
     "op-groupagg-count": q_op_groupagg_count,
     "op-project-rename": q_op_project_rename,
     "op-fillna": q_op_fillna,
     "op-union-all": q_op_union_all,
     "op-lit-cols": q_op_lit_cols,
-    "op-derive-ts": q_op_derive_ts,
     "op-json-flatten": q_op_json_flatten,
     "op-struct-access": q_op_struct_access,
     "op-array-index": q_op_array_index,
@@ -3577,12 +3567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-upper": q_op_upper,
     "op-urlencode": q_op_urlencode,
     "src-url-gen": q_src_url_gen,
-    # -- r02-green: engine-level relational capability --
     "op-distinct": q_op_distinct,
     "op-intersect": q_op_intersect,
     "op-except": q_op_except,
     "op-rollup": q_op_rollup,
-    "op-sessionize": q_op_sessionize,
     "op-apply-in-pandas": q_op_apply_in_pandas,
     "op-udtf-chunk": q_op_udtf_chunk,
     "op-pandas-udaf": q_op_pandas_udaf,
@@ -3599,6 +3587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
 }
+
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
 # HLL / GK internals). NOT part of the driver gate: benched by bench.py
