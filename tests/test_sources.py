@@ -112,6 +112,42 @@ def test_datasource_token_mode_single_partition(spark, url, client):
     assert df.count() == mock_api.N_ALERTS
 
 
+def test_datasource_token_fanout_parallel_pages(spark, url, client):
+    """Opaque-token endpoint (no X-Total-Count, md5-style cursors only
+    resolvable server-side): token-fanout must still plan >1 partition
+    and match the serial walk exactly."""
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("path", "/v2/alerts-opaque")
+          .option("paging", "token-fanout")
+          .option("probe_key", "countOnly")
+          .option("backoff_factor", "0.01").load())
+    assert df.rdd.getNumPartitions() == 3  # one per discovered cursor
+    serial = [i["resource"]["accountId"]
+              for i in fetch_all_pages(client, "/v2/alerts-opaque", {})]
+    assert sorted(r.accountId for r in df.collect()) == sorted(serial)
+    assert len(serial) == mock_api.N_ALERTS
+
+
+def test_datasource_token_fanout_without_probe(spark, url, client):
+    """Without a probe key the driver walk downloads bodies once and
+    discards them; the fan-out result is still exact."""
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("path", "/v2/alerts-opaque")
+          .option("paging", "token-fanout")
+          .option("backoff_factor", "0.01").load())
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == mock_api.N_ALERTS
+
+
+def test_opaque_endpoint_rejects_forged_tokens(client):
+    with pytest.raises(urllib.error.HTTPError):
+        client.post_json("/v2/alerts-opaque", {"pageToken": "op-forged"})
+
+
 def test_retry_after_header_is_honored(monkeypatch):
     import urllib.error
     from tf_prisma_api_data_ingestion_spark.sources.rest import _retry_delay

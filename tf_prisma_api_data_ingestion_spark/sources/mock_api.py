@@ -115,6 +115,36 @@ class _Handler(BaseHTTPRequestHandler):
             if start + limit < N_ALERTS:
                 body["nextPageToken"] = f"page-{page + 1}"
             self._send(200, body, {"X-Total-Count": str(N_ALERTS)})
+        elif self.path == "/v2/alerts-opaque":
+            # production-shaped pagination: tokens are server-issued opaque
+            # strings (md5 of a salted offset, resolvable only via the
+            # server-side map), NO X-Total-Count — the contract the real
+            # nextPageToken chain (P:266-318) exposes. ``countOnly`` is the
+            # cheap cursor-walk probe: advances the chain without bodies.
+            if not self._authed():
+                self._send(401, {"error": "unauthorized"})
+                return
+            import hashlib
+            tokmap = self.server.opaque_tokens = getattr(
+                self.server, "opaque_tokens", {})
+            limit = int(payload.get("limit", PAGE_SIZE))
+            tok = payload.get("pageToken")
+            if tok is not None and tok not in tokmap:
+                self._send(400, {"error": "unknown pageToken"})
+                return
+            start = tokmap[tok] if tok else 0
+            body = {}
+            if payload.get("countOnly"):
+                body["items"] = []
+            else:
+                body["items"] = [alert_item(i) for i in
+                                 range(start, min(start + limit, N_ALERTS))]
+            nxt = start + limit
+            if nxt < N_ALERTS:
+                t = "op-" + hashlib.md5(f"salt:{nxt}".encode()).hexdigest()[:12]
+                tokmap[t] = nxt
+                body["nextPageToken"] = t
+            self._send(200, body)
         else:
             self._send(404, {"error": "not found"})
 

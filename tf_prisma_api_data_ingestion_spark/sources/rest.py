@@ -196,6 +196,16 @@ def register_alerts_source(spark) -> None:
       Prisma Cloud API does NOT satisfy this: its ``nextPageToken``
       (lambda.py:266-318) is an opaque server-issued token that can only
       be discovered by walking the chain.
+    - ``token-fanout``: opaque-token parallel mode for production APIs.
+      ``partitions()`` walks the token chain ON THE DRIVER to enumerate
+      page cursors — a cheap cursor-only pass when the API supports a
+      probe parameter (option ``probe_key``, merged into the payload as
+      ``{probe_key: true}``, asks for tokens without bodies; omit it and
+      the walk downloads bodies once and discards them, still O(pages)
+      driver time) — then emits ONE PARTITION PER DISCOVERED CURSOR so
+      executors re-fetch and parse pages in parallel. Planning is
+      O(pages) serial HTTP; the heavy work (body transfer, JSON parse,
+      row materialization) scales with the cluster.
     - ``token``: strict-token fallback — ONE input partition that walks
       the ``nextPageToken`` chain serially via the same logic as
       ``fetch_all_pages``. Correct against any conforming API, but
@@ -207,8 +217,9 @@ def register_alerts_source(spark) -> None:
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _Page(InputPartition):
-        def __init__(self, index: int):
+        def __init__(self, index: int, token: str | None = None):
             self.index = index
+            self.token = token
 
     class _AlertsReader(DataSourceReader):
         def __init__(self, options):
@@ -219,22 +230,49 @@ def register_alerts_source(spark) -> None:
             self.backoff = float(options.get("backoff_factor", "1.0"))
             self.filters = json.loads(options.get("filters", "{}"))
             self.paging = options.get("paging", "indexed")
+            self.probe_key = options.get("probe_key", "")
+            self.max_pages = int(options.get("max_pages", "10000"))
             self.username = options.get("username", "")
             self.password = options.get("password", "")
             self.prisma_id = options.get("prisma_id", "")
-            if self.paging not in ("indexed", "token"):
-                raise ValueError(f"paging must be indexed|token, got {self.paging!r}")
+            if self.paging not in ("indexed", "token", "token-fanout"):
+                raise ValueError("paging must be indexed|token|token-fanout,"
+                                 f" got {self.paging!r}")
 
         def _client(self) -> RestClient:
             return RestClient(self.base_url, backoff_factor=self.backoff,
                               token=self.token, username=self.username,
                               password=self.password, prisma_id=self.prisma_id)
 
+        def _walk_cursors(self) -> list:
+            """Driver-side token-chain walk: returns the page cursors
+            [None, tok1, tok2, ...]. With ``probe_key`` set the server
+            skips bodies (cursor-only probe); otherwise bodies download
+            once here and are discarded — executors re-fetch in read()."""
+            client = self._client()
+            probe = {self.probe_key: True} if self.probe_key else {}
+            cursors, token = [], None
+            for _ in range(self.max_pages):
+                cursors.append(token)
+                body = dict(self.filters, limit=self.page_size, **probe,
+                            **({"pageToken": token} if token else {}))
+                resp = client.post_json(self.path, body)
+                token = resp.body.get("nextPageToken")
+                if not token:
+                    return cursors
+            raise RuntimeError(f"cursor walk exceeded max_pages={self.max_pages}")
+
         def partitions(self):
             if self.paging == "token":
-                # opaque server tokens: pages are only discoverable by
-                # walking the chain -> a single serial partition
+                # opaque server tokens, no parallel plan requested: pages
+                # are only discoverable by walking the chain -> a single
+                # serial partition
                 return [_Page(-1)]
+            if self.paging == "token-fanout":
+                # opaque tokens, parallel plan: enumerate cursors on the
+                # driver, then one partition per discovered cursor
+                return [_Page(i, tok)
+                        for i, tok in enumerate(self._walk_cursors())]
             # indexed mode: one cheap page-0 probe learns the total; one
             # partition per page -> executors fetch in parallel (vs the
             # reference's serial 1 page/s driver loop)
@@ -251,9 +289,12 @@ def register_alerts_source(spark) -> None:
                                             page_size=self.page_size):
                     yield _alert_row(item)
                 return
-            body = dict(self.filters, limit=self.page_size,
-                        **({"pageToken": f"page-{partition.index}"}
-                           if partition.index else {}))
+            if partition.token is not None:  # token-fanout: by cursor
+                tok = {"pageToken": partition.token}
+            else:  # indexed page i, or fanout's first page (no cursor)
+                tok = ({"pageToken": f"page-{partition.index}"}
+                       if self.paging == "indexed" and partition.index else {})
+            body = dict(self.filters, limit=self.page_size, **tok)
             resp = self._client().post_json(self.path, body)
             for item in resp.body.get("items", []):
                 yield _alert_row(item)
