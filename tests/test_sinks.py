@@ -37,6 +37,25 @@ def test_staged_run_publish(tmp_path, df):
     assert not os.path.exists(os.path.join(base, "_staging", "r1"))
 
 
+def test_staged_run_nested_publish_is_rename(tmp_path, df):
+    """Nested output names (year=/month=/ from plans/e2e) must publish as
+    true same-filesystem renames, not copytree fallbacks: the staged
+    data files keep their inodes across publish."""
+    base = str(tmp_path)
+    run = StagedRun(base, "r_nested")
+    staged_path = run.stage(df, "year=2024/month=02/report")
+    inodes_before = {f: os.stat(os.path.join(staged_path, f)).st_ino
+                     for f in os.listdir(staged_path)
+                     if not f.startswith("_") and not f.startswith(".")}
+    assert inodes_before  # staged data files exist
+    run.publish()
+    dst = os.path.join(base, "year=2024", "month=02", "report")
+    assert os.path.isdir(dst)
+    inodes_after = {f: os.stat(os.path.join(dst, f)).st_ino
+                    for f in inodes_before}
+    assert inodes_after == inodes_before  # rename, not copy
+
+
 def test_staged_run_rollback_on_failure(tmp_path, df):
     base = str(tmp_path)
     with pytest.raises(RuntimeError):

@@ -19,6 +19,8 @@ session is already stopped is swallowed.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -35,8 +37,12 @@ def tracked_persist(df: DataFrame,
 
 def release_all(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were released."""
+    return _release_from(0, blocking)
+
+
+def _release_from(mark: int, blocking: bool) -> int:
     n = 0
-    while _TRACKED:
+    while len(_TRACKED) > mark:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking=blocking)
@@ -44,3 +50,20 @@ def release_all(blocking: bool = False) -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+@contextmanager
+def scope(blocking: bool = False):
+    """Release every frame tracked_persist()ed inside the block on exit —
+    the per-query hygiene hook for library callers:
+
+        with cache.scope():
+            result = minhash_lsh_dedup(docs).collect()
+
+    Frames tracked BEFORE the scope opened are untouched, so scopes nest
+    (inner scopes release only their own persists)."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        _release_from(mark, blocking)
