@@ -66,6 +66,21 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.streaming import windows as _w
     _w.windowed_event_counts(spark, "/root/testdata/sf0.001",
                              query_name="bench_stream_warmup").count()
+    # warm every headline plan once at sf0.001 (~50 docs / 6k rows): this
+    # JIT-compiles each query's whole-stage-codegen classes and loads its
+    # expression/operator classes, so the timed sf0.1 runs measure data
+    # throughput rather than first-call JVM compilation (measured: cold
+    # minhash-lsh 10.6s vs warm 3.7s at identical data). On a long-lived
+    # cluster these are one-time costs; per-query deltas vs SCALING.md
+    # stay comparable because SCALING's numbers were warm too.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
+        try:
+            fn(spark, warm_sf).count()
+        except Exception:
+            pass  # a query without sf0.001 support still times normally
+        cache.release_all(blocking=True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
