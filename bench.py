@@ -66,14 +66,19 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.streaming import windows as _w
     _w.windowed_event_counts(spark, "/root/testdata/sf0.001",
                              query_name="bench_stream_warmup").count()
-    # warm every headline plan once at sf0.001 (~50 docs / 6k rows): this
-    # JIT-compiles each query's whole-stage-codegen classes and loads its
-    # expression/operator classes, so the timed sf0.1 runs measure data
-    # throughput rather than first-call JVM compilation (measured: cold
-    # minhash-lsh 10.6s vs warm 3.7s at identical data). On a long-lived
-    # cluster these are one-time costs; per-query deltas vs SCALING.md
-    # stay comparable because SCALING's numbers were warm too.
+    # Each query is warmed once at sf0.001 (~50 docs / 6k rows)
+    # IMMEDIATELY before its timed run: the warmup JIT-compiles the
+    # query's whole-stage-codegen classes so the timed run measures data
+    # throughput, not first-call JVM compilation (measured: cold
+    # minhash-lsh 10.6s vs warm 3.7s on identical data). Warm-adjacent
+    # matters: the JVM codegen cache holds ~100 generated classes, so a
+    # warm-everything-then-time-everything loop lets later warmups evict
+    # earlier ones (measured: simhash-pairs re-compiled at 12.5s despite
+    # its warmup, 25 queries earlier). On a long-lived cluster these are
+    # one-time costs; per-query deltas vs SCALING.md stay comparable
+    # because SCALING's numbers were warm too.
     warm_sf = "/root/testdata/sf0.001"
+    timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         try:
@@ -81,10 +86,6 @@ def main() -> None:
         except Exception:
             pass  # a query without sf0.001 support still times normally
         cache.release_all(blocking=True)
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

@@ -1400,7 +1400,8 @@ def q_text_tfidf(spark, sf_dir):
     double math is bit-identical in both engines (no ln(), whose last-ulp
     behavior is libm-dependent). The tiny per-term df table is broadcast;
     the doc-side join shuffles once on doc_id."""
-    d = _t(spark, sf_dir, "documents")
+    from .parallel import fan_out
+    d = fan_out(_t(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
     # tf has 4 consumers (dlen, df, n_docs, scored): persist so the corpus
     # is tokenized/exploded exactly once; dlen/df/N are then aggregates of

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
+from ..parallel import fan_out
 from .text import normalized, normalized_tokens, tokens
 
 
@@ -120,6 +121,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     jaccard >= threshold, rounded to 4 for output. Exact when ``max_df``
     exceeds every shingle's document frequency (see ``_pair_jaccard``);
     otherwise a candidate filter whose jaccard is a lower bound."""
+    df = fan_out(df)  # shingling is CPU-bound; don't let a 1-split scan serialize it
     shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
     pairs = _pair_jaccard(shingled, max_df, id_col)
     return (pairs.filter(F.col("jaccard") >= threshold)
@@ -147,6 +149,7 @@ def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
     persisted table maintained across ingests; here it is rebuilt per
     call, which is the only sf-scale difference.
     """
+    new_df, index_df = fan_out(new_df), fan_out(index_df)
     sh_new = new_df.select(F.col(id_col).alias("new_id"),
                            word_shingles(F.col(text_col), n).alias("sh"))
     sh_idx = index_df.select(F.col(id_col).alias("index_id"),
@@ -208,6 +211,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     exact result (candidates only), each verified exactly.
     """
     rows_per_band = num_hashes // bands
+    df = fan_out(df)  # 64-permutation signatures are CPU-bound
     # _hashed: the shingle SET as 8-byte longs, materialized ONCE — the 64
     # signature permutations seed over longs instead of re-hashing full
     # strings per permutation, and the exact-Jaccard verify intersects the
@@ -271,7 +275,8 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     signature bit b = (sum > 0). The 64 per-bit sums are 64 conditional
     aggregates in a single aggregation pass (map-side partial agg applies).
     """
-    tok = (df.select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("_t"))
+    tok = (fan_out(df)
+             .select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("_t"))
              .withColumn("_h", F.xxhash64("_t")))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
@@ -521,7 +526,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     # per-vector norm computed ONCE before the pairwise join (the naive
     # cosine-per-pair recomputes both norms for every pair — 3x the flops)
     vd = as_double_vec(F.col(vec_col))
-    base = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
+    base = fan_out(df).select(F.col(id_col).alias("_id"), vd.alias("_v"),
                      norm2(vd).alias("_n"),
                      *([F.col(block_col).alias("_blk")] if block_col else []))
     a = base.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
@@ -566,8 +571,8 @@ def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
     band self-join, exact verification) is byte-for-byte the same.
     """
     rpb = num_hashes // bands
-    shingled = df.select(F.col(id_col).alias("_id"),
-                         word_shingles(F.col(text_col), n).alias("shingles"))
+    shingled = fan_out(df).select(F.col(id_col).alias("_id"),
+                                  word_shingles(F.col(text_col), n).alias("shingles"))
     # pre-hash shingles to their md5 hex once; seeds then hash short
     # fixed-length strings instead of full shingles
     shingled = tracked_persist(shingled.withColumn(
@@ -616,7 +621,8 @@ def simhash_md5(df: DataFrame, text_col: str = "text",
     single 64-aggregate pass (the throughput path), but every value is
     ANSI-SQL-reproducible.
     """
-    tok = (df.select(F.col(id_col),
+    tok = (fan_out(df)
+             .select(F.col(id_col),
                      F.explode(normalized_tokens(F.col(text_col))).alias("_t"))
              .withColumn("_h", F.md5("_t")))
     bits = tok.select(id_col, "_h",

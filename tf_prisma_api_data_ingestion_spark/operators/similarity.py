@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
+from ..parallel import fan_out
 from .dedup import as_double_vec, dot, norm2
 from .relational import top_k_per_group
 
@@ -35,7 +36,8 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     qd, cd = as_double_vec(F.col(vec_col)), as_double_vec(F.col(vec_col))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    qd.alias("_qv"), norm2(qd).alias("_qn")))
-    c = candidates.select(F.col(id_col), cd.alias("_cv"), norm2(cd).alias("_cn"))
+    c = fan_out(candidates).select(F.col(id_col), cd.alias("_cv"),
+                                   norm2(cd).alias("_cn"))
     scored = (c.crossJoin(q)
                .filter(F.col(id_col) != F.col("query_id"))
                .withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
@@ -122,7 +124,7 @@ def bucket_table(df: DataFrame, id_col: str, vec_col: str, tables: int,
     hp = hyperplanes_df(df, tables, planes_per_table, dim, mode=mode)
     vd = (quantized_vec(F.col(vec_col)) if mode == "md5"
           else as_double_vec(F.col(vec_col)))
-    v = df.select(F.col(id_col), vd.alias("_v"))
+    v = fan_out(df).select(F.col(id_col), vd.alias("_v"))
     scored = (v.crossJoin(F.broadcast(hp))
                .select(id_col, "_tbl",
                        F.when(dot(F.col("_v"), F.col("_hv")) >= 0,
@@ -273,7 +275,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     Returns (id_col, cid, _v double-vec, _n norm).
     """
     vd = as_double_vec(F.col(vec_col))
-    v = df.select(F.col(id_col), vd.alias("_v"), norm2(vd).alias("_n"))
+    v = fan_out(df).select(F.col(id_col), vd.alias("_v"), norm2(vd).alias("_n"))
     slim = (v.select(id_col, "_v", "_n")
              .crossJoin(F.broadcast(centroids))
              .withColumn("_sim", dot(F.col("_v"), F.col("_cv"))

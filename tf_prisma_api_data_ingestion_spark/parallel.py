@@ -1,0 +1,30 @@
+"""Scan fan-out for CPU-heavy derivations.
+
+Parquet splits by BYTES (spark.sql.files.maxPartitionBytes), which is the
+right default when cost scales with I/O. Operators whose cost-per-row
+dwarfs bytes-per-row (shingling, 64-permutation MinHash, per-token
+hashing, vector math) break that assumption: a small single-row-group
+file scans as ONE partition and the whole derivation serializes onto one
+core (measured: the sf0.1 documents file is 0.6 MB -> 1 partition -> the
+minhash signature pass ran 1-core-bound at 2.2 s while 15 cores idled).
+
+``fan_out`` round-robin repartitions ONLY when the scan is narrower than
+the session's parallelism — on a real cluster where the same table is
+thousands of splits it's a no-op, so operators can call it
+unconditionally. The shuffle it introduces moves just the projected
+input columns (here: raw text, ~KB/row), which is orders of magnitude
+cheaper than leaving cores idle through the expensive projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism if its
+    current plan yields fewer partitions; no-op otherwise."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
