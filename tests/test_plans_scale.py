@@ -83,8 +83,14 @@ def test_jaccard_broadcasts_only_the_hot_set(spark):
 def test_bruteforce_topk_broadcasts_queries_not_candidates(spark):
     plan = plan_of(spark, "sim-bruteforce-topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the big candidate side must not be exchanged before scoring
-    assert plan.count("Exchange") <= 2  # only the final tiny top-k shuffle
+    # the big candidate side must never be HASH-exchanged to meet the
+    # queries — scoring is shuffle-free modulo (a) the final tiny top-k
+    # window shuffle and (b) parallel.fan_out's round-robin spread of a
+    # narrow scan (which moves raw rows once, before scoring)
+    hash_exchanges = [l for l in plan.splitlines()
+                      if "Exchange hashpartitioning" in l]
+    assert len(hash_exchanges) <= 1  # the per-query top-k only
+    assert plan.count("Exchange") <= 3
 
 
 def test_groupby_has_mapside_partial_agg(spark):
