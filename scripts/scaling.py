@@ -25,17 +25,20 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("scaling")
-    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark import cache, tables
     times: dict[str, list[float]] = {}
     for sf in SFS:
         for t in tables.TABLE_NAMES:
             tables.load(spark, sf, t).count()
         for name in HEADLINE:
-            # warm codegen/plan caches once at the smallest sf so larger
+            # the smallest sf doubles as the codegen/plan warmup so larger
             # sfs measure data work, not first-compile
             t0 = time.time()
             (QUERIES.get(name) or THROUGHPUT_QUERIES[name])(spark, sf).count()
             times.setdefault(name, []).append(time.time() - t0)
+            # same hygiene as bench.py: a stale cache from query N
+            # inflates query N+1's persist pressure
+            cache.release_all(blocking=True)
 
     print("# SCALING — headline query wall time vs scale factor\n")
     print("Measured on local[$SPARK_GRAFT_CPUS]; data grows 10x per column.")
