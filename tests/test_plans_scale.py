@@ -64,8 +64,23 @@ def test_asof_join_single_shuffle_no_join_explosion(spark):
     assert "Window" in plan
 
 
-def test_jaccard_broadcasts_only_the_hot_set(spark):
+def test_jaccard_exact_mode_skips_the_cap_pass(spark):
+    """max_df=None (the catalog's exact mode) must not pay the df-count
+    aggregation or the anti-join for a cap that cannot bind."""
     df = QUERIES["dedup-ngram-jaccard"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_jaccard_broadcasts_only_the_hot_set(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = tables.load(spark, SF, "documents")
+    df = ngram_jaccard_pairs(docs, max_df=1000)  # cap active
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the broadcast HINT feeds the LEFT ANTI join (tiny hot-shingle set),
     # never the surviving corpus-sized index (round-1 verdict scale-killer,

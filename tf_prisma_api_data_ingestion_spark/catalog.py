@@ -904,7 +904,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Inverted-index exact n-gram Jaccard pairs (>= 0.2). max_df well above
     any shingle's document frequency at sf<=0.01, so results are exact."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     n=3, threshold=0.2, max_df=10**9)
+                                     n=3, threshold=0.2, max_df=None)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -999,7 +999,7 @@ def q_dedup_clusters(spark, sf_dir):
     oracle replays the same edges with a recursive CTE."""
     from .operators.dedup import dedup_clusters
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=10**9)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)
     return dedup_clusters(pairs, d.select("doc_id"))
 
 
@@ -1011,7 +1011,7 @@ def q_dedup_clusters_star(spark, sf_dir):
     must agree exactly, and DuckDB pins both."""
     from .operators.dedup import dedup_clusters_star
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=10**9)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)
     return dedup_clusters_star(pairs, d.select("doc_id"))
 
 

@@ -64,7 +64,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
+def _pair_jaccard(shingled: DataFrame, max_df: int | None, id_col: str) -> DataFrame:
     """Inverted-index exact Jaccard over (id, shingles set) rows.
 
     Emits (doc_a, doc_b, jaccard) for every pair sharing >=1 surviving
@@ -72,7 +72,7 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     index (skew guard). Set sizes still use the full set, so the jaccard
     is exact when no shingle shared by a pair was dropped, and a *lower
     bound* otherwise (dropped shingles reduce the counted intersection);
-    pass a large ``max_df`` for exact results on small corpora.
+    pass ``max_df=None`` for exact (uncapped) results on small corpora.
 
     Scale note: only the tiny *hot* shingle set (df > max_df — by
     construction at most corpus_size/max_df rows) is broadcast for a
@@ -99,10 +99,14 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
     inv = tracked_persist(
         sized.select("_id", "_m", F.explode("shingles").alias("_s"))
              .select("_id", "_m", F.xxhash64("_s").alias("_sk")))
-    # document-frequency cap: drop shingles present in too many docs
-    df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
-    hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
-    inv = inv.join(F.broadcast(hot), "_sk", "left_anti")
+    # document-frequency cap: drop shingles present in too many docs.
+    # max_df=None (exact mode: no cap) skips the df-count pass and the
+    # anti-join entirely — no point paying an extra aggregation over the
+    # postings just to subtract a provably empty set.
+    if max_df is not None:
+        df_counts = inv.groupBy("_sk").agg(F.count("*").alias("_df"))
+        hot = df_counts.filter(F.col("_df") > max_df).select("_sk")
+        inv = inv.join(F.broadcast(hot), "_sk", "left_anti")
     a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_sk")
     b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_sk")
     inter = (a.join(b, "_sk")
@@ -116,11 +120,13 @@ def _pair_jaccard(shingled: DataFrame, max_df: int, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.2, max_df: int = 1000) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = 1000) -> DataFrame:
     """N-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r) with
-    jaccard >= threshold, rounded to 4 for output. Exact when ``max_df``
-    exceeds every shingle's document frequency (see ``_pair_jaccard``);
-    otherwise a candidate filter whose jaccard is a lower bound."""
+    jaccard >= threshold, rounded to 4 for output. Exact when
+    ``max_df=None`` (or when no shingle's document frequency exceeds it
+    — see ``_pair_jaccard``); otherwise a candidate filter whose jaccard
+    is a lower bound."""
     df = fan_out(df)  # shingling is CPU-bound; don't let a 1-split scan serialize it
     shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
     pairs = _pair_jaccard(shingled, max_df, id_col)
@@ -131,7 +137,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
                               text_col: str = "text", id_col: str = "doc_id",
                               n: int = 3, threshold: float = 0.2,
-                              max_df: int = 1000) -> DataFrame:
+                              max_df: int | None = 1000) -> DataFrame:
     """Incremental near-dup check: Jaccard pairs of NEW documents against
     an EXISTING corpus index only — the production shape for a growing
     corpus, where each ingest batch is deduped against everything already
@@ -158,13 +164,15 @@ def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
         sh_idx.select("index_id", F.size("sh").alias("_mi"),
                       F.explode("sh").alias("_s"))
               .select("index_id", "_mi", F.xxhash64("_s").alias("_sk")))
-    hot = (inv_idx.groupBy("_sk").agg(F.count("*").alias("_df"))
-                  .filter(F.col("_df") > max_df).select("_sk"))
-    inv_idx_cold = inv_idx.join(F.broadcast(hot), "_sk", "left_anti")
     inv_new = (sh_new.select("new_id", F.size("sh").alias("_mn"),
                              F.explode("sh").alias("_s"))
-                     .select("new_id", "_mn", F.xxhash64("_s").alias("_sk"))
-                     .join(F.broadcast(hot), "_sk", "left_anti"))
+                     .select("new_id", "_mn", F.xxhash64("_s").alias("_sk")))
+    inv_idx_cold = inv_idx
+    if max_df is not None:
+        hot = (inv_idx.groupBy("_sk").agg(F.count("*").alias("_df"))
+                      .filter(F.col("_df") > max_df).select("_sk"))
+        inv_idx_cold = inv_idx.join(F.broadcast(hot), "_sk", "left_anti")
+        inv_new = inv_new.join(F.broadcast(hot), "_sk", "left_anti")
     inter = (inv_new.join(inv_idx_cold, "_sk")
                     .groupBy("new_id", "index_id", "_mn", "_mi")
                     .agg(F.count("*").alias("_i")))
