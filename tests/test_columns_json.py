@@ -73,3 +73,23 @@ def test_parse_json_corrupt_is_null_not_crash(spark):
     df = spark.createDataFrame([(1, "not json at all")], "id INT, j STRING")
     got = parse_json_col(df, "j", "k INT").first()
     assert got.parsed is None or got.parsed.k is None
+
+
+def test_variant_schemaless_parse_and_typed_get(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.json_ops import (
+        variant_field,
+        variant_json_col,
+    )
+    # heterogeneous payloads: a fixed from_json schema would null row 2's
+    # extra field and row 3 entirely; Variant keeps everything navigable
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": 8, "extra": [1, 2]}'),
+         (3, "not json"), (4, None)],
+        "id INT, j STRING")
+    v = variant_json_col(df, "j", out="v")
+    got = {r.id: r.k for r in
+           v.select("id", variant_field("v", "$.k", "int").alias("k")).collect()}
+    assert got == {1: 7, 2: 8, 3: None, 4: None}
+    arr = v.filter("id = 2").select(
+        variant_field("v", "$.extra[1]", "int").alias("e")).first()
+    assert arr.e == 2

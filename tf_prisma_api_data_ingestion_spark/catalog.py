@@ -326,6 +326,35 @@ FROM events
 """
 
 
+def q_op_variant_json(spark, sf_dir):
+    """Spark 4 VariantType over the props JSON column: schemaless parse
+    (try_parse_json) + typed path extraction (variant_get) + aggregate on
+    the extracted value. The Variant binary encoding makes repeated path
+    access columnar instead of re-parsing JSON text per row — the scale
+    posture for heterogeneous payloads where from_json's fixed schema
+    would drop drifting fields (SURVEY §1.3 inversion, schemaless twin
+    of op-struct-access)."""
+    from .operators.json_ops import variant_field, variant_json_col
+    ev = _t(spark, sf_dir, "events")
+    v = variant_json_col(ev, "props", out="_v")
+    k = variant_field("_v", "$.k", "int")
+    return (v.select(k.alias("prop_k"))
+             .withColumn("k_bucket", F.col("prop_k") % 10)
+             .groupBy("k_bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("prop_k").alias("sum_k")))
+
+
+SQL_OP_VARIANT_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+"""
+
+
 def q_op_array_index(spark, sf_dir):
     """op-array-index (P:324): null-safe element access (the reference
     IndexErrors on empty arrays — SURVEY §2.5.6)."""
@@ -2755,7 +2784,14 @@ def q_text_temperature_sample(spark, sf_dir):
     their source rate."""
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
-    tot = counts.agg(F.sum(F.sqrt("_n")).alias("_z"))
+    # Z accumulates per-source sqrt terms. A raw double sum is
+    # ORDER-DEPENDENT (partial-agg order vs the oracle's scan order
+    # diverged by 1 ulp at sf0.1 — enough to fail the exact hash), so
+    # each sqrt is rounded to 6 decimals and summed as DECIMAL(18,6):
+    # exact, associative, order-free; the 1e-6 quantization of Z is part
+    # of the operator's defined semantics, mirrored in the SQL.
+    sqrt_q = F.round(F.sqrt("_n"), 6).cast("decimal(18,6)")
+    tot = counts.agg(F.sum(sqrt_q).cast("double").alias("_z"))
     # target fraction per source: budget * sqrt(n_s)/Z / n_s, capped at 1
     rates = (counts.crossJoin(F.broadcast(tot))
              .select("source",
@@ -2770,7 +2806,8 @@ def q_text_temperature_sample(spark, sf_dir):
 
 SQL_TEXT_TEMPERATURE_SAMPLE = """
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-z AS (SELECT sum(sqrt(n)) AS z FROM counts),
+z AS (SELECT CAST(sum(CAST(round(sqrt(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM counts),
 rates AS (
   SELECT source, least(1.0, 200.0 * sqrt(n) / z.z / n) AS keep_rate
   FROM counts, z)
@@ -3587,6 +3624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
+    "op-variant-json": q_op_variant_json,
 }
 
 
@@ -3738,6 +3776,7 @@ ORACLES: dict[str, str] = {
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
+    "op-variant-json": SQL_OP_VARIANT_JSON,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

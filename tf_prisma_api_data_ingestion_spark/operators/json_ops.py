@@ -53,3 +53,28 @@ def select_json_fields(df: DataFrame, json_col: str, schema: StructType | str,
     parsed = parse_json_col(df, json_col, schema, out="_j")
     cols = [F.col(k) for k in keep] + [F.col(f"_j.{f}").alias(f) for f in fields]
     return parsed.select(*cols)
+
+
+def variant_json_col(df: DataFrame, col: str, out: str = "v") -> DataFrame:
+    """String JSON column -> Spark 4 VariantType (binary-encoded
+    semi-structured value).
+
+    Variant is the SCHEMALESS twin of ``parse_json_col``'s explicit
+    contract: when payload shape varies per row (the reference's alert
+    dicts drift across API versions, SURVEY §1.3), a fixed ``from_json``
+    schema either drops unknown fields or nulls entire rows, while
+    Variant keeps every field navigable and typed at extraction time.
+    The binary encoding is columnar-shredded at the scan, so repeated
+    ``variant_get`` paths cost far less than re-parsing JSON text per
+    access — the 100 TB posture for heterogeneous event payloads.
+    ``try_parse_json`` maps malformed rows to null (corrupt-capture
+    compatible) instead of failing the task.
+    """
+    return df.withColumn(out, F.try_parse_json(F.col(col)))
+
+
+def variant_field(col: str | Column, path: str, cast: str) -> Column:
+    """Typed path extraction from a Variant column:
+    ``variant_field("v", "$.k", "int")``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.variant_get(c, path, cast)
