@@ -54,6 +54,37 @@ def test_loader_accepts_legacy_nanos_long(spark, tmp_path):
     assert ev.select(F.unix_micros("ts")).first()[0] == us
 
 
+def test_streaming_accepts_legacy_nanos_long(spark, tmp_path):
+    """The streaming reader must branch on the physical ts type like
+    tables.load: a legacy TIMESTAMP(NANOS) file streams into the same
+    canonical ts/ts_t TIMESTAMP contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        upsert_latest_state,
+    )
+
+    us = 1704844800 * 10**6
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([us * 1000, (us + 5) * 1000], pa.timestamp("ns")),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["click", "view"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "events_nanos.parquet"))
+    final = upsert_latest_state(
+        spark, str(src), str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        query_name="t_legacy_nanos", glob="*.parquet")
+    row = final.select("user_id", F.unix_micros("ts").alias("us"),
+                       "event_type").first()
+    assert (row.user_id, row.us, row.event_type) == (7, us + 5, "view")
+
+
 def test_event_ts_us_helper(spark):
     from tf_prisma_api_data_ingestion_spark import tables
     ev = tables.load(spark, SF, "events")

@@ -63,6 +63,10 @@ def _state_partitions(spark: SparkSession, n: int):
 # and stream plans agree; tables.assert_contract is the drift canary.
 EVENTS_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
                  "event_type STRING, value DOUBLE, props STRING")
+# legacy generation: TIMESTAMP(NANOS) parquet surfaces as a long under
+# nanosAsLong; read it as the long it is and convert explicitly
+EVENTS_SCHEMA_NANOS = ("event_id LONG, ts LONG, user_id LONG, "
+                       "event_type STRING, value DOUBLE, props STRING")
 
 
 def _event_stream(spark: SparkSession, sf_dir: str,
@@ -71,9 +75,23 @@ def _event_stream(spark: SparkSession, sf_dir: str,
     # formatted window bounds match the timezone-naive oracle even when
     # this is the first query to run
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+    # footer-only probe so BOTH testdata generations stream correctly
+    # (same branch as tables.load): current timestamp[us] files read
+    # straight into the TIMESTAMP contract; legacy nanos-long files read
+    # as LONG and convert with integer DIV (a double division loses bits
+    # above 2^53 — epoch-nanos is ~1.7e18)
+    from pyspark.sql import types as T
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+             .schema["ts"].dataType)
+    legacy = isinstance(probe, T.LongType)
+    stream = (spark.readStream
+              .schema(EVENTS_SCHEMA_NANOS if legacy else EVENTS_SCHEMA)
               .option("pathGlobFilter", glob)
               .parquet(sf_dir))
+    if legacy:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream.withColumn("ts_t", F.col("ts"))
 
 
