@@ -215,3 +215,21 @@ def test_embedding_block_size_guard(spark):
                                  max_block_size=10**6).count()
     m = embedding_near_dup_pairs(e, block_col="label", threshold=0.35).count()
     assert n == m
+
+
+def test_results_are_partition_invariant(spark):
+    """fan_out (and any future repartitioning) must never change operator
+    output: every dedup family result is a pure function of the data, not
+    of its partitioning."""
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators import dedup
+
+    d = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for op in (lambda x: dedup.ngram_jaccard_pairs(x, max_df=None),
+               dedup.minhash_lsh_pairs,
+               dedup.simhash_pairs):
+        wide = {tuple(r) for r in op(d.repartition(16)).collect()}
+        narrow = {tuple(r) for r in op(d.coalesce(1)).collect()}
+        assert wide == narrow and wide
