@@ -3549,7 +3549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src-login": q_src_login,
     "src-get-json": q_src_get_json,
     "src-paginated-post": q_src_paginated_post,
-    "src-backoff": q_src_backoff,
+    "op-variant-json": q_op_variant_json,
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
     "sink-rollback": q_sink_rollback,
@@ -3624,7 +3624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
-    "op-variant-json": q_op_variant_json,
+    "src-backoff": q_src_backoff,
 }
 
 
