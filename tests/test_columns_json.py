@@ -93,3 +93,18 @@ def test_variant_schemaless_parse_and_typed_get(spark):
     arr = v.filter("id = 2").select(
         variant_field("v", "$.extra[1]", "int").alias("e")).first()
     assert arr.e == 2
+
+
+def test_variant_type_drift_is_null_not_crash(spark):
+    # a type-drifted field must null out row-locally, never fail the job
+    from tf_prisma_api_data_ingestion_spark.operators.json_ops import (
+        variant_field,
+        variant_json_col,
+    )
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": [1, 2]}'), (3, '{"k": {"x": 1}}')],
+        "id INT, j STRING")
+    v = variant_json_col(df, "j", out="v")
+    got = {r.id: r.k for r in
+           v.select("id", variant_field("v", "$.k", "int").alias("k")).collect()}
+    assert got == {1: 7, 2: None, 3: None}

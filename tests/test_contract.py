@@ -86,8 +86,11 @@ def test_streaming_accepts_legacy_nanos_long(spark, tmp_path):
 
 
 def test_event_ts_us_helper(spark):
+    """event_ts_us must produce the exact epoch-µs value, checked against
+    an independently-known instant (not against unix_micros of the same
+    column, which would be tautological)."""
     from tf_prisma_api_data_ingestion_spark import tables
-    ev = tables.load(spark, SF, "events")
-    # exact check via Spark itself (avoids driver-local tz ambiguity)
-    n = ev.filter(F.unix_micros("ts") != tables.event_ts_us()).count()
-    assert n == 0
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-01-10 00:00:00.123456' AS ts")
+    got = df.select(tables.event_ts_us().alias("us")).first().us
+    assert got == 1704844800 * 10**6 + 123456

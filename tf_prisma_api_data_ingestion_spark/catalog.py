@@ -930,8 +930,10 @@ _SQL_SHINGLES = """
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Inverted-index exact n-gram Jaccard pairs (>= 0.2). max_df well above
-    any shingle's document frequency at sf<=0.01, so results are exact."""
+    """Inverted-index exact n-gram Jaccard pairs (>= 0.2). max_df=None is
+    the uncapped exact mode — no df-count pass, no anti-join (the capped
+    path with its hot-shingle broadcast guard is the scale default and
+    keeps its own plan test)."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.2, max_df=None)
 

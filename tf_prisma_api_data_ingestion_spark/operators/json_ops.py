@@ -75,6 +75,12 @@ def variant_json_col(df: DataFrame, col: str, out: str = "v") -> DataFrame:
 
 def variant_field(col: str | Column, path: str, cast: str) -> Column:
     """Typed path extraction from a Variant column:
-    ``variant_field("v", "$.k", "int")``."""
+    ``variant_field("v", "$.k", "int")``.
+
+    ``try_variant_get``, not ``variant_get``: a single type-drifted row
+    (``{"k": [1]}`` where an int is expected) must become null, not fail
+    the whole job — the same row-level tolerance as ``try_parse_json``
+    above, and the only sane failure mode at 100 TB.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.variant_get(c, path, cast)
+    return F.try_variant_get(c, path, cast)

@@ -24,6 +24,19 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism if its
     current plan yields fewer partitions; no-op otherwise."""
+    if df.isStreaming:
+        return df  # micro-batch parallelism is the source's concern
+    # If the lineage already contains a width-changing operator (shuffle
+    # exchange, join, aggregate, explicit repartition), the data is
+    # spread across shuffle partitions — and, under AQE, probing .rdd on
+    # such a plan EXECUTES the shuffle stages just to learn a partition
+    # count we'd throw away. Only bare narrow plans (scan/filter/project,
+    # the shape every operator entry actually receives) reach the .rdd
+    # probe, where it is a plan-conversion no-op with no jobs.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(k in analyzed for k in ("Join", "Aggregate", "Repartition",
+                                   "Window", "Sort", "Distinct")):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -55,43 +55,37 @@ def _state_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# explicit contract (§1.3): ts read as TIMESTAMP — the file source needs a
-# user-supplied schema, and declaring TIMESTAMP makes the parquet reader
-# decode the physical µs int64 as an instant instead of reinterpreting it
-# as a raw long (the silent wrong-answer mode VERDICT r3 flagged). The
-# batch loader (tables.load) normalizes to the same contract, so batch
-# and stream plans agree; tables.assert_contract is the drift canary.
-EVENTS_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
-                 "event_type STRING, value DOUBLE, props STRING")
-# legacy generation: TIMESTAMP(NANOS) parquet surfaces as a long under
-# nanosAsLong; read it as the long it is and convert explicitly
-EVENTS_SCHEMA_NANOS = ("event_id LONG, ts LONG, user_id LONG, "
-                       "event_type STRING, value DOUBLE, props STRING")
-
-
 def _event_stream(spark: SparkSession, sf_dir: str,
                   glob: str = "events.parquet") -> DataFrame:
-    # self-defending conf (the driver's session may lack it): UTC so
-    # formatted window bounds match the timezone-naive oracle even when
-    # this is the first query to run
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # footer-only probe so BOTH testdata generations stream correctly
-    # (same branch as tables.load): current timestamp[us] files read
-    # straight into the TIMESTAMP contract; legacy nanos-long files read
-    # as LONG and convert with integer DIV (a double division loses bits
-    # above 2^53 — epoch-nanos is ~1.7e18)
+    # explicit contract (§1.3): ts read as TIMESTAMP — the file source
+    # needs a user-supplied schema, and declaring TIMESTAMP makes the
+    # parquet reader decode the physical µs int64 as an instant instead
+    # of reinterpreting it as a raw long (the silent wrong-answer mode
+    # VERDICT r3 flagged). Schema text and the legacy-nanos branch both
+    # come from tables.py, so the contract lives in ONE place; a
+    # footer-only probe picks the generation (same branch as
+    # tables.load). An empty/not-yet-populated source dir streams with
+    # the current-generation schema — the probe only exists to catch
+    # legacy files, and files appearing later were always required to
+    # match the schema the stream started with (file-source contract).
     from pyspark.sql import types as T
+
+    from .. import tables
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = (spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-             .schema["ts"].dataType)
-    legacy = isinstance(probe, T.LongType)
+    try:
+        probe = (spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+                 .schema["ts"].dataType)
+        legacy = isinstance(probe, T.LongType)
+    except Exception:  # no matching files yet: assume current generation
+        legacy = False
     stream = (spark.readStream
-              .schema(EVENTS_SCHEMA_NANOS if legacy else EVENTS_SCHEMA)
+              .schema(tables.events_ddl(legacy_nanos=legacy))
               .option("pathGlobFilter", glob)
               .parquet(sf_dir))
     if legacy:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = tables.normalize_legacy_ts(stream)
     return stream.withColumn("ts_t", F.col("ts"))
 
 

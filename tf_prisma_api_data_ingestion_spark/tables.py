@@ -50,6 +50,27 @@ def _events_read_schema() -> T.StructType:
     return T.StructType([T.StructField(n, t, True) for n, t in EVENTS_FIELDS])
 
 
+def events_ddl(legacy_nanos: bool = False) -> str:
+    """The canonical events read schema as DDL, for readers that must
+    supply one (the streaming file source). ``legacy_nanos=True`` swaps
+    ts to LONG — the physical shape of the TIMESTAMP(NANOS) generation
+    under nanosAsLong; convert with ``normalize_legacy_ts``. ONE source
+    of truth (EVENTS_FIELDS) for every reader, so the next schema drift
+    is a one-place fix."""
+    def ddl(n, t):
+        if n == "ts" and legacy_nanos:
+            return "ts LONG"
+        return f"{n} {t.simpleString().upper()}"
+    return ", ".join(ddl(n, t) for n, t in EVENTS_FIELDS)
+
+
+def normalize_legacy_ts(df: DataFrame) -> DataFrame:
+    """nanos-long ts -> canonical TIMESTAMP. Integer DIV keeps full
+    precision — a double division loses bits above 2^53 (epoch-nanos is
+    ~1.7e18)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -68,10 +89,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        # legacy generation: TIMESTAMP(NANOS) surfaced as epoch-nanos long.
-        # Integer DIV keeps full precision — a double division would lose
-        # bits above 2^53 (epoch-nanos is ~1.7e18).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # legacy generation: TIMESTAMP(NANOS) surfaced as epoch-nanos long
+        return normalize_legacy_ts(df)
     if isinstance(ts_type, T.TimestampNTZType):
         # current generation: naive timestamp[us]. Re-read with an explicit
         # TIMESTAMP (LTZ) schema instead of casting NTZ->LTZ post-scan:
@@ -82,9 +101,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def event_ts(col: str = "ts"):
-    """Canonical event-time column (TIMESTAMP). ``load`` already
-    normalizes ``events.ts``, so this is a stable alias for consumers
-    that predate the normalization."""
+    """Canonical event-time column (TIMESTAMP) for frames produced by
+    ``load`` — POST-normalization only. Do NOT point this at a raw
+    legacy nanos-long column (a LONG cast to timestamp is read as epoch
+    SECONDS, silently landing ~50,000 years out); raw legacy frames go
+    through ``normalize_legacy_ts`` (or just use ``load``) first."""
     return F.col(col).cast("timestamp")
 
 
