@@ -236,3 +236,24 @@ def test_temperature_sample_rates_broadcast(spark):
     plan = plan_of(spark, "text-temperature-sample")
     # the per-source rate table is tiny -> broadcast back onto the corpus
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_to_training_bin_invariants(spark):
+    """Every bin offset is inside the budget; per-source bins are dense
+    from 0; output only contains cleaned survivors."""
+    from tf_prisma_api_data_ingestion_spark.plans.corpus import (
+        corpus_clean_v2,
+        corpus_to_training,
+    )
+    out = corpus_to_training(spark, SF, budget=512).cache()
+    import pyspark.sql.functions as F
+    assert out.filter((F.col("bin_offset") < 0)
+                      | (F.col("bin_offset") >= 512)).count() == 0
+    # bins per source are contiguous 0..max
+    per_src = (out.groupBy("source")
+               .agg(F.countDistinct("bin_id").alias("nb"),
+                    (F.max("bin_id") + 1).alias("want")).collect())
+    assert all(r.nb == r.want for r in per_src)
+    kept = {r.doc_id for r in corpus_clean_v2(spark, SF).select("doc_id").collect()}
+    assert {r.doc_id for r in out.collect()} <= kept
+    out.unpersist()

@@ -2297,6 +2297,47 @@ def q_plan_corpus_clean_v2(spark, sf_dir):
     return corpus_clean_v2(spark, sf_dir)
 
 
+def q_plan_corpus_train(spark, sf_dir):
+    """The complete training-data pipeline end-to-end: corpus_clean_v2
+    (quality -> repetition -> decontamination -> exact dedup -> near-dup
+    keep-list) -> temperature sampling (alpha=0.5 source rebalancing,
+    md5 keep-threshold) -> 512-token sequence packing. One oracle replays
+    all five stages; output is the (doc_id, source, n_tokens, bin_id,
+    bin_offset) layout a trainer's loader consumes."""
+    from .plans.corpus import corpus_to_training
+    return corpus_to_training(spark, sf_dir, budget=512, sample_budget=150.0)
+
+
+def _sql_plan_corpus_train() -> str:
+    return f"""
+WITH kept AS (SELECT doc_id FROM ({_sql_corpus_clean_v2()}) k),
+docs AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+counts AS (SELECT source, count(*) AS n FROM docs GROUP BY source),
+z AS (SELECT CAST(sum(CAST(round(sqrt(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM counts),
+rates AS (SELECT source, least(1.0, 150.0 * sqrt(n) / z.z / n) AS keep_rate
+          FROM counts, z),
+samp AS (
+  SELECT d.* FROM docs d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < CAST(FLOOR(r.keep_rate * 1000000.0) AS BIGINT)),
+t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM samp),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // 512 AS BIGINT) AS bin_id,
+       CAST(before % 512 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 def _sql_corpus_clean_v2() -> str:
     return f"""
 WITH RECURSIVE
@@ -3547,6 +3588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-e2e-alert": q_plan_e2e_alert,
     "plan-corpus-clean": q_plan_corpus_clean,
     "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
+    "plan-corpus-train": q_plan_corpus_train,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
     "src-login": q_src_login,
     "src-get-json": q_src_get_json,
@@ -3778,6 +3820,7 @@ ORACLES: dict[str, str] = {
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
+    "plan-corpus-train": _sql_plan_corpus_train(),
     "op-variant-json": SQL_OP_VARIANT_JSON,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.

@@ -49,7 +49,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     # sf0.1 with the cache)
     docs = tracked_persist(q.join(keep_exact, "doc_id"))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
-                                max_df=10**9)
+                                max_df=None)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
                               docs.select("doc_id"))
     keep = (clusters.groupBy("cluster_id")
@@ -97,7 +97,7 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
                   .select("doc_id"))
     docs = tracked_persist(base.join(keep_exact, "doc_id"))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
-                                max_df=10**9)
+                                max_df=None)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
                               docs.select("doc_id"))
     keep = (clusters.groupBy("cluster_id")
@@ -105,3 +105,47 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
                     .select("doc_id"))
     return docs.join(keep, "doc_id").select("doc_id", "n_tokens",
                                             "quality_score", "dup_frac")
+
+
+def corpus_to_training(spark: SparkSession, sf_dir: str,
+                       budget: int = 512,
+                       sample_budget: float = 150.0,
+                       **clean_kwargs) -> DataFrame:
+    """The COMPLETE training-data pipeline, cleaned corpus to packed
+    training bins:
+
+        corpus_clean_v2 (quality -> repetition -> decontamination ->
+        exact dedup -> near-dup keep-list)
+          -> temperature sampling (alpha=0.5 source rebalancing,
+             deterministic md5 keep-threshold — no RNG)
+          -> fixed-token sequence packing (per-shard running sum,
+             ``budget`` tokens per bin)
+
+    Returns (doc_id, source, n_tokens, bin_id, bin_offset) — the layout a
+    trainer's data loader consumes. Stage ordering is the scale story
+    extended one level: sampling runs AFTER near-dup removal (sampling
+    first would let surviving duplicates distort the source statistics)
+    and BEFORE packing (bins must be contiguous over the final doc set).
+    Every stage is deterministic, so the whole five-stage composition is
+    replayed by one DuckDB oracle.
+    """
+    from ..operators.text import pack_sequences
+
+    kept = corpus_clean_v2(spark, sf_dir, **clean_kwargs).select("doc_id")
+    d = tables.load(spark, sf_dir, "documents")
+    docs = tracked_persist(d.join(kept, "doc_id"))
+    # per-source sqrt rates over the SURVIVORS (same decimal-quantized Z
+    # as text-temperature-sample: order-free, cross-engine exact)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    sqrt_q = F.round(F.sqrt("_n"), 6).cast("decimal(18,6)")
+    tot = counts.agg(F.sum(sqrt_q).cast("double").alias("_z"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.least(F.lit(1.0),
+                             F.lit(sample_budget) * F.sqrt("_n")
+                             / F.col("_z") / F.col("_n")).alias("keep_rate")))
+    from ..operators.dedup import md5_hash60
+    h = md5_hash60(F.col("doc_id").cast("string")) % 1_000_000
+    sampled = (docs.join(F.broadcast(rates), "source")
+               .filter(h < F.floor(F.col("keep_rate") * 1_000_000.0)))
+    return pack_sequences(sampled, budget=budget)
