@@ -34,6 +34,8 @@ AUDIT = (
     ("text-repetition", "pure per-row map over the corpus scan — zero exchanges"),
     ("sim-lsh-topk", "md5 integer hyperplanes broadcast; one bucket equality join + exact re-rank"),
     ("plan-corpus-clean-v2", "quality+repetition in ONE corpus pass; contamination bank broadcast; shingle join last"),
+    ("plan-corpus-train", "five-stage clean->sample->pack: rates broadcast onto survivors; packing is per-shard windows, no global sort"),
+    ("op-variant-json", "schemaless Variant parse in the scan projection; one group exchange on the extracted key"),
     ("tpch-q4", "EXISTS -> left-semi; date conjunct as join residual, never nested-loop"),
     ("tpch-q7", "nation dims hint-broadcast on both legs; fact joins stats-driven"),
     ("tpch-q10", "returnflag + quarter predicates pushed to both fact scans; deterministic TakeOrdered top-20"),
