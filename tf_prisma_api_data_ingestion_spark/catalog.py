@@ -1005,9 +1005,14 @@ _SQL_COS = ("list_dot_product({a}, {b}) / "
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs, blocked on the label column (the coarse-
-    quantizer stand-in): exact cosine within blocks, threshold 0.35."""
+    quantizer stand-in): exact cosine within blocks, threshold 0.35.
+    max_block_size makes the quadratic-within-block budget EXPLICIT: the
+    query refuses to run (naming the offending block and the LSH
+    alternative) rather than silently launching an n^2 join if a block
+    outgrows it — dedup-embedding-lsh is the unbounded-scale path."""
     return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
-                                          block_col="label", threshold=0.35)
+                                          block_col="label", threshold=0.35,
+                                          max_block_size=100_000)
 
 
 SQL_DEDUP_EMBEDDING = f"""
