@@ -143,6 +143,20 @@ def test_datasource_token_fanout_without_probe(spark, url, client):
     assert df.count() == mock_api.N_ALERTS
 
 
+@pytest.mark.parametrize("page_size,n_parts", [(50, 5), (237, 1), (300, 1)])
+def test_token_fanout_page_size_extremes(spark, url, client, page_size, n_parts):
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("path", "/v2/alerts-opaque")
+          .option("paging", "token-fanout")
+          .option("probe_key", "countOnly")
+          .option("page_size", str(page_size))
+          .option("backoff_factor", "0.01").load())
+    assert df.rdd.getNumPartitions() == n_parts
+    assert df.count() == mock_api.N_ALERTS
+
+
 def test_opaque_endpoint_rejects_forged_tokens(client):
     with pytest.raises(urllib.error.HTTPError):
         client.post_json("/v2/alerts-opaque", {"pageToken": "op-forged"})
