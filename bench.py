@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 HEADLINE = (
@@ -83,8 +84,11 @@ def main() -> None:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         try:
             fn(spark, warm_sf).count()
-        except Exception:
-            pass  # a query without sf0.001 support still times normally
+        except Exception as ex:  # noqa: BLE001 — warmup is best-effort,
+            # but a swallowed failure means the timed run pays cold
+            # compilation, so surface it instead of hiding the 3x jump
+            print(f"# warmup failed for {name}: {type(ex).__name__}: "
+                  f"{str(ex)[:120]}", file=sys.stderr, flush=True)
         cache.release_all(blocking=True)
         t0 = time.time()
         fn(spark, sf_dir).count()

@@ -208,8 +208,12 @@ def test_embedding_block_size_guard(spark):
     from tf_prisma_api_data_ingestion_spark.operators.dedup import (
         embedding_near_dup_pairs)
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    with pytest.raises(ValueError, match="quadratic"):
-        embedding_near_dup_pairs(e, block_col="label", max_block_size=2)
+    # the guard is LAZY: construction is free, the assertion fires at the
+    # first action naming the offending block
+    over_budget = embedding_near_dup_pairs(e, block_col="label",
+                                           max_block_size=2)
+    with pytest.raises(Exception, match="quadratic"):
+        over_budget.count()
     # generous budget: behaves exactly like the unguarded call
     n = embedding_near_dup_pairs(e, block_col="label", threshold=0.35,
                                  max_block_size=10**6).count()

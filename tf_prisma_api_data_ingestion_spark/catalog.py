@@ -345,13 +345,18 @@ def q_op_variant_json(spark, sf_dir):
                   F.sum("prop_k").alias("sum_k")))
 
 
+# json_valid + TRY_CAST mirror the Spark side's try_parse_json +
+# try_variant_get: malformed or type-drifted rows become NULL in BOTH
+# engines instead of erroring the oracle while Spark succeeds
 SQL_OP_VARIANT_JSON = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-       count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
-            AS BIGINT) AS sum_k
-FROM events
-GROUP BY 1
+WITH k AS (
+  SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INTEGER) AS prop_k
+  FROM events)
+SELECT prop_k % 10 AS k_bucket, count(*) AS n,
+       CAST(sum(prop_k) AS BIGINT) AS sum_k
+FROM k GROUP BY 1
 """
 
 
@@ -2831,24 +2836,7 @@ def q_text_temperature_sample(spark, sf_dir):
     divide, floor) is bit-exact cross-engine. Returns kept docs with
     their source rate."""
     d = _t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
-    # Z accumulates per-source sqrt terms. A raw double sum is
-    # ORDER-DEPENDENT (partial-agg order vs the oracle's scan order
-    # diverged by 1 ulp at sf0.1 — enough to fail the exact hash), so
-    # each sqrt is rounded to 6 decimals and summed as DECIMAL(18,6):
-    # exact, associative, order-free; the 1e-6 quantization of Z is part
-    # of the operator's defined semantics, mirrored in the SQL.
-    sqrt_q = F.round(F.sqrt("_n"), 6).cast("decimal(18,6)")
-    tot = counts.agg(F.sum(sqrt_q).cast("double").alias("_z"))
-    # target fraction per source: budget * sqrt(n_s)/Z / n_s, capped at 1
-    rates = (counts.crossJoin(F.broadcast(tot))
-             .select("source",
-                     F.least(F.lit(1.0),
-                             F.lit(200.0) * F.sqrt("_n") / F.col("_z")
-                             / F.col("_n")).alias("keep_rate")))
-    h = dedup.md5_hash60(F.col("doc_id").cast("string")) % 1_000_000
-    return (d.join(F.broadcast(rates), "source")
-            .filter(h < F.floor(F.col("keep_rate") * 1_000_000.0))
+    return (text.temperature_sample(d, budget=200.0)
             .select("doc_id", "source", "keep_rate"))
 
 
@@ -3601,9 +3589,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-variant-json": q_op_variant_json,
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
-    "sink-rollback": q_sink_rollback,
     # ---- entry 50 boundary: driver-green in r2/r3 (oracle checks are
     # ---- data-relative, so prior green rows stay valid) ----
+    "sink-rollback": q_sink_rollback,
     "dedup-exact": q_dedup_exact,
     "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
     "dedup-minhash-md5": q_dedup_minhash_md5,

@@ -503,10 +503,10 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     key is a pre-existing coarse quantizer — label, cluster id, shard).
     This path is deliberately QUADRATIC WITHIN EACH BLOCK — it is the
     exact baseline, safe only while blocks stay small. Pass
-    ``max_block_size`` to make that assumption explicit: one cheap
-    groupBy pre-checks block sizes and raises (naming the offending
-    block and the LSH alternative) instead of silently launching an
-    n² join when a block outgrew the budget.
+    ``max_block_size`` to make that assumption explicit: a lazy in-plan
+    assertion fails the job at execution (naming the offending block and
+    the LSH alternative) instead of silently running an n² join when a
+    block outgrew the budget.
     With NO block column this delegates to
     ``similarity.lsh_near_dup_pairs`` — random-hyperplane LSH blocking
     with exact verification — because an unblocked all-pairs cross join is
@@ -522,15 +522,26 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         return lsh_near_dup_pairs(df, id_col=id_col, vec_col=vec_col,
                                   threshold=threshold, dim=len(first[0]))
     if max_block_size is not None:
-        biggest = (df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
-                     .orderBy(F.col("_n").desc()).first())
-        if biggest and biggest["_n"] > max_block_size:
-            raise ValueError(
-                f"block {biggest[block_col]!r} has {biggest['_n']} vectors "
-                f"(> max_block_size={max_block_size}); the within-block "
-                f"exact join is quadratic — use "
-                f"similarity.lsh_near_dup_pairs (block_col=None) or a "
-                f"finer coarse quantizer for blocks this large")
+        # LAZY in-plan guard (no eager job at construction — building the
+        # frame for explain/bench-warmup must not scan the table): a
+        # per-block window count feeds assert_true, which throws at
+        # EXECUTION naming the offending block; the isnull filter is
+        # always-true but un-prunable, so the assertion survives
+        # optimization. The window's block_col exchange is the same
+        # partitioning the pair join needs anyway.
+        from pyspark.sql.window import Window
+        blk_n = F.count(F.lit(1)).over(Window.partitionBy(block_col))
+        guard = F.assert_true(
+            F.col("_blk_n") <= F.lit(max_block_size),
+            F.concat(F.lit("block "), F.col(block_col).cast("string"),
+                     F.lit(f" has more than max_block_size="
+                           f"{max_block_size} vectors; the within-block "
+                           "exact join is quadratic — use "
+                           "similarity.lsh_near_dup_pairs (block_col="
+                           "None) or a finer coarse quantizer")))
+        df = (df.withColumn("_blk_n", blk_n)
+                .filter(F.isnull(guard))
+                .drop("_blk_n"))
     # per-vector norm computed ONCE before the pairwise join (the naive
     # cosine-per-pair recomputes both norms for every pair — 3x the flops)
     vd = as_double_vec(F.col(vec_col))

@@ -226,3 +226,34 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
         n_tok.cast("long").alias("n_tokens"),
         F.floor(before / budget).cast("long").alias("bin_id"),
         (before % budget).cast("long").alias("bin_offset"))
+
+
+def temperature_sample(df: DataFrame, budget: float,
+                       source_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Mixture reweighting by temperature sampling (alpha=0.5 source
+    rebalancing): per-source keep rates proportional to sqrt(n_source),
+    applied via a deterministic md5 keep-threshold — no RNG, exactly
+    reproducible cross-engine. Returns the kept rows of ``df`` with a
+    ``keep_rate`` column appended.
+
+    Z accumulates per-source sqrt terms. A raw double sum is
+    ORDER-DEPENDENT (partial-agg order vs an oracle's scan order diverged
+    by 1 ulp at sf0.1 — enough to fail an exact hash), so each sqrt is
+    rounded to 6 decimals and summed as DECIMAL(18,6): exact,
+    associative, order-free; the 1e-6 quantization of Z is part of the
+    operator's defined semantics.
+    """
+    from .dedup import md5_hash60  # deferred: dedup imports this module
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    sqrt_q = F.round(F.sqrt("_n"), 6).cast("decimal(18,6)")
+    tot = counts.agg(F.sum(sqrt_q).cast("double").alias("_z"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select(source_col,
+                     F.least(F.lit(1.0),
+                             F.lit(float(budget)) * F.sqrt("_n")
+                             / F.col("_z") / F.col("_n")).alias("keep_rate")))
+    h = md5_hash60(F.col(id_col).cast("string")) % 1_000_000
+    return (df.join(F.broadcast(rates), source_col)
+            .filter(h < F.floor(F.col("keep_rate") * 1_000_000.0)))

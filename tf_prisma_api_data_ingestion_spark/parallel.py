@@ -26,16 +26,21 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     current plan yields fewer partitions; no-op otherwise."""
     if df.isStreaming:
         return df  # micro-batch parallelism is the source's concern
-    # If the lineage already contains a width-changing operator (shuffle
-    # exchange, join, aggregate, explicit repartition), the data is
+    # If the lineage already contains a shuffle-inducing operator (join,
+    # aggregate, repartition, window, sort, dedup, set-op), the data is
     # spread across shuffle partitions — and, under AQE, probing .rdd on
     # such a plan EXECUTES the shuffle stages just to learn a partition
-    # count we'd throw away. Only bare narrow plans (scan/filter/project,
-    # the shape every operator entry actually receives) reach the .rdd
-    # probe, where it is a plan-conversion no-op with no jobs.
+    # count we'd throw away. Only narrow plans (scan/filter/project/
+    # explode, the shape every operator entry actually receives) reach
+    # the .rdd probe, where it is a plan-conversion no-op with no jobs.
+    # Word-boundary match on node names: distinct()/dropDuplicates()
+    # print as "Deduplicate", and a bare substring test would both miss
+    # it and false-positive on e.g. a file path containing "Sort".
+    import re
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(k in analyzed for k in ("Join", "Aggregate", "Repartition",
-                                   "Window", "Sort", "Distinct")):
+    shuffly = re.compile(r"\b(Join|Aggregate|Repartition(?:ByExpression)?|"
+                         r"Window|Sort|Deduplicate|Intersect|Except)\b")
+    if shuffly.search(analyzed):
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

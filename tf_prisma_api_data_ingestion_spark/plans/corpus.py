@@ -129,23 +129,12 @@ def corpus_to_training(spark: SparkSession, sf_dir: str,
     Every stage is deterministic, so the whole five-stage composition is
     replayed by one DuckDB oracle.
     """
-    from ..operators.text import pack_sequences
+    from ..operators.text import pack_sequences, temperature_sample
 
     kept = corpus_clean_v2(spark, sf_dir, **clean_kwargs).select("doc_id")
     d = tables.load(spark, sf_dir, "documents")
     docs = tracked_persist(d.join(kept, "doc_id"))
-    # per-source sqrt rates over the SURVIVORS (same decimal-quantized Z
-    # as text-temperature-sample: order-free, cross-engine exact)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
-    sqrt_q = F.round(F.sqrt("_n"), 6).cast("decimal(18,6)")
-    tot = counts.agg(F.sum(sqrt_q).cast("double").alias("_z"))
-    rates = (counts.crossJoin(F.broadcast(tot))
-             .select("source",
-                     F.least(F.lit(1.0),
-                             F.lit(sample_budget) * F.sqrt("_n")
-                             / F.col("_z") / F.col("_n")).alias("keep_rate")))
-    from ..operators.dedup import md5_hash60
-    h = md5_hash60(F.col("doc_id").cast("string")) % 1_000_000
-    sampled = (docs.join(F.broadcast(rates), "source")
-               .filter(h < F.floor(F.col("keep_rate") * 1_000_000.0)))
+    # per-source sqrt rates over the SURVIVORS (one shared operator with
+    # text-temperature-sample — decimal-quantized Z, order-free, exact)
+    sampled = temperature_sample(docs, budget=sample_budget)
     return pack_sequences(sampled, budget=budget)

@@ -125,8 +125,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(401, {"error": "unauthorized"})
                 return
             import hashlib
-            tokmap = self.server.opaque_tokens = getattr(
-                self.server, "opaque_tokens", {})
+            # setdefault on the instance __dict__ is atomic under the
+            # GIL — two concurrent first requests must share ONE map or
+            # a token issued by the loser vanishes (ThreadingHTTPServer)
+            tokmap = self.server.__dict__.setdefault("opaque_tokens", {})
             limit = int(payload.get("limit", PAGE_SIZE))
             tok = payload.get("pageToken")
             if tok is not None and tok not in tokmap:
