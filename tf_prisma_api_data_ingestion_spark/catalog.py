@@ -591,6 +591,66 @@ FROM a
 """
 
 
+def q_sketch_kmv_union(spark, sf_dir):
+    """KMV sketch MERGE — the property that makes sketches work in a
+    map-reduce world: per-subset bottom-k sketches (engaged = click/view
+    users, converting = purchase/error users) are built independently
+    and UNIONED by taking the bottom-k of the combined min-sets; the
+    merged sketch estimates |A ∪ B| distinct users without ever seeing
+    the union's raw rows. If the merged distinct min-set is still
+    smaller than k, both inputs retained every hash and the union count
+    is exact. Bit-exact replayable in SQL (md5-based KMV, no HLL
+    registers)."""
+    ev = _t(spark, sf_dir, "events")
+    h = dedup.md5_hash60(F.col("user_id").cast("string"))
+
+    def minset(types):
+        d = (ev.filter(F.col("event_type").isin(*types))
+               .select(h.alias("_h")).distinct())
+        sh = (d.groupBy(F.pmod("_h", F.lit(64)).alias("_shard"))
+                .agg(F.slice(F.array_sort(F.collect_list("_h")), 1, KMV_K)
+                      .alias("_mins")))
+        return sh.agg(F.slice(F.array_sort(F.flatten(F.collect_list("_mins"))),
+                              1, KMV_K).alias("_mins"))
+
+    a = minset(["click", "view"]).select(F.col("_mins").alias("_ma"))
+    b = minset(["purchase", "error"]).select(F.col("_mins").alias("_mb"))
+    merged = F.array_sort(F.array_distinct(F.concat("_ma", "_mb")))
+    kth = F.get(merged, KMV_K - 1)
+    est = F.when(F.size(merged) >= KMV_K,
+                 F.floor(F.lit(float(KMV_K - 1)) * F.lit(float(2 ** 60))
+                         / kth.cast("double")).cast("long")
+                 ).otherwise(F.size(merged).cast("long"))
+    return (a.crossJoin(b)
+            .select(est.alias("union_distinct_est"),
+                    F.size("_ma").cast("long").alias("sketch_a_size"),
+                    F.size("_mb").cast("long").alias("sketch_b_size")))
+
+
+SQL_SKETCH_KMV_UNION = f"""
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS _h
+  FROM events WHERE event_type IN ('click', 'view')),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS _h
+  FROM events WHERE event_type IN ('purchase', 'error')),
+ma AS (SELECT _h FROM ha ORDER BY _h LIMIT {KMV_K}),
+mb AS (SELECT _h FROM hb ORDER BY _h LIMIT {KMV_K}),
+m AS (SELECT DISTINCT _h FROM (SELECT _h FROM ma UNION ALL SELECT _h FROM mb) u),
+r AS (SELECT _h, row_number() OVER (ORDER BY _h) AS _rn FROM m),
+agg AS (SELECT count(*) AS _n,
+               max(CASE WHEN _rn = {KMV_K} THEN _h END) AS _kth
+        FROM r)
+SELECT CASE WHEN _n >= {KMV_K}
+            THEN CAST(FLOOR({float(KMV_K - 1)!r} * {float(2 ** 60)!r}
+                            / CAST(_kth AS DOUBLE)) AS BIGINT)
+            ELSE CAST(_n AS BIGINT) END AS union_distinct_est,
+       (SELECT count(*) FROM ma) AS sketch_a_size,
+       (SELECT count(*) FROM mb) AS sketch_b_size
+FROM agg
+"""
+
+
 def q_sketch_quantile_gk(spark, sf_dir):
     """Greenwald-Khanna approximate quantiles of event values (bounded-
     memory mergeable sketch — the streaming/throughput path). GK compress
@@ -3662,6 +3722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
     "src-backoff": q_src_backoff,
+    "sketch-kmv-union": q_sketch_kmv_union,
 }
 
 
@@ -3813,6 +3874,7 @@ ORACLES: dict[str, str] = {
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
+    "sketch-kmv-union": SQL_SKETCH_KMV_UNION,
     "plan-corpus-train": _sql_plan_corpus_train(),
     "op-variant-json": SQL_OP_VARIANT_JSON,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
