@@ -94,3 +94,23 @@ def test_every_throughput_query_runs(spark):
     for name, fn in THROUGHPUT_QUERIES.items():
         n = fn(spark, "/root/testdata/sf0.001").count()
         assert n >= 0, name
+
+
+def test_kmv_union_estimate_accuracy(spark):
+    """The merged sketch's estimate must be close to the TRUE distinct
+    union count (KMV standard error ~ 1/sqrt(k-2), k=64 -> ~13%; assert
+    a generous 3-sigma band), and subset sketches stay bounded by k."""
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.catalog import KMV_K, q_sketch_kmv_union
+
+    sf = "/root/testdata/sf0.01"
+    row = q_sketch_kmv_union(spark, sf).first()
+    assert row.sketch_a_size <= KMV_K and row.sketch_b_size <= KMV_K
+    truth = (tables.load(spark, sf, "events")
+             .filter(F.col("event_type").isin("click", "view",
+                                              "purchase", "error"))
+             .agg(F.countDistinct("user_id")).first()[0])
+    rel = abs(row.union_distinct_est - truth) / truth
+    assert rel < 0.40, (row.union_distinct_est, truth)
