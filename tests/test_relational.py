@@ -180,3 +180,28 @@ def test_time_rollup_cascade_consistency(spark):
     # buckets align to their grain
     assert all(r.bucket_start % 3600 == 0 for r in out if r.grain == "hour")
     assert all(r.bucket_start % 86400 == 0 for r in out if r.grain == "day")
+
+
+def test_asof_join_forward_hand_computed(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import asof_join
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "v", 5)],
+        "lid INT, k STRING, ts LONG")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, 2.0)], "k STRING, ts LONG, val DOUBLE")
+    got = {r.lid: r.v for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     right_cols={"val": "v"}, direction="forward").collect()}
+    # lid 1: right at exactly ts=10 is eligible (inclusive bound)
+    # lid 2: no right row at/after 25 -> null; lid 3: no 'v' rows -> null
+    assert got == {1: 1.0, 2: None, 3: None}
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from tf_prisma_api_data_ingestion_spark.operators.relational import asof_join
+    df = spark.createDataFrame([(1,)], "a INT")
+    with _pytest.raises(ValueError, match="backward"):
+        asof_join(df, df, on=["a"], left_ts="a", right_ts="a",
+                  right_cols={}, direction="sideways")

@@ -852,6 +852,29 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (next-event attribution): each click picks up
+    the NEXT purchase by the same user at-or-after the click — same
+    single-shuffle union+fill formulation as the backward variant, with
+    the window frame reversed."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts")).alias("ts_us")
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", us)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", us, "value")
+    joined = asof_join(c, p, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+                       right_cols={"value": "next_purchase_value"},
+                       direction="forward")
+    return joined.select("event_id", "user_id", "next_purchase_value")
+
+
+SQL_ASOF_JOIN_FORWARD = """
+SELECT c.event_id, c.user_id, p.value AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
 def q_op_distinct(spark, sf_dir):
     """Distinct projection (engine capability absent from the reference,
     SURVEY §2.4): shuffle dedup with partial aggregation map-side."""
@@ -3723,6 +3746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-sample-hash": q_op_sample_hash,
     "src-backoff": q_src_backoff,
     "sketch-kmv-union": q_sketch_kmv_union,
+    "asof-join-forward": q_asof_join_forward,
 }
 
 
@@ -3874,6 +3898,7 @@ ORACLES: dict[str, str] = {
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
+    "asof-join-forward": SQL_ASOF_JOIN_FORWARD,
     "sketch-kmv-union": SQL_SKETCH_KMV_UNION,
     "plan-corpus-train": _sql_plan_corpus_train(),
     "op-variant-json": SQL_OP_VARIANT_JSON,

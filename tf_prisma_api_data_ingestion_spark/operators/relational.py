@@ -239,35 +239,48 @@ def grouped_demean(df: DataFrame, key: str, value_col: str,
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
-              right_cols: Mapping[str, str]) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` within the same ``on`` keys (north-star
-    extension; no reference analog).
+              right_cols: Mapping[str, str],
+              direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the nearest right row within the
+    same ``on`` keys — ``direction="backward"`` (default) takes the most
+    recent right row with ``right_ts <= left_ts``; ``"forward"`` takes
+    the next right row with ``right_ts >= left_ts`` (next-event
+    attribution: e.g. each click picks up the FOLLOWING purchase).
+    North-star extension; no reference analog.
 
     Spark-first implementation: union the two sides tagged, sort within
-    each key partition by timestamp, and forward-fill the right side's
-    values with ``last(..., ignorenulls=True)`` over an unbounded-preceding
-    window. One shuffle on the join keys, no O(n·m) expansion — unlike the
+    each key partition by timestamp, and fill the right side's values
+    with ``last/first(..., ignorenulls=True)`` over a one-sided window.
+    One shuffle on the join keys, no O(n·m) expansion — unlike the
     naive join+filter+max approach, this scales linearly and handles 100 TB
     fact tables as long as keys distribute (salt if a key is hot).
 
     ``right_cols``: {right_col: output_name} values carried onto left rows.
-    Left rows with no prior right row keep nulls.
+    Left rows with no matching right row keep nulls.
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     tag = "_asof_side"
     lt = left.withColumn(tag, F.lit(1)).withColumn("_ts", F.col(left_ts))
     rcols = [F.col(c).alias(f"_r_{c}") for c in right_cols]
     rt = (right.select(*[F.col(k) for k in on], F.col(right_ts).alias("_ts"), *rcols)
                .withColumn(tag, F.lit(0)))
     merged = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps (tag 0 < 1) so a
-    # right row at exactly left_ts is visible to that left row ("<=")
-    w = (Window.partitionBy(*on).orderBy(F.col("_ts").asc(), F.col(tag).asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # tie handling makes the bound inclusive on both directions: backward
+    # sorts right rows BEFORE left at equal _ts (tag 0 < 1) so an equal-ts
+    # right row is inside the preceding frame; forward sorts them AFTER
+    # (tag desc) so it is inside the following frame
+    w = Window.partitionBy(*on).orderBy(
+        F.col("_ts").asc(), F.col(tag).asc() if back else F.col(tag).desc())
+    w = (w.rowsBetween(Window.unboundedPreceding, Window.currentRow) if back
+         else w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fill = (lambda c: F.last(c, ignorenulls=True)) if back else \
+           (lambda c: F.first(c, ignorenulls=True))
     for c, out in right_cols.items():
-        merged = merged.withColumn(out, F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+        merged = merged.withColumn(out, fill(F.col(f"_r_{c}")).over(w))
     return (merged.filter(F.col(tag) == 1)
                   .drop(tag, "_ts", *[f"_r_{c}" for c in right_cols]))
 
