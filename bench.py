@@ -57,8 +57,11 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the file-listing / footer caches so timings measure compute
     from tf_prisma_api_data_ingestion_spark import tables
+    # abort in seconds with a schema diff if the driver regenerated the
+    # testdata with drifted types (the r3 ts incident) — footer-only read
+    tables.assert_contract(spark, sf_dir)
+    # warm the file-listing / footer caches so timings measure compute
     for t in tables.TABLE_NAMES:
         tables.load(spark, sf_dir, t).count()
     # warm the Structured Streaming machinery (micro-batch planner, state

@@ -80,6 +80,11 @@ def main() -> int:
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("selfcheck", cpus=8, shuffle_partitions=8)
+    # fail in seconds with a schema diff if the driver regenerated the
+    # testdata with drifted types (the r3 ts incident), instead of a
+    # cryptic mid-run failure
+    from tf_prisma_api_data_ingestion_spark import tables
+    tables.assert_contract(spark, sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

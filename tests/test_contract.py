@@ -94,3 +94,26 @@ def test_event_ts_us_helper(spark):
         "SELECT TIMESTAMP '2024-01-10 00:00:00.123456' AS ts")
     got = df.select(tables.event_ts_us().alias("us")).first().us
     assert got == 1704844800 * 10**6 + 123456
+
+
+def test_mutated_schema_fixture_aborts_with_diff(spark, tmp_path):
+    """bench.py and scripts/selfcheck.py run assert_contract at startup:
+    a regenerated-with-drift testdata dir must abort in seconds with the
+    observed diff naming the drifted table, not crash mid-run."""
+    import shutil
+
+    import pandas as pd
+
+    from tf_prisma_api_data_ingestion_spark import tables
+
+    for t in ("region", "nation", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    tmp_path / f"{t}.parquet")
+    # drifted generation: value became a string column
+    pd.DataFrame({
+        "event_id": [1], "ts": pd.to_datetime(["2024-01-10"]).astype("datetime64[us]"),
+        "user_id": [1], "event_type": ["click"],
+        "value": ["1.5"], "props": ["{}"],
+    }).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    with pytest.raises(AssertionError, match="events"):
+        tables.assert_contract(spark, str(tmp_path))

@@ -162,6 +162,55 @@ def test_opaque_endpoint_rejects_forged_tokens(client):
         client.post_json("/v2/alerts-opaque", {"pageToken": "op-forged"})
 
 
+def test_fetch_all_pages_min_interval_paces(client):
+    import time
+    t0 = time.time()
+    items = list(fetch_all_pages(client, "/v2/alerts", {}, page_size=100,
+                                 min_interval=0.2))
+    assert len(items) == mock_api.N_ALERTS
+    # 3 pages -> at least 2 inter-page pacing sleeps
+    assert time.time() - t0 >= 0.4
+
+
+def test_rate_limit_bounds_aggregate_rate_across_partitions(spark, url, client):
+    """The reference's contract is ~1 page/s per API (P:268); a 32-way
+    fan-out must not legally hammer the endpoint at 32x that. With
+    rate_limit set, the aggregate request-START rate across all
+    partitions stays <= the limit, while requests still OVERLAP in
+    flight (parallel transfer the serial chain walk cannot do)."""
+    import json
+    import time
+
+    register_alerts_source(spark)
+    rate, delay = 8.0, 0.4
+    srv = mock_api.server_state()
+    srv.alert_request_log = []
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("page_size", "40")            # ceil(237/40) = 6 pages
+          .option("rate_limit", str(rate))
+          .option("filters", json.dumps({"_delay": delay}))
+          .option("backoff_factor", "0.01").load())
+    assert df.count() == mock_api.N_ALERTS
+    # page fetches only (the planning probe posts limit=1)
+    starts = sorted(t for t, lim in srv.alert_request_log if lim == 40)
+    probes = [t for t, lim in srv.alert_request_log if lim == 1]
+    assert len(starts) == 6 and len(probes) == 1
+    # the scheduled-slot guarantee: page i's request never fires before
+    # its slot t0 + i/rate, where t0 (the planning stamp) is taken AFTER
+    # the probe request -- so the i-th earliest observed start is >=
+    # probe_time + i/rate. A late-waking executor may fire a catch-up
+    # burst (token-bucket semantics: capacity accrues while stalled),
+    # but the scan as a whole can never beat the aggregate budget.
+    for i, s in enumerate(starts):
+        assert s >= probes[0] + i / rate - 0.02, (i, starts, probes)
+    # still parallel: most gaps are shorter than one request's service
+    # time, i.e. a request starts while the previous is in flight --
+    # a serial paced walk would space starts >= delay apart
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    assert sum(g < delay for g in gaps) >= 3
+
+
 def test_retry_after_header_is_honored(monkeypatch):
     import urllib.error
     from tf_prisma_api_data_ingestion_spark.sources.rest import _retry_delay

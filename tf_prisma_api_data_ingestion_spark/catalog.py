@@ -282,7 +282,8 @@ FROM supplier
 
 def q_op_derive_ts(spark, sf_dir):
     """op-derive-ts (P:151-162): epoch-ms -> 'yyyy-MM-dd HH:mm:ss' string.
-    The ms column is derived from events.ts (ns) by integer division."""
+    The ms column is unix_millis over the canonical TIMESTAMP ts column
+    that tables.load normalizes to (whatever the physical parquet type)."""
     ev = _t(spark, sf_dir, "events")
     ms = ev.select("event_id", F.unix_millis(F.col("ts")).alias("event_ms"))
     return derive_ts_columns(ms, {"event_ms": "event_time"}).select("event_id", "event_time")
@@ -333,11 +334,16 @@ def q_op_variant_json(spark, sf_dir):
     access columnar instead of re-parsing JSON text per row — the scale
     posture for heterogeneous payloads where from_json's fixed schema
     would drop drifting fields (SURVEY §1.3 inversion, schemaless twin
-    of op-struct-access)."""
+    of op-struct-access). The integer-literal guard keeps the engines
+    aligned under type drift: Spark's variant int cast would turn a JSON
+    boolean true into 1 (and truncate 12.5 to 12) where the oracle's
+    string-based TRY_CAST yields NULL, so both sides null out any $.k
+    whose string form isn't a pure integer literal."""
     from .operators.json_ops import variant_field, variant_json_col
     ev = _t(spark, sf_dir, "events")
     v = variant_json_col(ev, "props", out="_v")
-    k = variant_field("_v", "$.k", "int")
+    ks = variant_field("_v", "$.k", "string")
+    k = F.when(ks.rlike("^-?[0-9]+$"), variant_field("_v", "$.k", "int"))
     return (v.select(k.alias("prop_k"))
              .withColumn("k_bucket", F.col("prop_k") % 10)
              .groupBy("k_bucket")
@@ -347,10 +353,15 @@ def q_op_variant_json(spark, sf_dir):
 
 # json_valid + TRY_CAST mirror the Spark side's try_parse_json +
 # try_variant_get: malformed or type-drifted rows become NULL in BOTH
-# engines instead of erroring the oracle while Spark succeeds
+# engines instead of erroring the oracle while Spark succeeds; the
+# integer-literal regexp mirrors the Spark side's rlike guard so JSON
+# booleans/floats null out identically (Spark's variant int cast alone
+# would map true->1 / 12.5->12 where TRY_CAST('true'/'12.5') is NULL)
 SQL_OP_VARIANT_JSON = """
 WITH k AS (
   SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND regexp_full_match(
+                             json_extract_string(props, '$.k'), '-?[0-9]+')
                        THEN json_extract_string(props, '$.k') END
                   AS INTEGER) AS prop_k
   FROM events)
@@ -547,20 +558,28 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     memory per group, and every intermediate replays bit-exact in DuckDB
     (unlike HLL's register layout).
 
-    Scale shape: shard-local bottom-k first (groupBy(type, h%64) keeps
-    every collect_list bounded by its shard), then a global bottom-k over
-    the 64·k surviving candidates — the classic exact two-phase min-k
-    merge, never a whole-group sort."""
+    Scale shape: shard-local bottom-k first via a row_number window over
+    (type, h%64) — the window sort streams through Spark's spillable
+    per-partition buffer, so no aggregation buffer ever materializes a
+    whole shard's hash array (a collect_list-then-slice formulation
+    would hold O(distinct/64) longs per shard in unspillable agg state —
+    at 100 TB that's hundreds of MB per group). The final per-type
+    collect_list sees at most 64·k surviving candidates — the classic
+    exact two-phase min-k merge, never a whole-group sort."""
+    from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
     h = dedup.md5_hash60(F.col("user_id").cast("string"))
     d = ev.select("event_type", h.alias("_h")).distinct()
-    sh = (d.groupBy("event_type", F.pmod("_h", F.lit(64)).alias("_shard"))
-            .agg(F.count(F.lit(1)).alias("_c"),
-                 F.slice(F.array_sort(F.collect_list("_h")), 1, KMV_K)
-                  .alias("_mins")))
-    g = (sh.groupBy("event_type")
-           .agg(F.sum("_c").alias("_n"),
-                F.array_sort(F.flatten(F.collect_list("_mins"))).alias("_all")))
+    sh = d.withColumn("_shard", F.pmod("_h", F.lit(64)))
+    wk = Window.partitionBy("event_type", "_shard").orderBy("_h")
+    r = sh.withColumn("_rn", F.row_number().over(wk))
+    # count(*) streams over every row; collect_list's when() keeps only
+    # rows _rn<=k, so its buffer is bounded at 64·k entries per type
+    g = (r.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.slice(F.array_sort(F.collect_list(
+                    F.when(F.col("_rn") <= KMV_K, F.col("_h")))),
+                    1, KMV_K).alias("_all")))
     kth = F.get("_all", KMV_K - 1)  # 0-based, null-safe under ANSI
     est = F.when(F.col("_n") >= KMV_K,
                  F.floor(F.lit(float(KMV_K - 1)) * F.lit(float(2 ** 60))
@@ -600,18 +619,23 @@ def q_sketch_kmv_union(spark, sf_dir):
     the union's raw rows. If the merged distinct min-set is still
     smaller than k, both inputs retained every hash and the union count
     is exact. Bit-exact replayable in SQL (md5-based KMV, no HLL
-    registers)."""
+    registers). Bottom-k per shard comes from a row_number window
+    (spillable sort) rather than collect_list of the whole shard, so
+    sketch-build memory stays O(64·k) regardless of corpus distincts —
+    same bounded-memory shape as q_sketch_kmv_distinct."""
+    from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
     h = dedup.md5_hash60(F.col("user_id").cast("string"))
 
     def minset(types):
         d = (ev.filter(F.col("event_type").isin(*types))
                .select(h.alias("_h")).distinct())
-        sh = (d.groupBy(F.pmod("_h", F.lit(64)).alias("_shard"))
-                .agg(F.slice(F.array_sort(F.collect_list("_h")), 1, KMV_K)
-                      .alias("_mins")))
-        return sh.agg(F.slice(F.array_sort(F.flatten(F.collect_list("_mins"))),
-                              1, KMV_K).alias("_mins"))
+        sh = d.withColumn("_shard", F.pmod("_h", F.lit(64)))
+        wk = Window.partitionBy("_shard").orderBy("_h")
+        r = (sh.withColumn("_rn", F.row_number().over(wk))
+               .filter(F.col("_rn") <= KMV_K))
+        return r.agg(F.slice(F.array_sort(F.collect_list("_h")),
+                             1, KMV_K).alias("_mins"))
 
     a = minset(["click", "view"]).select(F.col("_mins").alias("_ma"))
     b = minset(["purchase", "error"]).select(F.col("_mins").alias("_mb"))
@@ -834,11 +858,16 @@ def q_asof_join(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent prior (or
     simultaneous) click by the same user — one shuffle union+forward-fill,
     no O(n*m). Timestamps compared at µs so the DuckDB ASOF oracle agrees
-    with the Spark side (both engines see the same µs instants)."""
+    with the Spark side (both engines see the same µs instants). The right
+    side is pre-aggregated to one row per (user_id, ts) — max(value) — so
+    neither engine faces an arbitrary tied-timestamp pick (asof_join's
+    ``tiebreak`` covers callers who need raw tied rows); the pre-agg also
+    shrinks the window input and co-partitions with the asof shuffle."""
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts")).alias("ts_us")
     p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", us)
-    c = ev.filter(F.col("event_type") == "click").select("user_id", us, "value")
+    c = (ev.filter(F.col("event_type") == "click").select("user_id", us, "value")
+           .groupBy("user_id", "ts_us").agg(F.max("value").alias("value")))
     joined = asof_join(p, c, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
                        right_cols={"value": "last_click_value"})
     return joined.select("event_id", "user_id", "last_click_value")
@@ -847,7 +876,9 @@ def q_asof_join(spark, sf_dir):
 SQL_ASOF_JOIN = """
 SELECT p.event_id, p.user_id, c.value AS last_click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 
@@ -856,11 +887,14 @@ def q_asof_join_forward(spark, sf_dir):
     """Forward as-of join (next-event attribution): each click picks up
     the NEXT purchase by the same user at-or-after the click — same
     single-shuffle union+fill formulation as the backward variant, with
-    the window frame reversed."""
+    the window frame reversed. Right side pre-aggregated to one row per
+    (user_id, ts) — max(value) — so tied-timestamp picks are
+    deterministic in both engines (see q_asof_join)."""
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts")).alias("ts_us")
     c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", us)
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id", us, "value")
+    p = (ev.filter(F.col("event_type") == "purchase").select("user_id", us, "value")
+           .groupBy("user_id", "ts_us").agg(F.max("value").alias("value")))
     joined = asof_join(c, p, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
                        right_cols={"value": "next_purchase_value"},
                        direction="forward")
@@ -870,7 +904,9 @@ def q_asof_join_forward(spark, sf_dir):
 SQL_ASOF_JOIN_FORWARD = """
 SELECT c.event_id, c.user_id, p.value AS next_purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts) p
   ON c.user_id = p.user_id AND p.ts >= c.ts
 """
 
@@ -3620,87 +3656,17 @@ def q_sim_ivf_topk(spark, sf_dir):
 #                 in case the window is wider than 50, then the
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r04 driver window (first 50): ts-normalization fixes,
-    # ---- never-checked keys, regenerated-data re-confirmations ----
-    "plan-alert-report": q_plan_alert_report,
+    # ---- r05 driver window (first 50): the 2 keys never driver-checked
+    # ---- (sketch-kmv-union, asof-join-forward), the 3 keys whose code
+    # ---- changed this round (asof-join right-side tie pre-agg,
+    # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
+    # ---- windowed bottom-k), then the stalest driver-green keys
+    # ---- (all 43 last green in r2, plus the 2 oldest r3 keys) ----
+    "sketch-kmv-union": q_sketch_kmv_union,
+    "asof-join-forward": q_asof_join_forward,
     "asof-join": q_asof_join,
-    "stream-window-agg": q_stream_window_agg,
-    "stream-sliding-window": q_stream_sliding_window,
-    "stream-session-window": q_stream_session_window,
-    "stream-stateful-totals": q_stream_stateful,
-    "stream-stream-join": q_stream_stream_join,
-    "stream-dedup": q_stream_dedup,
-    "stream-sink-parquet": q_stream_sink_parquet,
-    "stream-static-join": q_stream_static_join,
-    "stream-upsert": q_stream_upsert,
-    "src-stream-alerts": q_src_stream_alerts,
-    "pd-filter-range": q_pd_filter_range,
-    "op-derive-ts": q_op_derive_ts,
-    "op-sessionize": q_op_sessionize,
-    "op-range-join": q_op_range_join,
-    "op-time-rollup": q_op_time_rollup,
-    "op-max-concurrency": q_op_max_concurrency,
-    "op-window-range-frame": q_op_window_range_frame,
-    "op-incremental-agg": q_op_incremental_agg,
-    "sketch-quantile": q_sketch_quantile,
-    "sketch-cms-topk": q_sketch_cms_topk,
-    "op-math-functions": q_op_math_functions,
-    "op-date-functions": q_op_date_functions,
-    "op-null-functions": q_op_null_functions,
-    "sql-subqueries": q_sql_subqueries,
-    "op-profile": q_op_profile,
-    "op-corrupt-capture": q_op_corrupt_capture,
-    "op-zorder-layout": q_op_zorder_layout,
-    "op-schema-evolution": q_op_schema_evolution,
-    "op-compact-files": q_op_compact_files,
-    "tpch-q4": q_tpch_q4,
-    "tpch-q7": q_tpch_q7,
-    "tpch-q10": q_tpch_q10,
-    "tpch-q14": q_tpch_q14,
-    "tpch-q15": q_tpch_q15,
-    "tpch-q17": q_tpch_q17,
-    "tpch-q18": q_tpch_q18,
-    "plan-inventory-report": q_plan_inventory_report,
-    "plan-e2e-alert": q_plan_e2e_alert,
-    "plan-corpus-clean": q_plan_corpus_clean,
-    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
-    "plan-corpus-train": q_plan_corpus_train,
-    "sketch-kmv-distinct": q_sketch_kmv_distinct,
-    "src-login": q_src_login,
-    "src-get-json": q_src_get_json,
-    "src-paginated-post": q_src_paginated_post,
     "op-variant-json": q_op_variant_json,
-    "sink-csv": q_sink_csv,
-    "sink-partition": q_sink_partition,
-    # ---- entry 50 boundary: driver-green in r2/r3 (oracle checks are
-    # ---- data-relative, so prior green rows stay valid) ----
-    "sink-rollback": q_sink_rollback,
-    "dedup-exact": q_dedup_exact,
-    "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
-    "dedup-minhash-md5": q_dedup_minhash_md5,
-    "dedup-simhash-md5": q_dedup_simhash_md5,
-    "dedup-simhash-md5-pairs": q_dedup_simhash_md5_pairs,
-    "dedup-embedding": q_dedup_embedding,
-    "dedup-embedding-lsh": q_dedup_embedding_lsh,
-    "dedup-clusters": q_dedup_clusters,
-    "dedup-clusters-star": q_dedup_clusters_star,
-    "dedup-incremental": q_dedup_incremental,
-    "sim-bruteforce-topk": q_sim_bruteforce_topk,
-    "sim-lsh-topk": q_sim_lsh_topk,
-    "sim-ivf-topk": q_sim_ivf_topk,
-    "text-token-count": q_text_token_count,
-    "text-lang-id": q_text_lang_id,
-    "text-quality": q_text_quality,
-    "text-fingerprint": q_text_fingerprint,
-    "text-top-tokens": q_text_top_tokens,
-    "text-pii-redact": q_text_pii_redact,
-    "text-repetition": q_text_repetition,
-    "text-contamination": q_text_contamination,
-    "text-pack-sequences": q_text_pack_sequences,
-    "text-tfidf-top-terms": q_text_tfidf,
-    "text-temperature-sample": q_text_temperature_sample,
-    "multimodal-decode": q_multimodal_decode,
-    "multimodal-frame-sample": q_multimodal_frame_sample,
+    "sketch-kmv-distinct": q_sketch_kmv_distinct,
     "tpch-q1": q_tpch_q1,
     "tpch-q3": q_tpch_q3,
     "tpch-q5": q_tpch_q5,
@@ -3744,9 +3710,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
+    "sink-rollback": q_sink_rollback,
+    "dedup-exact": q_dedup_exact,
+    # ---- entry 50 boundary: driver-green in r3/r4 (oracle checks are
+    # ---- data-relative, so prior green rows stay valid) ----
+    "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
+    "dedup-minhash-md5": q_dedup_minhash_md5,
+    "dedup-simhash-md5": q_dedup_simhash_md5,
+    "dedup-simhash-md5-pairs": q_dedup_simhash_md5_pairs,
+    "dedup-embedding": q_dedup_embedding,
+    "dedup-embedding-lsh": q_dedup_embedding_lsh,
+    "dedup-clusters": q_dedup_clusters,
+    "dedup-clusters-star": q_dedup_clusters_star,
+    "dedup-incremental": q_dedup_incremental,
+    "sim-bruteforce-topk": q_sim_bruteforce_topk,
+    "sim-lsh-topk": q_sim_lsh_topk,
+    "sim-ivf-topk": q_sim_ivf_topk,
+    "text-token-count": q_text_token_count,
+    "text-lang-id": q_text_lang_id,
+    "text-quality": q_text_quality,
+    "text-fingerprint": q_text_fingerprint,
+    "text-top-tokens": q_text_top_tokens,
+    "text-pii-redact": q_text_pii_redact,
+    "text-repetition": q_text_repetition,
+    "text-contamination": q_text_contamination,
+    "text-pack-sequences": q_text_pack_sequences,
+    "text-tfidf-top-terms": q_text_tfidf,
+    "text-temperature-sample": q_text_temperature_sample,
+    "multimodal-decode": q_multimodal_decode,
+    "multimodal-frame-sample": q_multimodal_frame_sample,
     "src-backoff": q_src_backoff,
-    "sketch-kmv-union": q_sketch_kmv_union,
-    "asof-join-forward": q_asof_join_forward,
+    "plan-alert-report": q_plan_alert_report,
+    "stream-window-agg": q_stream_window_agg,
+    "stream-sliding-window": q_stream_sliding_window,
+    "stream-session-window": q_stream_session_window,
+    "stream-stateful-totals": q_stream_stateful,
+    "stream-stream-join": q_stream_stream_join,
+    "stream-dedup": q_stream_dedup,
+    "stream-sink-parquet": q_stream_sink_parquet,
+    "stream-static-join": q_stream_static_join,
+    "stream-upsert": q_stream_upsert,
+    "src-stream-alerts": q_src_stream_alerts,
+    "pd-filter-range": q_pd_filter_range,
+    "op-derive-ts": q_op_derive_ts,
+    "op-sessionize": q_op_sessionize,
+    "op-range-join": q_op_range_join,
+    "op-time-rollup": q_op_time_rollup,
+    "op-max-concurrency": q_op_max_concurrency,
+    "op-window-range-frame": q_op_window_range_frame,
+    "op-incremental-agg": q_op_incremental_agg,
+    "sketch-quantile": q_sketch_quantile,
+    "sketch-cms-topk": q_sketch_cms_topk,
+    "op-math-functions": q_op_math_functions,
+    "op-date-functions": q_op_date_functions,
+    "op-null-functions": q_op_null_functions,
+    "sql-subqueries": q_sql_subqueries,
+    "op-profile": q_op_profile,
+    "op-corrupt-capture": q_op_corrupt_capture,
+    "op-zorder-layout": q_op_zorder_layout,
+    "op-schema-evolution": q_op_schema_evolution,
+    "op-compact-files": q_op_compact_files,
+    "tpch-q4": q_tpch_q4,
+    "tpch-q7": q_tpch_q7,
+    "tpch-q10": q_tpch_q10,
+    "tpch-q14": q_tpch_q14,
+    "tpch-q15": q_tpch_q15,
+    "tpch-q17": q_tpch_q17,
+    "tpch-q18": q_tpch_q18,
+    "plan-inventory-report": q_plan_inventory_report,
+    "plan-e2e-alert": q_plan_e2e_alert,
+    "plan-corpus-clean": q_plan_corpus_clean,
+    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
+    "plan-corpus-train": q_plan_corpus_train,
+    "src-login": q_src_login,
+    "src-get-json": q_src_get_json,
+    "src-paginated-post": q_src_paginated_post,
+    "sink-csv": q_sink_csv,
+    "sink-partition": q_sink_partition,
 }
 
 

@@ -240,7 +240,8 @@ def grouped_demean(df: DataFrame, key: str, value_col: str,
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_cols: Mapping[str, str],
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tiebreak: Sequence[str] = ()) -> DataFrame:
     """As-of join: for each left row, the nearest right row within the
     same ``on`` keys — ``direction="backward"`` (default) takes the most
     recent right row with ``right_ts <= left_ts``; ``"forward"`` takes
@@ -257,6 +258,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 
     ``right_cols``: {right_col: output_name} values carried onto left rows.
     Left rows with no matching right row keep nulls.
+
+    **Ties:** when several right rows share the same ``(on, right_ts)``
+    the winner is otherwise arbitrary (whatever order the sort happens to
+    leave tied rows in). Pass ``tiebreak`` — right-side column names —
+    to totalize the order: the tied right row with the GREATEST tiebreak
+    values wins in both directions (nulls lose). Without ``tiebreak``,
+    callers should ensure ``right_ts`` is unique per key (e.g. pre-
+    aggregate the right side) if run-to-run determinism matters.
     """
     from pyspark.sql.window import Window
 
@@ -265,16 +274,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     back = direction == "backward"
     tag = "_asof_side"
     lt = left.withColumn(tag, F.lit(1)).withColumn("_ts", F.col(left_ts))
-    rcols = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    rsel = dict.fromkeys(list(right_cols) + list(tiebreak))
+    rcols = [F.col(c).alias(f"_r_{c}") for c in rsel]
     rt = (right.select(*[F.col(k) for k in on], F.col(right_ts).alias("_ts"), *rcols)
                .withColumn(tag, F.lit(0)))
     merged = lt.unionByName(rt, allowMissingColumns=True)
     # tie handling makes the bound inclusive on both directions: backward
     # sorts right rows BEFORE left at equal _ts (tag 0 < 1) so an equal-ts
     # right row is inside the preceding frame; forward sorts them AFTER
-    # (tag desc) so it is inside the following frame
-    w = Window.partitionBy(*on).orderBy(
-        F.col("_ts").asc(), F.col(tag).asc() if back else F.col(tag).desc())
+    # (tag desc) so it is inside the following frame. Tag dominates the
+    # tiebreak columns at equal _ts, so the tiebreak only orders right
+    # rows among themselves: backward fills with last() so ASC puts the
+    # greatest tied row at the frame edge; forward fills with first() so
+    # DESC does — greatest-wins in both directions.
+    order = [F.col("_ts").asc(), F.col(tag).asc() if back else F.col(tag).desc()]
+    order += [F.col(f"_r_{c}").asc() if back else F.col(f"_r_{c}").desc()
+              for c in tiebreak]
+    w = Window.partitionBy(*on).orderBy(*order)
     w = (w.rowsBetween(Window.unboundedPreceding, Window.currentRow) if back
          else w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     fill = (lambda c: F.last(c, ignorenulls=True)) if back else \
@@ -282,7 +298,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     for c, out in right_cols.items():
         merged = merged.withColumn(out, fill(F.col(f"_r_{c}")).over(w))
     return (merged.filter(F.col(tag) == 1)
-                  .drop(tag, "_ts", *[f"_r_{c}" for c in right_cols]))
+                  .drop(tag, "_ts", *[f"_r_{c}" for c in rsel]))
 
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,

@@ -106,6 +106,14 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authed():
                 self._send(401, {"error": "unauthorized"})
                 return
+            # side-band test instrumentation (never in response bodies, so
+            # the VALUES/range() oracles stay pure): request-start log for
+            # rate-limit assertions + opt-in artificial latency
+            import time as _time
+            self.server.__dict__.setdefault("alert_request_log", []).append(
+                (_time.time(), int(payload.get("limit", PAGE_SIZE))))
+            if payload.get("_delay"):
+                _time.sleep(float(payload["_delay"]))
             limit = int(payload.get("limit", PAGE_SIZE))
             tok = payload.get("pageToken")
             page = int(tok.split("-")[1]) if tok else 0
@@ -165,3 +173,9 @@ def mock_server_url() -> str:
             t.start()
         host, port = _SERVER.server_address
         return f"http://{host}:{port}"
+
+
+def server_state() -> ThreadingHTTPServer | None:
+    """The live in-process server, for test-side inspection of side-band
+    instrumentation (e.g. ``alert_request_log``); None before first use."""
+    return _SERVER

@@ -149,16 +149,26 @@ class RestClient:
 
 
 def fetch_all_pages(client: RestClient, path: str, payload: dict,
-                    page_size: int = 100, max_pages: int = 10_000) -> Iterator[dict]:
+                    page_size: int = 100, max_pages: int = 10_000,
+                    min_interval: float = 0.0) -> Iterator[dict]:
     """Strict-token serial pagination (src-paginated-post fallback).
 
     Stops when ``items`` is absent/short, like the reference's loop
     (P:310-318) — but a non-200 page raises (after backoff retries) rather
     than silently re-processing the previous page (§2.5.4), and
-    ``max_pages`` bounds the infinite-loop risk.
+    ``max_pages`` bounds the infinite-loop risk. ``min_interval`` paces
+    consecutive page requests at least that many seconds apart — the
+    reference's fixed ``time.sleep(1)`` (P:268) generalized to a
+    configurable request budget.
     """
     token: str | None = None
+    next_ok = 0.0
     for _ in range(max_pages):
+        if min_interval > 0:
+            now = time.time()
+            if now < next_ok:
+                time.sleep(next_ok - now)
+            next_ok = max(now, next_ok) + min_interval
         body = dict(payload, limit=page_size, **({"pageToken": token} if token else {}))
         resp = client.post_json(path, body)
         items = resp.body.get("items", [])
@@ -202,10 +212,21 @@ def register_alerts_source(spark) -> None:
       probe parameter (option ``probe_key``, merged into the payload as
       ``{probe_key: true}``, asks for tokens without bodies; omit it and
       the walk downloads bodies once and discards them, still O(pages)
-      driver time) — then emits ONE PARTITION PER DISCOVERED CURSOR so
-      executors re-fetch and parse pages in parallel. Planning is
-      O(pages) serial HTTP; the heavy work (body transfer, JSON parse,
-      row materialization) scales with the cluster.
+      driver time — AND the whole dataset transfers twice, so without
+      ``probe_key`` prefer plain ``token`` mode unless executor-side
+      parse is the bottleneck) — then emits ONE PARTITION PER DISCOVERED
+      CURSOR so executors re-fetch and parse pages in parallel. Planning
+      is O(pages) serial HTTP; the heavy work (body transfer, JSON
+      parse, row materialization) scales with the cluster.
+
+      ASSUMPTIONS (violations surface as errors, not silent skew): the
+      API must treat page tokens as RE-USABLE (each cursor is fetched
+      once in planning and once in read) and the underlying dataset as
+      SNAPSHOT-STABLE for the duration of the scan. Single-use or
+      expiring tokens fail the executor re-fetch — that raises a
+      RuntimeError naming ``paging=token`` as the fallback — and a
+      dataset mutating mid-scan can skip or duplicate rows exactly as a
+      serial re-walk would. When in doubt, use ``token``.
     - ``token``: strict-token fallback — ONE input partition that walks
       the ``nextPageToken`` chain serially via the same logic as
       ``fetch_all_pages``. Correct against any conforming API, but
@@ -213,13 +234,33 @@ def register_alerts_source(spark) -> None:
 
     Optional ``username``/``password``/``prisma_id`` options enable
     executor-side 401 re-login mid-scan (long scans outlive tokens).
+
+    ``rate_limit`` (float requests/sec, default off) bounds the
+    AGGREGATE page-request rate across the whole scan — the reference's
+    1 page/s contract (P:268) generalized. Per-request backoff alone
+    cannot do this: 32 partitions would legally hammer the API at 32×
+    the intended rate until 429s throttle them. The planner stamps page
+    i with an absolute not-before time ``t0 + i/rate_limit``; executors
+    sleep until their stamp, so requests start at most ``rate_limit``
+    per second in aggregate no matter how many run concurrently (on a
+    multi-node cluster this leans on NTP-level clock sync; skew adds
+    jitter, never sustained overshoot — and an executor that wakes past
+    its slot fires immediately, so a scheduling stall can release a
+    short catch-up burst, exactly like a token bucket that accrued
+    capacity while idle; the whole-scan average never exceeds the
+    limit). Serial ``token`` mode paces the
+    chain walk at ``1/rate_limit`` between pages; a bodied (no
+    ``probe_key``) fanout planning walk is paced the same way since it
+    transfers full pages.
     """
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _Page(InputPartition):
-        def __init__(self, index: int, token: str | None = None):
+        def __init__(self, index: int, token: str | None = None,
+                     not_before: float = 0.0):
             self.index = index
             self.token = token
+            self.not_before = not_before  # absolute epoch; 0 = unpaced
 
     class _AlertsReader(DataSourceReader):
         def __init__(self, options):
@@ -235,6 +276,7 @@ def register_alerts_source(spark) -> None:
             self.username = options.get("username", "")
             self.password = options.get("password", "")
             self.prisma_id = options.get("prisma_id", "")
+            self.rate_limit = float(options.get("rate_limit", "0"))
             if self.paging not in ("indexed", "token", "token-fanout"):
                 raise ValueError("paging must be indexed|token|token-fanout,"
                                  f" got {self.paging!r}")
@@ -251,9 +293,16 @@ def register_alerts_source(spark) -> None:
             once here and are discarded — executors re-fetch in read()."""
             client = self._client()
             probe = {self.probe_key: True} if self.probe_key else {}
+            # a bodied walk (no probe_key) transfers full pages, so it
+            # spends from the same aggregate request budget; cursor-only
+            # probes are advertised-cheap and stay unpaced
+            pace = (1.0 / self.rate_limit
+                    if self.rate_limit > 0 and not self.probe_key else 0.0)
             cursors, token = [], None
-            for _ in range(self.max_pages):
+            for i in range(self.max_pages):
                 cursors.append(token)
+                if pace and i:
+                    time.sleep(pace)
                 body = dict(self.filters, limit=self.page_size, **probe,
                             **({"pageToken": token} if token else {}))
                 resp = client.post_json(self.path, body)
@@ -261,6 +310,16 @@ def register_alerts_source(spark) -> None:
                 if not token:
                     return cursors
             raise RuntimeError(f"cursor walk exceeded max_pages={self.max_pages}")
+
+        def _paced(self, pages: list) -> list:
+            """Stamp planned pages with absolute not-before times spaced
+            1/rate_limit apart: aggregate request starts never exceed
+            rate_limit/sec regardless of executor concurrency."""
+            if self.rate_limit > 0:
+                t0 = time.time()
+                for i, p in enumerate(pages):
+                    p.not_before = t0 + i / self.rate_limit
+            return pages
 
         def partitions(self):
             if self.paging == "token":
@@ -271,8 +330,8 @@ def register_alerts_source(spark) -> None:
             if self.paging == "token-fanout":
                 # opaque tokens, parallel plan: enumerate cursors on the
                 # driver, then one partition per discovered cursor
-                return [_Page(i, tok)
-                        for i, tok in enumerate(self._walk_cursors())]
+                return self._paced([_Page(i, tok)
+                                    for i, tok in enumerate(self._walk_cursors())])
             # indexed mode: one cheap page-0 probe learns the total; one
             # partition per page -> executors fetch in parallel (vs the
             # reference's serial 1 page/s driver loop)
@@ -280,22 +339,39 @@ def register_alerts_source(spark) -> None:
                 self.path, dict(self.filters, limit=1))
             total = int(resp.headers.get("X-Total-Count", "0"))
             n = max(1, math.ceil(total / self.page_size))
-            return [_Page(i) for i in range(n)]
+            return self._paced([_Page(i) for i in range(n)])
 
         def read(self, partition):
             if partition.index < 0:  # token mode: serial chain walk
+                pace = 1.0 / self.rate_limit if self.rate_limit > 0 else 0.0
                 for item in fetch_all_pages(self._client(), self.path,
                                             dict(self.filters),
-                                            page_size=self.page_size):
+                                            page_size=self.page_size,
+                                            min_interval=pace):
                     yield _alert_row(item)
                 return
+            if partition.not_before:
+                time.sleep(max(0.0, partition.not_before - time.time()))
             if partition.token is not None:  # token-fanout: by cursor
                 tok = {"pageToken": partition.token}
             else:  # indexed page i, or fanout's first page (no cursor)
                 tok = ({"pageToken": f"page-{partition.index}"}
                        if self.paging == "indexed" and partition.index else {})
             body = dict(self.filters, limit=self.page_size, **tok)
-            resp = self._client().post_json(self.path, body)
+            try:
+                resp = self._client().post_json(self.path, body)
+            except urllib.error.HTTPError as e:
+                if partition.token is not None and 400 <= e.code < 500:
+                    # token-fanout assumption broken: the cursor the
+                    # planner discovered no longer resolves (single-use /
+                    # expired token, or the dataset mutated mid-scan)
+                    raise RuntimeError(
+                        "token-fanout cursor re-fetch failed with HTTP "
+                        f"{e.code}: the API does not honor re-usable page "
+                        "tokens (or the dataset changed mid-scan); rerun "
+                        "with .option('paging', 'token') for the serial "
+                        "single-walk mode") from e
+                raise
             for item in resp.body.get("items", []):
                 yield _alert_row(item)
 

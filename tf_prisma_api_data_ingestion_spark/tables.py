@@ -136,6 +136,25 @@ def assert_contract(spark: SparkSession, sf_dir: str) -> None:
                for f in load(spark, sf_dir, name).schema.fields}
         if got != want:
             problems.append(f"{name}: expected {want}, observed {got}")
+    # events is re-read under a FORCED schema (ts normalization), which
+    # would mask any non-ts physical drift until mid-scan — so check the
+    # raw footer too: every column must match the contract exactly except
+    # ts, which may be any of the generations load() knows how to
+    # normalize (nanos-long / µs-NTZ / µs-LTZ)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(
+               os.path.join(sf_dir, "events.parquet")).schema.fields}
+    for n, t in EVENTS_FIELDS:
+        want_t = ({"bigint", "timestamp", "timestamp_ntz"} if n == "ts"
+                  else {t.simpleString()})
+        if raw.get(n) not in want_t:
+            problems.append(
+                f"events (physical): column {n} expected one of {want_t}, "
+                f"observed {raw.get(n)!r}")
+    extra = set(raw) - {n for n, _ in EVENTS_FIELDS}
+    if extra:
+        problems.append(f"events (physical): unexpected columns {sorted(extra)}")
     if problems:
         raise AssertionError(
             "testdata schema contract violated (regenerate-aware loader "
