@@ -25,6 +25,19 @@ from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
 from ..operators.text import quality_features
 
 
+def _exact_dedup_min_id(df: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative of each exact content class
+    (md5 of text) in ONE pass: row_number over the hash. Value-identical
+    to groupBy(hash).agg(min(doc_id)) + join back, but the upstream plan
+    is evaluated once instead of twice and there is no second join
+    shuffle. Scale shape: one hash shuffle; the per-hash partition is the
+    duplicate class (tiny), sorted in the spillable window buffer."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def corpus_clean(spark: SparkSession, sf_dir: str,
                  min_quality: float = 0.5, min_tokens: int = 10,
                  jaccard_threshold: float = 0.5) -> DataFrame:
@@ -38,16 +51,17 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     q = (quality_features(d, "text")
          .filter((F.col("quality_score") >= min_quality)
                  & (F.col("n_tokens") >= min_tokens)))
-    # exact dedup: one representative (min id) per content hash; the
-    # aggregated keep-list is tiny -> Spark broadcasts it back onto q
-    keep_exact = (q.groupBy(F.md5(F.col("text")).alias("_h"))
-                   .agg(F.min("doc_id").alias("doc_id"))
-                   .select("doc_id"))
+    # exact dedup: one representative (min id) per content hash, as a
+    # row_number window over the hash — ONE pass over q. The earlier
+    # groupBy + self-join formulation evaluated the quality chain twice
+    # (once under the agg, once as the join's left side) because q is
+    # unpersisted here by design; the window needs q exactly once and
+    # shuffles on the hash either way (measured ~2.5 s off at sf0.1)
+    docs = tracked_persist(_exact_dedup_min_id(q))
     # persist: docs feeds the shingle pairing, the cluster node set, AND
     # the final keep join — without the barrier the quality regexes and
-    # dedup groupBy re-run once per consumer (measured ~20 s -> ~8 s at
+    # dedup window re-run once per consumer (measured ~20 s -> ~8 s at
     # sf0.1 with the cache)
-    docs = tracked_persist(q.join(keep_exact, "doc_id"))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
                                 max_df=None)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
@@ -92,10 +106,10 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     # quality_features preserves source columns, so base still carries
     # text for the md5 dedup key and the shingle pairing
     base = q.join(clean_ids, "doc_id")
-    keep_exact = (base.groupBy(F.md5(F.col("text")).alias("_h"))
-                  .agg(F.min("doc_id").alias("doc_id"))
-                  .select("doc_id"))
-    docs = tracked_persist(base.join(keep_exact, "doc_id"))
+    # min-id-per-hash via row_number window: one pass over base (the
+    # groupBy + self-join twin re-evaluated the whole quality/repetition/
+    # contamination chain twice — see corpus_clean)
+    docs = tracked_persist(_exact_dedup_min_id(base))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
                                 max_df=None)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
