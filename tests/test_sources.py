@@ -266,3 +266,32 @@ def test_stream_source_exactly_once_restart(spark, url, tmp_path):
     # zero re-ingest — the property the reference's full-export rerun lacks
     drain("stream_src_run2")
     assert spark.read.parquet(str(tmp_path / "out")).count() == mock_api.N_ALERTS
+
+
+def test_stream_source_rate_limit_paces_pages(spark, url, tmp_path):
+    """The streaming drain loop is serial HTTP: rate_limit must enforce a
+    minimum inter-request interval (the reference's 1 page/s contract,
+    P:268, made configurable)."""
+    from tf_prisma_api_data_ingestion_spark.sources.rest import (
+        register_alerts_stream_source,
+    )
+    c = RestClient(url, username=mock_api.MOCK_USER,
+                   password=mock_api.MOCK_PASSWORD, backoff_factor=0.01).login()
+    register_alerts_stream_source(spark)
+    srv = mock_api.server_state()
+    srv.alert_request_log = []
+    stream = (spark.readStream.format("prisma_alerts_stream")
+              .option("base_url", url).option("token", c.token)
+              .option("rate_limit", "10")
+              .option("backoff_factor", "0.01").load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .queryName("stream_src_paced").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == mock_api.N_ALERTS
+    starts = sorted(t for t, lim in srv.alert_request_log if lim == 100)
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    # 237 alerts / 100-per-page -> 3 page fetches, spaced >= 1/10 s
+    assert len(starts) == 3
+    assert all(g >= 0.08 for g in gaps), gaps

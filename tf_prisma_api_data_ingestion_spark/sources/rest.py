@@ -421,12 +421,22 @@ def register_alerts_stream_source(spark) -> None:
             self.page_size = int(options.get("page_size", "100"))
             self.backoff = float(options.get("backoff_factor", "1.0"))
             self.filters = json.loads(options.get("filters", "{}"))
+            # same contract as the batch connector's rate_limit: the
+            # drain loop is serial, so pacing is a simple minimum
+            # inter-request interval (the reference's 1 page/s, P:268)
+            self.rate_limit = float(options.get("rate_limit", "0"))
+            self._next_ok = 0.0
 
         def _client(self) -> RestClient:
             return RestClient(self.base_url, backoff_factor=self.backoff,
                               token=self.token)
 
         def _fetch(self, page: int) -> list:
+            if self.rate_limit > 0:
+                now = time.time()
+                if now < self._next_ok:
+                    time.sleep(self._next_ok - now)
+                self._next_ok = max(now, self._next_ok) + 1.0 / self.rate_limit
             body = dict(self.filters, limit=self.page_size,
                         **({"pageToken": f"page-{page}"} if page else {}))
             resp = self._client().post_json(self.path, body)
