@@ -45,6 +45,9 @@ AUDIT = (
     ("sketch-cms-topk", "sketch is a bounded 4x1024 aggregate -> broadcast to the candidate join"),
     ("op-zorder-layout", "morton interleave inside the scan projection; one groupBy exchange"),
     ("op-window-range-frame", "per-user shard sort only — single hash exchange, no global sort"),
+    ("tpch-q19", "OR-of-ANDs disjunct as ONE join residual on the partkey equi join — no union of joins, no nested loop"),
+    ("tpch-q21", "EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins on l_orderkey with the lateness conjunct as residual"),
+    ("tpch-q13", "left OUTER join keeps zero-order customers; two-level count aggregation"),
     ("asof-join-forward", "mirrored union + first()-fill window; NO join node, one shuffle on the key"),
     ("sketch-kmv-union", "per-shard bottom-k via row_number window (spillable sort, no whole-shard array); final merge sees <=64*k rows; the crossJoin is two 1-row sketch frames"),
 )

@@ -3389,6 +3389,274 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 """
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: one nation's fraction of a
+    product type's revenue into a region, by order year. Constant dims
+    (nation, region) broadcast by hint; the type-filtered part broadcasts
+    by stats; orders/customer/lineitem joins are stats-driven. Both the
+    case-sum numerator and the total are exact-decimal sums cast to
+    double BEFORE the division, so the share is bit-identical in both
+    engines."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+         .select("r_regionkey"))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("c_custkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+         .select("p_partkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate").between(
+             F.lit("1996-01-01").cast("timestamp"),
+             F.lit("1997-12-31").cast("timestamp")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    j = (li.join(p, li.l_partkey == p.p_partkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, li.l_suppkey == s.s_suppkey))
+    g = (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+          .agg(F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                      .otherwise(F.lit(0).cast("decimal(18,6)")))
+                .cast("double").alias("_nat"),
+               F.sum(vol).cast("double").alias("total_volume")))
+    return (g.select("o_year",
+                     (F.col("_nat") / F.col("total_volume")).alias("mkt_share"),
+                     "total_volume")
+             .orderBy("o_year"))
+
+
+SQL_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_volume
+FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-shaped late-shipment priority split (the testdata has no
+    l_shipmode/commitdate/receiptdate, so "late" is shipped >30 days
+    after the order and the grouping key is l_linestatus — same plan
+    shape: one fact-fact equi join with a non-equi date residual, then a
+    conditional two-way count aggregation)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus",
+                                              "l_shipdate")
+    late = li.join(o, (li.l_orderkey == o.o_orderkey)
+                   & (li.l_shipdate > o.o_orderdate
+                      + F.expr("INTERVAL 30 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_linestatus")
+                .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                     F.sum((~high).cast("long")).alias("low_line_count"))
+                .orderBy("l_linestatus"))
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: customer LEFT
+    OUTER JOIN a filtered orders (priority exclusion stands in for the
+    classic comment anti-pattern — the testdata has no o_comment), then
+    the two-level aggregation: orders per customer, customers per order
+    count. Customers with no qualifying orders land in the c_count=0
+    bucket via the outer join — the part an inner-join formulation
+    silently drops."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+         .select("o_orderkey", "o_custkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three brand x
+    size-range x quantity-range disjuncts (no p_container in the
+    testdata, so p_size ranges carry the second dimension). The partkey
+    equi key stays the join key; the OR-of-ANDs evaluates as ONE join
+    residual — never a union of three joins, never a nested loop."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
+                                              "l_extendedprice", "l_discount")
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(disj)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return j.agg(F.sum(vol).cast("double").alias("revenue"))
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-supplier report: suppliers from one
+    nation who were the ONLY late supplier on a finished multi-supplier
+    order ("late" = shipped >=90 days after the order date; the testdata
+    has no commit/receipt dates). The EXISTS compiles to a LEFT SEMI
+    self-join on the order key and the NOT EXISTS to a LEFT ANTI with
+    the lateness conjunct as a join residual — two shuffles on
+    l_orderkey, no nested loop, exactly the classic q21 plan with the
+    date columns this schema has."""
+    n = (_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+         .select("n_nationkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") >= late_cut)
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("l_orderkey").alias("_ok"),
+                    F.col("l_suppkey").alias("_sk"),
+                    F.col("o_orderdate").alias("_od"), "s_name"))
+    l2 = li.select(F.col("l_orderkey").alias("_ok2"),
+                   F.col("l_suppkey").alias("_sk2"))
+    l3 = li.select(F.col("l_orderkey").alias("_ok3"),
+                   F.col("l_suppkey").alias("_sk3"), "l_shipdate")
+    cand = l1.join(l2, (F.col("_ok") == F.col("_ok2"))
+                   & (F.col("_sk") != F.col("_sk2")), "left_semi")
+    only = cand.join(
+        l3, (F.col("_ok") == F.col("_ok3")) & (F.col("_sk") != F.col("_sk3"))
+        & (F.col("l_shipdate") >= F.col("_od") + F.expr("INTERVAL 90 DAYS")),
+        "left_anti")
+    return (only.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+                .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+                .limit(20))
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, nation, orders, lineitem l1
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+  AND l1.l_suppkey = s_suppkey
+  AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped global sales opportunity: rich-but-inactive
+    customers by country code (the testdata has no c_phone, so the code
+    is c_nationkey % 10 over a fixed code set; and since this generator
+    gives ~every customer at least one order, "inactive" means no order
+    since 2000 — the classic no-orders-at-all anti-join would be
+    vacuously empty). The scalar average is an exact-decimal sum / count
+    cast to double (bit-identical boundary in both engines) broadcast
+    onto the selection; inactivity is a LEFT ANTI join against the
+    date-filtered orders — no correlated re-execution anywhere, and the
+    date predicate is pushed into the orders scan."""
+    codes = (1, 3, 5, 7, 9)
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("int"))
+         .filter(F.col("cntrycode").isin(*codes)))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg((_dec_sum("c_acctbal") / F.count(F.lit(1)))
+                     .alias("_avg_bal")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+         .select("o_custkey"))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+             .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"))
+    return (rich.groupBy("cntrycode")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     _dec_sum("c_acctbal").alias("totacctbal"))
+                .orderBy("cntrycode"))
+
+
+SQL_TPCH_Q22 = """
+WITH sel AS (
+  SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_custkey, c_acctbal
+  FROM customer WHERE CAST(c_nationkey % 10 AS INTEGER) IN (1, 3, 5, 7, 9)),
+a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS _avg_bal
+  FROM sel WHERE c_acctbal > 0.0)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM sel, a
+WHERE c_acctbal > _avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
 # =====================================================================
 # round-4 sketches / windows / layout
 # =====================================================================
@@ -3777,6 +4045,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q15": q_tpch_q15,
     "tpch-q17": q_tpch_q17,
     "tpch-q18": q_tpch_q18,
+    # r5 additions: with these, every TPC-H query expressible on the
+    # available tables (no partsupp -> q2/q9/q11/q16/q20 out of reach)
+    # has a catalog entry — 17 of 17
+    "tpch-q8": q_tpch_q8,
+    "tpch-q12": q_tpch_q12,
+    "tpch-q13": q_tpch_q13,
+    "tpch-q19": q_tpch_q19,
+    "tpch-q21": q_tpch_q21,
+    "tpch-q22": q_tpch_q22,
     "plan-inventory-report": q_plan_inventory_report,
     "plan-e2e-alert": q_plan_e2e_alert,
     "plan-corpus-clean": q_plan_corpus_clean,
@@ -3929,6 +4206,12 @@ ORACLES: dict[str, str] = {
     "tpch-q15": SQL_TPCH_Q15,
     "tpch-q17": SQL_TPCH_Q17,
     "tpch-q18": SQL_TPCH_Q18,
+    "tpch-q8": SQL_TPCH_Q8,
+    "tpch-q12": SQL_TPCH_Q12,
+    "tpch-q13": SQL_TPCH_Q13,
+    "tpch-q19": SQL_TPCH_Q19,
+    "tpch-q21": SQL_TPCH_Q21,
+    "tpch-q22": SQL_TPCH_Q22,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
