@@ -1,0 +1,114 @@
+"""Unit tests for operators/timeseries.py plus the round-5 relational
+additions (merge_upsert, stratified_sample_hash) — hand-computed
+expectations pinning the small semantics the oracle gate can't isolate:
+fill-through-multiple-gaps, open intervals, clamped edge buckets,
+insert-vs-update merge behavior, and rerun-stable sampling."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.operators.relational import (
+    merge_upsert,
+    stratified_sample_hash,
+)
+from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+    event_deltas,
+    fixed_histogram,
+    gap_fill,
+    scd2_intervals,
+)
+
+
+def _d(day: int) -> datetime.date:
+    return datetime.date(2024, 1, day)
+
+
+def test_gap_fill_fills_through_consecutive_gaps(spark):
+    daily = spark.createDataFrame(
+        [(1, _d(1), 10.0), (1, _d(4), 40.0), (2, _d(2), 5.0)],
+        "k INT, d DATE, v DOUBLE")
+    got = {(r.k, r.d.day): r.filled
+           for r in gap_fill(daily, "k", "d", "v").collect()}
+    # key 1 spans Jan 1-4: days 2 and 3 both carry day 1's value
+    assert got == {(1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 40.0,
+                   (2, 2): 5.0}
+
+
+def test_gap_fill_single_day_key_is_identity(spark):
+    daily = spark.createDataFrame([(7, _d(9), 3.0)], "k INT, d DATE, v DOUBLE")
+    got = gap_fill(daily, "k", "d", "v").collect()
+    assert [(r.k, r.d, r.filled) for r in got] == [(7, _d(9), 3.0)]
+
+
+def test_scd2_intervals_chain_and_current_flag(spark):
+    log = spark.createDataFrame(
+        [("a", 10, 1, "v1"), ("a", 20, 2, "v2"), ("a", 20, 3, "v3"),
+         ("b", 5, 4, "w1")],
+        "k STRING, ts LONG, cid INT, attr STRING")
+    got = {r.cid: (r.valid_from, r.valid_to, r.is_current)
+           for r in scd2_intervals(log, ["k"], "ts", "cid").collect()}
+    # same-ts versions 2,3 chain in cid order; only the last is current
+    assert got == {1: (10, 20, 0), 2: (20, 20, 0), 3: (20, None, 1),
+                   4: (5, None, 1)}
+
+
+def test_event_deltas_first_row_null_and_tie_order(spark):
+    ev = spark.createDataFrame(
+        [("u", 10, 1, 1.0), ("u", 10, 2, 4.0), ("u", 25, 3, 2.5)],
+        "k STRING, ts LONG, eid INT, v DOUBLE")
+    got = {r.eid: (r.gap, r.delta)
+           for r in event_deltas(ev, "k", "ts", "eid", "v").collect()}
+    assert got == {1: (None, None), 2: (0, 3.0), 3: (15, -1.5)}
+
+
+def test_fixed_histogram_clamps_outliers_to_edge_buckets(spark):
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (9.9,), (10.0,), (25.0,), (1e9,)], "x DOUBLE")
+    got = {r.bucket: r.cnt
+           for r in fixed_histogram(df, "x", 0.0, 10.0, 3).collect()}
+    # -50 clamps into bucket 0; 1e9 clamps into bucket 2 (the last)
+    assert got == {0: 3, 1: 1, 2: 2}
+
+
+def test_merge_upsert_inserts_new_and_updates_existing(spark):
+    target = spark.createDataFrame(
+        [("a", 1, "old-a"), ("b", 1, "old-b")], "k STRING, seq INT, v STRING")
+    updates = spark.createDataFrame(
+        [("b", 2, "new-b"), ("c", 1, "new-c")], "k STRING, seq INT, v STRING")
+    got = {r.k: (r.seq, r.v)
+           for r in merge_upsert(target, updates, ["k"], ["seq"]).collect()}
+    assert got == {"a": (1, "old-a"), "b": (2, "new-b"), "c": (1, "new-c")}
+
+
+def test_merge_upsert_tie_resolved_by_trailing_seq_col(spark):
+    target = spark.createDataFrame([("a", 5, 1, "t")],
+                                   "k STRING, seq INT, uid INT, v STRING")
+    updates = spark.createDataFrame([("a", 5, 2, "u")],
+                                    "k STRING, seq INT, uid INT, v STRING")
+    got = merge_upsert(target, updates, ["k"], ["seq", "uid"]).collect()
+    assert [(r.k, r.v) for r in got] == [("a", "u")]
+
+
+def test_stratified_sample_rates_and_rerun_stability(spark):
+    rows = [(i, "hot" if i % 2 == 0 else "cold") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+    picked = stratified_sample_hash(
+        df, "src", "id", {"hot": 0.5}, default_rate=0.05)
+    got = picked.groupBy("src").count().collect()
+    counts = {r.src: r["count"] for r in got}
+    # 1000 hot ids at ~50%, 1000 cold at ~5% (hash-exact, so just sanity
+    # bands); rerun returns the identical id set
+    assert 350 < counts["hot"] < 650
+    assert 10 < counts["cold"] < 120
+    again = stratified_sample_hash(
+        df, "src", "id", {"hot": 0.5}, default_rate=0.05)
+    assert ({r.id for r in picked.collect()} == {r.id for r in again.collect()})
+
+
+def test_stratified_sample_zero_default_drops_unlisted_strata(spark):
+    df = spark.createDataFrame([(i, "x") for i in range(100)],
+                               "id LONG, src STRING")
+    assert stratified_sample_hash(df, "src", "id", {"y": 1.0}).count() == 0

@@ -3904,6 +3904,196 @@ def q_sim_ivf_topk(spark, sf_dir):
 
 
 # =====================================================================
+# §7.5 time-series / CDC / corpus-sampling extensions (round 5)
+# =====================================================================
+
+
+def q_op_gap_fill(spark, sf_dir):
+    """Daily gap-fill with forward fill (LOCF) over per-user event value
+    sums — the time-series densification every reporting layer needs on
+    top of the reference's daily report frames (P:218-226 date-window
+    math). Per-key ``sequence`` grid + one co-partitioned left join +
+    running last(ignorenulls) window; sums stay exact DECIMAL until the
+    output edge so both engines emit identical doubles."""
+    from .operators.timeseries import gap_fill
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("d"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_v")))
+    filled = gap_fill(daily, "user_id", "d", "_v", out="filled_value")
+    return filled.select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("filled_value").cast("double").alias("filled_value"))
+
+
+SQL_OP_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS _v
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM spans)
+SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+       CAST(LAST_VALUE(_v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS filled_value
+FROM grid g LEFT JOIN daily USING (user_id, d)
+"""
+
+
+def q_op_scd2(spark, sf_dir):
+    """SCD type-2 interval construction from the events change log: one
+    validity interval per observed (user_id, event_type) version, closed
+    by the next version's timestamp (lead window), open + flagged current
+    for the latest. event_id totalizes same-µs order so the chain is
+    deterministic in both engines."""
+    from .operators.timeseries import scd2_intervals
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value")
+    s = scd2_intervals(ev, ["user_id", "event_type"], "ts", "event_id")
+    return s.select(
+        "user_id", "event_type", "event_id", "value",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "is_current")
+
+
+SQL_OP_SCD2 = """
+SELECT user_id, event_type, event_id, value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+       CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+def q_op_window_lag_lead(spark, sf_dir):
+    """Consecutive-event deltas per user (lag window): inter-arrival gap
+    in µs and value change vs the previous event. Single shuffle, O(1)
+    window state; the value delta is one IEEE double subtraction so both
+    engines emit identical bits."""
+    from .operators.timeseries import event_deltas
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"), "value")
+    d = event_deltas(ev, "user_id", "ts_us", "event_id", "value",
+                     gap_out="gap_us", delta_out="value_delta")
+    return d.select("event_id", "user_id", "gap_us", "value_delta")
+
+
+SQL_OP_WINDOW_LAG_LEAD = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       value - LAG(value) OVER w AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+def q_op_histogram(spark, sf_dir):
+    """Fixed-width histogram of lineitem extended price (22 x 5000-wide
+    buckets, outliers clamped to the edges). Map-side-combinable groupBy
+    on a computed bucket — the shuffle carries <=22 rows per map
+    partition at any scale. floor-of-one-division bucketing is a single
+    IEEE op, identical across engines."""
+    from .operators.timeseries import fixed_histogram
+    li = _t(spark, sf_dir, "lineitem")
+    return fixed_histogram(li, "l_extendedprice", 0.0, 5000.0, 22)
+
+
+SQL_OP_HISTOGRAM = """
+SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5000.0) AS BIGINT),
+                      0), 21) AS bucket,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_op_merge_upsert(spark, sf_dir):
+    """Latest-wins MERGE (batch CDC compaction): events before Jan 15 are
+    the current snapshot, events from Jan 15 on are the update batch;
+    merge keeps the newest row per (user_id, event_type) — new keys
+    insert, existing keys update. Because snapshot+batch = all events,
+    the oracle is a whole-table latest-per-key rank, which checks the
+    merge recombines exactly. Partial WindowGroupLimit keeps the shuffle
+    ~|keys|-sized (same pushdown as top-k-per-group)."""
+    from .operators.relational import merge_upsert
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value")
+    cut = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    target = ev.filter(F.col("ts") < cut)
+    updates = ev.filter(F.col("ts") >= cut)
+    m = merge_upsert(target, updates, ["user_id", "event_type"],
+                     ["ts", "event_id"])
+    return m.select("user_id", "event_type", "event_id", "value",
+                    F.unix_micros(F.col("ts")).alias("ts_us"))
+
+
+SQL_OP_MERGE_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, event_id, value, ts_us FROM ranked WHERE rn = 1
+"""
+
+
+def q_op_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling over documents by source — the
+    LLM-corpus source-mixing shape (down-weight over-represented sources
+    to a target mixture). Reuses op-sample-hash's cross-engine md5 bucket
+    so reruns/backfills select the identical rows; pure map-side filter,
+    no shuffle. src0-src2 kept at 50%, everything else at 10%."""
+    from .operators.relational import stratified_sample_hash
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample_hash(
+        d, "source", "doc_id",
+        {"src0": 0.5, "src1": 0.5, "src2": 0.5}, default_rate=0.1)
+    return s.select("doc_id", "source", "lang")
+
+
+SQL_OP_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 500 ELSE 100 END
+"""
+
+
+def q_text_bigram_counts(spark, sf_dir):
+    """Corpus bigram counts, top 50 (count desc, bigram asc — total
+    order): the n-gram LM statistics pass every corpus analysis runs.
+    Explode of the shifted-slices bigram list (text.word_ngrams), then a
+    map-side-combinable count; docs under 2 tokens are excluded on both
+    sides (word_ngrams degenerates them to a 1-token gram)."""
+    from .operators import text as text_ops
+    d = _t(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    grams = (d.filter(F.size(toks) >= 2)
+              .select(F.explode(text_ops.word_ngrams(F.col("text"), 2))
+                       .alias("bigram")))
+    agg = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return agg.orderBy(F.col("cnt").desc(), F.col("bigram").asc()).limit(50)
+
+
+SQL_TEXT_BIGRAM_COUNTS = r"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+pairs AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
+SELECT bigram, COUNT(*) AS cnt FROM pairs
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -3932,6 +4122,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- (all 43 last green in r2, plus the 2 oldest r3 keys) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
+    # ---- the 7 keys ADDED in r5 (time-series/CDC/sampling extensions),
+    # ---- in-window for first driver exposure ----
+    "op-gap-fill": q_op_gap_fill,
+    "op-scd2": q_op_scd2,
+    "op-window-lag-lead": q_op_window_lag_lead,
+    "op-histogram": q_op_histogram,
+    "op-merge-upsert": q_op_merge_upsert,
+    "op-stratified-sample": q_op_stratified_sample,
+    "text-bigram-counts": q_text_bigram_counts,
     "asof-join": q_asof_join,
     "op-variant-json": q_op_variant_json,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -4225,6 +4424,13 @@ ORACLES: dict[str, str] = {
     "sketch-kmv-union": SQL_SKETCH_KMV_UNION,
     "plan-corpus-train": _sql_plan_corpus_train(),
     "op-variant-json": SQL_OP_VARIANT_JSON,
+    "op-gap-fill": SQL_OP_GAP_FILL,
+    "op-scd2": SQL_OP_SCD2,
+    "op-window-lag-lead": SQL_OP_WINDOW_LAG_LEAD,
+    "op-histogram": SQL_OP_HISTOGRAM,
+    "op-merge-upsert": SQL_OP_MERGE_UPSERT,
+    "op-stratified-sample": SQL_OP_STRATIFIED_SAMPLE,
+    "text-bigram-counts": SQL_TEXT_BIGRAM_COUNTS,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

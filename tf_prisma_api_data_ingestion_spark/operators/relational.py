@@ -376,3 +376,50 @@ def time_rollup(df: DataFrame, ts_sec_col: str, value_col: str,
                                  F.col("_n").alias("n_events"),
                                  F.col("_s").cast("double").alias("sum_value")))
     return reduce(lambda a, b: a.unionByName(b), levels)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str],
+                 seq_cols: Sequence[str]) -> DataFrame:
+    """Latest-wins MERGE (Delta-style upsert without a table format):
+    union the current snapshot with a batch of updates and keep, per
+    ``keys``, the single row with the greatest ``seq_cols`` (compared
+    lexicographically; make the last one a unique id so the winner is
+    deterministic). New keys insert, existing keys update — the batch
+    CDC-compaction shape.
+
+    One shuffle on ``keys`` with a partial WindowGroupLimit below the
+    exchange (same rank<=1 pushdown as top_k_per_group): each map
+    partition forwards only its local winner per key, so the shuffle
+    carries ~|keys| rows, not |target|+|updates|. At 100 TB this is the
+    standard snapshot-compaction job; pair it with a partitioned sink to
+    make the re-written snapshot (P:26-30's layout) queryable in place.
+    """
+    from pyspark.sql.window import Window
+
+    merged = target.unionByName(updates)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c).desc() for c in seq_cols])
+    return (merged.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def stratified_sample_hash(df: DataFrame, stratum_col: str, key_col: str,
+                           rates: Mapping[str, float],
+                           default_rate: float = 0.0,
+                           denom: int = 1000) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-derived
+    bucket (stable across engines, partitioning, and retries — the same
+    primitive as op-sample-hash) falls under the stratum's rate. The
+    LLM-corpus source-mixing shape: down-weight over-represented sources
+    without a shuffle — this is a pure map-side filter, and unlike
+    ``df.sampleBy`` the selection is reproducible row-identity sampling,
+    so reruns and backfills pick the identical subset.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                     16, 10).cast("long") % denom)
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+    # round-to-nearest, not truncate: 0.1*1000 is 99.999…/100.000…1 in
+    # IEEE, and an external system computing CASE…THEN 100 must agree
+    return df.filter(bucket < F.round(rate * denom).cast("long"))

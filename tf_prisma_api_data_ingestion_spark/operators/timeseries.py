@@ -1,0 +1,109 @@
+"""Time-series operators: gap-fill densification, SCD2 interval
+construction, consecutive-event deltas, fixed-width histograms.
+
+These extend the reference's event-report surface (P: = /root/reference/
+modules/src/prisma_report/lambda.py builds daily report frames, P:218-226
+date-window math) with the time-series shapes a warehouse user expects on
+top of the same events data. Everything is built-in Catalyst operators —
+window functions, ``sequence``/``explode`` densification, floor-bucket
+aggregation — so whole-stage codegen and partial aggregation apply; no
+Python UDFs, no driver-side loops.
+
+Scale notes (100 TB posture):
+- ``gap_fill`` shuffles once on the group key for the per-key span, and
+  the grid⋈actual join re-uses the same key so AQE co-partitions it; the
+  grid is at most (days-in-span) rows per key — output-sized, never a
+  cross join.
+- ``scd2_intervals`` and ``event_deltas`` are single-shuffle window
+  scans: state per key is one row (lag/lead), so executor memory is
+  bounded by the sort spill, not the key's history.
+- ``fixed_histogram`` is a map-side-combinable groupBy on a computed
+  bucket — the shuffle carries at most ``nbins`` rows per map partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill(df: DataFrame, key: str, date_col: str, value_col: str,
+             out: str = "filled") -> DataFrame:
+    """Densify a per-key daily series and forward-fill missing values.
+
+    ``df`` holds at most one row per (key, date). Emits one row per key
+    per calendar day between that key's min and max date; days absent
+    from ``df`` carry the most recent preceding value (classic
+    last-observation-carried-forward). The dense grid is built per key
+    with ``sequence(min, max)`` + ``explode`` — sized by the key's own
+    span, so no global calendar cross join — and the fill is a running
+    ``last(ignorenulls)`` window, one shuffle on ``key``.
+    """
+    spans = df.groupBy(key).agg(F.min(date_col).alias("_lo"),
+                                F.max(date_col).alias("_hi"))
+    grid = spans.select(key, F.explode(F.sequence("_lo", "_hi")).alias(date_col))
+    joined = grid.join(df, [key, date_col], "left")
+    w = (Window.partitionBy(key).orderBy(date_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.withColumn(out, F.last(value_col, ignorenulls=True).over(w)) \
+                 .drop(value_col)
+
+
+def scd2_intervals(df: DataFrame, keys: Sequence[str], ts_col: str,
+                   tiebreak: str,
+                   valid_from: str = "valid_from",
+                   valid_to: str = "valid_to",
+                   current_flag: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change log.
+
+    Each row of ``df`` is one observed version of the entity identified
+    by ``keys``. Emits the row plus ``valid_from`` (= its ``ts_col``),
+    ``valid_to`` (= the next version's ``ts_col``, NULL for the latest)
+    and ``is_current`` (1 where ``valid_to`` IS NULL). ``tiebreak`` must
+    totalize the order among same-timestamp versions (e.g. a change id)
+    so the interval chain is deterministic. Single window shuffle on
+    ``keys``; ``lead`` keeps one row of state per key.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                          F.col(tiebreak).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (df.withColumn(valid_from, F.col(ts_col))
+              .withColumn(valid_to, nxt)
+              .withColumn(current_flag,
+                          F.col(valid_to).isNull().cast("int")))
+
+
+def event_deltas(df: DataFrame, key: str, ts_col: str, tiebreak: str,
+                 value_col: str,
+                 gap_out: str = "gap", delta_out: str = "delta") -> DataFrame:
+    """Consecutive-event gaps and value deltas per key (lag window).
+
+    ``gap_out`` = ts − previous ts, ``delta_out`` = value − previous
+    value; both NULL on each key's first event. ``tiebreak`` totalizes
+    same-timestamp order. One shuffle on ``key``; O(1) window state.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(),
+                                        F.col(tiebreak).asc())
+    return (df.withColumn(gap_out, F.col(ts_col) - F.lag(ts_col).over(w))
+              .withColumn(delta_out,
+                          F.col(value_col) - F.lag(value_col).over(w)))
+
+
+def fixed_histogram(df: DataFrame, col: str, lo: float, width: float,
+                    nbins: int,
+                    bucket_out: str = "bucket",
+                    count_out: str = "cnt") -> DataFrame:
+    """Fixed-width histogram: bucket = floor((x − lo) / width), clamped
+    to [0, nbins−1] so outliers land in the edge buckets. A plain
+    map-side-combinable groupBy — the shuffle moves ≤ nbins rows per map
+    partition regardless of input size. The floor-of-one-division
+    formulation is a single IEEE double op, so an external system
+    computing the same expression buckets rows identically.
+    """
+    b = F.floor((F.col(col) - F.lit(float(lo))) / F.lit(float(width)))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return (df.groupBy(b.cast("long").alias(bucket_out))
+              .agg(F.count(F.lit(1)).alias(count_out)))
