@@ -26,6 +26,8 @@ HEADLINE = (
     "asof-join",          # union + forward-fill window over events
     "op-range-join",      # bin-blocked interval join over events
     "op-time-rollup",     # cascaded minute/hour/day continuous aggregate
+    "op-gap-fill",        # sequence-grid densify + LOCF fill window
+    "op-merge-upsert",    # latest-wins CDC compaction (WindowGroupLimit)
     "dedup-exact",        # hash groupBy over documents
     "dedup-ngram-jaccard",# inverted-index jaccard
     "dedup-minhash-lsh",  # banded LSH + verify

@@ -50,6 +50,13 @@ AUDIT = (
     ("tpch-q13", "left OUTER join keeps zero-order customers; two-level count aggregation"),
     ("asof-join-forward", "mirrored union + first()-fill window; NO join node, one shuffle on the key"),
     ("sketch-kmv-union", "per-shard bottom-k via row_number window (spillable sort, no whole-shard array); final merge sees <=64*k rows; the crossJoin is two 1-row sketch frames"),
+    ("op-gap-fill", "per-key sequence grid (span-sized, no calendar cross join); grid<->actual join is stats-driven (broadcast at small sf, co-partitioned on user_id at scale); LOCF fill window keys the same user_id"),
+    ("op-merge-upsert", "union + rank<=1: partial WindowGroupLimit below the exchange, shuffle carries ~|keys| rows"),
+    ("op-scd2", "single hash exchange; lead window keeps O(1) state per key"),
+    ("op-histogram", "map-side-combinable bucket agg — shuffle carries <=nbins rows per map partition"),
+    ("op-stratified-sample", "pure map-side filter, ZERO exchanges; md5 bucket evaluated in the scan projection"),
+    ("text-bigram-counts", "explode + partial count below the gram shuffle; TakeOrderedAndProject top-50, no global sort"),
+    ("op-interval-merge", "two stacked windows share one user_id sort/exchange; island groupBy is map-side-combinable"),
 )
 
 

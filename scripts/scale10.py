@@ -51,6 +51,16 @@ KEYS = (
     "stream-window-agg",
     "stream-stream-join",
     "plan-corpus-train",
+    # r5 time-series/CDC/sampling additions (events/lineitem/documents all
+    # replicate, so every one sees real 10x growth)
+    "op-gap-fill",
+    "op-scd2",
+    "op-window-lag-lead",
+    "op-histogram",
+    "op-merge-upsert",
+    "op-stratified-sample",
+    "text-bigram-counts",
+    "op-interval-merge",
 )
 
 VERBATIM = ("region", "nation", "customer", "supplier", "part",

@@ -112,3 +112,34 @@ def test_stratified_sample_zero_default_drops_unlisted_strata(spark):
     df = spark.createDataFrame([(i, "x") for i in range(100)],
                                "id LONG, src STRING")
     assert stratified_sample_hash(df, "src", "id", {"y": 1.0}).count() == 0
+
+
+def test_merge_intervals_overlap_nested_and_backdated(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        merge_intervals,
+    )
+    iv = spark.createDataFrame(
+        [("u", 0, 10, 1),    # island A
+         ("u", 5, 30, 2),    # overlaps A, extends end to 30
+         ("u", 12, 14, 3),   # NESTED inside [5,30] — gap-sessionize on
+                             # starts alone would still chain, but a
+                             # naive prev-end (lag) rule would split here
+         ("u", 31, 40, 4),   # starts after running max 30 -> island B
+         ("v", 0, 1, 5)],
+        "k STRING, s LONG, e LONG, iid INT")
+    got = {(r.k, r.island_start, r.island_end): r.n_intervals
+           for r in merge_intervals(iv, "k", "s", "e", "iid").collect()}
+    assert got == {("u", 0, 30): 3, ("u", 31, 40): 1, ("v", 0, 1): 1}
+
+
+def test_merge_intervals_touching_intervals_merge(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        merge_intervals,
+    )
+    # end == next start: NOT greater, so they merge (closed-interval
+    # touch); start must EXCEED the running max to break
+    iv = spark.createDataFrame([("u", 0, 10, 1), ("u", 10, 20, 2)],
+                               "k STRING, s LONG, e LONG, iid INT")
+    got = merge_intervals(iv, "k", "s", "e", "iid").collect()
+    assert [(r.island_start, r.island_end, r.n_intervals) for r in got] \
+        == [(0, 20, 2)]

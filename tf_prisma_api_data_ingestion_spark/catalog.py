@@ -4093,6 +4093,54 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
 """
 
 
+def q_op_interval_merge(spark, sf_dir):
+    """Overlapping-interval merge (islands over VARIABLE-length
+    intervals): each event opens an interval of value-proportional length
+    (floor(value x 1h in µs) — floor on BOTH engines, because a bare
+    double->bigint cast truncates in Spark but rounds in DuckDB); merging
+    uses the running-max-of-ends rule, which unlike gap-sessionization is
+    correct under nested and back-dated intervals. One shuffle on
+    user_id; both windows share the sort."""
+    from .operators.timeseries import merge_intervals
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts"))
+         + F.floor(F.col("value") * F.lit(3600000000.0)).cast("long")
+         ).alias("e"))
+    m = merge_intervals(iv, "user_id", "s", "e", tiebreak="event_id",
+                        out_start="island_start_us",
+                        out_end="island_end_us",
+                        count_out="n_intervals")
+    return m.select("user_id", "island_start_us", "island_end_us",
+                    "n_intervals")
+
+
+SQL_OP_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 3600000000.0) AS BIGINT) AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER w_prev IS NULL OR s > MAX(e) OVER w_prev
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl
+  FROM flagged)
+SELECT user_id, MIN(s) AS island_start_us, MAX(e) AS island_end_us,
+       COUNT(*) AS n_intervals
+FROM islands GROUP BY user_id, isl
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4115,14 +4163,16 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 3 keys whose code
-    # ---- changed this round (asof-join right-side tie pre-agg,
+    # ---- (sketch-kmv-union, asof-join-forward), the 8 keys ADDED in r5
+    # ---- (time-series/CDC/sampling), the 3 keys whose code changed in
+    # ---- the r4->r5 gap (asof-join right-side tie pre-agg,
     # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
     # ---- windowed bottom-k), then the stalest driver-green keys
-    # ---- (all 43 last green in r2, plus the 2 oldest r3 keys) ----
+    # ---- (last green in r2; the trailing 8 r2 keys pushed past the
+    # ---- boundary by the additions rotate back in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 7 keys ADDED in r5 (time-series/CDC/sampling extensions),
+    # ---- the 8 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
     "op-scd2": q_op_scd2,
@@ -4131,6 +4181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-merge-upsert": q_op_merge_upsert,
     "op-stratified-sample": q_op_stratified_sample,
     "text-bigram-counts": q_text_bigram_counts,
+    "op-interval-merge": q_op_interval_merge,
     "asof-join": q_asof_join,
     "op-variant-json": q_op_variant_json,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -4431,6 +4482,7 @@ ORACLES: dict[str, str] = {
     "op-merge-upsert": SQL_OP_MERGE_UPSERT,
     "op-stratified-sample": SQL_OP_STRATIFIED_SAMPLE,
     "text-bigram-counts": SQL_TEXT_BIGRAM_COUNTS,
+    "op-interval-merge": SQL_OP_INTERVAL_MERGE,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -107,3 +107,36 @@ def fixed_histogram(df: DataFrame, col: str, lo: float, width: float,
     b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
     return (df.groupBy(b.cast("long").alias(bucket_out))
               .agg(F.count(F.lit(1)).alias(count_out)))
+
+
+def merge_intervals(df: DataFrame, key: str, start_col: str, end_col: str,
+                    tiebreak: str,
+                    out_start: str = "island_start",
+                    out_end: str = "island_end",
+                    count_out: str = "n_intervals") -> DataFrame:
+    """Merge overlapping/touching intervals per key into islands
+    (classic gap-and-islands over VARIABLE-LENGTH intervals — unlike
+    ``relational.sessionize``, which gaps between points, this handles
+    nested and back-dated intervals via a running max of interval ends).
+
+    An interval starts a new island iff its start exceeds the running max
+    of all previous ends; the island id is the running count of such
+    breaks. Emits one row per island: key, min start, max end, interval
+    count. ``tiebreak`` totalizes same-start order. One shuffle on
+    ``key``; two stacked windows share the sort, then a
+    map-side-combinable groupBy on (key, island).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(start_col).asc(),
+                                        F.col(tiebreak).asc())
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max_end.isNull()
+                 | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_island", island)
+              .groupBy(key, "_island")
+              .agg(F.min(start_col).alias(out_start),
+                   F.max(end_col).alias(out_end),
+                   F.count(F.lit(1)).alias(count_out))
+              .drop("_island"))
