@@ -359,13 +359,24 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
     O(log n) rounds instead of O(diameter)) is the drop-in upgrade.
 
     ``pairs``: (doc_a, doc_b) edges; ``ids``: one row per id (defines the
-    node set, so isolated docs appear in the output).
+    node set, so isolated docs appear in the output). Only
+    edge-participating nodes iterate — singletons (the overwhelming
+    majority of a deduped corpus) are attached once at the end, so label
+    state and per-round shuffles are sized by the near-dup population,
+    not the corpus.
     """
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
              .distinct().localCheckpoint())
-    labels = ids.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    # iterate over EDGE-PARTICIPATING nodes only: a node with no edge can
+    # never change its label, so carrying it through K rounds of
+    # join/checkpoint/convergence-sum is pure waste. At 100 TB this is
+    # the difference between label state sized by the (small) near-dup
+    # population and by the whole corpus — singletons rejoin once at the
+    # end via the same left-join+coalesce the star variant uses.
+    labels = (edges.select(F.col("src").alias("n")).distinct()
+              .withColumn("lbl", F.col("n")))
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.src == labels.n)
                         .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
@@ -384,7 +395,10 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
         labels = new_labels.select("n", "lbl")
         if not changed:
             break
-    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return (ids.select(F.col(id_col).alias("n"))
+            .join(labels, "n", "left")
+            .select(F.col("n").alias(id_col),
+                    F.coalesce("lbl", F.col("n")).alias("cluster_id")))
 
 
 def dedup_clusters_star(pairs: DataFrame, ids: DataFrame,
