@@ -163,3 +163,81 @@ def test_star_cluster_id_is_min_member(spark):
         by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
     for cid, members in by_cluster.items():
         assert cid == min(members), (cid, members)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 30)),
+                min_size=1, max_size=25))
+def test_merge_intervals_matches_python_reference(spark, raw):
+    """merge_intervals == the obvious single-threaded sweep: sort by
+    start, extend the current island while start <= running max end."""
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        merge_intervals,
+    )
+    rows = [("k", s, s + ln, i) for i, (s, ln) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k STRING, s LONG, e LONG, iid INT")
+    got = sorted((r.island_start, r.island_end, r.n_intervals)
+                 for r in merge_intervals(df, "k", "s", "e", "iid").collect())
+
+    want = []
+    for _, s, e, _ in sorted(rows, key=lambda r: (r[1], r[3])):
+        if want and s <= want[-1][1]:
+            lo, hi, n = want[-1]
+            want[-1] = (lo, max(hi, e), n + 1)
+        else:
+            want.append((s, e, 1))
+    # reference keeps running max implicitly because islands only close
+    # when start exceeds the island's max end seen so far
+    assert got == sorted((lo, hi, n) for lo, hi, n in want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)),
+                min_size=1, max_size=30))
+def test_merge_upsert_equals_dict_semantics(spark, kv):
+    """Latest-wins merge == feeding the rows through a dict in seq order
+    (ties broken by the trailing unique id)."""
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        merge_upsert,
+    )
+    rows = [(k, seq, i) for i, (k, seq) in enumerate(kv)]
+    half = len(rows) // 2
+    # sentinel key 99 stands in for an empty half (createDataFrame needs
+    # at least one row); it participates in the semantics like any key
+    t_rows = rows[:half] or [(99, -1, -1)]
+    u_rows = rows[half:] or [(99, -1, -2)]
+    target = spark.createDataFrame(t_rows, "k INT, seq INT, uid INT")
+    updates = spark.createDataFrame(u_rows, "k INT, seq INT, uid INT")
+    got = {r.k: (r.seq, r.uid)
+           for r in merge_upsert(target, updates, ["k"], ["seq", "uid"]).collect()}
+    want = {}
+    for k, seq, uid in sorted(t_rows + u_rows, key=lambda r: (r[1], r[2])):
+        want[k] = (seq, uid)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=16)),
+                min_size=1, max_size=25))
+def test_scd2_intervals_partition_the_timeline(spark, raw):
+    """Per key: intervals chain exactly (each valid_to equals the next
+    valid_from), exactly one open interval, and it is the max-ts row."""
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+    rows = [(k, ts, i, float(v)) for i, (k, ts, v) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k INT, ts LONG, cid INT, v DOUBLE")
+    out = scd2_intervals(df, ["k"], "ts", "cid").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: (r.valid_from, r.cid))
+        opens = [r for r in rs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0].is_current == 1
+        assert opens[0] is rs[-1]
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.is_current == 0
