@@ -57,6 +57,7 @@ AUDIT = (
     ("op-stratified-sample", "pure map-side filter, ZERO exchanges; md5 bucket evaluated in the scan projection"),
     ("text-bigram-counts", "explode + partial count below the gram shuffle; TakeOrderedAndProject top-50, no global sort"),
     ("op-interval-merge", "two stacked windows share one user_id sort/exchange; island groupBy is map-side-combinable"),
+    ("asof-join-nearest", "both directional fills over ONE merged frame: single user_id exchange, two in-partition sorts, NO join node"),
 )
 
 

@@ -61,6 +61,7 @@ KEYS = (
     "op-stratified-sample",
     "text-bigram-counts",
     "op-interval-merge",
+    "asof-join-nearest",
 )
 
 VERBATIM = ("region", "nation", "customer", "supplier", "part",

@@ -143,3 +143,41 @@ def test_merge_intervals_touching_intervals_merge(spark):
     got = merge_intervals(iv, "k", "s", "e", "iid").collect()
     assert [(r.island_start, r.island_end, r.n_intervals) for r in got] \
         == [(0, 20, 2)]
+
+
+def test_asof_nearest_picks_closer_side_and_tie_goes_backward(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        asof_join_nearest,
+    )
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 16), (3, "u", 100), (4, "w", 5)],
+        "lid INT, k STRING, ts LONG")
+    right = spark.createDataFrame(
+        [("u", 8, 1.0), ("u", 20, 2.0), ("u", 100, 3.0)],
+        "k STRING, ts LONG, v DOUBLE")
+    got = {r.lid: (r.v, r.asof_dist)
+           for r in asof_join_nearest(left, right, on=["k"], left_ts="ts",
+                                      right_ts="ts",
+                                      right_cols={"v": "v"}).collect()}
+    assert got == {
+        1: (1.0, 2),    # dist 2 back vs 10 fwd -> backward
+        2: (2.0, 4),    # dist 8 back vs 4 fwd -> forward
+        3: (3.0, 0),    # simultaneous: dist 0 both -> backward pick, dist 0
+        4: (None, None),  # key with no right rows at all
+    }
+
+
+def test_asof_nearest_no_backward_falls_forward_and_vice_versa(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        asof_join_nearest,
+    )
+    left = spark.createDataFrame([(1, "u", 3), (2, "u", 50)],
+                                 "lid INT, k STRING, ts LONG")
+    right = spark.createDataFrame([("u", 7, 9.0)], "k STRING, ts LONG, v DOUBLE")
+    got = {r.lid: (r.v, r.asof_dist)
+           for r in asof_join_nearest(left, right, on=["k"], left_ts="ts",
+                                      right_ts="ts",
+                                      right_cols={"v": "v"}).collect()}
+    # left@3 has no backward match -> forward (dist 4); left@50 has no
+    # forward match -> backward (dist 43)
+    assert got == {1: (9.0, 4), 2: (9.0, 43)}

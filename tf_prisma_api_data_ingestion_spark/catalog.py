@@ -4093,6 +4093,50 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
 """
 
 
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest-event as-of join: each click pairs with its CLOSEST
+    purchase in time, either direction (tie -> the earlier one), plus the
+    winning |delta-t| in µs. Both directional fills run over ONE merged
+    frame sharing the user_id exchange; the oracle composes DuckDB's
+    backward and forward ASOF joins with the same distance compare.
+    Right side pre-aggregated to one row per (user_id, ts) so neither
+    engine faces a tied-timestamp pick (see q_asof_join)."""
+    from .operators.relational import asof_join_nearest
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts")).alias("ts_us")
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", us)
+    p = (ev.filter(F.col("event_type") == "purchase").select("user_id", us, "value")
+           .groupBy("user_id", "ts_us").agg(F.max("value").alias("value")))
+    joined = asof_join_nearest(c, p, on=["user_id"], left_ts="ts_us",
+                               right_ts="ts_us",
+                               right_cols={"value": "nearest_purchase_value"},
+                               dist_out="asof_dist_us")
+    return joined.select("event_id", "user_id", "nearest_purchase_value",
+                         "asof_dist_us")
+
+
+SQL_ASOF_JOIN_NEAREST = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS bts, p.value AS bval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us),
+f AS (
+  SELECT c.event_id, p.ts_us AS fts, p.value AS fval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+SELECT b.event_id, b.user_id,
+       CASE WHEN bts IS NULL OR (fts IS NOT NULL AND fts - ts_us < ts_us - bts)
+            THEN fval ELSE bval END AS nearest_purchase_value,
+       CASE WHEN bts IS NULL OR (fts IS NOT NULL AND fts - ts_us < ts_us - bts)
+            THEN fts - ts_us ELSE ts_us - bts END AS asof_dist_us
+FROM b JOIN f USING (event_id)
+"""
+
+
 def q_op_interval_merge(spark, sf_dir):
     """Overlapping-interval merge (islands over VARIABLE-length
     intervals): each event opens an interval of value-proportional length
@@ -4163,16 +4207,16 @@ FROM islands GROUP BY user_id, isl
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 8 keys ADDED in r5
+    # ---- (sketch-kmv-union, asof-join-forward), the 9 keys ADDED in r5
     # ---- (time-series/CDC/sampling), the 3 keys whose code changed in
     # ---- the r4->r5 gap (asof-join right-side tie pre-agg,
     # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
     # ---- windowed bottom-k), then the stalest driver-green keys
-    # ---- (last green in r2; the trailing 8 r2 keys pushed past the
+    # ---- (last green in r2; the trailing 9 r2 keys pushed past the
     # ---- boundary by the additions rotate back in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 8 keys ADDED in r5 (time-series/CDC/sampling extensions),
+    # ---- the 9 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
     "op-scd2": q_op_scd2,
@@ -4182,6 +4226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-stratified-sample": q_op_stratified_sample,
     "text-bigram-counts": q_text_bigram_counts,
     "op-interval-merge": q_op_interval_merge,
+    "asof-join-nearest": q_asof_join_nearest,
     "asof-join": q_asof_join,
     "op-variant-json": q_op_variant_json,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -4483,6 +4528,7 @@ ORACLES: dict[str, str] = {
     "op-stratified-sample": SQL_OP_STRATIFIED_SAMPLE,
     "text-bigram-counts": SQL_TEXT_BIGRAM_COUNTS,
     "op-interval-merge": SQL_OP_INTERVAL_MERGE,
+    "asof-join-nearest": SQL_ASOF_JOIN_NEAREST,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

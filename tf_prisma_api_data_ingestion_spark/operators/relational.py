@@ -423,3 +423,53 @@ def stratified_sample_hash(df: DataFrame, stratum_col: str, key_col: str,
     # round-to-nearest, not truncate: 0.1*1000 is 99.999…/100.000…1 in
     # IEEE, and an external system computing CASE…THEN 100 must agree
     return df.filter(bucket < F.round(rate * denom).cast("long"))
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: Sequence[str],
+                      left_ts: str, right_ts: str,
+                      right_cols: Mapping[str, str],
+                      dist_out: str = "asof_dist") -> DataFrame:
+    """Nearest-event as-of join: for each left row, the right row whose
+    timestamp is CLOSEST in either direction (equal distance — including
+    the simultaneous case — resolves to the earlier/backward row).
+    Completes the as-of family: backward = last-cause, forward =
+    next-effect, nearest = closest-context attribution.
+
+    Same single-exchange union+fill formulation as ``asof_join``, run in
+    BOTH directions over one merged frame: the two window frames share
+    the key exchange (different sort orders re-sort within partitions,
+    no second shuffle), then a per-row distance compare picks the side.
+    ``dist_out`` carries the winning |Δts| (NULL when no match at all).
+
+    Right rows must be unique per (on, right_ts) — pre-aggregate the
+    right side (as the catalog queries do) so tied-timestamp picks can't
+    arise in either direction.
+    """
+    from pyspark.sql.window import Window
+
+    tag = "_asof_side"
+    lt = left.withColumn(tag, F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rcols = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    rt = (right.select(*[F.col(k) for k in on], F.col(right_ts).alias("_ts"), *rcols)
+               .withColumn(tag, F.lit(0)))
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # backward: right rows sort BEFORE left at equal _ts (equal-ts right
+    # row visible in the preceding frame); forward mirrors it
+    wb = (Window.partitionBy(*on)
+          .orderBy(F.col("_ts").asc(), F.col(tag).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*on)
+          .orderBy(F.col("_ts").asc(), F.col(tag).desc())
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    rts = F.when(F.col(tag) == 0, F.col("_ts"))
+    bts = F.last(rts, ignorenulls=True).over(wb)
+    fts = F.first(rts, ignorenulls=True).over(wf)
+    bdist, fdist = F.col("_ts") - bts, fts - F.col("_ts")
+    use_f = bts.isNull() | (fts.isNotNull() & (fdist < bdist))
+    for c, out in right_cols.items():
+        bval = F.last(F.col(f"_r_{c}"), ignorenulls=True).over(wb)
+        fval = F.first(F.col(f"_r_{c}"), ignorenulls=True).over(wf)
+        merged = merged.withColumn(out, F.when(use_f, fval).otherwise(bval))
+    merged = merged.withColumn(dist_out, F.when(use_f, fdist).otherwise(bdist))
+    return (merged.filter(F.col(tag) == 1)
+            .drop(tag, "_ts", *[f"_r_{c}" for c in right_cols]))
