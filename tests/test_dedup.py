@@ -237,3 +237,21 @@ def test_results_are_partition_invariant(spark):
         wide = {tuple(r) for r in op(d.repartition(16)).collect()}
         narrow = {tuple(r) for r in op(d.coalesce(1)).collect()}
         assert wide == narrow and wide
+
+
+def test_keep_best_elects_highest_quality_member(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "doc_a LONG, doc_b LONG")
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4), (50, 0.1)],
+        "doc_id LONG, quality_score DOUBLE")
+    got = {r.cluster_id: (r.doc_id, r.cluster_size, r.quality_score)
+           for r in dedup_keep_best(pairs, scored).collect()}
+    assert got == {
+        1: (2, 3, 0.9),     # chain 1-2-3: doc 2 has the best quality
+        10: (10, 2, 0.4),   # tie at 0.4 -> min doc_id wins
+        50: (50, 1, 0.1),   # singleton keeps itself
+    }

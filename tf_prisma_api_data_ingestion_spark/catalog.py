@@ -4093,6 +4093,66 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-elected near-dup representatives: connected components
+    over jaccard>=0.2 edges (same edge set as dedup-clusters), then keep
+    the HIGHEST-quality member per cluster (tie -> min doc_id) — the
+    production corpus-dedup rule (keep the best-written copy, not the
+    first-crawled one). Representative election is a rank<=1 window per
+    cluster (partial WindowGroupLimit pushdown)."""
+    from .operators.dedup import dedup_keep_best
+    from .operators.text import quality_features
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)
+    scored = quality_features(d, "text").select("doc_id", "quality_score")
+    return dedup_keep_best(pairs, scored)
+
+
+def _sql_dedup_keep_best() -> str:
+    stop_hits = _sql_marker_hits(text.STOPWORDS)
+    return f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter WHERE i / (ma + mb - i) >= 0.2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM edges e JOIN reach r ON e.src = r.n),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+qf AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         {stop_hits} AS stop_hits
+  FROM documents),
+score AS (
+  SELECT doc_id,
+         least(1.0, greatest(0.0,
+               0.5 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5
+               + 0.3 * (1 - (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END))
+               + 0.2 * least(n_tok / 100.0, 1.0))) AS quality_score
+  FROM qf),
+member AS (
+  SELECT c.doc_id, c.cluster_id, s.quality_score,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.quality_score DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN score s USING (doc_id))
+SELECT doc_id, cluster_id, cluster_size, quality_score
+FROM member WHERE rn = 1
+"""
+
+
 def q_asof_join_nearest(spark, sf_dir):
     """Nearest-event as-of join: each click pairs with its CLOSEST
     purchase in time, either direction (tie -> the earlier one), plus the
@@ -4207,16 +4267,16 @@ FROM islands GROUP BY user_id, isl
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 9 keys ADDED in r5
+    # ---- (sketch-kmv-union, asof-join-forward), the 10 keys ADDED in r5
     # ---- (time-series/CDC/sampling), the 3 keys whose code changed in
     # ---- the r4->r5 gap (asof-join right-side tie pre-agg,
     # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
     # ---- windowed bottom-k), then the stalest driver-green keys
-    # ---- (last green in r2; the trailing 9 r2 keys pushed past the
+    # ---- (last green in r2; the trailing 10 r2 keys pushed past the
     # ---- boundary by the additions rotate back in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 9 keys ADDED in r5 (time-series/CDC/sampling extensions),
+    # ---- the 10 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
     "op-scd2": q_op_scd2,
@@ -4227,6 +4287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-bigram-counts": q_text_bigram_counts,
     "op-interval-merge": q_op_interval_merge,
     "asof-join-nearest": q_asof_join_nearest,
+    "dedup-keep-best": q_dedup_keep_best,
     "asof-join": q_asof_join,
     "op-variant-json": q_op_variant_json,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -4529,6 +4590,7 @@ ORACLES: dict[str, str] = {
     "text-bigram-counts": SQL_TEXT_BIGRAM_COUNTS,
     "op-interval-merge": SQL_OP_INTERVAL_MERGE,
     "asof-join-nearest": SQL_ASOF_JOIN_NEAREST,
+    "dedup-keep-best": _sql_dedup_keep_best(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -479,6 +479,35 @@ def dedup_keep_list(pairs: DataFrame, ids: DataFrame,
             .select(F.col("cluster_id").alias(id_col), "cluster_size"))
 
 
+def dedup_keep_best(pairs: DataFrame, scored: DataFrame,
+                    id_col: str = "doc_id",
+                    score_col: str = "quality_score") -> DataFrame:
+    """One kept id per near-dup cluster — the HIGHEST-``score_col``
+    member (ties -> min id), instead of ``dedup_keep_list``'s min-id
+    rule. This is what production corpus dedup actually wants: when five
+    near-identical documents survive, keep the best-written one, not the
+    one that happened to be crawled first.
+
+    ``scored``: (id_col, score_col) one row per doc — the node set AND
+    the ranking signal. Composition: connected components (singleton-
+    excluded iteration) -> join scores back -> rank<=1 per cluster, which
+    Spark executes with the same partial WindowGroupLimit pushdown as
+    top-k-per-group, so the representative election shuffles ~|clusters|
+    rows. Returns (id_col, cluster_id, cluster_size, score_col).
+    """
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(pairs, scored.select(id_col), id_col)
+    member = clusters.join(scored, id_col)
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    sized = member.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    return (sized.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cluster_id", "cluster_size", score_col))
+
+
 # ---------------------------------------------------- embedding near-dup ---
 
 def dot(u: Column, v: Column) -> Column:
