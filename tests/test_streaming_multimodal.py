@@ -242,3 +242,43 @@ def test_stream_parquet_sink_exactly_once_on_restart(spark, tmp_path):
                                        query_name="t_sink_run2")
     assert n2 == 0
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_stream_report_append_emission_and_replay(spark, tmp_path):
+    """The composite stream report publishes exactly the COMPLETE daily
+    windows (append rule: emitted when watermark passes window end); the
+    final open day stays in state, and a replay appends nothing."""
+    from pyspark.sql import functions as F
+
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        enriched_daily_report_to_parquet,
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = enriched_daily_report_to_parquet(spark, SF_DIR, out, ckpt,
+                                          query_name="t_report_run1")
+    assert n1 > 0
+    got = spark.read.parquet(out)
+    days = sorted(r.day for r in got.select(
+        F.col("day").cast("string").alias("day")).distinct().collect())
+
+    ev = tables.load(spark, SF_DIR, "events")
+    cust = tables.load(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"))
+    joined = ev.join(cust, "user_id")
+    # emission rule: window end <= max(ts) - 10min. The max-ts day is an
+    # OPEN window -> must be absent; every earlier joined day is present.
+    last_day = joined.agg(
+        F.date_format(F.date_trunc("day", F.max("ts")), "yyyy-MM-dd")).first()[0]
+    all_days = sorted(
+        r.d for r in joined.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .distinct().collect())
+    assert last_day not in days
+    assert days == [d for d in all_days if d != last_day]
+
+    n2 = enriched_daily_report_to_parquet(spark, SF_DIR, out, ckpt,
+                                          query_name="t_report_run2")
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == got.count()

@@ -4093,6 +4093,49 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50
 """
 
 
+def q_plan_stream_report(spark, sf_dir):
+    """Composite streaming ETL (the streaming twin of plan-alert-report):
+    events stream -> static customer-dim enrichment -> watermarked daily
+    aggregate per market segment -> APPEND-mode date-partitioned parquet
+    with exactly-once replay. Drained TWICE against one checkpoint — the
+    replay must ingest 0 rows (surfaced as replay_rows). Append-mode file
+    sinks emit a window exactly once, when the watermark passes its end,
+    so the published table holds exactly the COMPLETE windows: the oracle
+    replays the join+agg in SQL and keeps windows with
+    end <= max(ts) - watermark."""
+    from .streaming.windows import enriched_daily_report_to_parquet
+    base = _fresh_dir("plan-stream-report")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    enriched_daily_report_to_parquet(spark, sf_dir, out, ckpt,
+                                     query_name="cat_stream_report1")
+    replay = enriched_daily_report_to_parquet(spark, sf_dir, out, ckpt,
+                                              query_name="cat_stream_report2")
+    back = spark.read.parquet(out)
+    # the day partition directory reads back as DATE (partition-column
+    # type inference); pin the contract to the ISO string both engines
+    # format identically instead of relying on str() coercion downstream
+    return back.select(F.col("day").cast("string").alias("day"),
+                       "c_mktsegment", "n_events", "sum_value",
+                       F.lit(replay).cast("long").alias("replay_rows"))
+
+
+SQL_PLAN_STREAM_REPORT = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+j AS (
+  SELECT e.ts, e.value, c.c_mktsegment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+agg AS (
+  SELECT date_trunc('day', ts) AS d, c_mktsegment,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM j GROUP BY 1, 2)
+SELECT strftime(agg.d, '%Y-%m-%d') AS day, c_mktsegment, n_events,
+       sum_value, CAST(0 AS BIGINT) AS replay_rows
+FROM agg, wm
+WHERE agg.d + INTERVAL 1 DAY <= wm.w
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-elected near-dup representatives: connected components
     over jaccard>=0.2 edges (same edge set as dedup-clusters), then keep
@@ -4267,16 +4310,16 @@ FROM islands GROUP BY user_id, isl
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 10 keys ADDED in r5
+    # ---- (sketch-kmv-union, asof-join-forward), the 11 keys ADDED in r5
     # ---- (time-series/CDC/sampling), the 3 keys whose code changed in
     # ---- the r4->r5 gap (asof-join right-side tie pre-agg,
     # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
     # ---- windowed bottom-k), then the stalest driver-green keys
-    # ---- (last green in r2; the trailing 10 r2 keys pushed past the
+    # ---- (last green in r2; the trailing 11 r2 keys pushed past the
     # ---- boundary by the additions rotate back in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 10 keys ADDED in r5 (time-series/CDC/sampling extensions),
+    # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
     "op-scd2": q_op_scd2,
@@ -4288,6 +4331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-interval-merge": q_op_interval_merge,
     "asof-join-nearest": q_asof_join_nearest,
     "dedup-keep-best": q_dedup_keep_best,
+    "plan-stream-report": q_plan_stream_report,
     "asof-join": q_asof_join,
     "op-variant-json": q_op_variant_json,
     "sketch-kmv-distinct": q_sketch_kmv_distinct,
@@ -4591,6 +4635,7 @@ ORACLES: dict[str, str] = {
     "op-interval-merge": SQL_OP_INTERVAL_MERGE,
     "asof-join-nearest": SQL_ASOF_JOIN_NEAREST,
     "dedup-keep-best": _sql_dedup_keep_best(),
+    "plan-stream-report": SQL_PLAN_STREAM_REPORT,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -506,3 +506,50 @@ def upsert_latest_state(spark: SparkSession, sf_dir: str, target_dir: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(target_dir)
+
+
+def enriched_daily_report_to_parquet(spark: SparkSession, sf_dir: str,
+                                     out_dir: str, checkpoint_dir: str,
+                                     window: str = "1 day",
+                                     watermark: str = "10 minutes",
+                                     query_name: str = "stream_report",
+                                     state_partitions: int = DEFAULT_STATE_PARTITIONS) -> int:
+    """The composite streaming ETL: stream -> static-dim enrichment ->
+    watermarked daily aggregation -> APPEND-mode partitioned parquet.
+    Each stage exists standalone in this module; this is the
+    always-on-report shape that chains them against a FILE sink, where
+    complete mode is unavailable and emission follows the append rule:
+
+    **a window's row is written exactly once, when the watermark passes
+    its end** — so after an availableNow drain the final (still-open)
+    window is NOT in the table; it sits in checkpointed state and emits
+    when later data advances the watermark. That rule is what makes the
+    output deterministic and oracle-checkable: emitted rows = complete
+    windows with end <= max(ts) - watermark. A replay against the same
+    checkpoint ingests nothing and appends nothing (exactly-once file
+    sink), asserted by the catalog query's double drain.
+
+    Returns the input rows processed by THIS run (0 on pure replay).
+    """
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    agg = (_event_stream(spark, sf_dir)
+           .join(dim, "user_id")                     # stream-static, stateless
+           .withWatermark("ts_t", watermark)
+           .groupBy(F.window("ts_t", window).alias("w"), "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                   "c_mktsegment", "n_events", "sum_value"))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("parquet")
+             .queryName(query_name)
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .partitionBy("day")
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+        q.awaitTermination()
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
