@@ -62,6 +62,7 @@ KEYS = (
     "text-bigram-counts",
     "op-interval-merge",
     "asof-join-nearest",
+    "plan-stream-report",
 )
 
 VERBATIM = ("region", "nation", "customer", "supplier", "part",

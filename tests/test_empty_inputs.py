@@ -71,3 +71,52 @@ def test_sessionize_empty(spark):
     from tf_prisma_api_data_ingestion_spark.operators.relational import sessionize
     df = spark.createDataFrame([], "k STRING, ts LONG")
     assert sessionize(df, "k", "ts", gap=10).count() == 0
+
+
+def test_timeseries_ops_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        event_deltas,
+        fixed_histogram,
+        gap_fill,
+        merge_intervals,
+        scd2_intervals,
+    )
+    daily = spark.createDataFrame([], "k INT, d DATE, v DOUBLE")
+    assert gap_fill(daily, "k", "d", "v").count() == 0
+    log = spark.createDataFrame([], "k INT, ts LONG, cid INT, v DOUBLE")
+    assert scd2_intervals(log, ["k"], "ts", "cid").count() == 0
+    assert event_deltas(log, "k", "ts", "cid", "v").count() == 0
+    assert fixed_histogram(log.select(F.col("v").alias("x")),
+                           "x", 0.0, 1.0, 4).count() == 0
+    iv = spark.createDataFrame([], "k INT, s LONG, e LONG, iid INT")
+    assert merge_intervals(iv, "k", "s", "e", "iid").count() == 0
+
+
+def test_merge_upsert_and_sampling_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        asof_join_nearest,
+        merge_upsert,
+        stratified_sample_hash,
+    )
+    t = spark.createDataFrame([], "k INT, seq INT, v STRING")
+    assert merge_upsert(t, t, ["k"], ["seq"]).count() == 0
+    d = spark.createDataFrame([], "id LONG, src STRING")
+    assert stratified_sample_hash(d, "src", "id", {"a": 0.5}).count() == 0
+    left = spark.createDataFrame([], "lid INT, k STRING, ts LONG")
+    right = spark.createDataFrame([], "k STRING, ts LONG, val DOUBLE")
+    assert asof_join_nearest(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts",
+                             right_cols={"val": "v"}).count() == 0
+
+
+def test_keep_best_empty_pairs_keeps_every_doc(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    pairs = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    scored = spark.createDataFrame([(1, 0.5), (2, 0.9)],
+                                   "doc_id LONG, quality_score DOUBLE")
+    got = {r.doc_id: r.cluster_size
+           for r in dedup_keep_best(pairs, scored).collect()}
+    # no edges -> every doc is its own cluster's representative
+    assert got == {1: 1, 2: 1}
