@@ -241,3 +241,35 @@ def test_scd2_intervals_partition_the_timeline(spark, raw):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from
             assert a.is_current == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 15),
+                          st.integers(-50, 50)),
+                min_size=1, max_size=20))
+def test_gap_fill_matches_pandas_ffill(spark, raw):
+    """gap_fill == pandas reindex-to-full-range + ffill per key."""
+    import datetime
+
+    import pandas as pd
+
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import gap_fill
+
+    # one row per (key, day): keep the last value per duplicate day
+    dedup = {}
+    for k, day, v in raw:
+        dedup[(k, day)] = float(v)
+    rows = [(k, datetime.date(2024, 1, 1) + datetime.timedelta(days=day), v)
+            for (k, day), v in dedup.items()]
+    df = spark.createDataFrame(rows, "k INT, d DATE, v DOUBLE")
+    got = {(r.k, r.d): r.filled for r in gap_fill(df, "k", "d", "v").collect()}
+
+    pdf = pd.DataFrame(rows, columns=["k", "d", "v"])
+    want = {}
+    for k, grp in pdf.groupby("k"):
+        s = grp.set_index("d")["v"].sort_index()
+        full = s.reindex(pd.date_range(s.index.min(), s.index.max(),
+                                       freq="D").date).ffill()
+        for d, v in full.items():
+            want[(k, d)] = v
+    assert got == want
