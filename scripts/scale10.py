@@ -7,10 +7,12 @@ Builds a 10x copy-shifted dataset in /tmp (testdata is read-only):
   grows 10x, rows-per-key stay constant, so a linear operator should grow
   ~10x in rows and <=10x in wall time.
 - ``lineitem`` x10 with l_orderkey shifted — the window/top-k table.
-- ``documents`` x10 with doc_id shifted and every token copy-suffixed
-  (within-copy near-dup structure preserved, cross-copy similarity
-  destroyed) — same construction as the r3 dedup harness, reused here so
-  the benched plan-corpus-train composite gets an sf1 row.
+- ``documents`` x10 with doc_id shifted and a per-copy VOCABULARY
+  PERMUTATION (see scripts/_scalebuild.py — preserves within-copy
+  similarity, quality scores and df statistics EXACTLY while destroying
+  cross-copy overlap; replaces the token-suffix construction whose
+  normalizer-split suffix tokens made sum(df^2) quadratic and whose
+  suffixed stopwords zeroed every quality score).
 - every other table copied verbatim.
 
 All replicated tables are written as SINGLE parquet files (DuckDB COPY)
@@ -33,9 +35,8 @@ import shutil
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 SRC = "/root/testdata/sf0.1"
 WARM = "/root/testdata/sf0.001"
@@ -70,30 +71,17 @@ VERBATIM = ("region", "nation", "customer", "supplier", "part",
 
 
 def build(out: str) -> None:
+    from _scalebuild import (
+        replicate_documents,
+        replicate_events,
+        replicate_lineitem,
+    )
     os.makedirs(out, exist_ok=True)
     for t in VERBATIM:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SRC}/events.parquet'")
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SRC}/lineitem.parquet'")
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SRC}/documents.parquet'")
-    con.execute(f"""
-        COPY (SELECT * REPLACE (event_id + i * 1000000000 AS event_id,
-                                user_id + i * 10000000 AS user_id)
-              FROM events CROSS JOIN range(10) t(i))
-        TO '{out}/events.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-        COPY (SELECT * REPLACE (l_orderkey + i * 1000000000 AS l_orderkey)
-              FROM lineitem CROSS JOIN range(10) t(i))
-        TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-        COPY (SELECT doc_id + i * 100000000 AS doc_id,
-                     regexp_replace(text, '(\\S+)', '\\1_c' || i, 'g') AS text,
-                     lang, source,
-                     CAST(length(regexp_replace(text, '(\\S+)', '\\1_c' || i,
-                                                'g')) AS BIGINT) AS n_chars
-              FROM documents CROSS JOIN range(10) t(i))
-        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    replicate_events(f"{SRC}/events.parquet", f"{out}/events.parquet", 10)
+    replicate_lineitem(f"{SRC}/lineitem.parquet", f"{out}/lineitem.parquet", 10)
+    replicate_documents(f"{SRC}/documents.parquet", f"{out}/documents.parquet", 10)
 
 
 def main() -> None:
@@ -130,11 +118,18 @@ def main() -> None:
             cache.release_all(blocking=True)
         return best
 
+    def _reclaim() -> None:
+        # shuffle files persist until their dependency is GC'd; a 13-key
+        # min-of-2 sweep over 100x data accumulates tens of GB of dead
+        # shuffle in spark.local.dir unless the ContextCleaner is nudged
+        spark.sparkContext._jvm.System.gc()
+
     print("| query | sf0.1 s | sf1 s | x(0.1->1) |")
     print("|---|---|---|---|")
     for name in KEYS:
         a = timed(name, SRC)
         b = timed(name, out)
+        _reclaim()
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |", flush=True)
     spark.stop()
 

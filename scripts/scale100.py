@@ -23,9 +23,8 @@ import shutil
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 SRC = "/root/testdata/sf0.1"
 SF1EQ = "/tmp/sf1eq"
@@ -55,21 +54,13 @@ VERBATIM = ("region", "nation", "customer", "supplier", "part",
 
 
 def build(out: str) -> None:
+    from _scalebuild import replicate_events, replicate_lineitem
     os.makedirs(out, exist_ok=True)
     for t in VERBATIM:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SRC}/events.parquet'")
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SRC}/lineitem.parquet'")
-    con.execute(f"""
-        COPY (SELECT * REPLACE (event_id + i * 1000000000 AS event_id,
-                                user_id + i * 10000000 AS user_id)
-              FROM events CROSS JOIN range(100) t(i))
-        TO '{out}/events.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-        COPY (SELECT * REPLACE (l_orderkey + i * 1000000000 AS l_orderkey)
-              FROM lineitem CROSS JOIN range(100) t(i))
-        TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    replicate_events(f"{SRC}/events.parquet", f"{out}/events.parquet", 100)
+    replicate_lineitem(f"{SRC}/lineitem.parquet", f"{out}/lineitem.parquet",
+                       100)
 
 
 def main() -> None:
@@ -108,11 +99,18 @@ def main() -> None:
             cache.release_all(blocking=True)
         return best
 
+    def _reclaim() -> None:
+        # shuffle files persist until their dependency is GC'd; a 13-key
+        # min-of-2 sweep over 100x data accumulates tens of GB of dead
+        # shuffle in spark.local.dir unless the ContextCleaner is nudged
+        spark.sparkContext._jvm.System.gc()
+
     print(f"| query | {label} | sf10 s | x(1->10) |")
     print("|---|---|---|---|")
     for name in KEYS:
         a = timed(name, base)
         b = timed(name, out)
+        _reclaim()
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |", flush=True)
     spark.stop()
 
