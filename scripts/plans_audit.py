@@ -58,6 +58,11 @@ AUDIT = (
     ("text-bigram-counts", "explode + partial count below the gram shuffle; TakeOrderedAndProject top-50, no global sort"),
     ("op-interval-merge", "two stacked windows share one user_id sort/exchange; island groupBy is map-side-combinable"),
     ("asof-join-nearest", "both directional fills over ONE merged frame: single user_id exchange, two in-partition sorts, NO join node"),
+    ("op-fuzzy-join", "distinct name dictionary first (vocabulary-sized, not fact-sized); block-key equi hash join — NO cartesian/nested-loop; levenshtein verify runs as a codegen post-filter"),
+    ("op-linreg-group", "ONE map-side-combinable aggregation (six exact BIGINT sums per group); closed-form doubles only in the final projection"),
+    ("op-outlier-mad", "two exact-percentile aggregations with the tiny group medians broadcast back — fact table never shuffles twice on the same key for the join side"),
+    ("op-table-checksum", "full scan reduced map-side to per-partition partial XOR/sum — final exchange carries one row per partition"),
+    ("text-bigram-lift", "unigram/bigram count dictionaries + 1-row totals all broadcast; corpus scanned exactly twice (tokens, grams), no fact-side shuffle beyond the two counts"),
 )
 
 

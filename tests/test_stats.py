@@ -1,0 +1,129 @@
+"""Unit coverage for the stats/ER/integrity operators added late in
+round 5 (operators/stats.py, relational.fuzzy_join, text-bigram-lift):
+closed-form regression vs numpy, MAD outlier semantics, checksum
+order/partition invariance + sensitivity, fuzzy-join blocking recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.operators.relational import fuzzy_join
+from tf_prisma_api_data_ingestion_spark.operators.stats import (
+    grouped_linreg,
+    mad_outliers,
+    table_checksum,
+)
+
+
+# ---------------------------------------------------------------- linreg
+
+def test_grouped_linreg_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 24, size=200)
+    ys = np.round(1.5 * xs + 3 + rng.normal(0, 2, size=200), 2)
+    rows = [("g", int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y DOUBLE")
+    got = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert got.n == 200
+    assert got.slope == pytest.approx(slope, abs=1e-6)
+    assert got.intercept == pytest.approx(intercept, abs=1e-6)
+    assert got.r2 == pytest.approx(r * r, abs=1e-6)
+
+
+def test_grouped_linreg_partition_invariant(spark):
+    rows = [("a", i % 5, float(i % 7) + 0.25) for i in range(100)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y DOUBLE")
+    one = grouped_linreg(df.coalesce(1), "g", F.col("x"), F.col("y")).collect()
+    many = grouped_linreg(df.repartition(7), "g", F.col("x"),
+                          F.col("y")).collect()
+    assert one == many  # exact-sum formulation: bit-identical, not approx
+
+
+def test_grouped_linreg_perfect_fit(spark):
+    rows = [("g", x, round(2.0 * x + 1.0, 2)) for x in range(10)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y DOUBLE")
+    got = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (got.slope, got.intercept, got.r2) == (2.0, 1.0, 1.0)
+
+
+# ------------------------------------------------------------------- mad
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    # 9 values tightly around 10.00, one spike at 99.99
+    vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 10.2, 9.8, 10.0, 99.99]
+    df = spark.createDataFrame([("g", v) for v in vals], "g STRING, v DOUBLE")
+    got = mad_outliers(df, "g", F.col("v"), k=3.0).collect()[0]
+    assert got.n == 10
+    assert got.n_outliers == 1
+    assert got.median_value == pytest.approx(10.0)
+    assert got.mad_value == pytest.approx(0.075)  # interpolated on cents
+
+
+def test_mad_outliers_all_equal_no_outliers(spark):
+    df = spark.createDataFrame([("g", 5.0)] * 8, "g STRING, v DOUBLE")
+    got = mad_outliers(df, "g", F.col("v")).collect()[0]
+    assert (got.n_outliers, got.median_value, got.mad_value) == (0, 5.0, 0.0)
+
+
+# -------------------------------------------------------------- checksum
+
+def _checksum_row(df):
+    return table_checksum(df, ["a", "b"]).collect()[0]
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    rows = [(str(i), f"v{i % 13}") for i in range(500)]
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    base = _checksum_row(df.coalesce(1))
+    shuf = _checksum_row(df.orderBy(F.rand(42)).repartition(11))
+    assert (base.n_rows, base.xor_digest, base.sum_digest) == \
+        (shuf.n_rows, shuf.xor_digest, shuf.sum_digest)
+
+
+def test_table_checksum_detects_single_cell_change(spark):
+    rows = [(str(i), "x") for i in range(100)]
+    mutated = rows.copy()
+    mutated[50] = ("50", "y")
+    a = _checksum_row(spark.createDataFrame(rows, "a STRING, b STRING"))
+    b = _checksum_row(spark.createDataFrame(mutated, "a STRING, b STRING"))
+    assert a.n_rows == b.n_rows
+    assert (a.xor_digest, a.sum_digest) != (b.xor_digest, b.sum_digest)
+
+
+# ------------------------------------------------------------ fuzzy join
+
+def test_fuzzy_join_blocked_pairs(spark):
+    names = ["red widget", "ted widget", "red gadget", "tiny bolt"]
+    df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    got = fuzzy_join(df.select(F.col("name").alias("name1")),
+                     df.select(F.col("name").alias("name2")),
+                     "name1", "name2",
+                     F.element_at(F.split(F.col("name1"), " "), -1),
+                     F.element_at(F.split(F.col("name2"), " "), -1),
+                     max_dist=3)
+    pairs = {(r.name1, r.name2) for r in got.collect()
+             if r.name1 < r.name2}
+    # same block (widget) and dist<=3: red~ted widget (1 edit)
+    assert ("red widget", "ted widget") in pairs
+    # different blocks are never compared even though dist is small
+    assert ("red gadget", "red widget") not in pairs
+    # singleton block pairs only with itself (filtered by name1<name2)
+    assert not any("bolt" in a and "bolt" not in b for a, b in pairs)
+
+
+def test_fuzzy_join_distance_bound(spark):
+    df = spark.createDataFrame(
+        [("aaaa zz",), ("bbbb zz",)], "name STRING")
+    got = fuzzy_join(df.select(F.col("name").alias("name1")),
+                     df.select(F.col("name").alias("name2")),
+                     "name1", "name2",
+                     F.element_at(F.split(F.col("name1"), " "), -1),
+                     F.element_at(F.split(F.col("name2"), " "), -1),
+                     max_dist=3)
+    pairs = [(r.name1, r.name2) for r in got.collect() if r.name1 != r.name2]
+    assert pairs == []  # dist 4 > bound 3, despite shared block

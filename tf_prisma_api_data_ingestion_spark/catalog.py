@@ -4288,6 +4288,214 @@ FROM islands GROUP BY user_id, isl
 """
 
 
+def q_op_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy (Levenshtein) self-join over the DISTINCT part-name
+    dictionary: the entity-resolution primitive (match near-identical
+    names without an n² compare). Blocking key = last name token, so the
+    candidate set is Σ_b |block|² over the *vocabulary*, not the fact
+    table — resolve the dictionary, then broadcast the mapping back to
+    the 100 TB fact rows as an ordinary equi-join. name1 < name2 halves
+    the symmetric pairs and drops self-matches; dist bound 3 catches the
+    adjective edits ('red widget' ~ 'big widget') without collapsing
+    unrelated nouns. No reference analog (exact keys only, `P:243-252`).
+    """
+    from .operators.relational import fuzzy_join
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    out = fuzzy_join(
+        names.select(F.col("p_name").alias("name1")),
+        names.select(F.col("p_name").alias("name2")),
+        "name1", "name2",
+        F.element_at(F.split(F.col("name1"), " "), -1),
+        F.element_at(F.split(F.col("name2"), " "), -1),
+        max_dist=3)
+    return (out.filter(F.col("name1") < F.col("name2"))
+               .select("name1", "name2",
+                       F.col("edit_dist").cast("long").alias("edit_dist")))
+
+
+SQL_OP_FUZZY_JOIN = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT l.p_name AS name1, r.p_name AS name2,
+       levenshtein(l.p_name, r.p_name) AS edit_dist
+FROM names l JOIN names r
+  ON string_split(l.p_name, ' ')[-1] = string_split(r.p_name, ' ')[-1]
+ AND l.p_name < r.p_name
+WHERE levenshtein(l.p_name, r.p_name) <= 3
+"""
+
+
+def q_op_linreg_group(spark, sf_dir):
+    """Per-event-type least-squares trend of value vs hour-of-day, via
+    the closed form over EXACT integer sufficient statistics (cents ×
+    integer hour — operators/stats.grouped_linreg). One map-side-
+    combinable aggregation; floats appear only as single IEEE ops over
+    the exact sums, so the slope/intercept/r² hash-match DuckDB
+    bit-for-bit — the determinism a float-accumulating regr_slope can't
+    give across engines or partitionings."""
+    from .operators.stats import grouped_linreg
+    ev = _t(spark, sf_dir, "events")
+    return grouped_linreg(ev, "event_type",
+                          F.hour("ts"), F.col("value"))
+
+
+SQL_OP_LINREG_GROUP = """
+WITH s AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM s GROUP BY event_type)
+SELECT event_type, n,
+  round((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        / 100.0, 6) AS slope,
+  round((CAST(sy AS DOUBLE)/100.0
+         - (CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE))
+           * CAST(sx AS DOUBLE)/100.0) / CAST(n AS DOUBLE), 6) AS intercept,
+  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+        6) AS r2
+FROM a
+"""
+
+
+def q_op_outlier_mad(spark, sf_dir):
+    """Robust per-event-type outlier summary (median / MAD / count of
+    |value − median| > 3·MAD) on exact integer cents — every comparison
+    is exact dyadic-rational double arithmetic, so the outlier count is
+    bit-stable across engines (operators/stats.mad_outliers). The
+    anomaly-flagging pass every metrics pipeline runs; median/MAD rather
+    than mean/stddev so one hot row can't drag the threshold."""
+    from .operators.stats import mad_outliers
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", F.col("value"), k=3.0)
+
+
+SQL_OP_OUTLIER_MAD = """
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+med AS (
+  SELECT event_type, quantile_cont(yc, 0.5) AS m FROM r GROUP BY event_type),
+dev AS (
+  SELECT r.event_type, abs(r.yc - med.m) AS d, med.m
+  FROM r JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS md, min(m) AS m2
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(min(mad.m2) / 100.0, 4) AS median_value,
+       round(min(mad.md) / 100.0, 4) AS mad_value
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+def q_op_table_checksum(spark, sf_dir):
+    """Order-independent lineitem fingerprint (count + XOR + modular sum
+    of a 60-bit md5 prefix per canonical row string): the cross-system
+    migration-validation primitive — two copies of a 100 TB table match
+    iff three numbers match, with no sort and a one-row-per-partition
+    shuffle (operators/stats.table_checksum). Floats are pre-rendered to
+    exact integer cents/units so the canonical string is engine-neutral.
+    """
+    from .operators.stats import table_checksum
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("c1"),
+        F.col("l_linenumber").cast("string").alias("c2"),
+        F.round(F.col("l_quantity")).cast("long").cast("string").alias("c3"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string")
+         .alias("c4"),
+        F.col("l_returnflag").alias("c5"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("c6"))
+    return table_checksum(li, ["c1", "c2", "c3", "c4", "c5", "c6"])
+
+
+SQL_OP_TABLE_CHECKSUM = """
+WITH canon AS (
+  SELECT concat_ws('|',
+           CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+           CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+           l_returnflag, strftime(l_shipdate, '%Y-%m-%d')) AS s
+  FROM lineitem),
+h AS (
+  SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM canon)
+SELECT COUNT(*) AS n_rows,
+       bit_xor(h) AS xor_digest,
+       CAST(SUM(h % 4294967296) AS BIGINT) AS sum_digest
+FROM h
+"""
+
+
+def q_text_bigram_lift(spark, sf_dir):
+    """Top-20 bigram collocations by LIFT — p(ab) / (p(a)p(b)) — the
+    association statistic behind collocation mining and tokenizer-merge
+    candidates. Computed as a pure count ratio (c_ab·T² as DECIMAL over
+    B·c_a·c_b as DECIMAL, one double divide at the edge) instead of the
+    log-space PMI, because log() is not bit-identical across libm
+    implementations while a single correctly-rounded divide is. Plan:
+    one bigram count, one unigram count, two broadcast joins of the tiny
+    count dictionaries, two scalar totals broadcast via cross-join — the
+    fact-table scan happens twice (tokens, bigrams), never more."""
+    from .operators import text as text_ops
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(text_ops.tokens(F.col("text"))).alias("tok")))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = toks.agg(F.count(F.lit(1)).alias("t"))
+    grams = (d.filter(F.size(text_ops.tokens(F.col("text"))) >= 2)
+              .select(F.explode(text_ops.word_ngrams(F.col("text"), 2))
+                       .alias("bigram")))
+    pc = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    bt = grams.agg(F.count(F.lit(1)).alias("b"))
+    w = F.split(F.col("bigram"), " ")
+    pc = pc.withColumn("_w1", F.element_at(w, 1)).withColumn(
+        "_w2", F.element_at(w, 2))
+    c1 = tc.select(F.col("tok").alias("_w1"), F.col("c").alias("_c1"))
+    c2 = tc.select(F.col("tok").alias("_w2"), F.col("c").alias("_c2"))
+    j = (pc.join(F.broadcast(c1), "_w1").join(F.broadcast(c2), "_w2")
+           .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(bt)))
+    num = (F.col("cnt").cast("decimal(38,0)") * F.col("t") * F.col("t"))
+    den = (F.col("b").cast("decimal(38,0)") * F.col("_c1") * F.col("_c2"))
+    lift = F.round(num.cast("double") / den.cast("double"), 6)
+    return (j.filter(F.col("cnt") >= 5)
+             .select("bigram", "cnt", lift.alias("lift"))
+             .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+             .limit(20))
+
+
+SQL_TEXT_BIGRAM_LIFT = r"""
+WITH ws AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM ws),
+tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tt AS (SELECT COUNT(*) AS t FROM toks),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM ws, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)),
+pc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, COUNT(*) AS cnt
+       FROM pairs GROUP BY bigram),
+bt AS (SELECT COUNT(*) AS b FROM pairs)
+SELECT pc.bigram, pc.cnt,
+       round(CAST(CAST(pc.cnt AS DECIMAL(38,0)) * tt.t * tt.t AS DOUBLE)
+             / CAST(CAST(bt.b AS DECIMAL(38,0)) * c1.c * c2.c AS DOUBLE),
+             6) AS lift
+FROM pc
+JOIN tc c1 ON pc.w1 = c1.tok
+JOIN tc c2 ON pc.w2 = c2.tok
+CROSS JOIN tt CROSS JOIN bt
+WHERE pc.cnt >= 5
+ORDER BY lift DESC, bigram ASC LIMIT 20
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4319,6 +4527,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- boundary by the additions rotate back in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
+    # ---- the 5 keys ADDED late in r5 (stats/ER/integrity extensions),
+    # ---- in-window for first driver exposure ----
+    "op-fuzzy-join": q_op_fuzzy_join,
+    "op-linreg-group": q_op_linreg_group,
+    "op-outlier-mad": q_op_outlier_mad,
+    "op-table-checksum": q_op_table_checksum,
+    "text-bigram-lift": q_text_bigram_lift,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4493,6 +4708,11 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "op-fuzzy-join": SQL_OP_FUZZY_JOIN,
+    "op-linreg-group": SQL_OP_LINREG_GROUP,
+    "op-outlier-mad": SQL_OP_OUTLIER_MAD,
+    "op-table-checksum": SQL_OP_TABLE_CHECKSUM,
+    "text-bigram-lift": SQL_TEXT_BIGRAM_LIFT,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

@@ -1,0 +1,153 @@
+"""Grouped statistics operators: closed-form linear regression, robust
+(median/MAD) outlier detection, and order-independent table fingerprints.
+
+North-star extensions (no reference analog — the reference's pandas layer
+stops at groupby-count, `P:243-252`); these are the next analytics asks a
+pipeline team makes once grouped counts exist: trend per segment, anomaly
+flags per segment, and a cheap way to prove two table copies are identical.
+
+Determinism design (shared with catalog.py's oracle rules): every
+accumulation happens over EXACT integer/decimal values (money in cents as
+BIGINT, timestamps as integer seconds), and floating point enters only at
+the output edge as single IEEE operations (one divide / one sqrt), which
+are correctly rounded and therefore bit-identical across engines. This is
+what makes the DuckDB differential check meaningful for statistics that
+would otherwise hash-mismatch on float accumulation order.
+
+Scale notes (100 TB posture):
+- ``grouped_linreg`` is ONE map-side-combinable aggregation (six exact
+  sums per group) — the textbook closed form, no second pass, no window.
+- ``mad_outliers`` needs the group median joined back to rows, so it is
+  two aggregations and one broadcast join (group cardinality is the
+  number of segments, always tiny next to the fact table).
+- ``table_checksum`` is a full scan reduced to one row via XOR/sum — the
+  partial aggregation happens map-side per partition, so the shuffle
+  carries one row per partition regardless of table size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents from a 2-decimal double column.
+
+    round() first: the double nearest 6.55*100 is 654.9999…, and a bare
+    cast would truncate to 654 (and DuckDB's round-to-even cast would
+    disagree on exact .5 — which round() removes).
+    """
+    return F.round(col * 100).cast("long")
+
+
+def grouped_linreg(df: DataFrame, group_col: str, x_int: Column,
+                   y_2dec: Column) -> DataFrame:
+    """Per-group least-squares fit of y on x via the closed form, with all
+    six sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) accumulated as
+    exact BIGINTs (y in cents), so the result is reproducible regardless
+    of row order or partitioning — the property float-accumulating
+    ``regr_slope`` style built-ins cannot give you.
+
+    ``x_int`` must be an integer-valued expression (hour-of-day, epoch
+    seconds, …); ``y_2dec`` a 2-decimal metric. Returns one row per group:
+    n, slope, intercept, r2 (doubles, rounded to 6), computed as
+    single-step IEEE ops over the exact sums:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        r²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    The exact sums stay under 2^53 for any realistic (x range, cents,
+    rowcount) product, so the cast to double before the squaring (which
+    WOULD overflow BIGINT) is lossless.
+    """
+    y = _cents(y_2dec)
+    x = x_int.cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n")
+    cov_n = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    varx_n = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary_n = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    slope_cents = cov_n / varx_n                      # cents per x unit
+    slope = slope_cents / 100.0
+    intercept = (F.col("_sy").cast("double") / 100.0
+                 - slope_cents * F.col("_sx").cast("double") / 100.0
+                 ) / n.cast("double")
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return agg.select(
+        group_col, "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def mad_outliers(df: DataFrame, group_col: str, y_2dec: Column,
+                 k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier summary: median, MAD (median absolute
+    deviation) and the count of rows with |y − median| > k·MAD.
+
+    Everything runs on exact integer cents; the two medians are exact
+    linear interpolations of integers (dyadic rationals — .0/.5 for the
+    median, .25 steps for the MAD), so every comparison is exact double
+    arithmetic and the outlier count is bit-stable across engines and
+    partitionings. Contrast with z-scores on mean/stddev, where one hot
+    row drags the threshold and float order changes the verdict.
+
+    Plan shape: agg(median) → broadcast join back (group cardinality is
+    tiny) → agg(MAD) → broadcast join → final agg. Three aggregations,
+    each map-side combinable except the exact percentiles, which shuffle
+    the group's values to one reducer — the documented exact-median
+    trade-off; swap in percentile_approx at 100 TB if groups are huge.
+    """
+    y = _cents(y_2dec).alias("_yc")
+    rows = df.select(F.col(group_col), y)
+    med = rows.groupBy(group_col).agg(
+        F.percentile("_yc", F.lit(0.5)).alias("_med"))
+    dev = (rows.join(F.broadcast(med), group_col)
+               .withColumn("_dev", F.abs(F.col("_yc") - F.col("_med"))))
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("_dev", F.lit(0.5)).alias("_mad"),
+        F.first("_med").alias("_med2"))
+    flagged = (dev.join(F.broadcast(mad.select(group_col, "_mad")), group_col)
+                  .groupBy(group_col)
+                  .agg(F.sum(F.when(F.col("_dev") > F.lit(k) * F.col("_mad"),
+                                    1).otherwise(0)).alias("n_outliers"),
+                       F.count(F.lit(1)).alias("n")))
+    return (flagged.join(F.broadcast(mad), group_col)
+            .select(group_col, "n", "n_outliers",
+                    F.round(F.col("_med2") / 100.0, 4).alias("median_value"),
+                    F.round(F.col("_mad") / 100.0, 4).alias("mad_value")))
+
+
+def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-independent fingerprint of a table: one row with the count
+    and two commutative digests (XOR and modular sum) of a 60-bit hash of
+    each row's canonical string form.
+
+    The per-row hash is the first 15 hex chars of md5 over a '|'-joined
+    rendering of ``cols`` (callers must pre-render floats to fixed
+    decimals — see catalog.op-table-checksum — since raw float-to-string
+    is engine-specific). XOR and sum-mod-2^32 are both commutative and
+    associative, so the digest is independent of row order, partition
+    count, and merge order — two copies of a table match iff (count, xor,
+    sum) match, no sort needed. This is the standard cross-system
+    migration-validation primitive (e.g. validating a 100 TB copy without
+    shuffling either side).
+    """
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("xor_digest"),
+        F.sum(h % F.lit(2 ** 32)).alias("sum_digest"),
+    )
