@@ -63,6 +63,8 @@ AUDIT = (
     ("op-outlier-mad", "two exact-percentile aggregations with the tiny group medians broadcast back — fact table never shuffles twice on the same key for the join side"),
     ("op-table-checksum", "full scan reduced map-side to per-partition partial XOR/sum — final exchange carries one row per partition"),
     ("text-bigram-lift", "unigram/bigram count dictionaries + 1-row totals all broadcast; corpus scanned exactly twice (tokens, grams), no fact-side shuffle beyond the two counts"),
+    ("op-funnel", "three chained whole-partition window mins over ONE user_id hash exchange — no sort, no self-join (the textbook agg-join-agg funnel shuffles the fact table three times)"),
+    ("op-retention", "user-day distinct is the compaction step; cohort agg and activity join share the user_id partitioning — everything after the distinct is user-sized"),
 )
 
 

@@ -4496,6 +4496,104 @@ ORDER BY lift DESC, bigram ASC LIMIT 20
 """
 
 
+def q_op_funnel(spark, sf_dir):
+    """Per-user ordered funnel (view -> first click AFTER the view ->
+    first purchase AFTER that click): the conversion query every event
+    pipeline runs. Formulated as three chained whole-partition window
+    mins over ONE user_id hash exchange — no sort (unbounded frames),
+    no self-joins (the agg-join-agg textbook version shuffles the fact
+    table three times; this shuffles it once). Strictly-after semantics:
+    a click at the exact view timestamp does NOT advance the funnel, so
+    each stage min is conditional on tu strictly greater than the prior
+    stage (NULL prior => NULL stage, never a spurious match).
+    Timestamps surface as epoch-µs longs per the repo ts convention."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.select("user_id", "event_type",
+                  F.unix_micros("ts").alias("tu"))
+    e = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("tu"))).over(w))
+    e = e.withColumn(
+        "t_click",
+        F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("tu") > F.col("t_view")),
+                     F.col("tu"))).over(w))
+    e = e.withColumn(
+        "t_purchase",
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("tu") > F.col("t_click")),
+                     F.col("tu"))).over(w))
+    depth = (F.when(F.col("t_purchase").isNotNull(), 3)
+              .when(F.col("t_click").isNotNull(), 2)
+              .when(F.col("t_view").isNotNull(), 1)
+              .otherwise(0))
+    return (e.groupBy("user_id")
+             .agg(F.min("t_view").alias("t_view"),
+                  F.min("t_click").alias("t_click"),
+                  F.min("t_purchase").alias("t_purchase"))
+             .withColumn("funnel_depth", depth.cast("long")))
+
+
+SQL_OP_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+a AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN tu END) AS t_view
+  FROM e GROUP BY user_id),
+b AS (
+  SELECT e.user_id, MIN(e.tu) AS t_click
+  FROM e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.tu > a.t_view
+  GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, MIN(e.tu) AS t_purchase
+  FROM e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tu > b.t_click
+  GROUP BY e.user_id)
+SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+       CAST(CASE WHEN c.t_purchase IS NOT NULL THEN 3
+                 WHEN b.t_click IS NOT NULL THEN 2
+                 WHEN a.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_depth
+FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+"""
+
+
+def q_op_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day, then
+    (cohort_day, day_offset) -> distinct active users. The
+    product-analytics staple. Plan: the user-day distinct is the
+    compaction step (everything downstream is user-sized, not
+    event-sized); cohort min and the activity join share the user_id
+    partitioning. Dates surface as formatted strings (repo convention —
+    raw DATE columns skew pandas dtypes across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    act = (ev.select("user_id", F.to_date("ts").alias("d")).distinct())
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (act.join(coh, "user_id")
+            .groupBy(F.date_format("cohort_d", "yyyy-MM-dd")
+                      .alias("cohort_day"),
+                     F.datediff("d", "cohort_d").cast("long")
+                      .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+SQL_OP_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+coh AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY user_id)
+SELECT strftime(coh.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', coh.cohort_d, act.d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4534,6 +4632,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-outlier-mad": q_op_outlier_mad,
     "op-table-checksum": q_op_table_checksum,
     "text-bigram-lift": q_text_bigram_lift,
+    "op-funnel": q_op_funnel,
+    "op-retention": q_op_retention,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4713,6 +4813,8 @@ ORACLES: dict[str, str] = {
     "op-outlier-mad": SQL_OP_OUTLIER_MAD,
     "op-table-checksum": SQL_OP_TABLE_CHECKSUM,
     "text-bigram-lift": SQL_TEXT_BIGRAM_LIFT,
+    "op-funnel": SQL_OP_FUNNEL,
+    "op-retention": SQL_OP_RETENTION,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,
