@@ -4616,16 +4616,17 @@ GROUP BY 1, 2
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 11 keys ADDED in r5
-    # ---- (time-series/CDC/sampling), the 3 keys whose code changed in
-    # ---- the r4->r5 gap (asof-join right-side tie pre-agg,
-    # ---- op-variant-json integer-literal guard, sketch-kmv-distinct
-    # ---- windowed bottom-k), then the stalest driver-green keys
-    # ---- (last green in r2; the trailing 11 r2 keys pushed past the
-    # ---- boundary by the additions rotate back in r6) ----
+    # ---- (sketch-kmv-union, asof-join-forward), the 18 keys ADDED in
+    # ---- r5 (11 time-series/CDC/sampling + 7 stats/ER/analytics), the
+    # ---- 3 keys whose code changed in the r4->r5 gap (asof-join
+    # ---- right-side tie pre-agg, op-variant-json integer-literal
+    # ---- guard, sketch-kmv-distinct windowed bottom-k), then the
+    # ---- stalest driver-green keys (last green in r2; the trailing r2
+    # ---- keys pushed past the boundary by the additions rotate back
+    # ---- in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 5 keys ADDED late in r5 (stats/ER/integrity extensions),
+    # ---- the 7 keys ADDED late in r5 (stats/ER/integrity/analytics),
     # ---- in-window for first driver exposure ----
     "op-fuzzy-join": q_op_fuzzy_join,
     "op-linreg-group": q_op_linreg_group,
