@@ -65,6 +65,8 @@ AUDIT = (
     ("text-bigram-lift", "unigram/bigram count dictionaries + 1-row totals all broadcast; corpus scanned exactly twice (tokens, grams), no fact-side shuffle beyond the two counts"),
     ("op-funnel", "three chained whole-partition window mins over ONE user_id hash exchange — no sort, no self-join (the textbook agg-join-agg funnel shuffles the fact table three times)"),
     ("op-retention", "user-day distinct is the compaction step; cohort agg and activity join share the user_id partitioning — everything after the distinct is user-sized"),
+    ("op-expectations", "all five rules evaluate in ONE scan (single partial agg, one-row shuffle); stack unpivot is a projection over the 1-row result"),
+    ("op-winsorized-mean", "exact-percentile bounds broadcast back to the fact rows; clamp + sum is map-side-combinable over the second scan"),
 )
 
 

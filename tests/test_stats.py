@@ -127,3 +127,61 @@ def test_fuzzy_join_distance_bound(spark):
                      max_dist=3)
     pairs = [(r.name1, r.name2) for r in got.collect() if r.name1 != r.name2]
     assert pairs == []  # dist 4 > bound 3, despite shared block
+
+
+# ---------------------------------------------------------- expectations
+
+def test_expect_counts_violations_per_rule(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, 0.0)],
+        "k INT, v DOUBLE")
+    from tf_prisma_api_data_ingestion_spark.operators.stats import expect
+    got = {r.rule: r for r in expect(df, {
+        "k_not_null": F.col("k").isNotNull(),
+        "v_positive": F.col("v") > 0,
+    }).collect()}
+    assert got["k_not_null"].n_violations == 1
+    assert got["k_not_null"].passed == 0
+    assert got["v_positive"].n_violations == 2     # -5.0 and 0.0
+    assert all(r.n_rows == 4 for r in got.values())
+
+
+def test_expect_null_rule_result_counts_as_violation(spark):
+    # v > 0 on a NULL v evaluates to NULL -> conservative: violation
+    df = spark.createDataFrame([(1, None), (2, 1.0)], "k INT, v DOUBLE")
+    from tf_prisma_api_data_ingestion_spark.operators.stats import expect
+    got = {r.rule: r for r in expect(df, {
+        "v_positive": F.col("v") > 0}).collect()}
+    assert got["v_positive"].n_violations == 1
+
+
+def test_expect_all_pass(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k INT")
+    from tf_prisma_api_data_ingestion_spark.operators.stats import expect
+    got = expect(df, {"k_not_null": F.col("k").isNotNull()}).collect()[0]
+    assert (got.n_violations, got.passed) == (0, 1)
+
+
+# ------------------------------------------------------- winsorized mean
+
+def test_winsorized_mean_caps_the_tail(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        winsorized_mean,
+    )
+    # 19 values at 10.00 and one at 1000.00: plain mean 59.5, winsorized
+    # mean stays near 10 because the spike is clamped to p95
+    vals = [10.0] * 19 + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g STRING, v DOUBLE")
+    got = winsorized_mean(df, "g", F.col("v"), lo=0.05, hi=0.95).collect()[0]
+    assert got.n == 20
+    assert got.win_mean < 20.0
+    assert got.p_lo == pytest.approx(10.0)
+
+
+def test_winsorized_mean_identity_when_no_tail(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        winsorized_mean,
+    )
+    df = spark.createDataFrame([("g", 7.5)] * 10, "g STRING, v DOUBLE")
+    got = winsorized_mean(df, "g", F.col("v")).collect()[0]
+    assert (got.win_mean, got.p_lo, got.p_hi) == (7.5, 7.5, 7.5)

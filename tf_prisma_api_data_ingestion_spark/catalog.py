@@ -4594,6 +4594,80 @@ GROUP BY 1, 2
 """
 
 
+def q_op_expectations(spark, sf_dir):
+    """Data-quality expectation battery over orders (deequ/dbt-test
+    shape): five named constraints evaluated in ONE scan — a 100-rule
+    battery over 100 TB costs one map-side-combinable pass and a
+    one-row-per-partition shuffle, not one job per rule
+    (operators/stats.expect). The publish gate a production ingest runs
+    before committing a partition."""
+    from .operators.stats import expect
+    o = _t(spark, sf_dir, "orders")
+    return expect(o, {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+        "orderdate_in_range": F.col("o_orderdate")
+                               >= F.to_timestamp(F.lit("2020-01-01")),
+    })
+
+
+SQL_OP_EXPECTATIONS = """
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v3,
+    SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v4,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '2020-01-01' THEN 0 ELSE 1 END)
+      AS v5
+  FROM orders),
+tall AS (
+  SELECT 'orderkey_not_null' AS rule, n_rows, CAST(v1 AS BIGINT)
+         AS n_violations FROM wide
+  UNION ALL SELECT 'custkey_not_null', n_rows, CAST(v2 AS BIGINT) FROM wide
+  UNION ALL SELECT 'totalprice_positive', n_rows, CAST(v3 AS BIGINT) FROM wide
+  UNION ALL SELECT 'status_in_domain', n_rows, CAST(v4 AS BIGINT) FROM wide
+  UNION ALL SELECT 'orderdate_in_range', n_rows, CAST(v5 AS BIGINT) FROM wide)
+SELECT rule, n_rows, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM tall
+"""
+
+
+def q_op_winsorized_mean(spark, sf_dir):
+    """Per-event-type winsorized mean (values clamped to the group's
+    exact 5th/95th percentiles before averaging): the robust location
+    estimate that keeps every row while capping tail influence
+    (operators/stats.winsorized_mean). Clamped values are exact small
+    dyadic rationals, so the group sum is order-independent and the
+    result hash-matches DuckDB."""
+    from .operators.stats import winsorized_mean
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_mean(ev, "event_type", F.col("value"),
+                           lo=0.05, hi=0.95)
+
+
+SQL_OP_WINSORIZED_MEAN = """
+WITH r AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+b AS (
+  SELECT event_type, quantile_cont(yc, 0.05) AS plo,
+         quantile_cont(yc, 0.95) AS phi
+  FROM r GROUP BY event_type),
+c AS (
+  SELECT r.event_type, least(greatest(r.yc, b.plo), b.phi) AS cl,
+         b.plo, b.phi
+  FROM r JOIN b USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+       round(min(plo) / 100.0, 4) AS p_lo,
+       round(min(phi) / 100.0, 4) AS p_hi,
+       round((SUM(cl) / COUNT(*)) / 100.0, 4) AS win_mean
+FROM c GROUP BY event_type
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4635,6 +4709,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-bigram-lift": q_text_bigram_lift,
     "op-funnel": q_op_funnel,
     "op-retention": q_op_retention,
+    "op-expectations": q_op_expectations,
+    "op-winsorized-mean": q_op_winsorized_mean,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4816,6 +4892,8 @@ ORACLES: dict[str, str] = {
     "text-bigram-lift": SQL_TEXT_BIGRAM_LIFT,
     "op-funnel": SQL_OP_FUNNEL,
     "op-retention": SQL_OP_RETENTION,
+    "op-expectations": SQL_OP_EXPECTATIONS,
+    "op-winsorized-mean": SQL_OP_WINSORIZED_MEAN,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

@@ -151,3 +151,68 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.bit_xor(h).alias("xor_digest"),
         F.sum(h % F.lit(2 ** 32)).alias("sum_digest"),
     )
+
+
+def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Data-quality expectation battery: evaluate named per-row boolean
+    rules in ONE scan and return one row per rule with its violation
+    count and pass flag — the constraint-validation primitive (deequ /
+    dbt-test shape) a production ingest runs before publishing a
+    partition.
+
+    All rules aggregate in a single map-side-combinable pass (sum of
+    failed-row indicators), then the wide 1-row result is unpivoted with
+    ``stack`` — so a 100-rule battery over 100 TB costs exactly one scan
+    and a one-row-per-partition shuffle, not one job per rule. NULL rule
+    results count as violations (a rule that cannot evaluate did not
+    pass — the conservative contract).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, rule in rules.items():
+        aggs.append(F.sum(F.when(rule, 0).otherwise(1)).alias(f"_v_{name}"))
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', _v_{n}" for n in rules)
+    tall = wide.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"))
+    return tall.select(
+        "rule", "n_rows", "n_violations",
+        (F.col("n_violations") == 0).cast("long").alias("passed"))
+
+
+def winsorized_mean(df: DataFrame, group_col: str, y_2dec: Column,
+                    lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-group winsorized mean: clamp values to the group's [lo, hi]
+    exact percentiles, then average — the robust location estimate that
+    keeps every row (unlike trimming) while capping tail influence.
+
+    Exactness argument (why this hash-matches DuckDB): values are exact
+    integer cents; the two percentile bounds are linear interpolations
+    of integers (dyadic rationals, .25 steps at worst for quartile-like
+    fractions); every clamped value is therefore an exact multiple of
+    2^-2 well under 2^53, so the group sum is EXACT in double regardless
+    of accumulation order — the mean is then a single IEEE division.
+    Plan: one exact-percentile agg, tiny bounds broadcast back, one
+    map-side-combinable sum. Same exact-median trade-off as mad_outliers:
+    the percentile shuffles each group's values to one reducer; swap in
+    percentile_approx for huge groups at 100 TB.
+    """
+    y = _cents(y_2dec).alias("_yc")
+    rows = df.select(F.col(group_col), y)
+    bounds = rows.groupBy(group_col).agg(
+        F.percentile("_yc", F.lit(lo)).alias("_plo"),
+        F.percentile("_yc", F.lit(hi)).alias("_phi"))
+    clamped = (rows.join(F.broadcast(bounds), group_col)
+               .withColumn("_cl", F.least(F.greatest(F.col("_yc"),
+                                                     F.col("_plo")),
+                                          F.col("_phi"))))
+    return (clamped.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_cl").alias("_s"),
+                 F.min("_plo").alias("_plo"),
+                 F.min("_phi").alias("_phi"))
+            .select(group_col, "n",
+                    F.round(F.col("_plo") / 100.0, 4).alias("p_lo"),
+                    F.round(F.col("_phi") / 100.0, 4).alias("p_hi"),
+                    F.round((F.col("_s") / F.col("n")) / 100.0, 4)
+                     .alias("win_mean")))
