@@ -185,3 +185,49 @@ def test_winsorized_mean_identity_when_no_tail(spark):
     df = spark.createDataFrame([("g", 7.5)] * 10, "g STRING, v DOUBLE")
     got = winsorized_mean(df, "g", F.col("v")).collect()[0]
     assert (got.win_mean, got.p_lo, got.p_hi) == (7.5, 7.5, 7.5)
+
+
+# -------------------------------------------------------- passage dedup
+
+def _passage_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(docs)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+
+
+def test_passage_dedup_finds_aligned_shared_passages(spark, tmp_path):
+    import os
+    P = " ".join(f"w{i}" for i in range(16))          # the shared passage
+    pre8 = " ".join(f"p{i}" for i in range(8))
+    docs = [
+        P,                                # doc0: the passage alone
+        P + " tail tokens here",          # doc1: passage at offset 0
+        pre8 + " " + P,                   # doc2: passage at offset 8 (on-stride)
+        " ".join(f"z{i}" for i in range(20)),  # doc3: unrelated
+    ]
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    _passage_df(spark, docs).write.parquet(f"{d}/documents.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_dedup_passage_exact,
+    )
+    got = q_dedup_passage_exact(spark, d).collect()
+    assert len(got) == 1                  # exactly the shared passage hash
+    assert got[0].n_docs == 3
+    assert got[0].n_occurrences == 3
+
+
+def test_passage_dedup_stride_miss_documented(spark, tmp_path):
+    # a passage at offset 3 is NOT on the stride-8 grid: windowed exact
+    # dedup trades recall at unaligned offsets for linear cost (the
+    # documented stride trade-off; stride=1 recovers full recall at
+    # window x cost)
+    import os
+    P = " ".join(f"w{i}" for i in range(16))
+    pre3 = "a b c"
+    docs = [P, pre3 + " " + P]
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    _passage_df(spark, docs).write.parquet(f"{d}/documents.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_dedup_passage_exact,
+    )
+    assert q_dedup_passage_exact(spark, d).count() == 0

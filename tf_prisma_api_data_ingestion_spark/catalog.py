@@ -4668,6 +4668,50 @@ FROM c GROUP BY event_type
 """
 
 
+def q_dedup_passage_exact(spark, sf_dir):
+    """Passage-level exact-duplicate inventory: md5 over 16-token
+    windows (stride 8) across the corpus, keeping hashes that occur in
+    >= 2 distinct documents — the exact-substring dedup idea (cited in
+    PAPERS.md: Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") at token-window granularity, where it decomposes
+    into counts instead of suffix arrays. Whole extraction is JVM
+    higher-order built-ins (operators/text.passage_hashes); the only
+    shuffle keys on the passage hash, uniform by construction. Output
+    is hash-level (n_docs, n_occurrences), NOT doc pairs — a passage
+    shared by k docs stays ONE row instead of k² pair rows, so hot
+    boilerplate passages can't blow up the result at scale."""
+    from .operators import text as text_ops
+    d = _t(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    d2 = d.filter(F.size(toks) >= 16)
+    did, h = text_ops.passage_hashes(F.col("doc_id"), F.col("text"),
+                                     window=16, stride=8)
+    wins = d2.select(did.alias("doc_id"), h.alias("passage_md5"))
+    return (wins.groupBy("passage_md5")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= 2))
+
+
+SQL_DEDUP_PASSAGE_EXACT = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, i, i + 15), ' '))
+           AS passage_md5
+  FROM ws, UNNEST(generate_series(1, len(ws) - 15, 8)) AS t(i)
+  WHERE len(ws) >= 16)
+SELECT passage_md5, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM wins GROUP BY passage_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4711,6 +4755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-retention": q_op_retention,
     "op-expectations": q_op_expectations,
     "op-winsorized-mean": q_op_winsorized_mean,
+    "dedup-passage-exact": q_dedup_passage_exact,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4894,6 +4939,7 @@ ORACLES: dict[str, str] = {
     "op-retention": SQL_OP_RETENTION,
     "op-expectations": SQL_OP_EXPECTATIONS,
     "op-winsorized-mean": SQL_OP_WINSORIZED_MEAN,
+    "dedup-passage-exact": SQL_DEDUP_PASSAGE_EXACT,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

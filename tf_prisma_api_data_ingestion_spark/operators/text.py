@@ -257,3 +257,23 @@ def temperature_sample(df: DataFrame, budget: float,
     h = md5_hash60(F.col(id_col).cast("string")) % 1_000_000
     return (df.join(F.broadcast(rates), source_col)
             .filter(h < F.floor(F.col("keep_rate") * 1_000_000.0)))
+
+
+def passage_hashes(doc_id: Column, text: Column, window: int = 16,
+                   stride: int = 8) -> tuple[Column, Column]:
+    """Building blocks for passage-level exact dedup (the Lee et al.
+    exact-substring dedup idea at token-window granularity): md5 hashes
+    of ``window``-token slices taken every ``stride`` tokens.
+
+    Returns (doc_id, exploded-hash) column pair for a select. All
+    higher-order built-ins (sequence/transform/slice/concat_ws/md5) —
+    the whole passage extraction runs inside JVM codegen, no UDF. At
+    100 TB the window stream is tokens/stride rows per doc (linear),
+    and downstream grouping shuffles on the hash — uniformly
+    distributed by construction.
+    """
+    ws = tokens(text)
+    starts = F.sequence(F.lit(1), F.size(ws) - (window - 1), F.lit(stride))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window))))
+    return doc_id, F.explode(hashes)
