@@ -231,3 +231,42 @@ def test_passage_dedup_stride_miss_documented(spark, tmp_path):
         q_dedup_passage_exact,
     )
     assert q_dedup_passage_exact(spark, d).count() == 0
+
+
+# ------------------------------------------------------------ table diff
+
+def test_table_diff_labels(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        table_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        "k LONG, price DOUBLE, status STRING")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged -> absent from output
+         (2, 21.0, "B"),          # price changed
+         (4, 40.0, "D")],         # added; key 3 removed
+        "k LONG, price DOUBLE, status STRING")
+    got = {r.k: r for r in
+           table_diff(old, new, ["k"], ["price", "status"]).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2].change_type == "changed"
+    assert (got[2].o_price, got[2].n_price) == (20.0, 21.0)
+    assert got[3].change_type == "removed"
+    assert got[3].n_price is None
+    assert got[4].change_type == "added"
+    assert got[4].o_status is None
+
+
+def test_table_diff_null_safe_compare(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        table_diff,
+    )
+    old = spark.createDataFrame([(1, None), (2, None)],
+                                "k LONG, v STRING")
+    new = spark.createDataFrame([(1, None), (2, "x")],
+                                "k LONG, v STRING")
+    got = {r.k: r.change_type
+           for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    # NULL == NULL is "same" under eqNullSafe: key 1 unchanged
+    assert got == {2: "changed"}
