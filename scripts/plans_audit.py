@@ -68,6 +68,7 @@ AUDIT = (
     ("op-expectations", "all five rules evaluate in ONE scan (single partial agg, one-row shuffle); stack unpivot is a projection over the 1-row result"),
     ("op-winsorized-mean", "exact-percentile bounds broadcast back to the fact rows; clamp + sum is map-side-combinable over the second scan"),
     ("dedup-passage-exact", "passage extraction is pure JVM higher-order projection over the scan; ONE shuffle on the uniform passage hash; hash-level output (no pair blowup)"),
+    ("op-table-diff", "one full-outer shuffled hash join on the key; unchanged rows drop in the join filter so output is difference-sized"),
 )
 
 

@@ -4712,6 +4712,55 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def q_op_table_diff(spark, sf_dir):
+    """Snapshot regression diff (operators/relational.table_diff): two
+    deterministic synthetic versions of orders — "old" drops keys
+    divisible by 97 (so they surface as added), "new" drops keys
+    divisible by 83 (removed) and bumps o_totalprice by 1.11 on keys
+    divisible by 89 (changed) — then one full-outer key join labels
+    every difference; unchanged rows drop out so output is
+    difference-sized. The WHERE to table_checksum's WHETHER."""
+    from .operators.relational import table_diff
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = (o.filter(F.col("o_orderkey") % 83 != 0)
+            .withColumn("o_totalprice",
+                        F.when(F.col("o_orderkey") % 89 == 0,
+                               F.round(F.col("o_totalprice") + 1.11, 2))
+                         .otherwise(F.col("o_totalprice"))))
+    return table_diff(old, new, ["o_orderkey"],
+                      ["o_totalprice", "o_orderstatus"])
+
+
+SQL_OP_TABLE_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0
+              THEN round(o_totalprice + 1.11, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 83 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS o_o_totalprice,
+         n.o_totalprice AS n_o_totalprice,
+         o.o_orderstatus AS o_o_orderstatus,
+         n.o_orderstatus AS n_o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey))
+SELECT change_type, o_orderkey, o_o_totalprice, n_o_totalprice,
+       o_o_orderstatus, n_o_orderstatus
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4756,6 +4805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-expectations": q_op_expectations,
     "op-winsorized-mean": q_op_winsorized_mean,
     "dedup-passage-exact": q_dedup_passage_exact,
+    "op-table-diff": q_op_table_diff,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4940,6 +4990,7 @@ ORACLES: dict[str, str] = {
     "op-expectations": SQL_OP_EXPECTATIONS,
     "op-winsorized-mean": SQL_OP_WINSORIZED_MEAN,
     "dedup-passage-exact": SQL_DEDUP_PASSAGE_EXACT,
+    "op-table-diff": SQL_OP_TABLE_DIFF,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

@@ -506,3 +506,41 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             .withColumn(dist_out, dist)
             .filter(F.col(dist_out) <= max_dist)
             .drop("_blk"))
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+               compare_cols: Sequence[str]) -> DataFrame:
+    """Snapshot diff of two versions of a table: one row per difference,
+    labeled 'added' (key only in new), 'removed' (key only in old), or
+    'changed' (key in both, any compare column differs — null-safe).
+
+    The report-regression primitive that pairs with
+    stats.table_checksum: the checksum says WHETHER two snapshots
+    differ, this says WHERE. One full outer shuffled hash join on the
+    key — both sides scan once, unchanged rows drop out in the join
+    filter, so the output is difference-sized, not table-sized. At
+    100 TB partition both snapshots the same way (or bucket by key) and
+    the exchange is the only data movement; add a date/partition
+    predicate to diff only the slice that could have changed.
+    """
+    oc = [F.col(c).alias(f"_o_{c}") for c in compare_cols]
+    nc = [F.col(c).alias(f"_n_{c}") for c in compare_cols]
+    o = old.select(*[F.col(k) for k in keys], *oc,
+                   F.lit(1).alias("_in_old"))
+    n = new.select(*[F.col(k) for k in keys], *nc,
+                   F.lit(1).alias("_in_new"))
+    j = o.join(n, list(keys), "full_outer")
+    any_change = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+         for c in compare_cols])
+    change_type = (
+        F.when(F.col("_in_old").isNull(), "added")
+         .when(F.col("_in_new").isNull(), "removed")
+         .when(any_change, "changed"))
+    out_cols = [F.col(k) for k in keys] + [
+        F.col(f"_{s}_{c}").alias(f"{s}_{c}")
+        for c in compare_cols for s in ("o", "n")]
+    return (j.withColumn("change_type", change_type)
+             .filter(F.col("change_type").isNotNull())
+             .select("change_type", *out_cols))
