@@ -270,3 +270,24 @@ def test_table_diff_null_safe_compare(spark):
            for r in table_diff(old, new, ["k"], ["v"]).collect()}
     # NULL == NULL is "same" under eqNullSafe: key 1 unchanged
     assert got == {2: "changed"}
+
+
+def test_passage_pairs_rollup_and_hot_cap(spark, tmp_path):
+    import os
+    P = " ".join(f"w{i}" for i in range(16))
+    Q = " ".join(f"q{i}" for i in range(16))
+    hot = " ".join(f"h{i}" for i in range(16))
+    # docs 0,1 share THREE passages (P at 0, the P/Q straddle at 8, and
+    # Q at 16 — all on-stride); docs 2,3 share only ONE (P) -> below the
+    # >=2 pair threshold. 'hot' appears in 40 docs -> capped out,
+    # contributes no pairs.
+    docs = [P + " " + Q, P + " " + Q, P + " tail a b c", P + " x y z tail"]
+    docs += [hot] * 40
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    _passage_df(spark, docs).write.parquet(f"{d}/documents.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_dedup_passage_pairs,
+    )
+    got = {(r.doc1, r.doc2): r.n_shared_passages
+           for r in q_dedup_passage_pairs(spark, d).collect()}
+    assert got == {(0, 1): 3}

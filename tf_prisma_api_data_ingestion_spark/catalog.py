@@ -4761,6 +4761,65 @@ FROM j WHERE change_type IS NOT NULL
 """
 
 
+def q_dedup_passage_pairs(spark, sf_dir):
+    """Doc-level near-dup verdicts from shared passages: self-join the
+    passage-hash inventory (dedup-passage-exact's window stream) on the
+    hash, count distinct shared passages per (doc1 < doc2) pair, keep
+    pairs sharing >= 2 passages. The passage evidence rolled up to the
+    judgment a dedup pipeline acts on.
+
+    Hot-passage cap: hashes appearing in > 32 distinct docs are dropped
+    BEFORE the self-join (boilerplate headers/footers would contribute
+    k^2 pairs while carrying no dedup signal — the same df-cap design as
+    the n-gram Jaccard engine, dedup.py). The cap is part of the
+    operator's contract and applied identically in the oracle, so the
+    join's per-hash fanout is bounded at 32^2 regardless of corpus size.
+    """
+    from .operators import text as text_ops
+    d = _t(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    d2 = d.filter(F.size(toks) >= 16)
+    did, h = text_ops.passage_hashes(F.col("doc_id"), F.col("text"),
+                                     window=16, stride=8)
+    wins = d2.select(did.alias("doc_id"), h.alias("h")).distinct()
+    docs_per_h = (wins.groupBy("h")
+                  .agg(F.count(F.lit(1)).alias("_nd"))
+                  .filter((F.col("_nd") >= 2) & (F.col("_nd") <= 32)))
+    kept = wins.join(docs_per_h.select("h"), "h")
+    pairs = (kept.alias("a")
+             .join(kept.alias("b"),
+                   (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc1"),
+                     F.col("b.doc_id").alias("doc2")))
+    return (pairs.groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+            .filter(F.col("n_shared_passages") >= 2))
+
+
+SQL_DEDUP_PASSAGE_PAIRS = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, len(ws) - 15, 8)) AS t(i)
+  WHERE len(ws) >= 16),
+keep AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING COUNT(*) BETWEEN 2 AND 32),
+kept AS (SELECT wins.* FROM wins JOIN keep USING (h))
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       COUNT(*) AS n_shared_passages
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4806,6 +4865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-winsorized-mean": q_op_winsorized_mean,
     "dedup-passage-exact": q_dedup_passage_exact,
     "op-table-diff": q_op_table_diff,
+    "dedup-passage-pairs": q_dedup_passage_pairs,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -4991,6 +5051,7 @@ ORACLES: dict[str, str] = {
     "op-winsorized-mean": SQL_OP_WINSORIZED_MEAN,
     "dedup-passage-exact": SQL_DEDUP_PASSAGE_EXACT,
     "op-table-diff": SQL_OP_TABLE_DIFF,
+    "dedup-passage-pairs": SQL_DEDUP_PASSAGE_PAIRS,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,
