@@ -10,6 +10,27 @@ import tempfile
 import pytest
 
 
+def _write_events_file(rows, path):
+    """Write (user_id, event_type, ts_string) rows as ONE parquet FILE
+    with the testdata events schema (timestamp[us] naive) — the
+    streaming source's pathGlobFilter matches leaf file names, so
+    fixtures must be single files like the driver's testdata, not
+    directory writes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [t for _, t, _ in rows],
+        "ts": pd.to_datetime([ts for _, _, ts in rows]).astype(
+            "datetime64[us]"),
+        "value": 1.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
 def _events(spark, rows):
     # rows: (user_id, event_type, ts_string)
     df = spark.createDataFrame(
@@ -46,7 +67,7 @@ def funnel_dir(spark, tmp_path):
     ]
     d = str(tmp_path / "sf")
     os.makedirs(d, exist_ok=True)
-    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    _write_events_file(rows, f"{d}/events.parquet")
     return d
 
 
@@ -94,3 +115,44 @@ def test_retention_matrix(spark, tmp_path):
     assert got[("2024-01-01", 2)] == 1    # u2 back on day 2 (once)
     assert got[("2024-01-02", 0)] == 1    # u3's own cohort
     assert ("2024-01-02", 1) not in got
+
+
+def test_streaming_funnel_matches_batch_on_tricky_cases(spark, funnel_dir):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_funnel
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        streaming_funnel,
+    )
+    batch = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.funnel_depth)
+             for r in q_op_funnel(spark, funnel_dir).collect()}
+    stream = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.funnel_depth)
+              for r in streaming_funnel(
+                  spark, funnel_dir,
+                  query_name="t_stream_funnel").collect()}
+    assert stream == batch
+
+
+def test_streaming_funnel_out_of_order_batches(spark, tmp_path):
+    # clicks/purchases land in the FIRST micro-batch, the qualifying
+    # view only in the SECOND (maxFilesPerTrigger=1 forces two batches):
+    # the candidate-set state must retroactively resolve the full funnel
+    import os
+    import time
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    _write_events_file([
+        (1, "click", "2024-01-01 00:01:00"),
+        (1, "purchase", "2024-01-01 00:02:00"),
+    ], f"{d}/events_a.parquet")
+    time.sleep(1.1)  # distinct mtimes: the file source orders batches
+    _write_events_file([
+        (1, "view", "2024-01-01 00:00:00"),
+    ], f"{d}/events_b.parquet")
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        streaming_funnel,
+    )
+    got = streaming_funnel(spark, d, query_name="t_stream_funnel_ooo",
+                           max_files_per_trigger=1,
+                           glob="events_*.parquet").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.funnel_depth == 3
+    assert r.t_click - r.t_view == 60_000_000

@@ -4820,6 +4820,19 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Streaming conversion funnel (applyInPandasWithState state
+    machine, streaming/windows.streaming_funnel): candidate-set state
+    makes the result arrival-order independent, so the batch funnel SQL
+    is an exact oracle — the strongest check a custom stateful streaming
+    operator can get."""
+    from .streaming.windows import streaming_funnel
+    return streaming_funnel(spark, sf_dir, query_name="cat_stream_funnel")
+
+
+SQL_STREAM_FUNNEL = SQL_OP_FUNNEL
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4866,6 +4879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-passage-exact": q_dedup_passage_exact,
     "op-table-diff": q_op_table_diff,
     "dedup-passage-pairs": q_dedup_passage_pairs,
+    "stream-funnel": q_stream_funnel,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -5052,6 +5066,7 @@ ORACLES: dict[str, str] = {
     "dedup-passage-exact": SQL_DEDUP_PASSAGE_EXACT,
     "op-table-diff": SQL_OP_TABLE_DIFF,
     "dedup-passage-pairs": SQL_DEDUP_PASSAGE_PAIRS,
+    "stream-funnel": SQL_STREAM_FUNNEL,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

@@ -56,7 +56,8 @@ def _state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 def _event_stream(spark: SparkSession, sf_dir: str,
-                  glob: str = "events.parquet") -> DataFrame:
+                  glob: str = "events.parquet",
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     # explicit contract (§1.3): ts read as TIMESTAMP — the file source
     # needs a user-supplied schema, and declaring TIMESTAMP makes the
     # parquet reader decode the physical µs int64 as an instant instead
@@ -80,10 +81,15 @@ def _event_stream(spark: SparkSession, sf_dir: str,
         legacy = isinstance(probe, T.LongType)
     except Exception:  # no matching files yet: assume current generation
         legacy = False
-    stream = (spark.readStream
+    reader = (spark.readStream
               .schema(tables.events_ddl(legacy_nanos=legacy))
-              .option("pathGlobFilter", glob)
-              .parquet(sf_dir))
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        # one file per micro-batch: lets tests feed deliberately
+        # out-of-order batches through the stateful operators
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     if legacy:
         stream = tables.normalize_legacy_ts(stream)
     return stream.withColumn("ts_t", F.col("ts"))
@@ -553,3 +559,98 @@ def enriched_daily_report_to_parquet(spark: SparkSession, sf_dir: str,
              .start())
         q.awaitTermination()
     return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+
+def streaming_funnel(spark: SparkSession, sf_dir: str,
+                     query_name: str = "stream_funnel",
+                     state_partitions: int = DEFAULT_STATE_PARTITIONS,
+                     max_files_per_trigger: int | None = None,
+                     glob: str = "events.parquet") -> DataFrame:
+    """Per-user conversion funnel (view -> first click strictly after ->
+    first purchase strictly after) as a stateful STREAM via
+    applyInPandasWithState — the sequence-matching state machine batch
+    window functions can't do incrementally.
+
+    Out-of-order safety is the whole design: a late-arriving earlier
+    'view' retroactively re-qualifies clicks that were useless before,
+    so the state keeps the CANDIDATE SETS (min view time, click times,
+    purchase times), not the resolved funnel — the funnel is recomputed
+    from candidates on every update, which makes the final answer
+    independent of arrival order and therefore bit-identical to the
+    batch oracle (catalog SQL_OP_FUNNEL). Funnel depth is monotone under
+    growing candidate sets, so update-mode re-emissions only improve;
+    the drain keeps each user's last emission (max events seen).
+
+    State is O(clicks + purchases) per user — bounded in production by
+    session/retention eviction (GroupStateTimeout), kept unbounded here
+    because the drain is finite; the trade-off is documented rather than
+    hidden. At 100 TB the state store shards on user_id across
+    executors; candidate lists this shape are the documented cost of
+    exact out-of-order sequence matching (the alternative — resolved
+    scalars — is cheaper but silently order-dependent).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_seen, min_view, clicks, purchases = state.get
+            clicks, purchases = list(clicks), list(purchases)
+        else:
+            n_seen, min_view, clicks, purchases = 0, -1, [], []
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            # normalize to ns first: arrow may hand back datetime64[ns]
+            # or [us] depending on pandas/arrow versions; int64-of-ns is
+            # unambiguous, then // 1000 -> µs
+            tu = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                  // 1000)
+            for t, u in zip(pdf["event_type"], tu):
+                u = int(u)
+                if t == "view":
+                    min_view = u if min_view < 0 else min(min_view, u)
+                elif t == "click":
+                    clicks.append(u)
+                elif t == "purchase":
+                    purchases.append(u)
+        state.update((n_seen, min_view, clicks, purchases))
+        t_view = min_view if min_view >= 0 else None
+        t_click = (min((c for c in clicks if t_view is not None
+                        and c > t_view), default=None))
+        t_purchase = (min((p for p in purchases if t_click is not None
+                           and p > t_click), default=None))
+        depth = (3 if t_purchase is not None else
+                 2 if t_click is not None else
+                 1 if t_view is not None else 0)
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_seen": pd.array([n_seen], dtype="Int64"),
+            "t_view": pd.array([t_view], dtype="Int64"),
+            "t_click": pd.array([t_click], dtype="Int64"),
+            "t_purchase": pd.array([t_purchase], dtype="Int64"),
+            "funnel_depth": pd.array([depth], dtype="Int64"),
+        })
+
+    stream = _event_stream(spark, sf_dir, glob=glob,
+                           max_files_per_trigger=max_files_per_trigger)
+    out = (stream.groupBy("user_id")
+           .applyInPandasWithState(
+               update,
+               outputStructType=("user_id LONG, n_seen LONG, t_view LONG, "
+                                 "t_click LONG, t_purchase LONG, "
+                                 "funnel_depth LONG"),
+               stateStructType=("n_seen LONG, min_view LONG, "
+                                "clicks ARRAY<LONG>, purchases ARRAY<LONG>"),
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    with _state_partitions(spark, state_partitions):
+        q = (out.writeStream.format("memory").queryName(query_name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    # last (= most-informed) emission per user: candidates only grow, so
+    # max n_seen identifies it
+    final = (spark.table(query_name).groupBy("user_id")
+             .agg(F.max_by(F.struct("t_view", "t_click", "t_purchase",
+                                    "funnel_depth"), "n_seen").alias("_f")))
+    return final.select("user_id", "_f.t_view", "_f.t_click",
+                        "_f.t_purchase", "_f.funnel_depth")
