@@ -602,17 +602,17 @@ def streaming_funnel(spark: SparkSession, sf_dir: str,
             n_seen += len(pdf)
             # normalize to ns first: arrow may hand back datetime64[ns]
             # or [us] depending on pandas/arrow versions; int64-of-ns is
-            # unambiguous, then // 1000 -> µs
+            # unambiguous, then // 1000 -> µs. Vectorized masks, not a
+            # per-row loop — the batch is Arrow-columnar already.
             tu = (pdf["ts"].astype("datetime64[ns]").astype("int64")
                   // 1000)
-            for t, u in zip(pdf["event_type"], tu):
-                u = int(u)
-                if t == "view":
-                    min_view = u if min_view < 0 else min(min_view, u)
-                elif t == "click":
-                    clicks.append(u)
-                elif t == "purchase":
-                    purchases.append(u)
+            et = pdf["event_type"]
+            views = tu[et == "view"]
+            if len(views):
+                v = int(views.min())
+                min_view = v if min_view < 0 else min(min_view, v)
+            clicks.extend(int(u) for u in tu[et == "click"])
+            purchases.extend(int(u) for u in tu[et == "purchase"])
         state.update((n_seen, min_view, clicks, purchases))
         t_view = min_view if min_view >= 0 else None
         t_click = (min((c for c in clicks if t_view is not None
