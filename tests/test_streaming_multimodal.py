@@ -282,3 +282,35 @@ def test_stream_report_append_emission_and_replay(spark, tmp_path):
                                           query_name="t_report_run2")
     assert n2 == 0
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_fake_resize_caps_out_bytes(spark):
+    from tf_prisma_api_data_ingestion_spark.multimodal import (
+        fake_resize,
+        with_binary_payload,
+    )
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 100_000)],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r
+           for r in fake_resize(with_binary_payload(df),
+                                target_w=64, target_h=48).collect()}
+    assert got[1].out_bytes == 10                  # under the cap
+    assert got[2].out_bytes == 64 * 48 * 3         # cropped to the cap
+    assert (got[1].width, got[1].height) == (64, 48)
+
+
+def test_fake_embed_matches_hashlib_and_is_bounded(spark):
+    import hashlib
+    from tf_prisma_api_data_ingestion_spark.multimodal import (
+        fake_embed,
+        with_binary_payload,
+    )
+    df = spark.createDataFrame([(7, "hello world")],
+                               "doc_id LONG, text STRING")
+    r = fake_embed(with_binary_payload(df), dim=8).collect()[0]
+    d = hashlib.md5(b"hello world").hexdigest()
+    for k in range(8):
+        want = int(d[4 * k:4 * k + 4], 16) / 65536.0
+        assert getattr(r, f"e{k}") == want
+        assert 0.0 <= getattr(r, f"e{k}") < 1.0

@@ -4833,6 +4833,50 @@ def q_stream_funnel(spark, sf_dir):
 SQL_STREAM_FUNNEL = SQL_OP_FUNNEL
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage of the multimodal pipeline (mapInPandas; codec call
+    stubbed, batching/schema/crop-rule real — multimodal.fake_resize)."""
+    from .multimodal import fake_resize, with_binary_payload
+    d = _t(spark, sf_dir, "documents")
+    return fake_resize(with_binary_payload(d), target_w=64, target_h=48)
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(48 AS INTEGER) AS height,
+       least(octet_length(encode(text)), 64 * 48 * 3) AS out_bytes
+FROM documents
+"""
+
+
+def q_multimodal_embed(spark, sf_dir):
+    """Feature-extraction stage: 8-dim pseudo-embedding from the binary
+    payload, computed Python-side per Arrow batch (multimodal.fake_embed
+    — the encoder-inference shape) and bit-replayed here in SQL because
+    each component is an exact dyadic md5-slice rational. The strongest
+    possible differential check of the mapInPandas plumbing: Python
+    hashlib vs DuckDB md5 must agree byte-for-byte on the payloads AND
+    the arithmetic."""
+    from .multimodal import fake_embed, with_binary_payload
+    d = _t(spark, sf_dir, "documents")
+    return fake_embed(with_binary_payload(d), dim=8)
+
+
+SQL_MULTIMODAL_EMBED = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) / 65536.0 AS e0,
+       CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) / 65536.0 AS e1,
+       CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65536.0 AS e2,
+       CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) / 65536.0 AS e3,
+       CAST(('0x' || substr(md5(text), 17, 4)) AS BIGINT) / 65536.0 AS e4,
+       CAST(('0x' || substr(md5(text), 21, 4)) AS BIGINT) / 65536.0 AS e5,
+       CAST(('0x' || substr(md5(text), 25, 4)) AS BIGINT) / 65536.0 AS e6,
+       CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0 AS e7
+FROM documents
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4880,6 +4924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-table-diff": q_op_table_diff,
     "dedup-passage-pairs": q_dedup_passage_pairs,
     "stream-funnel": q_stream_funnel,
+    "multimodal-resize": q_multimodal_resize,
+    "multimodal-embed": q_multimodal_embed,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -5067,6 +5113,8 @@ ORACLES: dict[str, str] = {
     "op-table-diff": SQL_OP_TABLE_DIFF,
     "dedup-passage-pairs": SQL_DEDUP_PASSAGE_PAIRS,
     "stream-funnel": SQL_STREAM_FUNNEL,
+    "multimodal-resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal-embed": SQL_MULTIMODAL_EMBED,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,

@@ -94,3 +94,56 @@ def fake_frame_sample(df: DataFrame, id_col: str = "doc_id",
                                 "n_frames": pd.array(totals, dtype="int32")})
 
     return df.select(id_col, "payload").mapInPandas(sample, schema)
+
+
+def fake_resize(df: DataFrame, target_w: int = 64, target_h: int = 48,
+                id_col: str = "doc_id") -> DataFrame:
+    """'Resize' stub via mapInPandas: emits the post-resize metadata a
+    real resampler would (target dims + output byte count, crop rule
+    min(n_bytes, w*h*3) for 3-channel). The codec call is the ONLY fake
+    part; batching, schema, and the decode->transform->measure shape are
+    exactly the production plumbing (swap the body for PIL/cv2 resize
+    when codecs exist — decode_image is the documented hook).
+    """
+    schema = f"{id_col} LONG, width INT, height INT, out_bytes LONG"
+    cap = target_w * target_h * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                "out_bytes": n.clip(upper=cap).astype("int64"),
+            })
+
+    return df.select(id_col, "payload").mapInPandas(resize, schema)
+
+
+def fake_embed(df: DataFrame, dim: int = 8,
+               id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction stub: a ``dim``-dimensional pseudo-embedding
+    from the payload bytes via md5 (each component = a 4-hex-char slice
+    / 2^16 — an exact dyadic rational, so the Python-side computation is
+    bit-replayable in any engine with md5). Runs in mapInPandas exactly
+    like a real encoder (model inference per Arrow batch); downstream it
+    feeds the same ANN / near-dup operators as real embeddings
+    (operators/similarity.py). Components come out as columns e0..e{d-1}
+    rather than an array so the differential oracle compares scalars.
+    """
+    import hashlib
+
+    cols = ", ".join(f"e{k} DOUBLE" for k in range(dim))
+    schema = f"{id_col} LONG, {cols}"
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col]}
+            digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            for k in range(dim):
+                out[f"e{k}"] = [
+                    int(d[4 * k:4 * k + 4], 16) / 65536.0 for d in digests]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(embed, schema)
