@@ -4899,8 +4899,9 @@ FROM documents
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 18 keys ADDED in
-    # ---- r5 (11 time-series/CDC/sampling + 7 stats/ER/analytics), the
+    # ---- (sketch-kmv-union, asof-join-forward), the 26 keys ADDED in
+    # ---- r5 (11 time-series/CDC/sampling + 15 stats/ER/analytics/
+    # ---- passage-dedup/stream-funnel/multimodal), the
     # ---- 3 keys whose code changed in the r4->r5 gap (asof-join
     # ---- right-side tie pre-agg, op-variant-json integer-literal
     # ---- guard, sketch-kmv-distinct windowed bottom-k), then the
@@ -4909,8 +4910,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 7 keys ADDED late in r5 (stats/ER/integrity/analytics),
-    # ---- in-window for first driver exposure ----
+    # ---- the 15 keys ADDED late in r5 (stats/ER/integrity/analytics/
+    # ---- passage-dedup/streaming/multimodal), in-window for first
+    # ---- driver exposure ----
     "op-fuzzy-join": q_op_fuzzy_join,
     "op-linreg-group": q_op_linreg_group,
     "op-outlier-mad": q_op_outlier_mad,
