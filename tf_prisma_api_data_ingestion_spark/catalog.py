@@ -1222,21 +1222,24 @@ SELECT query_id, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rn <= 5
 """
 
 
-def _sql_md5_buckets(tables: int, planes: int) -> str:
+def _sql_md5_buckets(tables: int, planes: int, dim: int = 64,
+                     src: str = "embeddings") -> str:
     """Shared DuckDB CTE chain reproducing ``similarity.bucket_table``
     in mode='md5': integer hyperplane components from the 60-bit md5
     primitive, floor-quantized vectors, exact-integer sign decisions,
-    bit-packed (vec_id, t, b) bucket rows."""
+    bit-packed (vec_id, t, b) bucket rows. ``src`` may be an earlier CTE
+    (vec_id, embedding) — the multimodal composition uses that to bucket
+    md5-slice pseudo-embeddings instead of the embeddings table."""
     return f"""
 hp AS (
   SELECT t, p, d,
          (('0x' || substr(md5('hp,' || t || ',' || p || ',' || d), 1, 15))::BIGINT
           % 2001) - 1000 AS c
-  FROM range({tables}) AS r1(t), range({planes}) AS r2(p), range(64) AS r3(d)),
+  FROM range({tables}) AS r1(t), range({planes}) AS r2(p), range({dim}) AS r3(d)),
 qv AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
-  FROM embeddings),
+  FROM {src}),
 dots AS (
   SELECT qv.vec_id, hp.t, hp.p, SUM(qv.q * hp.c) AS dt
   FROM qv JOIN hp ON qv.d = hp.d
@@ -4877,6 +4880,55 @@ FROM documents
 """
 
 
+def q_plan_multimodal_dedup(spark, sf_dir):
+    """End-to-end multimodal dedup composition: binary payload ->
+    Arrow-batched feature extraction (multimodal.fake_embed, the encoder
+    shape) -> hyperplane-LSH near-dup pairs (similarity.
+    lsh_near_dup_pairs, mode='md5') — image dedup by embedding, with the
+    codec as the single stubbed step. md5-slice pseudo-embeddings carry
+    no semantics (byte-identical payloads map to cos 1.0, everything
+    else to the random-vector distribution), so the demo threshold
+    (0.98) is set where the synthetic distribution produces candidates —
+    the bucket join + exact verify then runs on real, non-empty data; a
+    REAL encoder swaps in with the identical plan and a meaningful
+    threshold. Whole pipeline (Python-side extraction included) is
+    bit-replayed by the DuckDB oracle."""
+    from .multimodal import fake_embed, with_binary_payload
+    from .operators.similarity import lsh_near_dup_pairs
+    d = _t(spark, sf_dir, "documents")
+    emb = fake_embed(with_binary_payload(d), dim=8)
+    arr = emb.select(F.col("doc_id").alias("vec_id"),
+                     F.array(*[f"e{k}" for k in range(8)])
+                      .alias("embedding"))
+    return lsh_near_dup_pairs(arr, threshold=0.98, dim=8,
+                              planes_per_table=8, tables=8, mode="md5")
+
+
+SQL_PLAN_MULTIMODAL_DEDUP = f"""
+WITH docemb AS (
+  SELECT doc_id AS vec_id,
+         [CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 17, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 21, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 25, 4)) AS BIGINT) / 65536.0,
+          CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0
+         ] AS embedding
+  FROM documents),
+{_sql_md5_buckets(tables=8, planes=8, dim=8, src="docemb")},
+e AS (SELECT vec_id, embedding AS v FROM docemb),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkt a JOIN bkt b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b, {_SQL_COS.format(a='x.v', b='y.v')} AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.98
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4928,6 +4980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream-funnel": q_stream_funnel,
     "multimodal-resize": q_multimodal_resize,
     "multimodal-embed": q_multimodal_embed,
+    "plan-multimodal-dedup": q_plan_multimodal_dedup,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -5117,6 +5170,7 @@ ORACLES: dict[str, str] = {
     "stream-funnel": SQL_STREAM_FUNNEL,
     "multimodal-resize": SQL_MULTIMODAL_RESIZE,
     "multimodal-embed": SQL_MULTIMODAL_EMBED,
+    "plan-multimodal-dedup": SQL_PLAN_MULTIMODAL_DEDUP,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,
