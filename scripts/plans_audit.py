@@ -70,6 +70,7 @@ AUDIT = (
     ("dedup-passage-exact", "passage extraction is pure JVM higher-order projection over the scan; ONE shuffle on the uniform passage hash; hash-level output (no pair blowup)"),
     ("op-table-diff", "one full-outer shuffled hash join on the key; unchanged rows drop in the join filter so output is difference-sized"),
     ("dedup-passage-pairs", "hot-passage cap (2..32 docs) BEFORE the self-join bounds per-hash fanout at 32^2; pair rollup is map-side-combinable"),
+    ("plan-multimodal-dedup", "ONE ArrowEvalPython/mapInPandas stage feeds the bucket build; single (table,bucket) self-join; exact cosine verify as join post-filter — no all-pairs term anywhere"),
 )
 
 

@@ -4888,7 +4888,8 @@ def q_plan_multimodal_dedup(spark, sf_dir):
     codec as the single stubbed step. md5-slice pseudo-embeddings carry
     no semantics (byte-identical payloads map to cos 1.0, everything
     else to the random-vector distribution), so the demo threshold
-    (0.98) is set where the synthetic distribution produces candidates —
+    (0.9 on mean-centered features) sits where the synthetic
+    distribution produces candidates —
     the bucket join + exact verify then runs on real, non-empty data; a
     REAL encoder swaps in with the identical plan and a meaningful
     threshold. Whole pipeline (Python-side extraction included) is
@@ -4897,24 +4898,30 @@ def q_plan_multimodal_dedup(spark, sf_dir):
     from .operators.similarity import lsh_near_dup_pairs
     d = _t(spark, sf_dir, "documents")
     emb = fake_embed(with_binary_payload(d), dim=8)
+    # mean-center the raw [0,1) features before cosine LSH — the
+    # standard preprocessing: uncentered all-positive vectors crowd one
+    # quadrant (pairwise cos ~0.75), so sign buckets stop discriminating
+    # and the candidate set grows quadratically (measured 23x for 10x
+    # data before centering; ~linear after). Centering is exact
+    # (dyadic - 0.5) so the oracle replay stays bit-identical.
     arr = emb.select(F.col("doc_id").alias("vec_id"),
-                     F.array(*[f"e{k}" for k in range(8)])
-                      .alias("embedding"))
-    return lsh_near_dup_pairs(arr, threshold=0.98, dim=8,
+                     F.array(*[F.col(f"e{k}") - F.lit(0.5)
+                               for k in range(8)]).alias("embedding"))
+    return lsh_near_dup_pairs(arr, threshold=0.9, dim=8,
                               planes_per_table=8, tables=8, mode="md5")
 
 
 SQL_PLAN_MULTIMODAL_DEDUP = f"""
 WITH docemb AS (
   SELECT doc_id AS vec_id,
-         [CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 17, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 21, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 25, 4)) AS BIGINT) / 65536.0,
-          CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0
+         [CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 17, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 21, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 25, 4)) AS BIGINT) / 65536.0 - 0.5,
+          CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0 - 0.5
          ] AS embedding
   FROM documents),
 {_sql_md5_buckets(tables=8, planes=8, dim=8, src="docemb")},
@@ -4925,7 +4932,7 @@ cand AS (
 scored AS (
   SELECT c.vec_a, c.vec_b, {_SQL_COS.format(a='x.v', b='y.v')} AS cos
   FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
-SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.98
+SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.9
 """
 
 
