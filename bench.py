@@ -41,10 +41,13 @@ HEADLINE = (
     "text-quality",       # text feature extraction
     "text-tfidf-top-terms",# corpus TF-IDF weighting + per-doc top-k
     "op-sessionize",      # gap-and-islands sessionization
+    "dedup-passage-exact",# token-window exact-substring dedup inventory
     "stream-window-agg",  # structured-streaming tumbling window drain
     "stream-stream-join", # watermarked stream-stream interval join
+    "stream-funnel",      # stateful candidate-set funnel (applyInPandasWithState)
     "plan-alert-report",  # EP3 end-to-end plan
     "plan-corpus-train",  # product-defining composite: clean->sample->pack
+    "plan-multimodal-dedup",  # payload -> Arrow embed -> LSH near-dup
 )
 
 

@@ -4958,8 +4958,8 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.9
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 26 keys ADDED in
-    # ---- r5 (11 time-series/CDC/sampling + 15 stats/ER/analytics/
+    # ---- (sketch-kmv-union, asof-join-forward), the 27 keys ADDED in
+    # ---- r5 (11 time-series/CDC/sampling + 16 stats/ER/analytics/
     # ---- passage-dedup/stream-funnel/multimodal), the
     # ---- 3 keys whose code changed in the r4->r5 gap (asof-join
     # ---- right-side tie pre-agg, op-variant-json integer-literal
@@ -4969,7 +4969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 15 keys ADDED late in r5 (stats/ER/integrity/analytics/
+    # ---- the 16 keys ADDED late in r5 (stats/ER/integrity/analytics/
     # ---- passage-dedup/streaming/multimodal), in-window for first
     # ---- driver exposure ----
     "op-fuzzy-join": q_op_fuzzy_join,
