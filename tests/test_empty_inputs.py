@@ -120,3 +120,70 @@ def test_keep_best_empty_pairs_keeps_every_doc(spark):
            for r in dedup_keep_best(pairs, scored).collect()}
     # no edges -> every doc is its own cluster's representative
     assert got == {1: 1, 2: 1}
+
+
+# ---------------- round-5 late additions: stats / ER / analytics ops
+
+def test_grouped_linreg_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg,
+    )
+    e = spark.createDataFrame([], "g STRING, x LONG, y DOUBLE")
+    assert grouped_linreg(e, "g", F.col("x"), F.col("y")).count() == 0
+
+
+def test_mad_and_winsorized_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        mad_outliers,
+        winsorized_mean,
+    )
+    e = spark.createDataFrame([], "g STRING, v DOUBLE")
+    assert mad_outliers(e, "g", F.col("v")).count() == 0
+    assert winsorized_mean(e, "g", F.col("v")).count() == 0
+
+
+def test_table_checksum_empty_is_zero_triple(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        table_checksum,
+    )
+    e = spark.createDataFrame([], "a STRING, b STRING")
+    r = table_checksum(e, ["a", "b"]).collect()[0]
+    # empty fingerprint defined as (0,0,0): two empty copies compare
+    # equal instead of null-propagating
+    assert (r.n_rows, r.xor_digest, r.sum_digest) == (0, 0, 0)
+
+
+def test_expect_empty_passes_all_rules(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import expect
+    e = spark.createDataFrame([], "k LONG")
+    got = expect(e, {"k_not_null": F.col("k").isNotNull()}).collect()[0]
+    assert (got.n_rows, got.n_violations, got.passed) == (0, 0, 1)
+
+
+def test_fuzzy_join_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        fuzzy_join,
+    )
+    e = spark.createDataFrame([], "name1 STRING")
+    f = spark.createDataFrame([], "name2 STRING")
+    got = fuzzy_join(e, f, "name1", "name2",
+                     F.col("name1"), F.col("name2"), max_dist=2)
+    assert got.count() == 0
+
+
+def test_table_diff_both_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        table_diff,
+    )
+    e = spark.createDataFrame([], "k LONG, v STRING")
+    assert table_diff(e, e, ["k"], ["v"]).count() == 0
+
+
+def test_table_diff_one_side_empty_is_all_added(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        table_diff,
+    )
+    e = spark.createDataFrame([], "k LONG, v STRING")
+    n = spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, v STRING")
+    got = table_diff(e, n, ["k"], ["v"]).collect()
+    assert {r.change_type for r in got} == {"added"} and len(got) == 2

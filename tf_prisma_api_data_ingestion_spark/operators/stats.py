@@ -146,10 +146,13 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """
     canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    # coalesce: over zero rows xor/sum aggregate to NULL — an empty
+    # table's fingerprint is defined as (0, 0, 0) so two empty copies
+    # compare equal instead of null-propagating
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.bit_xor(h).alias("xor_digest"),
-        F.sum(h % F.lit(2 ** 32)).alias("sum_digest"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("xor_digest"),
+        F.coalesce(F.sum(h % F.lit(2 ** 32)), F.lit(0)).alias("sum_digest"),
     )
 
 
@@ -169,7 +172,10 @@ def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, rule in rules.items():
-        aggs.append(F.sum(F.when(rule, 0).otherwise(1)).alias(f"_v_{name}"))
+        # coalesce: sum over ZERO rows is NULL — an empty partition must
+        # read as "0 violations, passed", not a null verdict
+        aggs.append(F.coalesce(F.sum(F.when(rule, 0).otherwise(1)),
+                               F.lit(0)).alias(f"_v_{name}"))
     wide = df.agg(*aggs)
     pairs = ", ".join(f"'{n}', _v_{n}" for n in rules)
     tall = wide.select(
