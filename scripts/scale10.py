@@ -64,6 +64,21 @@ KEYS = (
     "op-interval-merge",
     "asof-join-nearest",
     "plan-stream-report",
+    # late-r5 additions on the replicated tables (events/lineitem/
+    # documents) — orders and part stay verbatim, so op-table-diff /
+    # op-expectations / op-fuzzy-join see no growth here and are
+    # deliberately excluded rather than reported as fake-flat
+    "op-funnel",
+    "op-retention",
+    "op-linreg-group",
+    "op-outlier-mad",
+    "op-winsorized-mean",
+    "op-table-checksum",
+    "text-bigram-lift",
+    "dedup-passage-exact",
+    "dedup-passage-pairs",
+    "stream-funnel",
+    "plan-multimodal-dedup",
 )
 
 VERBATIM = ("region", "nation", "customer", "supplier", "part",

