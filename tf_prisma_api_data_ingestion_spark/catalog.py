@@ -4943,6 +4943,59 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.9
 """
 
 
+def q_op_string_agg(spark, sf_dir):
+    """Sorted group concatenation (the reporting staple): per order
+    priority, the distinct statuses as one comma-joined string. Spark
+    has no ordered string_agg, so the deterministic formulation is
+    collect_set -> array_sort -> array_join — same total order as
+    DuckDB's string_agg(DISTINCT ... ORDER BY), hash-identical. The
+    collect_set is bounded by the value domain (3 statuses), not the
+    row count — safe at any scale for low-cardinality domains; for
+    unbounded domains cap with slice() first."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.array_join(F.array_sort(F.collect_set("o_orderstatus")),
+                              ",").alias("statuses"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+SQL_OP_STRING_AGG = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_op_window_percent(spark, sf_dir):
+    """percent_rank + cume_dist battery per customer over order totals
+    (completes the ranking-window family beyond rank/dense_rank/ntile):
+    both are single rational divisions k/(n-1) and k/n over an
+    unambiguous order (orderkey tiebreak), so round(6) is bit-stable
+    across engines. One sort per customer partition serves both."""
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+SQL_OP_WINDOW_PERCENT = """
+SELECT o_orderkey, o_custkey,
+       round(percent_rank() OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       round(cume_dist() OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4965,8 +5018,8 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= 0.9
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 27 keys ADDED in
-    # ---- r5 (11 time-series/CDC/sampling + 16 stats/ER/analytics/
+    # ---- (sketch-kmv-union, asof-join-forward), the 29 keys ADDED in
+    # ---- r5 (11 time-series/CDC/sampling + 18 stats/ER/analytics/
     # ---- passage-dedup/stream-funnel/multimodal), the
     # ---- 3 keys whose code changed in the r4->r5 gap (asof-join
     # ---- right-side tie pre-agg, op-variant-json integer-literal
@@ -4976,7 +5029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 16 keys ADDED late in r5 (stats/ER/integrity/analytics/
+    # ---- the 18 keys ADDED late in r5 (stats/ER/integrity/analytics/
     # ---- passage-dedup/streaming/multimodal), in-window for first
     # ---- driver exposure ----
     "op-fuzzy-join": q_op_fuzzy_join,
@@ -4995,6 +5048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal-resize": q_multimodal_resize,
     "multimodal-embed": q_multimodal_embed,
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
+    "op-string-agg": q_op_string_agg,
+    "op-window-percent": q_op_window_percent,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -5185,6 +5240,8 @@ ORACLES: dict[str, str] = {
     "multimodal-resize": SQL_MULTIMODAL_RESIZE,
     "multimodal-embed": SQL_MULTIMODAL_EMBED,
     "plan-multimodal-dedup": SQL_PLAN_MULTIMODAL_DEDUP,
+    "op-string-agg": SQL_OP_STRING_AGG,
+    "op-window-percent": SQL_OP_WINDOW_PERCENT,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,
