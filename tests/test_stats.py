@@ -291,3 +291,22 @@ def test_passage_pairs_rollup_and_hot_cap(spark, tmp_path):
     got = {(r.doc1, r.doc2): r.n_shared_passages
            for r in q_dedup_passage_pairs(spark, d).collect()}
     assert got == {(0, 1): 3}
+
+
+def test_fuzzy_canonicalize_merges_near_names(spark, tmp_path):
+    import os
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    rows = [(1, "red widget", "bx", "tx", 1, 10.0),
+            (2, "ted widget", "bx", "tx", 1, 20.0),   # dist 1 from red
+            (3, "tiny bolt", "bx", "tx", 1, 5.0)]
+    spark.createDataFrame(
+        rows, "p_partkey LONG, p_name STRING, p_brand STRING, "
+              "p_type STRING, p_size INT, p_retailprice DOUBLE"
+    ).write.parquet(f"{d}/part.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_op_fuzzy_canonicalize,
+    )
+    got = {r.canon_name: (r.n_parts, r.total_price)
+           for r in q_op_fuzzy_canonicalize(spark, d).collect()}
+    # red/ted merge under the lexicographic min 'red widget'
+    assert got == {"red widget": (2, 30.0), "tiny bolt": (1, 5.0)}

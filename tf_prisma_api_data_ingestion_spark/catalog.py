@@ -4996,6 +4996,94 @@ FROM orders
 """
 
 
+def q_op_cumulative_distinct(spark, sf_dir):
+    """Daily cumulative distinct users — the growth-curve query.
+    Windowed COUNT(DISTINCT) doesn't exist in either engine, so both
+    sides use the canonical two-step: mark each user's FIRST active day
+    (min-date agg — user-sized), count first-appearances per day, then
+    a running sum over days. The heavy input collapses to a user-sized
+    aggregate before any window; the running sum runs over ~days rows.
+    """
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    first = (ev.select("user_id", F.to_date("ts").alias("d"))
+               .groupBy("user_id").agg(F.min("d").alias("first_d")))
+    daily = first.groupBy("first_d").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = (Window.orderBy(F.col("first_d").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.select(
+        F.date_format("first_d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users")))
+
+
+SQL_OP_CUMULATIVE_DISTINCT = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+  FROM events GROUP BY user_id),
+daily AS (
+  SELECT first_d, COUNT(*) AS new_users FROM first GROUP BY first_d)
+SELECT strftime(first_d, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily
+"""
+
+
+def q_op_fuzzy_canonicalize(spark, sf_dir):
+    """End-to-end entity resolution: resolve the part-name dictionary
+    with the blocked fuzzy join (op-fuzzy-join), elect a canonical name
+    per connected group (min name over symmetric dist<=1 matches — one
+    merge step; iterate dedup.py's connected components for deep
+    chains), then BROADCAST the vocabulary-sized mapping back onto the
+    fact table and re-aggregate. The production shape the fuzzy join's
+    docstring promises: the n² work happens on the dictionary, the
+    100 TB fact table sees one broadcast hash join."""
+    from .operators.relational import fuzzy_join
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blk1 = F.element_at(F.split(F.col("name1"), " "), -1)
+    blk2 = F.element_at(F.split(F.col("name2"), " "), -1)
+    pairs = fuzzy_join(
+        names.select(F.col("p_name").alias("name1")),
+        names.select(F.col("p_name").alias("name2")),
+        "name1", "name2", blk1, blk2, max_dist=1)
+    # self-pairs (dist 0) are in the join output, so min(name2) already
+    # includes name1 itself — the canonical is simply the group min
+    canon = (pairs.groupBy("name1")
+             .agg(F.min("name2").alias("canonical")))
+    mapped = (p.join(F.broadcast(canon),
+                     p["p_name"] == canon["name1"], "left")
+              .select(F.coalesce("canonical", "p_name").alias("canon_name"),
+                      "p_retailprice"))
+    return (mapped.groupBy("canon_name")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.sum(F.col("p_retailprice")
+                                .cast("decimal(18,2)")).cast("double"), 2)
+                  .alias("total_price")))
+
+
+SQL_OP_FUZZY_CANONICALIZE = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT l.p_name AS name1, r.p_name AS name2
+  FROM names l JOIN names r
+    ON string_split(l.p_name, ' ')[-1] = string_split(r.p_name, ' ')[-1]
+  WHERE levenshtein(l.p_name, r.p_name) <= 1),
+canon AS (
+  SELECT name1, MIN(name2) AS canonical
+  FROM pairs GROUP BY name1)
+SELECT COALESCE(c.canonical, p.p_name) AS canon_name,
+       COUNT(*) AS n_parts,
+       round(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM part p LEFT JOIN canon c ON p.p_name = c.name1
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -5018,8 +5106,8 @@ FROM orders
 #                 r02-green keys last (their green rows are on disk)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r05 driver window (first 50): the 2 keys never driver-checked
-    # ---- (sketch-kmv-union, asof-join-forward), the 29 keys ADDED in
-    # ---- r5 (11 time-series/CDC/sampling + 18 stats/ER/analytics/
+    # ---- (sketch-kmv-union, asof-join-forward), the 31 keys ADDED in
+    # ---- r5 (11 time-series/CDC/sampling + 20 stats/ER/analytics/
     # ---- passage-dedup/stream-funnel/multimodal), the
     # ---- 3 keys whose code changed in the r4->r5 gap (asof-join
     # ---- right-side tie pre-agg, op-variant-json integer-literal
@@ -5029,7 +5117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- in r6) ----
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
-    # ---- the 18 keys ADDED late in r5 (stats/ER/integrity/analytics/
+    # ---- the 20 keys ADDED late in r5 (stats/ER/integrity/analytics/
     # ---- passage-dedup/streaming/multimodal), in-window for first
     # ---- driver exposure ----
     "op-fuzzy-join": q_op_fuzzy_join,
@@ -5050,6 +5138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "op-string-agg": q_op_string_agg,
     "op-window-percent": q_op_window_percent,
+    "op-cumulative-distinct": q_op_cumulative_distinct,
+    "op-fuzzy-canonicalize": q_op_fuzzy_canonicalize,
     # ---- the 11 keys ADDED in r5 (time-series/CDC/sampling extensions),
     # ---- in-window for first driver exposure ----
     "op-gap-fill": q_op_gap_fill,
@@ -5242,6 +5332,8 @@ ORACLES: dict[str, str] = {
     "plan-multimodal-dedup": SQL_PLAN_MULTIMODAL_DEDUP,
     "op-string-agg": SQL_OP_STRING_AGG,
     "op-window-percent": SQL_OP_WINDOW_PERCENT,
+    "op-cumulative-distinct": SQL_OP_CUMULATIVE_DISTINCT,
+    "op-fuzzy-canonicalize": SQL_OP_FUZZY_CANONICALIZE,
     "pd-filter-eq": SQL_PD_FILTER_EQ,
     "pd-filter-in": SQL_PD_FILTER_IN,
     "pd-filter-range": SQL_PD_FILTER_RANGE,
