@@ -1833,7 +1833,12 @@ _TMPOUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def _fresh_dir(name: str) -> str:
-    d = os.path.join(_TMPOUT, name)
+    # pid-suffixed: two gate processes running concurrently (selfcheck +
+    # drivercheck) must not rmtree each other's in-flight sink targets —
+    # observed as a spurious single-key failure when both gates ran at
+    # once; the real driver runs gates serially, but cheap isolation
+    # beats a flaky artifact
+    d = os.path.join(_TMPOUT, f"{name}-{os.getpid()}")
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
