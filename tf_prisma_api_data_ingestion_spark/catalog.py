@@ -1838,6 +1838,15 @@ def _fresh_dir(name: str) -> str:
     # observed as a spurious single-key failure when both gates ran at
     # once; the real driver runs gates serially, but cheap isolation
     # beats a flaky artifact
+    import glob as _glob
+    for old in _glob.glob(os.path.join(_TMPOUT, f"{name}-*")):
+        try:  # prune ONLY dead owners' leftovers — a live concurrent
+            # process keeps its dir (that liveness check IS the race fix)
+            os.kill(int(old.rsplit("-", 1)[1]), 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # live but other-user: leave it
     d = os.path.join(_TMPOUT, f"{name}-{os.getpid()}")
     if os.path.exists(d):
         shutil.rmtree(d)
