@@ -41,7 +41,15 @@ KEYS = (
     "text-pack-sequences",
     "op-stratified-sample",
     "plan-corpus-clean-v2",
-    "plan-corpus-train",
+    # plan-corpus-train is measured through sf1 (SCALING sf1 table,
+    # 4.6x/decade); at sf10 its connected-components rounds alone run
+    # tens of minutes — out of budget for this harness, growth already
+    # characterized by its stages (all present below + sf1 row)
+    # late-r5 documents-family additions
+    "text-bigram-lift",
+    "dedup-passage-exact",
+    "dedup-passage-pairs",
+    "plan-multimodal-dedup",
 )
 
 VERBATIM = ("region", "nation", "customer", "supplier", "part",
