@@ -1,0 +1,160 @@
+"""Round-6 regression pins for the four advisor findings:
+
+1. grouped_linreg: cross products in DOUBLE — BIGINT products overflow
+   2^63 on cents-scale groups (ANSI ArithmeticException / silent wrap).
+2. table_checksum: sum_digest accumulates in DECIMAL(38,0), reduced
+   mod 2^32 AFTER the aggregate — a LONG sum overflows past ~2^31 rows.
+3. passage_hashes is total: documents shorter than `window` tokens
+   yield zero passages instead of an "Illegal sequence boundaries" crash.
+4. streaming_funnel: None (not -1) as the no-view-yet sentinel, so
+   pre-epoch (negative µs) timestamps keep batch/stream parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.operators.stats import (
+    grouped_linreg,
+    table_checksum,
+)
+
+
+# ---------------------------------------------------- linreg overflow
+
+def test_grouped_linreg_survives_cents_scale_products(spark):
+    # 200k rows at y ~ $100k -> y_cents = 1e7, sum(y^2) ~ 2e19 > 2^63:
+    # forming n*syy (or syy itself times n) in BIGINT would raise under
+    # ANSI / wrap silently elsewhere. The DOUBLE-product path must give
+    # a finite, correct fit.
+    df = (spark.range(200_000)
+          .select(F.lit("g").alias("g"),
+                  (F.col("id") % 24).alias("x"),
+                  (F.lit(100_000.0) + (F.col("id") % 24).cast("double")
+                   + (F.col("id") % 7).cast("double") * 0.01).alias("y")))
+    got = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert got.n == 200_000
+    # y = 1e5 + x + small noise independent of x in expectation per x
+    assert got.slope == pytest.approx(1.0, abs=0.01)
+    assert got.intercept == pytest.approx(100_000.0, rel=1e-4)
+    assert 0.0 <= got.r2 <= 1.0
+
+
+def test_grouped_linreg_still_matches_small_exact(spark):
+    # the double-product rewrite must not perturb small exact fits
+    rows = [("g", x, round(2.0 * x + 1.0, 2)) for x in range(10)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y DOUBLE")
+    got = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (got.slope, got.intercept, got.r2) == (2.0, 1.0, 1.0)
+
+
+# -------------------------------------------------- checksum mod-2^32
+
+def _py_digest(rows):
+    """Reference digest computed row-at-a-time in Python."""
+    xor, tot = 0, 0
+    for a, b in rows:
+        h = int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:15], 16)
+        xor ^= h
+        tot += h % 2**32
+    return xor, tot % 2**32
+
+
+def test_table_checksum_sum_digest_is_mod_2_32(spark):
+    rows = [(str(i), f"v{i % 13}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    got = table_checksum(df, ["a", "b"]).collect()[0]
+    xor, tot = _py_digest(rows)
+    assert got.n_rows == 300
+    assert got.xor_digest == xor
+    assert got.sum_digest == tot
+    assert 0 <= got.sum_digest < 2**32   # bounded: safe at any rowcount
+
+
+def test_table_checksum_oracle_twin_matches(spark, tmp_path):
+    # the catalog oracle applies the same post-aggregate reduction
+    import duckdb
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        SQL_OP_TABLE_CHECKSUM,
+        q_op_table_checksum,
+    )
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    got = q_op_table_checksum(spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet/**/*.parquet', "
+                f"hive_partitioning=0)") if os.path.isdir(
+        f"{sf}/lineitem.parquet") and not os.path.isfile(
+        f"{sf}/lineitem.parquet") else con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(SQL_OP_TABLE_CHECKSUM).fetchone()
+    assert (got.n_rows, got.xor_digest, got.sum_digest) == want
+
+
+# ------------------------------------------------ passage_hashes total
+
+def test_passage_hashes_total_on_short_docs(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        passage_hashes,
+    )
+    docs = [
+        (0, "only five tokens right here"),                  # < window
+        (1, " ".join(f"w{i}" for i in range(16))),           # == window
+        (2, ""),                                             # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    i, h = passage_hashes(F.col("doc_id"), F.col("text"),
+                          window=16, stride=8)
+    out = df.select(i.alias("doc_id"), h.alias("h")).collect()
+    # no exception, and only the 16-token doc yields (one) passage
+    assert [r.doc_id for r in out] == [1]
+
+
+# ------------------------------------- streaming funnel pre-epoch ts
+
+def test_streaming_funnel_pre_epoch_timestamps(spark, tmp_path):
+    # view at a NEGATIVE epoch-µs instant: a -1 sentinel would treat it
+    # as "no view yet" and break batch/stream parity
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (1, "view", "1969-12-31 23:00:00"),
+        (1, "click", "1969-12-31 23:30:00"),
+        (1, "purchase", "1970-01-01 01:00:00"),
+        (2, "view", "1969-12-30 00:00:00"),   # view only, pre-epoch
+    ]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [t for _, t, _ in rows],
+        "ts": pd.to_datetime([ts for _, _, ts in rows]).astype(
+            "datetime64[us]"),
+        "value": 1.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_funnel
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        streaming_funnel,
+    )
+    batch = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.funnel_depth)
+             for r in q_op_funnel(spark, d).collect()}
+    stream = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.funnel_depth)
+              for r in streaming_funnel(
+                  spark, d, query_name="t_stream_funnel_preepoch")
+              .collect()}
+    assert stream == batch
+    assert stream[1][3] == 3                 # full funnel resolved
+    assert stream[1][0] < 0                  # and the view IS pre-epoch
+    assert stream[2] == (batch[2][0], None, None, 1)

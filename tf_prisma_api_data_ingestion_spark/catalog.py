@@ -4362,21 +4362,33 @@ WITH s AS (
          CAST(round(value * 100) AS BIGINT) AS y
   FROM events),
 a AS (
+  -- sums stay exact HUGEINT (no BIGINT cast): mirrors the Spark
+  -- operator's DECIMAL(38,0) accumulation — BIGINT sums of cents²
+  -- terms overflow 2^63 on big groups
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
-         CAST(SUM(y*y) AS BIGINT) AS syy
-  FROM s GROUP BY event_type)
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS syy
+  FROM s GROUP BY event_type),
+-- exact sums cast to DOUBLE once (correctly rounded in both engines),
+-- then cross products as single IEEE ops — identical op order keeps
+-- the hash match bit-for-bit
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM a)
 SELECT event_type, n,
-  round((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
-        / 100.0, 6) AS slope,
-  round((CAST(sy AS DOUBLE)/100.0
-         - (CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE))
-           * CAST(sx AS DOUBLE)/100.0) / CAST(n AS DOUBLE), 6) AS intercept,
-  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
-        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
-        6) AS r2
-FROM a
+  round(((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) / 100.0, 6) AS slope,
+  round((syd/100.0
+         - ((nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)) * sxd/100.0) / nd,
+        6) AS intercept,
+  round(((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+        / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+FROM d
 """
 
 
@@ -4445,7 +4457,9 @@ h AS (
   SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM canon)
 SELECT COUNT(*) AS n_rows,
        bit_xor(h) AS xor_digest,
-       CAST(SUM(h % 4294967296) AS BIGINT) AS sum_digest
+       -- DuckDB sums BIGINT into HUGEINT (no overflow); reduce mod 2^32
+       -- AFTER the aggregate to mirror the Spark DECIMAL(38,0) path
+       CAST(SUM(h % 4294967296) % 4294967296 AS BIGINT) AS sum_digest
 FROM h
 """
 

@@ -59,29 +59,40 @@ def grouped_linreg(df: DataFrame, group_col: str, x_int: Column,
         slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
         r²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
 
-    The exact sums stay under 2^53 for any realistic (x range, cents,
-    rowcount) product, so the cast to double before the squaring (which
-    WOULD overflow BIGINT) is lossless.
+    The six SUMS accumulate in DECIMAL(38,0) — exact and overflow-free
+    up to 1e38, still map-side combinable — because BIGINT sums of
+    cents-squared terms pass 2^63 at a few hundred thousand $100k-scale
+    rows (ANSI ArithmeticException on Spark 4, silent wrap elsewhere,
+    and a DuckDB oracle error — divergence exactly where determinism is
+    advertised). Each exact sum is then cast to DOUBLE once (correctly
+    rounded in both engines: Java BigDecimal and DuckDB HUGEINT both
+    round half-even) and the cross products are single IEEE ops, so the
+    slope/intercept/r² hashes still match DuckDB bit-for-bit.
     """
     y = _cents(y_2dec)
     x = x_int.cast("long")
+    # per-row products in decimal(18,0)x(18,0) -> decimal(37,0): exact
+    # for |x|,|y| < 1e18, never a per-row long overflow either
+    xd, yd = x.cast("decimal(18,0)"), y.cast("decimal(18,0)")
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("_sx"),
-        F.sum(y).alias("_sy"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(x * y).alias("_sxy"),
-        F.sum(y * y).alias("_syy"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(yd * yd).alias("_syy"),
     )
-    n = F.col("n")
-    cov_n = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
-    varx_n = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-    vary_n = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
     slope_cents = cov_n / varx_n                      # cents per x unit
     slope = slope_cents / 100.0
-    intercept = (F.col("_sy").cast("double") / 100.0
-                 - slope_cents * F.col("_sx").cast("double") / 100.0
-                 ) / n.cast("double")
+    intercept = (sy / 100.0 - slope_cents * sx / 100.0) / n
     r2 = (cov_n * cov_n) / (varx_n * vary_n)
     return agg.select(
         group_col, "n",
@@ -148,11 +159,19 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     # coalesce: over zero rows xor/sum aggregate to NULL — an empty
     # table's fingerprint is defined as (0, 0, 0) so two empty copies
-    # compare equal instead of null-propagating
+    # compare equal instead of null-propagating.
+    # sum_digest accumulates in DECIMAL(38,0) — a LONG sum of 32-bit
+    # terms overflows past ~2^31 rows (ANSI exception; silent wrap
+    # elsewhere), exactly the table sizes this validates. DECIMAL sum is
+    # still commutative/associative; the mod-2^32 reduction happens once
+    # AFTER the aggregate, so the digest fits a LONG and both engines
+    # (DuckDB sums BIGINT into HUGEINT) reduce the identical exact sum.
+    sum_dec = F.sum((h % F.lit(2 ** 32)).cast("decimal(38,0)"))
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.bit_xor(h), F.lit(0)).alias("xor_digest"),
-        F.coalesce(F.sum(h % F.lit(2 ** 32)), F.lit(0)).alias("sum_digest"),
+        F.coalesce((sum_dec % F.lit(2 ** 32)).cast("long"), F.lit(0))
+         .alias("sum_digest"),
     )
 
 

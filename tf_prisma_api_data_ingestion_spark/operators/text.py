@@ -271,9 +271,18 @@ def passage_hashes(doc_id: Column, text: Column, window: int = 16,
     100 TB the window stream is tokens/stride rows per doc (linear),
     and downstream grouping shuffles on the hash — uniformly
     distributed by construction.
+
+    Total on short documents: a doc with fewer than ``window`` tokens
+    yields zero passages (empty sequence would otherwise raise "Illegal
+    sequence boundaries" — start 1 > stop with positive step — killing
+    the job); the guard is part of the operator's contract, not the
+    caller's.
     """
     ws = tokens(text)
-    starts = F.sequence(F.lit(1), F.size(ws) - (window - 1), F.lit(stride))
+    starts = F.when(
+        F.size(ws) >= window,
+        F.sequence(F.lit(1), F.size(ws) - (window - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
     hashes = F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window))))
     return doc_id, F.explode(hashes)

@@ -597,7 +597,11 @@ def streaming_funnel(spark: SparkSession, sf_dir: str,
             n_seen, min_view, clicks, purchases = state.get
             clicks, purchases = list(clicks), list(purchases)
         else:
-            n_seen, min_view, clicks, purchases = 0, -1, [], []
+            # None (nullable LONG state field), NOT a numeric sentinel:
+            # -1 would be indistinguishable from a legitimate pre-1970
+            # (negative epoch-µs) view timestamp and silently diverge
+            # from the batch oracle on pre-epoch data
+            n_seen, min_view, clicks, purchases = 0, None, [], []
         for pdf in pdfs:
             n_seen += len(pdf)
             # normalize to ns first: arrow may hand back datetime64[ns]
@@ -610,11 +614,11 @@ def streaming_funnel(spark: SparkSession, sf_dir: str,
             views = tu[et == "view"]
             if len(views):
                 v = int(views.min())
-                min_view = v if min_view < 0 else min(min_view, v)
+                min_view = v if min_view is None else min(min_view, v)
             clicks.extend(int(u) for u in tu[et == "click"])
             purchases.extend(int(u) for u in tu[et == "purchase"])
         state.update((n_seen, min_view, clicks, purchases))
-        t_view = min_view if min_view >= 0 else None
+        t_view = min_view
         t_click = (min((c for c in clicks if t_view is not None
                         and c > t_view), default=None))
         t_purchase = (min((p for p in purchases if t_click is not None
