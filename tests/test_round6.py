@@ -158,3 +158,46 @@ def test_streaming_funnel_pre_epoch_timestamps(spark, tmp_path):
     assert stream[1][3] == 3                 # full funnel resolved
     assert stream[1][0] < 0                  # and the view IS pre-epoch
     assert stream[2] == (batch[2][0], None, None, 1)
+
+
+# ------------------------------------------------- LSH auto-dial
+
+def test_auto_planes_dial():
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        auto_planes,
+    )
+    assert auto_planes(0) == 8          # degenerate corpus clamps low
+    assert auto_planes(500) == 8        # sf0.01 documents
+    assert auto_planes(5_000) == 12     # sf0.1
+    assert auto_planes(50_000) == 15    # sf1
+    assert auto_planes(500_000) == 18   # sf10 (the r5 hand dial was 16)
+    assert auto_planes(10**12) == 32    # clamps high
+    # monotone non-decreasing
+    last = 0
+    for n in (1, 10, 100, 10**4, 10**6, 10**9):
+        p = auto_planes(n)
+        assert p >= last
+        last = p
+
+
+def test_lsh_near_dup_auto_dial_matches_explicit(spark):
+    # planes_per_table=None at n=500 must pick 8 and give the identical
+    # result as an explicit 8 — the prefix property the oracle relies on
+    import numpy as np
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(500)]
+    # plant near-dups
+    for i in range(0, 20, 2):
+        rows[i + 1] = (i + 1, [v + 0.01 for v in rows[i][1]])
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a = set(map(tuple, lsh_near_dup_pairs(
+        df, threshold=0.9, dim=8, planes_per_table=None, tables=4,
+        mode="md5").collect()))
+    b = set(map(tuple, lsh_near_dup_pairs(
+        df, threshold=0.9, dim=8, planes_per_table=8, tables=4,
+        mode="md5").collect()))
+    assert a == b
+    assert len(a) >= 10                  # the planted dups survive

@@ -4935,15 +4935,20 @@ def q_plan_multimodal_dedup(spark, sf_dir):
     arr = emb.select(F.col("doc_id").alias("vec_id"),
                      F.array(*[F.col(f"e{k}") - F.lit(0.5)
                                for k in range(8)]).alias("embedding"))
-    # 16 planes/table: 2^16 buckets, so the per-bucket population — and
-    # with it the candidate count — stays ~constant as the corpus grows
-    # (8 planes = 256 buckets went quadratic at sf1: 50k docs -> ~200
-    # per bucket -> 78M candidates, measured 83s). Recall at the cos=0.9
-    # demo boundary is ~0.5, rising above 0.99 for the near-exact pairs
-    # (cos>=0.99) the dedup actually targets — the standard LSH
-    # cost/recall dial, set for the production near-exact regime.
+    # planes_per_table=None -> the bucket space SELF-SIZES from the
+    # corpus count (similarity.auto_planes: ceil(log2(ceil(n/2))),
+    # clamped [8, 32]) so per-bucket population — and with it the
+    # candidate count — stays ~constant as the corpus grows. The r5
+    # hand dial (16 planes) went quadratic at 8 planes/sf1 and spilled
+    # the external sorter at 16 planes/sf10 on one node; the auto dial
+    # picks 8 at 500 docs, 18 at 500k. The oracle reproduces the
+    # identical dial from COUNT(*) and masks a 32-plane bucket, which
+    # is exact because hyperplanes seed by (table, plane, dim) — a
+    # smaller dial is a strict prefix of a larger one. Recall at the
+    # cos=0.9 demo boundary is ~0.5, rising above 0.99 for the
+    # near-exact pairs (cos>=0.99) the dedup actually targets.
     return lsh_near_dup_pairs(arr, threshold=0.9, dim=8,
-                              planes_per_table=16, tables=8, mode="md5")
+                              planes_per_table=None, tables=8, mode="md5")
 
 
 SQL_PLAN_MULTIMODAL_DEDUP = f"""
@@ -4959,11 +4964,24 @@ WITH docemb AS (
           CAST(('0x' || substr(md5(text), 29, 4)) AS BIGINT) / 65536.0 - 0.5
          ] AS embedding
   FROM documents),
-{_sql_md5_buckets(tables=8, planes=16, dim=8, src="docemb")},
+{_sql_md5_buckets(tables=8, planes=32, dim=8, src="docemb")},
+-- self-sizing dial replay: smallest planes with 2^planes >= ceil(n/2),
+-- clamped [8, 32] — identical to similarity.auto_planes; masking the
+-- 32-plane bucket to the low `planes` bits IS bucketing with exactly
+-- the first `planes` hyperplanes (they seed by (t, p, d))
+nc AS (SELECT COUNT(*) AS n FROM docemb),
+params AS (
+  SELECT GREATEST(8, LEAST(32, MIN(k))) AS planes
+  FROM range(0, 33) r(k), nc
+  WHERE (CAST(1 AS BIGINT) << k) >= (nc.n + 1) // 2),
+bktm AS (
+  SELECT vec_id, t,
+         b % (CAST(1 AS BIGINT) << (SELECT planes FROM params)) AS b
+  FROM bkt),
 e AS (SELECT vec_id, embedding AS v FROM docemb),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bkt a JOIN bkt b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+  FROM bktm a JOIN bktm b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
 scored AS (
   SELECT c.vec_a, c.vec_b, {_SQL_COS.format(a='x.v', b='y.v')} AS cos
   FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)

@@ -470,6 +470,31 @@ def dedup_clusters_star(pairs: DataFrame, ids: DataFrame,
                     F.coalesce("cluster_id", F.col("n")).alias("cluster_id")))
 
 
+def dedup_clusters_auto(pairs: DataFrame, ids: DataFrame,
+                        id_col: str = "doc_id",
+                        star_threshold: int = 100_000) -> DataFrame:
+    """Connected components with automatic algorithm selection: min-label
+    propagation (``dedup_clusters``) for small edge sets — it converges
+    in a handful of cheap rounds on the shallow graphs typical after
+    exact dedup — and large-star/small-star (``dedup_clusters_star``,
+    O(log n) bounded rounds) once the edge count passes
+    ``star_threshold``, where propagation's one-job-per-round driver loop
+    dominated wall clock (tens of sequential minutes measured at sf10).
+
+    The edge list is canonicalized and localCheckpoint'ed ONCE here, so
+    the selection count and both algorithms reuse the materialized
+    edges instead of recomputing the (expensive) upstream pair
+    machinery. Output contract identical to both variants:
+    (id_col, cluster_id = min reachable id), singletons included.
+    """
+    e = (pairs.select(F.greatest("doc_a", "doc_b").alias("doc_a"),
+                      F.least("doc_a", "doc_b").alias("doc_b"))
+         .filter(F.col("doc_a") != F.col("doc_b"))
+         .distinct().localCheckpoint())
+    fn = dedup_clusters_star if e.count() >= star_threshold else dedup_clusters
+    return fn(e, ids, id_col)
+
+
 def dedup_keep_list(pairs: DataFrame, ids: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """One kept id per near-dup cluster (the min id — deterministic)."""

