@@ -50,6 +50,28 @@ HEADLINE = (
     "plan-multimodal-dedup",  # payload -> Arrow embed -> LSH near-dup
 )
 
+# Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
+# r6 re-measurements for the two queries whose code changed in r6). The
+# in-run self-guard compares each timed query against this: >2x earns
+# ONE extra rerun (codegen-eviction outliers — the r4 top-k incident —
+# die on a rerun), and a query still >2x after that is FLAGGED in the
+# output so a real regression is named by the bench itself, not
+# discovered by a human diffing SCALING.md later.
+SCALING_SF01 = {
+    "tpch-q1": 0.34, "tpch-q3": 0.66, "tpch-q5": 1.09, "tpch-q6": 0.22,
+    "pd-groupby": 0.19, "op-groupagg-count": 0.22, "top-k-per-group": 1.12,
+    "asof-join": 0.26, "op-range-join": 0.39, "op-time-rollup": 1.08,
+    "op-gap-fill": 0.21, "op-merge-upsert": 0.38, "dedup-exact": 0.21,
+    "dedup-ngram-jaccard": 1.96, "dedup-minhash-lsh": 0.79,
+    "dedup-simhash-pairs": 2.73, "dedup-embedding-lsh": 1.51,
+    "sim-bruteforce-topk": 0.52, "sim-lsh-topk": 1.31, "sim-ivf-topk": 2.01,
+    "text-quality": 0.25, "text-tfidf-top-terms": 1.89,
+    "op-sessionize": 0.50, "stream-window-agg": 1.07,
+    "stream-stream-join": 2.56, "stream-funnel": 2.07,
+    "plan-alert-report": 0.30, "plan-corpus-train": 13.50,
+    "dedup-passage-exact": 1.13, "plan-multimodal-dedup": 2.72,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,16 +138,31 @@ def main() -> None:
             # query N+1's persist pressure (measured 13.7s -> 57s on
             # minhash at 10x sf0.1 with a stale ngram index resident)
             cache.release_all(blocking=True)
+        # self-guard: >2x the SCALING reference (sf0.1 runs only) earns
+        # ONE extra pass — recompile/eviction outliers die on rerun;
+        # genuine regressions survive it and get flagged below
+        ref = SCALING_SF01.get(name) if abs(sf - 0.1) < 1e-9 else None
+        if ref and best > 2.0 * ref:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            cache.release_all(blocking=True)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if abs(sf - 0.1) < 1e-9:
+        ratios = {n: round(t / SCALING_SF01[n], 2)
+                  for n, t in timings.items() if n in SCALING_SF01}
+        out["vs_scaling"] = ratios
+        out["flagged"] = sorted(n for n, r in ratios.items() if r > 2.0)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -201,3 +201,55 @@ def test_lsh_near_dup_auto_dial_matches_explicit(spark):
         mode="md5").collect()))
     assert a == b
     assert len(a) >= 10                  # the planted dups survive
+
+
+# -------------------------------------- variant-json drift oracle pin
+
+def test_variant_json_oracle_parity_on_heterogeneous_props(spark, tmp_path):
+    # booleans / floats / quoted ints / malformed JSON in $.k: the
+    # integer-literal guard must null out the SAME rows in both engines
+    # (Spark's variant int cast alone maps true->1 and 12.5->12 where
+    # DuckDB's TRY_CAST gives NULL)
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        SQL_OP_VARIANT_JSON,
+        q_op_variant_json,
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    props = ['{"k": 7}', '{"k": true}', '{"k": false}', '{"k": 12.5}',
+             '{"k": "9"}', '{"k": "x"}', '{"k": -3}', 'not json',
+             None, '{"other": 1}', '{"k": 1e2}', '{"k": 0}']
+    pdf = pd.DataFrame({
+        "event_id": range(len(props)),
+        "user_id": [1] * len(props),
+        "event_type": "view",
+        "ts": pd.to_datetime(["2024-01-01"] * len(props)).astype(
+            "datetime64[us]"),
+        "value": 1.0,
+        "props": props,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet")
+    key = lambda t: (t[0] is None, t[0] if t[0] is not None else 0,
+                     t[1], t[2] or 0)
+    got = sorted(((r.k_bucket, r.n, r.sum_k)
+                  for r in q_op_variant_json(spark, d).collect()), key=key)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = sorted((tuple(r) for r in
+                   con.execute(SQL_OP_VARIANT_JSON).fetchall()), key=key)
+    assert got == want
+    # the guard really bites: only 7, "9"->NULL? no — quoted "9" IS an
+    # integer literal string in both engines; booleans/floats/x are NULL
+    by_bucket = dict((b, (n, s)) for b, n, s in got)
+    assert by_bucket[7] == (1, 7)        # the plain integer
+    assert by_bucket[9] == (1, 9)        # quoted integer survives
+    assert by_bucket[-3] == (1, -3)      # negative integer
+    assert by_bucket[0][0] >= 1          # k=0 bucket
+    assert by_bucket[None][0] == 8       # true/false/12.5/x/malformed/
+                                         # None/other/1e2 all null out

@@ -295,3 +295,21 @@ def test_stream_source_rate_limit_paces_pages(spark, url, tmp_path):
     # 237 alerts / 100-per-page -> 3 page fetches, spaced >= 1/10 s
     assert len(starts) == 3
     assert all(g >= 0.08 for g in gaps), gaps
+
+
+def test_token_fanout_degrades_to_serial_on_single_use_tokens(
+        spark, url, client):
+    """Single-use cursors (consumed on resolution — the mock's
+    ``_singleUse`` filters passthrough) break fanout's re-use
+    precondition: the plan-time probe must detect the 400 and degrade to
+    ONE serial partition that re-walks the chain with fresh tokens,
+    still yielding the exact row set."""
+    register_alerts_source(spark)
+    df = (spark.read.format("prisma_alerts")
+          .option("base_url", url).option("token", client.token)
+          .option("path", "/v2/alerts-opaque")
+          .option("paging", "token-fanout")
+          .option("filters", '{"_singleUse": true}')
+          .option("backoff_factor", "0.01").load())
+    assert df.rdd.getNumPartitions() == 1      # degraded plan
+    assert df.count() == mock_api.N_ALERTS     # and still exact

@@ -50,6 +50,16 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # AQE sizes every shuffle DOWN from this ceiling by observed
+        # bytes (64 MB advisory target): corpus-scale shuffles (the
+        # sf10 shingle-postings join spilled at the fixed 32-partition
+        # default, measured 20.7x/decade) keep enough partitions to
+        # stay in memory, while small shuffles coalesce back to ~cores.
+        # This IS the "size shuffle.partitions to the data" knob, made
+        # automatic — on a 1000-executor cluster the same ceiling
+        # simply spreads wider.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
         # Arrow for any pandas-UDF path (the slow path, used sparingly)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep broadcast threshold default (10MB) — dims here are tiny;

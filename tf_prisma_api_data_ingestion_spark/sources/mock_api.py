@@ -143,6 +143,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(400, {"error": "unknown pageToken"})
                 return
             start = tokmap[tok] if tok else 0
+            # single-use-token fixture (``filters`` passthrough
+            # ``{"_singleUse": true}``): the token is consumed on
+            # resolution, so any second fetch of the same cursor 400s —
+            # the contract a fanout plan must detect and degrade on
+            if payload.get("_singleUse") and tok:
+                del tokmap[tok]
             body = {}
             if payload.get("countOnly"):
                 body["items"] = []

@@ -219,14 +219,18 @@ def register_alerts_source(spark) -> None:
       is O(pages) serial HTTP; the heavy work (body transfer, JSON
       parse, row materialization) scales with the cluster.
 
-      ASSUMPTIONS (violations surface as errors, not silent skew): the
-      API must treat page tokens as RE-USABLE (each cursor is fetched
-      once in planning and once in read) and the underlying dataset as
-      SNAPSHOT-STABLE for the duration of the scan. Single-use or
-      expiring tokens fail the executor re-fetch — that raises a
-      RuntimeError naming ``paging=token`` as the fallback — and a
-      dataset mutating mid-scan can skip or duplicate rows exactly as a
-      serial re-walk would. When in doubt, use ``token``.
+      ASSUMPTIONS (checked, not silently skewed): the API must treat
+      page tokens as RE-USABLE (each cursor is fetched once in planning
+      and once in read) and the underlying dataset as SNAPSHOT-STABLE
+      for the duration of the scan. Token re-use is PROBED at plan time
+      (one limit=1 re-fetch of the first discovered cursor): if the API
+      issues single-use tokens the plan silently degrades to the serial
+      ``token`` walk (one partition, fresh tokens — correct, reference-
+      ceiling throughput). Tokens that expire MID-SCAN still fail the
+      executor re-fetch with a RuntimeError naming ``paging=token`` —
+      a partially-read scan cannot re-walk without duplicating rows —
+      and a dataset mutating mid-scan can skip or duplicate rows exactly
+      as a serial re-walk would. When in doubt, use ``token``.
     - ``token``: strict-token fallback — ONE input partition that walks
       the ``nextPageToken`` chain serially via the same logic as
       ``fetch_all_pages``. Correct against any conforming API, but
@@ -311,6 +315,20 @@ def register_alerts_source(spark) -> None:
                     return cursors
             raise RuntimeError(f"cursor walk exceeded max_pages={self.max_pages}")
 
+        def _cursor_reusable(self, cursor: str) -> bool:
+            """One cheap re-fetch (limit=1) of an already-walked cursor:
+            True iff the API honors token re-use (the fanout plan's
+            precondition). 4xx -> single-use/expired tokens."""
+            try:
+                self._client().post_json(
+                    self.path, dict(self.filters, limit=1,
+                                    pageToken=cursor))
+                return True
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    return False
+                raise
+
         def _paced(self, pages: list) -> list:
             """Stamp planned pages with absolute not-before times spaced
             1/rate_limit apart: aggregate request starts never exceed
@@ -329,9 +347,21 @@ def register_alerts_source(spark) -> None:
                 return [_Page(-1)]
             if self.paging == "token-fanout":
                 # opaque tokens, parallel plan: enumerate cursors on the
-                # driver, then one partition per discovered cursor
+                # driver, then one partition per discovered cursor.
+                # Before fanning out, PROBE the first discovered cursor
+                # once: a 4xx on re-fetch means the API issues single-use
+                # (or already-expired) tokens — the fanout plan's core
+                # assumption is broken at plan time, so degrade to the
+                # serial chain walk (one partition, fresh tokens) instead
+                # of erroring N executors later. Mid-scan expiry can
+                # still surface in read(); that path keeps the loud error
+                # because a partial scan cannot be resumed without
+                # duplicating rows.
+                cursors = self._walk_cursors()
+                if len(cursors) > 1 and not self._cursor_reusable(cursors[1]):
+                    return [_Page(-1)]
                 return self._paced([_Page(i, tok)
-                                    for i, tok in enumerate(self._walk_cursors())])
+                                    for i, tok in enumerate(cursors)])
             # indexed mode: one cheap page-0 probe learns the total; one
             # partition per page -> executors fetch in parallel (vs the
             # reference's serial 1 page/s driver loop)
