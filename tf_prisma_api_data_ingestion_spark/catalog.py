@@ -2414,7 +2414,13 @@ sh AS (
                regexp_split_to_array(trim(lower(
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+') AS t
         FROM docs2) toks),
-inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inv0 AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+-- df-cap (replays ngram_jaccard_pairs max_df=1000): hot shingles leave
+-- the INDEX but set sizes m stay full, so both engines compute the
+-- identical capped (lower-bound) jaccard -- and the pair join never
+-- builds a quadratic hot-key partition at corpus scale
+hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > 1000),
+inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -2518,7 +2524,13 @@ sh AS (
                regexp_split_to_array(trim(lower(
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), '\\s+') AS t
         FROM docs2) toks),
-inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inv0 AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+-- df-cap (replays ngram_jaccard_pairs max_df=1000): hot shingles leave
+-- the INDEX but set sizes m stay full, so both engines compute the
+-- identical capped (lower-bound) jaccard -- and the pair join never
+-- builds a quadratic hot-key partition at corpus scale
+hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > 1000),
+inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS i
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -365,10 +365,16 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
     state and per-round shuffles are sized by the near-dup population,
     not the corpus.
     """
+    # coalesce before checkpoint: localCheckpoint freezes the physical
+    # partitioning OUTSIDE AQE, so without it the edge RDD inherits the
+    # full initialPartitionNum-wide shuffle (1024 near-empty partitions
+    # re-scheduled every round). Edge sets are near-dup-population-sized
+    # -- parallelism-many partitions is plenty.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
-             .distinct().localCheckpoint())
+             .distinct().coalesce(par).localCheckpoint())
     # iterate over EDGE-PARTICIPATING nodes only: a node with no edge can
     # never change its label, so carrying it through K rounds of
     # join/checkpoint/convergence-sum is pure waste. At 100 TB this is
@@ -390,7 +396,7 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
                       .select("n", "lbl",
                               (F.col("lbl") < F.col("_old")).cast("long")
                                .alias("_chg"))
-                      .localCheckpoint(eager=False))
+                      .coalesce(par).localCheckpoint(eager=False))
         changed = new_labels.agg(F.sum("_chg")).first()[0]
         labels = new_labels.select("n", "lbl")
         if not changed:
@@ -422,10 +428,11 @@ def dedup_clusters_star(pairs: DataFrame, ids: DataFrame,
     hash-sum of the canonical edge set).
     """
     # canonical (hi, lo) edge list
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     e = (pairs.select(F.greatest("doc_a", "doc_b").alias("a"),
                       F.least("doc_a", "doc_b").alias("b"))
          .filter(F.col("a") != F.col("b"))
-         .distinct().localCheckpoint())
+         .distinct().coalesce(par).localCheckpoint())
 
     def signature(df: DataFrame) -> tuple:
         row = df.agg(
@@ -457,7 +464,7 @@ def dedup_clusters_star(pairs: DataFrame, ids: DataFrame,
              .select(F.greatest("a", "b").alias("a"),
                      F.least("a", "b").alias("b"))
              .filter(F.col("a") != F.col("b"))
-             .distinct().localCheckpoint())
+             .distinct().coalesce(par).localCheckpoint())
         new_sig = signature(e)
         if new_sig == sig:
             break
@@ -487,10 +494,11 @@ def dedup_clusters_auto(pairs: DataFrame, ids: DataFrame,
     machinery. Output contract identical to both variants:
     (id_col, cluster_id = min reachable id), singletons included.
     """
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     e = (pairs.select(F.greatest("doc_a", "doc_b").alias("doc_a"),
                       F.least("doc_a", "doc_b").alias("doc_b"))
          .filter(F.col("doc_a") != F.col("doc_b"))
-         .distinct().localCheckpoint())
+         .distinct().coalesce(par).localCheckpoint())
     fn = dedup_clusters_star if e.count() >= star_threshold else dedup_clusters
     return fn(e, ids, id_col)
 

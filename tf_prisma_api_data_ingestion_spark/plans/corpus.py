@@ -40,7 +40,8 @@ def _exact_dedup_min_id(df: DataFrame) -> DataFrame:
 
 def corpus_clean(spark: SparkSession, sf_dir: str,
                  min_quality: float = 0.5, min_tokens: int = 10,
-                 jaccard_threshold: float = 0.5) -> DataFrame:
+                 jaccard_threshold: float = 0.5,
+                 max_df: int = 1000) -> DataFrame:
     """Returns the kept documents as (doc_id, n_tokens, quality_score).
 
     Keep rule: the minimum doc_id of each near-dup cluster (clusters from
@@ -62,8 +63,12 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     # the final keep join — without the barrier the quality regexes and
     # dedup window re-run once per consumer (measured ~20 s -> ~8 s at
     # sf0.1 with the cache)
+    # max_df: the pair machinery's skew guard, ON in the plans (oracle
+    # replays the identical cap). max_df=None at sf10 put a hot
+    # shingle's entire postings-square into ONE join partition -- the
+    # measured single-straggler stall no partition count can fix.
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
-                                max_df=None)
+                                max_df=max_df)
     # auto-selected CC: min-label propagation on small edge sets (fast
     # constants on shallow graphs), large-star/small-star (O(log n)
     # bounded rounds) past 100k edges — the sf10 regime where the
@@ -81,7 +86,8 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
                     min_quality: float = 0.5, min_tokens: int = 10,
                     max_dup_frac: float = 0.5,
                     jaccard_threshold: float = 0.5,
-                    bench_mod: int = 100) -> DataFrame:
+                    bench_mod: int = 100,
+                    max_df: int = 1000) -> DataFrame:
     """The full modern pre-training filter chain: quality -> repetition
     -> benchmark decontamination -> exact dedup -> near-dup keep-list.
 
@@ -114,8 +120,12 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     # groupBy + self-join twin re-evaluated the whole quality/repetition/
     # contamination chain twice — see corpus_clean)
     docs = tracked_persist(_exact_dedup_min_id(base))
+    # max_df: the pair machinery's skew guard, ON in the plans (oracle
+    # replays the identical cap). max_df=None at sf10 put a hot
+    # shingle's entire postings-square into ONE join partition -- the
+    # measured single-straggler stall no partition count can fix.
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold,
-                                max_df=None)
+                                max_df=max_df)
     # auto-selected CC for the same reason as corpus_clean
     clusters = dedup_clusters_auto(pairs.select("doc_a", "doc_b"),
                                    docs.select("doc_id"))

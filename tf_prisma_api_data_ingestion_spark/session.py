@@ -60,6 +60,12 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
         # simply spreads wider.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
+        # without this, persisted frames freeze the UNcoalesced
+        # initialPartitionNum-wide shuffle (cached plans are excluded
+        # from AQE by default), so every consumer of a tracked_persist
+        # barrier would scan 1024 near-empty partitions at small sf
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # Arrow for any pandas-UDF path (the slow path, used sparingly)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep broadcast threshold default (10MB) — dims here are tiny;
