@@ -68,7 +68,10 @@ def replicate_documents(src_parquet: str, out_parquet: str,
         "lang": pa.array(out_lang, pa.string()),
         "source": pa.array(out_src, pa.string()),
         "n_chars": pa.array(out_n, pa.int64()),
-    }), out_parquet)
+        # bounded row groups: a single 500k-row group is indivisible to
+        # Spark's byte-range splitter, so every scan of the built file
+        # would serialize onto ONE core (measured: the sf10 straggler)
+    }), out_parquet, row_group_size=20_000)
 
 
 def replicate_events(src_parquet: str, out_parquet: str, copies: int) -> None:

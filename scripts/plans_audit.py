@@ -71,6 +71,11 @@ AUDIT = (
     ("op-table-diff", "one full-outer shuffled hash join on the key; unchanged rows drop in the join filter so output is difference-sized"),
     ("dedup-passage-pairs", "hot-passage cap (2..32 docs) BEFORE the self-join bounds per-hash fanout at 32^2; pair rollup is map-side-combinable"),
     ("plan-multimodal-dedup", "ONE ArrowEvalPython/mapInPandas stage feeds the bucket build; single (table,bucket) self-join; exact cosine verify as join post-filter — no all-pairs term anywhere"),
+    ("tpch-q2", "dims broadcast (supplier->nation->region); regional partsupp frame reused for MIN aggregate and probe — one groupBy + one self-join on ps_partkey"),
+    ("tpch-q9", "part-name filter broadcast prunes the fact early; composite-key lineitem<->partsupp and orderkey joins are the only big shuffles; supplier/nation broadcast"),
+    ("tpch-q11", "national supplier set broadcast; ONE fact pass — scalar total computed from the grouped frame and broadcast back via 1-row cross join"),
+    ("tpch-q16", "filtered part broadcast; negative-balance suppliers broadcast LEFT ANTI; single count-distinct exchange"),
+    ("tpch-q20", "date-filtered per-pair qty aggregate joins partsupp on the composite key; nation suppliers resolved with a left-semi — no correlated re-scan"),
 )
 
 

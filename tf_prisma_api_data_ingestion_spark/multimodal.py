@@ -31,7 +31,12 @@ def with_binary_payload(df: DataFrame, text_col: str = "text",
     carrier); in production it is the actual image/audio bytes ingested
     from the object store.
     """
-    return df.select(
+    from .parallel import fan_out
+    # fan_out first: the downstream mapInPandas stages inherit the scan's
+    # partitioning, and a few-row-group corpus file would serialize every
+    # Arrow batch onto one core (a parquet row group is indivisible to
+    # the byte splitter)
+    return fan_out(df).select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.struct(F.lit(MEDIA_KIND).alias("kind")).alias("media"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..cache import tracked_persist
+from ..parallel import fan_out
 from ..operators.dedup import dedup_clusters_auto, ngram_jaccard_pairs
 from ..operators.text import quality_features
 
@@ -48,7 +49,11 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
     connected components over exact-jaccard >= threshold pairs), computed
     over quality-passing, exact-deduped documents.
     """
-    d = tables.load(spark, sf_dir, "documents")
+    # fan_out BEFORE the regex-heavy feature pass: parquet splits by
+    # bytes but a row group is indivisible, so a few-row-group corpus
+    # file scans as few partitions and the quality/shingle CPU
+    # serializes onto them (measured: one 500k-row group -> one core)
+    d = fan_out(tables.load(spark, sf_dir, "documents"))
     q = (quality_features(d, "text")
          .filter((F.col("quality_score") >= min_quality)
                  & (F.col("n_tokens") >= min_tokens)))
@@ -100,7 +105,11 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     """
     from ..operators.text import contamination_hits, dup_ngram_frac
 
-    d = tables.load(spark, sf_dir, "documents")
+    # fan_out BEFORE the regex-heavy feature pass: parquet splits by
+    # bytes but a row group is indivisible, so a few-row-group corpus
+    # file scans as few partitions and the quality/shingle CPU
+    # serializes onto them (measured: one 500k-row group -> one core)
+    d = fan_out(tables.load(spark, sf_dir, "documents"))
     # ONE pass for every row-local feature: quality AND the repetition
     # fraction are columns of the same select, so the corpus is scanned
     # and tokenized once for both (a per-feature DataFrame + doc_id join
@@ -161,7 +170,11 @@ def corpus_to_training(spark: SparkSession, sf_dir: str,
     from ..operators.text import pack_sequences, temperature_sample
 
     kept = corpus_clean_v2(spark, sf_dir, **clean_kwargs).select("doc_id")
-    d = tables.load(spark, sf_dir, "documents")
+    # fan_out BEFORE the regex-heavy feature pass: parquet splits by
+    # bytes but a row group is indivisible, so a few-row-group corpus
+    # file scans as few partitions and the quality/shingle CPU
+    # serializes onto them (measured: one 500k-row group -> one core)
+    d = fan_out(tables.load(spark, sf_dir, "documents"))
     docs = tracked_persist(d.join(kept, "doc_id"))
     # per-source sqrt rates over the SURVIVORS (one shared operator with
     # text-temperature-sample — decimal-quantized Z, order-free, exact)
