@@ -253,3 +253,73 @@ def test_variant_json_oracle_parity_on_heterogeneous_props(spark, tmp_path):
     assert by_bucket[0][0] >= 1          # k=0 bucket
     assert by_bucket[None][0] == 8       # true/false/12.5/x/malformed/
                                          # None/other/1e2 all null out
+
+
+# ------------------------------------ prefix-filtered jaccard join
+
+def test_prefix_filter_matches_exhaustive(spark):
+    # lossless: prefix-filtered pairs == exhaustive pairs at the same
+    # threshold on a corpus with planted near-dups and a shared hot token
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "iota kappa lambda mu nu xi omicron pi"]
+    docs = []
+    for i in range(40):
+        t = base[i % 2] + f" tail{i // 2}"
+        docs.append((i, "common prefix words " + t))
+    # planted exact-ish pair
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta x"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta theta y"))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    want = {(r.doc_a, r.doc_b, r.jaccard_r)
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.6,
+                                         max_df=None).collect()}
+    got = {(r.doc_a, r.doc_b, r.jaccard_r)
+           for r in prefix_filter_jaccard_pairs(df, n=3, t_num=3,
+                                                t_den=5).collect()}
+    assert got == want
+    assert (100, 101) in {(a, b) for a, b, _ in got}
+
+
+def test_prefix_filter_boundary_is_exact(spark):
+    # a pair sitting EXACTLY at jaccard == 3/5 must be kept (integer
+    # compare, no float epsilon): |a|=|b|=6 shingles, intersection 4.5?
+    # use sets: |a|=4, |b|=4, inter=3 -> 3/5 exactly
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    # 6 tokens -> 4 tri-shingles; overlap first 5 tokens -> 3 shared
+    a = "w1 w2 w3 w4 w5 a6"
+    b = "w1 w2 w3 w4 w5 b6"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id LONG, text STRING")
+    got = prefix_filter_jaccard_pairs(df, n=3, t_num=3, t_den=5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard_r) for r in got] == [(1, 2, 0.6)]
+
+
+# ---------------------------------------------------- bm25 retrieval
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import bm25_topk
+    docs = [(i, "filler words only here nothing else") for i in range(20)]
+    docs += [(100, "needle in the corpus"),          # rare term
+             (101, "common common common common"),   # frequent term
+             (102, "needle needle common")]          # rare x2 + common
+    docs += [(200 + i, "common words here") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = bm25_topk(df, ["needle", "common"], k=3).collect()
+    ids = [r.doc_id for r in got]
+    # docs containing the rare 'needle' dominate any common-only doc
+    assert set(ids[:2]) == {100, 102}
+    assert all(r.score > 0 for r in got)
+
+
+def test_bm25_deterministic_ties(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import bm25_topk
+    docs = [(i, "same text every time") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    a = [r.doc_id for r in bm25_topk(df, ["same"], k=5).collect()]
+    b = [r.doc_id for r in bm25_topk(df, ["same"], k=5).collect()]
+    assert a == b == [0, 1, 2, 3, 4]   # doc_id tiebreak

@@ -5432,6 +5432,84 @@ ORDER BY s_name
 
 
 # =====================================================================
+# round-6 retrieval/similarity additions
+# =====================================================================
+
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """Prefix-filtered exact Jaccard pairs at 3/5 (operators/dedup.py
+    prefix_filter_jaccard_pairs — the Bayardo/SSJoin prefix index): each
+    doc indexes only its |s|-ceil(t|s|)+1 RAREST shingles, candidates
+    verified from full sets. Lossless by the pigeonhole theorem — which
+    the oracle PROVES, because it is the exhaustive full-index join with
+    no prefix logic at all: any prefix miss would hash-mismatch.
+    Required-overlap arithmetic is pure integer, so no float boundary
+    can shorten a prefix differently per engine."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+    return prefix_filter_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                       n=3, t_num=3, t_den=5)
+
+
+SQL_DEDUP_PREFIX_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, round(i / (ma + mb - i), 4) AS jaccard_r
+FROM inter WHERE 5 * i >= 3 * (ma + mb - i)
+"""
+
+
+BM25_QUERY_TERMS = ("hash", "join", "vector", "stream")
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25-family top-10 retrieval for a fixed query (operators/text.py
+    bm25_topk): tf-saturation x odds-ratio idf (log-free — ln's last-ulp
+    varies across libms, the rational form is a fixed chain of
+    correctly-rounded IEEE ops; per-term it is a monotone transform of
+    log-BM25). One corpus scan, tiny df/stats frames broadcast back,
+    deterministic (score desc, doc_id) top-k."""
+    from .operators.text import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     list(BM25_QUERY_TERMS), k=10)
+
+
+SQL_TEXT_BM25_TOPK = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM base),
+stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM d),
+hits AS (
+  SELECT doc_id, dl, t, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+  WHERE t IN ('hash', 'join', 'vector', 'stream')
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY t),
+scored AS (
+  SELECT h.doc_id,
+         ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+          / (CAST(f.df AS DOUBLE) + 0.5))
+         * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(h.tf AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(h.dl AS DOUBLE)
+                        / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           AS w
+  FROM hits h JOIN dfreq f USING (t) CROSS JOIN stats s)
+SELECT doc_id, round(sum(w), 6) AS score,
+       count(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -5467,6 +5545,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
+    # NEW r6 retrieval/similarity operators, in-window for first exposure
+    "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
+    "text-bm25-topk": q_text_bm25_topk,
     # 12-16: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -5807,6 +5888,9 @@ ORACLES: dict[str, str] = {
     "tpch-q11": SQL_TPCH_Q11,
     "tpch-q16": SQL_TPCH_Q16,
     "tpch-q20": SQL_TPCH_Q20,
+    # r6 retrieval/similarity additions
+    "dedup-prefix-jaccard": SQL_DEDUP_PREFIX_JACCARD,
+    "text-bm25-topk": SQL_TEXT_BM25_TOPK,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

@@ -134,6 +134,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")))
 
 
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                t_num: int = 3, t_den: int = 5) -> DataFrame:
+    """Exact Jaccard pairs at threshold ``t_num/t_den`` via PREFIX
+    FILTERING (Bayardo et al., WWW'07 / SSJoin): instead of indexing
+    every shingle, each document indexes only its first
+    ``|s| - ceil(t*|s|) + 1`` shingles under a global canonical order
+    (document frequency ascending, then shingle — rarest first). The
+    pigeonhole guarantee: two sets with J >= t overlap in >= ceil(t*|s|)
+    elements, so skipping either prefix leaves too few slots — every
+    qualifying pair MUST collide on a prefix entry. Candidates are then
+    verified exactly from the full shingle arrays.
+
+    This is LOSSLESS (the oracle is the exhaustive full-index join, and
+    it matches), yet the self-joined index shrinks by ~t and — the real
+    scale win — the rarest-first ordering puts only LOW-df shingles in
+    prefixes, so the quadratic per-posting-list term collapses: hot
+    shingles never enter the index at all, making the df-cap skew guard
+    unnecessary for this formulation.
+
+    The required-overlap arithmetic is pure integer
+    (``ceil(t*|s|) = (t_num*|s| + t_den - 1) // t_den``) — no float
+    boundary can silently shorten a prefix differently per engine.
+    One extra aggregation (global df) + one per-doc rank window versus
+    ``ngram_jaccard_pairs``; the verify join moves only candidate rows.
+    """
+    from pyspark.sql.window import Window
+
+    sh = (fan_out(df)
+          .select(F.col(id_col).alias("_id"),
+                  word_shingles(F.col(text_col), n).alias("_sh")))
+    sh = tracked_persist(sh.withColumn("_m", F.size("_sh")))
+    inv = sh.select("_id", "_m", F.explode("_sh").alias("_s"))
+    dfreq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # required overlap req = ceil(t*m); prefix keeps m - req + 1 entries
+    req = (F.lit(t_num) * F.col("_m") + F.lit(t_den - 1)) / F.lit(t_den)
+    plen = F.col("_m") - F.floor(req).cast("long") + 1
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                          F.col("_s").asc())
+    prefix = (inv.join(dfreq, "_s")
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= plen)
+                 .select("_id", "_s"))
+    cand = (prefix.select(F.col("_id").alias("doc_a"), "_s")
+            .join(prefix.select(F.col("_id").alias("doc_b"), "_s"), "_s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"),
+                  F.col("_m").alias("_ma"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"),
+                  F.col("_m").alias("_mb"))
+    ver = (cand.join(a, "doc_a").join(b, "doc_b")
+           .withColumn("_i", F.size(F.array_intersect("_sa", "_sb"))))
+    # integer threshold compare: t_den*i >= t_num*(ma+mb-i) — exact at
+    # the boundary in both engines, no float epsilon
+    keep = ver.filter(F.lit(t_den) * F.col("_i")
+                      >= F.lit(t_num) * (F.col("_ma") + F.col("_mb")
+                                         - F.col("_i")))
+    return keep.select(
+        "doc_a", "doc_b",
+        F.round(F.col("_i") / (F.col("_ma") + F.col("_mb") - F.col("_i")),
+                4).alias("jaccard_r"))
+
+
 def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
                               text_col: str = "text", id_col: str = "doc_id",
                               n: int = 3, threshold: float = 0.2,

@@ -286,3 +286,54 @@ def passage_hashes(doc_id: Column, text: Column, window: int = 16,
     hashes = F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window))))
     return doc_id, F.explode(hashes)
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25-family top-k retrieval over the corpus for a fixed term set —
+    the ranked-lookup primitive behind benchmark decontamination and
+    targeted corpus search.
+
+    Scoring: the standard BM25 term-frequency saturation
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` weighted by the
+    ODDS-RATIO idf ``(N - df + 0.5)/(df + 0.5)`` — BM25's idf without
+    the final log. The log is deliberately dropped: ``ln`` is a libm
+    call whose last-ulp behavior varies across engines, while this
+    rational form is a fixed chain of correctly-rounded IEEE ops that
+    hashes identically in DuckDB. Per term the weight is a monotone
+    transform of log-BM25 (rare terms still dominate); multi-term sums
+    weight rarity more aggressively than the log form — documented
+    trade, deterministic result.
+
+    Plan: one corpus scan explodes matching terms only (the ``isin``
+    prunes before the shuffle), per-(doc, term) tf aggregation, tiny
+    per-term df/idf frame broadcast back, map-side score sum, global
+    top-k via TakeOrdered (no full sort). The query-term list is a
+    literal, so everything stays whole-stage-codegen.
+    """
+    ts = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), ts.alias("_ts"),
+                     F.size(ts).alias("_dl"))
+    stats = base.agg(F.count(F.lit(1)).alias("_n"),
+                     F.sum("_dl").alias("_sumdl"))
+    hits = (base.select(id_col, "_dl", F.explode("_ts").alias("_t"))
+            .filter(F.col("_t").isin(list(query_terms)))
+            .groupBy(id_col, "_dl", "_t")
+            .agg(F.count(F.lit(1)).alias("_tf")))
+    dfreq = (hits.groupBy("_t")
+             .agg(F.count(F.lit(1)).alias("_df")))
+    scored = (hits.join(F.broadcast(dfreq), "_t")
+              .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    idf = ((F.col("_n").cast("double") - F.col("_df").cast("double") + 0.5)
+           / (F.col("_df").cast("double") + 0.5))
+    tf = F.col("_tf").cast("double")
+    sat = (tf * (k1 + 1.0)
+           / (tf + k1 * (1.0 - b + b * F.col("_dl").cast("double") / avgdl)))
+    per_term = scored.withColumn("_w", idf * sat)
+    agg = (per_term.groupBy(id_col)
+           .agg(F.round(F.sum("_w"), 6).alias("score"),
+                F.count(F.lit(1)).alias("n_terms")))
+    return (agg.orderBy(F.col("score").desc(), F.col(id_col).asc())
+               .limit(k))
