@@ -323,3 +323,68 @@ def test_bm25_deterministic_ties(spark):
     a = [r.doc_id for r in bm25_topk(df, ["same"], k=5).collect()]
     b = [r.doc_id for r in bm25_topk(df, ["same"], k=5).collect()]
     assert a == b == [0, 1, 2, 3, 4]   # doc_id tiebreak
+
+
+# -------------------------------------------------- graph operators
+
+def test_triangle_counts_hand_graph(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        triangle_counts,
+    )
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}   # 5 is in no triangle
+
+
+def test_triangle_counts_orientation_handles_hub(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        triangle_counts,
+    )
+    # star around hub 0 (no triangles) + one closing edge 1-2
+    edges = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_pagerank_units_symmetric_pair(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_units,
+    )
+    # two nodes with edges both ways: ranks stay equal at the fixpoint
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src LONG, dst LONG")
+    got = {r.node: r.rank_units for r in pagerank_units(df, iters=3).collect()}
+    assert got[1] == got[2]
+    assert got[1] == RANK_SCALE  # full mass returned each round (deg 1)
+
+
+def test_pagerank_units_hub_outranks_leaves(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        pagerank_units,
+    )
+    # leaves all point at the hub and back: hub accumulates
+    edges = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.rank_units for r in pagerank_units(df, iters=3).collect()}
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 6)}) == 1   # leaves symmetric
+
+
+def test_pagerank_partition_invariant(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        pagerank_units,
+    )
+    import random
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    one = {r.node: r.rank_units
+           for r in pagerank_units(df.coalesce(1), iters=3).collect()}
+    many = {r.node: r.rank_units
+            for r in pagerank_units(df.repartition(13), iters=3).collect()}
+    assert one == many   # exact integer arithmetic: bit-identical

@@ -5509,6 +5509,120 @@ LIMIT 10
 """
 
 
+def _copurchase_edges(spark, sf_dir, min_shared: int = 180):
+    """Supplier co-purchase projection: undirected (u, v) supplier pairs
+    sharing >= min_shared distinct customers. The quadratic term is
+    bounded per customer by their supplier-list size (the usual
+    co-occurrence-projection cap)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    a = cs.select("c", F.col("s").alias("u"))
+    b = cs.select("c", F.col("s").alias("v"))
+    return (a.join(b, "c")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+            .filter(F.col("_shared") >= min_shared)
+            .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")))
+
+
+_SQL_COPURCHASE = """
+cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+sp AS (SELECT a.s AS u, b.s AS v
+       FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       GROUP BY 1, 2 HAVING count(*) >= 180)
+"""
+
+
+def q_op_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the supplier co-purchase graph
+    (operators/graph.py triangle_counts — the degree-oriented wedge
+    join, Suri & Vassilvitskii WWW'11: every edge oriented low-degree ->
+    high-degree bounds each out-list at O(sqrt(E)), so a hub can never
+    square its adjacency). The oracle is the EXHAUSTIVE canonical
+    triple-join with no orientation logic — any orientation bug would
+    hash-mismatch. Pure integer joins, bit-exact."""
+    from .operators.graph import triangle_counts
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+SQL_OP_TRIANGLE_COUNT = f"""
+WITH {_SQL_COPURCHASE.strip()},
+tri AS (
+  SELECT p1.u AS x, p1.v AS y, p2.v AS z
+  FROM sp p1
+  JOIN sp p2 ON p2.u = p1.v
+  JOIN sp p3 ON p3.u = p1.u AND p3.v = p2.v)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
+def q_op_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank, 3 iterations, over the bidirectional
+    customer<->supplier purchase graph (operators/graph.py
+    pagerank_units): ranks flow in exact BIGINT units with floor
+    division per edge, so the fixpoint path is partitioning- and
+    order-independent and the oracle replays it as three unrolled CTE
+    iterations — the canonical iterative-algorithm-on-Spark shape with
+    a bit-exact differential check. Supplier nodes are offset by 10^7
+    to disjoin the id spaces."""
+    from .operators.graph import pagerank_units
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  (F.col("l_suppkey") + F.lit(10_000_000)).alias("s"))
+          .distinct())
+    edges = (cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(cs.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst"))))
+    return (pagerank_units(edges, iters=3)
+            .select(F.col("node"), F.col("rank_units")))
+
+
+SQL_OP_PAGERANK = """
+WITH cs AS (SELECT DISTINCT o_custkey AS c, 10000000 + l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM cs
+      UNION SELECT s AS src, c AS dst FROM cs),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+i1 AS (SELECT e.dst AS node, SUM(r0.r // o.deg) AS inc
+       FROM e JOIN outdeg o ON e.src = o.src JOIN r0 ON r0.node = e.src
+       GROUP BY 1),
+r1 AS (SELECT n.node,
+              CAST(150000000000 + (85 * COALESCE(i1.inc, 0)) // 100
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN i1 USING (node)),
+i2 AS (SELECT e.dst AS node, SUM(r1.r // o.deg) AS inc
+       FROM e JOIN outdeg o ON e.src = o.src JOIN r1 ON r1.node = e.src
+       GROUP BY 1),
+r2 AS (SELECT n.node,
+              CAST(150000000000 + (85 * COALESCE(i2.inc, 0)) // 100
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN i2 USING (node)),
+i3 AS (SELECT e.dst AS node, SUM(r2.r // o.deg) AS inc
+       FROM e JOIN outdeg o ON e.src = o.src JOIN r2 ON r2.node = e.src
+       GROUP BY 1),
+r3 AS (SELECT n.node,
+              CAST(150000000000 + (85 * COALESCE(i3.inc, 0)) // 100
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN i3 USING (node))
+SELECT node, r AS rank_units FROM r3
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -5545,9 +5659,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
-    # NEW r6 retrieval/similarity operators, in-window for first exposure
+    # NEW r6 retrieval/similarity/graph operators, in-window for first
+    # exposure
     "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
     "text-bm25-topk": q_text_bm25_topk,
+    "op-triangle-count": q_op_triangle_count,
+    "op-pagerank": q_op_pagerank,
     # 12-16: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -5888,9 +6005,11 @@ ORACLES: dict[str, str] = {
     "tpch-q11": SQL_TPCH_Q11,
     "tpch-q16": SQL_TPCH_Q16,
     "tpch-q20": SQL_TPCH_Q20,
-    # r6 retrieval/similarity additions
+    # r6 retrieval/similarity/graph additions
     "dedup-prefix-jaccard": SQL_DEDUP_PREFIX_JACCARD,
     "text-bm25-topk": SQL_TEXT_BM25_TOPK,
+    "op-triangle-count": SQL_OP_TRIANGLE_COUNT,
+    "op-pagerank": SQL_OP_PAGERANK,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
