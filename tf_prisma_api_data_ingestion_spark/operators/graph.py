@@ -116,12 +116,12 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
     w2 = oriented.select(F.col("s").alias("u"), F.col("t").alias("w"))
     wedges = (w1.join(w2, "u")
               .filter(F.col("v") < F.col("w")))
-    closure = oriented.select(F.col("s").alias("_cs"),
-                              F.col("t").alias("_ct"))
-    tri = wedges.join(
-        closure,
-        ((F.col("v") == F.col("_cs")) & (F.col("w") == F.col("_ct")))
-        | ((F.col("w") == F.col("_cs")) & (F.col("v") == F.col("_ct"))))
+    # closure probe on the CANONICAL (min, max) form — an OR of the two
+    # orientations would be a non-equi condition and plan as a
+    # nested-loop join (measured 28s vs 9s at sf0.1); the canonical form
+    # is a plain hash equi-join on both key columns
+    closure = und.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
     member = (tri.select(F.col("u").alias("node"))
               .unionByName(tri.select(F.col("v").alias("node")))
               .unionByName(tri.select(F.col("w").alias("node"))))
