@@ -388,3 +388,33 @@ def test_pagerank_partition_invariant(spark):
     many = {r.node: r.rank_units
             for r in pagerank_units(df.repartition(13), iters=3).collect()}
     assert one == many   # exact integer arithmetic: bit-identical
+
+
+# ---------------------------------------------------------- skyline
+
+def test_skyline_dominance_and_ties(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        skyline_2d,
+    )
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # exact tie with 1 -> both survive
+        (3, 10.0, 4),   # same cost, lower benefit -> dominated by 1
+        (4, 9.0, 3),    # cheaper, lower benefit -> frontier
+        (5, 11.0, 5),   # costlier, same benefit as 1 -> dominated
+        (6, 12.0, 7),   # costlier but strictly better benefit -> frontier
+        (7, 8.0, 3),    # dominates 4? 8<9 cost, 3>=3 benefit, strict -> yes
+    ]
+    df = spark.createDataFrame(rows, "id LONG, cost DOUBLE, ben LONG")
+    got = sorted(r.id for r in skyline_2d(df, "cost", "ben").collect())
+    assert got == [1, 2, 6, 7]
+
+
+def test_skyline_single_point_and_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        skyline_2d,
+    )
+    one = spark.createDataFrame([(1, 5.0, 2)], "id LONG, cost DOUBLE, ben LONG")
+    assert [r.id for r in skyline_2d(one, "cost", "ben").collect()] == [1]
+    empty = one.filter(F.col("id") < 0)
+    assert skyline_2d(empty, "cost", "ben").count() == 0

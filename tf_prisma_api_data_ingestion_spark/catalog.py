@@ -5634,6 +5634,31 @@ SELECT node, r AS rank_units FROM r3
 """
 
 
+def q_op_skyline(spark, sf_dir):
+    """2-D part skyline — cheapest-for-its-size Pareto frontier over
+    (p_retailprice minimize, p_size maximize) via the per-cost-group
+    running-max rewrite (operators/relational.py skyline_2d: two
+    shuffles, the only unpartitioned sort sees the collapsed per-cost
+    frame). The oracle is the naive O(n²) NOT EXISTS domination
+    self-join — any rewrite bug (tie handling, strictness) would
+    hash-mismatch."""
+    from .operators.relational import skyline_2d
+    p = _t(spark, sf_dir, "part")
+    return (skyline_2d(p, "p_retailprice", "p_size")
+            .select("p_partkey", "p_name", "p_retailprice",
+                    F.col("p_size").cast("long").alias("p_size")))
+
+
+SQL_OP_SKYLINE = """
+SELECT p_partkey, p_name, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+    AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size))
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -5670,6 +5695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-bm25-topk": q_text_bm25_topk,
     "op-triangle-count": q_op_triangle_count,
     "op-pagerank": q_op_pagerank,
+    "op-skyline": q_op_skyline,
     # 12-16: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6015,6 +6041,7 @@ ORACLES: dict[str, str] = {
     "text-bm25-topk": SQL_TEXT_BM25_TOPK,
     "op-triangle-count": SQL_OP_TRIANGLE_COUNT,
     "op-pagerank": SQL_OP_PAGERANK,
+    "op-skyline": SQL_OP_SKYLINE,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

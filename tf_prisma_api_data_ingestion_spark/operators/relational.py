@@ -544,3 +544,41 @@ def table_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     return (j.withColumn("change_type", change_type)
              .filter(F.col("change_type").isNotNull())
              .select("change_type", *out_cols))
+
+
+def skyline_2d(df: DataFrame, cost_col: str, benefit_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other —
+    y dominates x when y.cost <= x.cost AND y.benefit >= x.benefit with
+    at least one strict. The preference-query primitive ("cheapest for
+    its size class") behind product/catalog shortlists.
+
+    The naive formulation is a NOT EXISTS self-join — O(n²) and exactly
+    what the DuckDB oracle runs to PROVE this rewrite. The distributed
+    plan instead: (1) per-cost max benefit (one map-side-combinable
+    aggregation — all same-cost domination resolves here), (2) a running
+    max over the DISTINCT costs in ascending order (a single-reducer
+    window, but over the grouped frame — |distinct costs| rows, not
+    |rows|), (3) join back. A row survives iff it carries its cost
+    group's max benefit AND that max strictly exceeds every cheaper
+    group's best. Two shuffles total; the only unpartitioned sort sees
+    the collapsed per-cost frame.
+
+    Ties at the same (cost, benefit) all survive (neither dominates —
+    no strict inequality), matching the NOT EXISTS semantics exactly.
+    """
+    from pyspark.sql.window import Window
+
+    grp = (df.groupBy(F.col(cost_col).alias("_c"))
+             .agg(F.max(benefit_col).alias("_gmax")))
+    w = (Window.orderBy(F.col("_c").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (grp.withColumn("_prev", F.max("_gmax").over(w))
+                   .filter(F.col("_prev").isNull()
+                           | (F.col("_gmax") > F.col("_prev")))
+                   .select("_c", "_gmax"))
+    # no broadcast hint: the frontier is usually tiny but is
+    # data-dependent (worst case O(distinct costs)) — stats decide
+    return (df.join(frontier,
+                    (F.col(cost_col) == F.col("_c"))
+                    & (F.col(benefit_col) == F.col("_gmax")))
+              .drop("_c", "_gmax"))
