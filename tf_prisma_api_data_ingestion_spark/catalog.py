@@ -5689,28 +5689,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
-    # NEW r6 retrieval/similarity/graph operators, in-window for first
-    # exposure
+    # 12-16: NEW r6 retrieval/similarity/graph/preference operators,
+    # in-window for first exposure
     "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
     "text-bm25-topk": q_text_bm25_topk,
     "op-triangle-count": q_op_triangle_count,
     "op-pagerank": q_op_pagerank,
     "op-skyline": q_op_skyline,
-    # 12-16: keys whose CODE changed in r6 (overflow-safe linreg /
+    # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
     "op-table-checksum": q_op_table_checksum,
     "dedup-passage-exact": q_dedup_passage_exact,
     "dedup-passage-pairs": q_dedup_passage_pairs,
     "stream-funnel": q_stream_funnel,
-    # 17-20: keys whose code changes later in r6 (LSH bucket
-    # auto-sizing; star CC in the corpus plans)
+    # 22-25: keys whose code changed later in r6 (LSH bucket
+    # auto-sizing; CC auto-select + df-cap + fan_out in the corpus
+    # plans)
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "plan-corpus-clean": q_plan_corpus_clean,
     "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
     "plan-corpus-train": q_plan_corpus_train,
-    # 21-49: the 29 keys whose newest driver row is r02 (the staleness
-    # debt VERDICT r5 named) — all selfcheck-green, need fresh rows
+    # 26-50: the first 25 of the 29 keys whose newest driver row is
+    # r02 (the staleness debt VERDICT r5 named) — all selfcheck-green;
+    # the remaining 4 (op-unpivot, op-string-functions,
+    # op-array-functions, op-sample-hash) queue first for r7
     "op-union-all": q_op_union_all,
     "op-lit-cols": q_op_lit_cols,
     "op-json-flatten": q_op_json_flatten,
@@ -5740,10 +5743,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
-    # 50: oldest r03-green key, also changed in r6 (self-sizing shuffle
-    # partitions)
-    "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
     # ---- entry 50 boundary ----
+    "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
     # r03/r04-green keys first (stalest remaining), r05-green keys last
     "sink-rollback": q_sink_rollback,
     "dedup-exact": q_dedup_exact,
