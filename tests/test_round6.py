@@ -418,3 +418,42 @@ def test_skyline_single_point_and_empty(spark):
     assert [r.id for r in skyline_2d(one, "cost", "ben").collect()] == [1]
     empty = one.filter(F.col("id") < 0)
     assert skyline_2d(empty, "cost", "ben").count() == 0
+
+
+# ------------------------------------------------------ containment
+
+def test_containment_catches_doc_within_doc(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"z{i}" for i in range(60))
+    other = " ".join(f"q{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id LONG, text STRING")
+    cont = {(r.doc_a, r.doc_b): r.containment_r
+            for r in ngram_containment_pairs(
+                df, n=3, t_num=4, t_den=5, max_df=None).collect()}
+    jac = {(r.doc_a, r.doc_b)
+           for r in ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                        max_df=None).collect()}
+    # the embedded short doc: containment 1.0 (all 8 of its shingles
+    # appear in long), Jaccard ~8/69 -> invisible to the jaccard dedup
+    assert cont[(1, 2)] == 1.0
+    assert (1, 2) not in jac
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_integer_boundary(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    # min side has 5 shingles (7 tokens), exactly 4 shared -> 4/5 kept
+    a = "s1 s2 s3 s4 s5 s6 x7"   # shingles: s1s2s3..s4s5s6, s5s6x7
+    b = "s1 s2 s3 s4 s5 s6 y7 y8 y9"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id LONG, text STRING")
+    got = ngram_containment_pairs(df, n=3, t_num=4, t_den=5,
+                                  max_df=None).collect()
+    assert len(got) == 1
+    assert got[0].containment_r == 0.8

@@ -5634,6 +5634,33 @@ SELECT node, r AS rank_units FROM r3
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Overlap-coefficient (containment) near-dup pairs at 4/5
+    (operators/dedup.py ngram_containment_pairs): |A∩B|/min(|A|,|B|) —
+    the doc-within-doc detector a Jaccard threshold structurally misses
+    (a short doc quoted inside a long one has high containment, low
+    Jaccard). Same inverted-index single-shuffle plan as the Jaccard
+    family; integer boundary compare. max_df=None here: exact
+    coefficients, the capped mode is the scale default."""
+    from .operators.dedup import ngram_containment_pairs
+    return ngram_containment_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, t_num=4, t_den=5, max_df=None)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       round(i / least(ma, mb), 4) AS containment_r
+FROM inter WHERE 5 * i >= 4 * least(ma, mb)
+"""
+
+
 def q_op_skyline(spark, sf_dir):
     """2-D part skyline — cheapest-for-its-size Pareto frontier over
     (p_retailprice minimize, p_size maximize) via the per-cost-group
@@ -5696,6 +5723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-triangle-count": q_op_triangle_count,
     "op-pagerank": q_op_pagerank,
     "op-skyline": q_op_skyline,
+    "dedup-containment": q_dedup_containment,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6043,6 +6071,7 @@ ORACLES: dict[str, str] = {
     "op-triangle-count": SQL_OP_TRIANGLE_COUNT,
     "op-pagerank": SQL_OP_PAGERANK,
     "op-skyline": SQL_OP_SKYLINE,
+    "dedup-containment": SQL_DEDUP_CONTAINMENT,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

@@ -134,6 +134,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")))
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            t_num: int = 4, t_den: int = 5,
+                            max_df: int | None = 1000) -> DataFrame:
+    """Overlap-coefficient near-dup pairs: |A∩B| / min(|A|, |B|) >=
+    t_num/t_den over word n-gram sets. The CONTAINMENT companion to
+    Jaccard dedup: a short document quoted or embedded inside a long one
+    scores near 1 here while its Jaccard stays low — the
+    doc-within-doc / boilerplate-inclusion case Jaccard-threshold dedup
+    structurally misses.
+
+    Same single-shuffle inverted-index plan as ``ngram_jaccard_pairs``
+    (shared ``_pair_jaccard``-style index, df-capped hot shingles); the
+    threshold compare is pure integer (``t_den*i >= t_num*min(ma,mb)``)
+    so the boundary is exact in both engines. With ``max_df`` set the
+    coefficient is a lower bound exactly as documented for the Jaccard
+    twin.
+    """
+    df = fan_out(df)
+    shingled = df.select(F.col(id_col),
+                         word_shingles(F.col(text_col), n).alias("shingles"))
+    sized = shingled.select(F.col(id_col).alias("_id"), F.col("shingles"),
+                            F.size("shingles").alias("_m"))
+    inv = tracked_persist(
+        sized.select("_id", "_m", F.explode("shingles").alias("_s"))
+             .select("_id", "_m", F.xxhash64("_s").alias("_sk")))
+    if max_df is not None:
+        hot = (inv.groupBy("_sk").agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") > max_df).select("_sk"))
+        inv = inv.join(F.broadcast(hot), "_sk", "left_anti")
+    a = inv.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"), "_sk")
+    b = inv.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"), "_sk")
+    inter = (a.join(b, "_sk")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b", "_ma", "_mb")
+              .agg(F.count("*").alias("_i")))
+    mn = F.least(F.col("_ma"), F.col("_mb"))
+    return (inter.filter(F.lit(t_den) * F.col("_i") >= F.lit(t_num) * mn)
+                 .select("doc_a", "doc_b",
+                         F.round(F.col("_i") / mn, 4).alias("containment_r")))
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id", n: int = 3,
                                 t_num: int = 3, t_den: int = 5) -> DataFrame:
