@@ -76,6 +76,12 @@ AUDIT = (
     ("tpch-q11", "national supplier set broadcast; ONE fact pass — scalar total computed from the grouped frame and broadcast back via 1-row cross join"),
     ("tpch-q16", "filtered part broadcast; negative-balance suppliers broadcast LEFT ANTI; single count-distinct exchange"),
     ("tpch-q20", "date-filtered per-pair qty aggregate joins partsupp on the composite key; nation suppliers resolved with a left-semi — no correlated re-scan"),
+    ("dedup-prefix-jaccard", "only rarest-first PREFIX entries reach the self-join (no df-cap needed); verify join moves candidate rows only"),
+    ("text-bm25-topk", "query-term isin prunes before the explode shuffle; df/stats frames broadcast; deterministic TakeOrdered top-k, no global sort"),
+    ("op-triangle-count", "degree-oriented wedge join + canonical-form closure probe — all hash equi-joins, no nested loop"),
+    ("op-pagerank", "three unrolled join+sum iterations over checkpointed edges; exact BIGINT units, no float accumulation"),
+    ("op-skyline", "per-cost max aggregation, running max over the COLLAPSED distinct-cost frame (single-reducer window sees group rows, not table rows)"),
+    ("dedup-containment", "same single-shuffle inverted index as the jaccard family; integer least-side boundary compare"),
 )
 
 
@@ -95,6 +101,7 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         print(f"## {name}\n\n*Claim:* {claim}\n")
         print("```")
+        kept_any = False
         for line in plan.splitlines():
             s = line.strip()
             keep = ("FileScan" in s or "Join" in s or "Exchange" in s
@@ -105,6 +112,11 @@ def main() -> None:
                 continue
             s = re.sub(r", ReadSchema: struct<[^>]{80,}>", ", ReadSchema: <pruned cols>", s)
             print(s[:220])
+            kept_any = True
+        if not kept_any:
+            print("(final frame is a localCheckpoint scan — iterative "
+                  "lineage truncated by design; per-iteration plans are "
+                  "join+partial-sum+exchange, see the operator docstring)")
         print("```\n")
     _token_fanout_section(spark)
     spark.stop()
