@@ -457,3 +457,38 @@ def test_containment_integer_boundary(spark):
                                   max_df=None).collect()
     assert len(got) == 1
     assert got[0].containment_r == 0.8
+
+
+# ---------------------------------------------------------- graph bfs
+
+def test_bfs_distances_chain_and_bound(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        bfs_distances,
+    )
+    # chain 1-2-3-4-5-6-7 with max_hops=4: node 6 at dist 5 unreachable
+    edges = [(i, i + 1) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.node: r.dist for r in bfs_distances(df, 1, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_distances_min_over_multiple_paths(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        bfs_distances,
+    )
+    # 1-2-4 and 1-3-4 plus direct 1-4: dist(4) must be 1, not 2
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.node: r.dist for r in bfs_distances(df, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_early_stop_on_exhausted_frontier(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        bfs_distances,
+    )
+    # two disconnected components: the other one never appears
+    edges = [(1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.node: r.dist for r in bfs_distances(df, 1, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1}

@@ -5634,6 +5634,33 @@ SELECT node, r AS rank_units FROM r3
 """
 
 
+def q_op_graph_bfs(spark, sf_dir):
+    """Hop-bounded BFS distances from the minimum supplier node over the
+    co-purchase graph (operators/graph.py bfs_distances): per-round work
+    is frontier-sized (anti-join drops visited), distances are exact
+    integers, and the oracle replays the identical bound as a
+    depth-limited recursive CTE walk + MIN — the third iterative graph
+    kernel beside connected components and PageRank."""
+    from .operators.graph import bfs_distances
+    edges = _copurchase_edges(spark, sf_dir)
+    src = edges.agg(F.min(F.least("doc_a", "doc_b"))).first()[0]
+    return bfs_distances(edges, src, max_hops=4)
+
+
+SQL_OP_GRAPH_BFS = f"""
+WITH RECURSIVE {_SQL_COPURCHASE.strip()},
+src AS (SELECT MIN(LEAST(u, v)) AS s FROM sp),
+e AS (SELECT u AS a, v AS b FROM sp UNION SELECT v, u FROM sp),
+walk(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION ALL
+  SELECT e.b, walk.d + 1
+  FROM walk JOIN e ON e.a = walk.node
+  WHERE walk.d < 4)
+SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+"""
+
+
 def q_dedup_containment(spark, sf_dir):
     """Overlap-coefficient (containment) near-dup pairs at 4/5
     (operators/dedup.py ngram_containment_pairs): |A∩B|/min(|A|,|B|) —
@@ -5724,6 +5751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-pagerank": q_op_pagerank,
     "op-skyline": q_op_skyline,
     "dedup-containment": q_dedup_containment,
+    "op-graph-bfs": q_op_graph_bfs,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6072,6 +6100,7 @@ ORACLES: dict[str, str] = {
     "op-pagerank": SQL_OP_PAGERANK,
     "op-skyline": SQL_OP_SKYLINE,
     "dedup-containment": SQL_DEDUP_CONTAINMENT,
+    "op-graph-bfs": SQL_OP_GRAPH_BFS,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

@@ -127,3 +127,41 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
               .unionByName(tri.select(F.col("w").alias("node"))))
     return (member.groupBy("node")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def bfs_distances(edges: DataFrame, source, a: str = "doc_a",
+                  b: str = "doc_b", max_hops: int = 4) -> DataFrame:
+    """Hop-bounded BFS over an UNDIRECTED edge list: minimum hop count
+    from ``source`` for every node within ``max_hops`` — the reachability
+    / blast-radius primitive (and, with CC and PageRank, the third
+    canonical iterative graph kernel).
+
+    Frontier iteration: each round expands only the CURRENT frontier
+    (nodes first reached last round) through one equi-join and drops
+    already-visited nodes with a left-anti join — per-round work is
+    O(frontier x avg degree), never the whole visited set. Distances
+    are exact small integers, so the result is order-independent and
+    replays in a depth-bounded recursive CTE (UNION ALL walk + MIN).
+    ``max_hops`` is a fixed small constant: the oracle unrolls to the
+    same bound, and each round localCheckpoints to keep lineage flat.
+    """
+    sym = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+           .unionByName(edges.select(F.col(b).alias("src"),
+                                     F.col(a).alias("dst")))
+           .distinct().localCheckpoint())
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    visited = spark.createDataFrame([(int(source), 0)],
+                                    "node LONG, dist INT").localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(h).cast("int"))
+               .coalesce(par).localCheckpoint())
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt).coalesce(par).localCheckpoint()
+        frontier = nxt
+    return visited
