@@ -48,6 +48,14 @@ HEADLINE = (
     "plan-alert-report",  # EP3 end-to-end plan
     "plan-corpus-train",  # product-defining composite: clean->sample->pack
     "plan-multimodal-dedup",  # payload -> Arrow embed -> LSH near-dup
+    # round-6 additions
+    "dedup-prefix-jaccard",   # SSJoin prefix-filtered exact jaccard
+    "dedup-containment",      # overlap-coefficient doc-within-doc
+    "text-bm25-topk",         # ranked retrieval (log-free BM25 family)
+    "op-pagerank",            # integer-scaled iterative kernel
+    "op-triangle-count",      # degree-oriented wedge join
+    "op-graph-bfs",           # frontier-iteration reachability
+    "op-skyline",             # Pareto frontier (collapsed-frame window)
 )
 
 # Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
@@ -70,6 +78,10 @@ SCALING_SF01 = {
     "stream-stream-join": 2.56, "stream-funnel": 2.07,
     "plan-alert-report": 0.30, "plan-corpus-train": 13.50,
     "dedup-passage-exact": 1.13, "plan-multimodal-dedup": 2.72,
+    # round-6 additions (SCALING "Round-6 operator additions" table)
+    "dedup-prefix-jaccard": 3.27, "dedup-containment": 1.78,
+    "text-bm25-topk": 0.74, "op-pagerank": 4.16,
+    "op-triangle-count": 7.85, "op-graph-bfs": 8.08, "op-skyline": 0.41,
 }
 
 
