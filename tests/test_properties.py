@@ -273,3 +273,77 @@ def test_gap_fill_matches_pandas_ffill(spark, raw):
         for d, v in full.items():
             want[(k, d)] = v
     assert got == want
+
+
+# ------------------------------------------------ round-6 equivalences
+
+WORD = st.sampled_from([f"w{i}" for i in range(12)])
+DOC = st.lists(WORD, min_size=0, max_size=14).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=14))
+def test_prefix_filter_equals_exhaustive_generated(spark, docs):
+    """Prefix filtering is LOSSLESS on arbitrary corpora: identical pair
+    set and jaccard values as the exhaustive inverted-index join at the
+    same threshold (the pigeonhole theorem, exercised on random small-
+    vocabulary corpora where shared shingles are dense)."""
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id LONG, text STRING")
+    want = {(r.doc_a, r.doc_b, r.jaccard_r)
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.6,
+                                         max_df=None).collect()}
+    got = {(r.doc_a, r.doc_b, r.jaccard_r)
+           for r in prefix_filter_jaccard_pairs(df, n=3, t_num=3,
+                                                t_den=5).collect()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 8)),
+                min_size=1, max_size=30))
+def test_skyline_equals_naive_domination(spark, pts):
+    """The per-cost-group running-max rewrite equals the O(n²) naive
+    domination filter on arbitrary point sets (including duplicates and
+    full ties)."""
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        skyline_2d,
+    )
+    rows = [(i, float(c), b) for i, (c, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id LONG, cost DOUBLE, ben LONG")
+    got = sorted(r.id for r in skyline_2d(df, "cost", "ben").collect())
+    want = sorted(
+        i for i, (c, b) in enumerate(pts)
+        if not any((c2 <= c and b2 >= b and (c2 < c or b2 > b))
+                   for c2, b2 in pts))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40))
+def test_triangle_counts_equal_naive_enumeration(spark, raw):
+    """Degree-oriented wedge counting equals brute-force triangle
+    enumeration on arbitrary small graphs (self-loops and duplicate
+    edges dropped)."""
+    from itertools import combinations
+
+    from tf_prisma_api_data_ingestion_spark.operators.graph import (
+        triangle_counts,
+    )
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "doc_a LONG, doc_b LONG")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    nodes = {n for e in edges for n in e}
+    want: dict[int, int] = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if ({(x, y), (x, z), (y, z)} <= edges):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
