@@ -492,3 +492,45 @@ def test_bfs_early_stop_on_exhausted_frontier(spark):
     df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
     got = {r.node: r.dist for r in bfs_distances(df, 1, max_hops=4).collect()}
     assert got == {1: 0, 2: 1}
+
+
+# ------------------------------------------------- leakproof split
+
+def test_leakproof_split_no_near_dup_straddles(spark, tmp_path):
+    # planted near-dup cluster of 4 docs + singletons: all 4 must land
+    # in the SAME split, and split fractions follow the md5 thresholds
+    import os
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [(i, base + f" v{i}") for i in range(4)]            # near-dups
+    docs += [(100 + i, " ".join(f"u{i}x{j}" for j in range(25)))
+             for i in range(40)]                               # singletons
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(f"{d}/documents.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_leakproof_split,
+    )
+    rows = q_plan_leakproof_split(spark, d).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 44
+    # the planted cluster shares one cluster_id and one split
+    cl = {by_doc[i].cluster_id for i in range(4)}
+    sp = {by_doc[i].split for i in range(4)}
+    assert len(cl) == 1 and len(sp) == 1
+    assert cl == {0}                       # min-id representative
+    # every assignment is a valid label
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_leakproof_split_is_deterministic(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_leakproof_split,
+    )
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r.doc_id, r.split)
+               for r in q_plan_leakproof_split(spark, sf).collect())
+    b = sorted((r.doc_id, r.split)
+               for r in q_plan_leakproof_split(spark, sf).collect())
+    assert a == b

@@ -5688,6 +5688,64 @@ FROM inter WHERE 5 * i >= 4 * least(ma, mb)
 """
 
 
+def q_plan_leakproof_split(spark, sf_dir):
+    """Leakage-proof train/val/test split: every document is assigned by
+    the md5 hash of its NEAR-DUP CLUSTER id (jaccard >= 0.2 connected
+    components), so a near-duplicate of a validation document can never
+    land in train — the group-aware splitting rule every serious
+    training-data pipeline needs and a naive per-doc hash split
+    violates. Composition: pair graph -> auto-selected connected
+    components -> deterministic md5 threshold on cluster_id (10% test,
+    10% val, 80% train); the whole chain replays in one recursive-CTE
+    oracle. An invariant test pins the no-straddling property
+    (tests/test_round6.py)."""
+    from .operators.dedup import (
+        dedup_clusters_auto,
+        md5_hash60,
+        ngram_jaccard_pairs,
+    )
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)
+    clusters = dedup_clusters_auto(pairs.select("doc_a", "doc_b"),
+                                   d.select("doc_id"))
+    h = md5_hash60(F.col("cluster_id").cast("string")) % 1000
+    split = (F.when(h < 100, "test")
+              .when(h < 200, "val")
+              .otherwise("train"))
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+SQL_PLAN_LEAKPROOF_SPLIT = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter WHERE i / (ma + mb - i) >= 0.2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM edges e JOIN reach r ON e.src = r.n),
+clus AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+hashed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000 AS h
+  FROM clus)
+SELECT doc_id, cluster_id,
+       CASE WHEN h < 100 THEN 'test'
+            WHEN h < 200 THEN 'val'
+            ELSE 'train' END AS split
+FROM hashed
+"""
+
+
 def q_op_skyline(spark, sf_dir):
     """2-D part skyline — cheapest-for-its-size Pareto frontier over
     (p_retailprice minimize, p_size maximize) via the per-cost-group
@@ -5752,6 +5810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-skyline": q_op_skyline,
     "dedup-containment": q_dedup_containment,
     "op-graph-bfs": q_op_graph_bfs,
+    "plan-leakproof-split": q_plan_leakproof_split,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6101,6 +6160,7 @@ ORACLES: dict[str, str] = {
     "op-skyline": SQL_OP_SKYLINE,
     "dedup-containment": SQL_DEDUP_CONTAINMENT,
     "op-graph-bfs": SQL_OP_GRAPH_BFS,
+    "plan-leakproof-split": SQL_PLAN_LEAKPROOF_SPLIT,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
