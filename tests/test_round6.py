@@ -534,3 +534,34 @@ def test_leakproof_split_is_deterministic(spark):
     b = sorted((r.doc_id, r.split)
                for r in q_plan_leakproof_split(spark, sf).collect())
     assert a == b
+
+
+# --------------------------------------- group cap / equi-depth hist
+
+def test_group_cap_is_stable_uniformish(spark, tmp_path):
+    import os
+    d = str(tmp_path / "sf"); os.makedirs(d, exist_ok=True)
+    rows = [(i, f"doc {i}", "en", f"src{i % 3}", 5) for i in range(90)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, "
+              "n_chars LONG").write.parquet(f"{d}/documents.parquet")
+    from tf_prisma_api_data_ingestion_spark.catalog import q_op_group_cap
+    got = q_op_group_cap(spark, d).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 15 for v in per.values())    # cap binds (30/src)
+    again = {(r.doc_id, r.source) for r in q_op_group_cap(spark, d).collect()}
+    assert again == {(r.doc_id, r.source) for r in got}  # deterministic
+
+
+def test_equidepth_histogram_equal_counts(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_op_equidepth_histogram,
+    )
+    got = q_op_equidepth_histogram(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 10
+    ns = [r.n for r in sorted(got, key=lambda r: r.bucket)]
+    assert max(ns) - min(ns) <= 1                 # equal depth (ntile)
+    his = [r.hi for r in sorted(got, key=lambda r: r.bucket)]
+    assert his == sorted(his)                     # monotone bucket bounds

@@ -5688,6 +5688,68 @@ FROM inter WHERE 5 * i >= 4 * least(ma, mb)
 """
 
 
+def q_op_group_cap(spark, sf_dir):
+    """Deterministic per-group row cap — at most 15 documents per source,
+    elected by md5(doc_id) order (the 'at most N docs per domain'
+    training-data mixing rule; hash order makes the cap a stable uniform
+    sample, not a scan-order artifact). One window per group; the
+    WindowGroupLimit pushes rank<=K below the exchange so the shuffle
+    carries ~K rows per group per map partition."""
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import md5_hash60
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_hash60(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= 15)
+             .select("doc_id", "source",
+                     F.col("_rn").cast("long").alias("rank_in_source")))
+
+
+SQL_OP_GROUP_CAP = """
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+FROM (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents)
+WHERE rn <= 15
+"""
+
+
+def q_op_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-count) 10-bucket histogram of order totals —
+    the quantile-bucket profile that drives range partitioning and skew
+    diagnosis (the fixed-WIDTH twin is op-histogram). ntile over a
+    totally-ordered frame (price, orderkey tiebreak) is deterministic in
+    both engines; per-bucket min/max/count aggregate map-side after the
+    single sort exchange."""
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (o.withColumn("bucket", F.ntile(10).over(w))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi"))
+             .select(F.col("bucket").cast("long").alias("bucket"),
+                     "n", "lo", "hi"))
+
+
+SQL_OP_EQUIDEPTH_HISTOGRAM = """
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+GROUP BY bucket
+"""
+
+
 def q_plan_leakproof_split(spark, sf_dir):
     """Leakage-proof train/val/test split: every document is assigned by
     the md5 hash of its NEAR-DUP CLUSTER id (jaccard >= 0.2 connected
@@ -5811,6 +5873,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-containment": q_dedup_containment,
     "op-graph-bfs": q_op_graph_bfs,
     "plan-leakproof-split": q_plan_leakproof_split,
+    "op-group-cap": q_op_group_cap,
+    "op-equidepth-histogram": q_op_equidepth_histogram,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6161,6 +6225,8 @@ ORACLES: dict[str, str] = {
     "dedup-containment": SQL_DEDUP_CONTAINMENT,
     "op-graph-bfs": SQL_OP_GRAPH_BFS,
     "plan-leakproof-split": SQL_PLAN_LEAKPROOF_SPLIT,
+    "op-group-cap": SQL_OP_GROUP_CAP,
+    "op-equidepth-histogram": SQL_OP_EQUIDEPTH_HISTOGRAM,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,
