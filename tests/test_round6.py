@@ -565,3 +565,34 @@ def test_equidepth_histogram_equal_counts(spark):
     assert max(ns) - min(ns) <= 1                 # equal depth (ntile)
     his = [r.hi for r in sorted(got, key=lambda r: r.bucket)]
     assert his == sorted(his)                     # monotone bucket bounds
+
+
+# -------------------------------------------------- multiprobe LSH
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    import numpy as np
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    # planted near neighbors of queries 0..4
+    for q in range(5):
+        rows[200 + q] = (200 + q, [v + 0.05 for v in rows[q][1]])
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = df.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(qs, df, k=5).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in lsh_bucket_topk(qs, df, k=5, dim=16,
+                                       planes_per_table=8,
+                                       tables=4).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in lsh_multiprobe_topk(qs, df, k=5, dim=16,
+                                          planes_per_table=8,
+                                          tables=4).collect()}
+    assert len(multi & exact) >= len(single & exact)   # recall uplift
+    # the planted nearest neighbor is found for every query
+    assert all((q, 200 + q) in multi for q in range(5))

@@ -1308,6 +1308,46 @@ SELECT query_id, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rn <= 5
 """
 
 
+def q_sim_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-5 (operators/similarity.py
+    lsh_multiprobe_topk — Lv et al. VLDB'07): every query probes its own
+    bucket plus each Hamming-distance-1 bucket in every table, buying
+    the recall of more hash tables for (planes+1)x cheap bucket lookups
+    instead of another corpus pass. Same md5 dial as sim-lsh-topk
+    (4 tables x 8 planes) so the candidate-set uplift is directly
+    comparable; the oracle generates the identical probe set with an
+    xor over range(planes+1)."""
+    from .operators.similarity import lsh_multiprobe_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(e.filter(F.col("vec_id") < 5), e, k=5,
+                               mode="md5")
+
+
+SQL_SIM_MULTIPROBE_TOPK = f"""
+WITH {_sql_md5_buckets(tables=4, planes=8)},
+qp AS (
+  SELECT vec_id, t,
+         CASE WHEN p = 8 THEN b
+              ELSE xor(b, CAST(1 AS BIGINT) << p) END AS b
+  FROM bkt, range(0, 9) r(p)
+  WHERE vec_id < 5),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM qp JOIN bkt cb ON qp.t = cb.t AND qp.b = cb.b
+  WHERE cb.vec_id <> qp.vec_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_SQL_COS.format(a='q.v', b='t.v')} AS cos
+  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e t ON t.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rn <= 5
+"""
+
+
 def q_dedup_embedding_lsh_xx(spark, sf_dir):
     """xxhash64 throughput twin of dedup-embedding-lsh (no md5 per
     component; same banding shape). Not oracle-expressible — benched and
@@ -5875,6 +5915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-leakproof-split": q_plan_leakproof_split,
     "op-group-cap": q_op_group_cap,
     "op-equidepth-histogram": q_op_equidepth_histogram,
+    "sim-multiprobe-topk": q_sim_multiprobe_topk,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6227,6 +6268,7 @@ ORACLES: dict[str, str] = {
     "plan-leakproof-split": SQL_PLAN_LEAKPROOF_SPLIT,
     "op-group-cap": SQL_OP_GROUP_CAP,
     "op-equidepth-histogram": SQL_OP_EQUIDEPTH_HISTOGRAM,
+    "sim-multiprobe-topk": SQL_SIM_MULTIPROBE_TOPK,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

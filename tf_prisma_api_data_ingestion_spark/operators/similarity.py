@@ -486,3 +486,47 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     top = top_k_per_group(rer, ["query_id"], "cos", k, descending=True,
                           tiebreak=[id_col])
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
+
+
+def lsh_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
+                        k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        planes_per_table: int = 8, tables: int = 4,
+                        mode: str = "xx") -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its
+    own sign bucket PLUS every bucket at Hamming distance 1 (one plane's
+    sign flipped) in every table — (planes+1) x tables probes instead of
+    more tables. A vector that lands just across ONE hyperplane from the
+    query is found without paying another full hash table's memory and
+    build cost: recall rises at the price of (planes+1)x more bucket
+    LOOKUPS, which are cheap equality-join rows, not new corpus passes.
+
+    Same plan shape as ``lsh_bucket_topk`` — the probe expansion is a
+    per-query-row explode of a literal-sized array (planes+1 entries),
+    broadcast against the candidate bucket table; exact cosine re-rank
+    inside.
+    """
+    vd = as_double_vec(F.col(vec_col))
+    qb = (bucket_table(queries, id_col, vec_col, tables, planes_per_table,
+                       dim, mode=mode)
+          .withColumnRenamed(id_col, "query_id"))
+    probes = F.array(F.col("_bkt"),
+                     *[F.col("_bkt").bitwiseXOR(F.lit(1 << p))
+                       for p in range(planes_per_table)])
+    q = (qb.withColumn("_bkt", F.explode(probes))
+           .join(queries.select(F.col(id_col).alias("query_id"),
+                                vd.alias("_qv"), norm2(vd).alias("_qn")),
+                 "query_id"))
+    c = (bucket_table(candidates, id_col, vec_col, tables, planes_per_table,
+                      dim, mode=mode)
+         .join(candidates.select(F.col(id_col), vd.alias("_cv"),
+                                 norm2(vd).alias("_cn")), id_col))
+    cand = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
+             .filter(F.col(id_col) != F.col("query_id"))
+             .select("query_id", "_qv", "_qn", id_col, "_cv", "_cn")
+             .dropDuplicates(["query_id", id_col]))
+    scored = cand.withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
+                             / (F.col("_qn") * F.col("_cn")))
+    top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
+                          tiebreak=[id_col])
+    return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
