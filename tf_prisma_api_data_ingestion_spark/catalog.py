@@ -2230,6 +2230,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_trending_topk(spark, sf_dir):
+    """Per-window trending top-3 event types (streaming/windows.py
+    streaming_trending_topk): the stateful windowed counts stream under
+    a watermark; the rank is a tiny batch window over the DRAINED count
+    table (streaming cannot rank inside an aggregation) — the same
+    drain-then-finalize split as stream-funnel. Deterministic
+    (count desc, type) order replays exactly in the batch oracle."""
+    from .streaming.windows import streaming_trending_topk
+    return streaming_trending_topk(spark, sf_dir,
+                                   query_name="cat_stream_trending")
+
+
+SQL_STREAM_TRENDING_TOPK = """
+WITH counts AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM counts)
+SELECT window_start, event_type, n_events, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_stream_sliding_window(spark, sf_dir):
     """Sliding-window variant (1h window / 30m slide): each event lands in
     two buckets; oracle replays via two shifted time_buckets."""
@@ -5916,6 +5944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-group-cap": q_op_group_cap,
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
+    "stream-trending-topk": q_stream_trending_topk,
     # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
@@ -6269,6 +6298,7 @@ ORACLES: dict[str, str] = {
     "op-group-cap": SQL_OP_GROUP_CAP,
     "op-equidepth-histogram": SQL_OP_EQUIDEPTH_HISTOGRAM,
     "sim-multiprobe-topk": SQL_SIM_MULTIPROBE_TOPK,
+    "stream-trending-topk": SQL_STREAM_TRENDING_TOPK,
     "sketch-cms-topk": SQL_SKETCH_CMS_TOPK,
     "op-window-range-frame": SQL_OP_WINDOW_RANGE_FRAME,
     "op-zorder-layout": SQL_OP_ZORDER_LAYOUT,

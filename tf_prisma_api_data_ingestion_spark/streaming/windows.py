@@ -658,3 +658,38 @@ def streaming_funnel(spark: SparkSession, sf_dir: str,
                                     "funnel_depth"), "n_seen").alias("_f")))
     return final.select("user_id", "_f.t_view", "_f.t_click",
                         "_f.t_purchase", "_f.funnel_depth")
+
+
+def streaming_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3,
+                            window: str = "1 hour",
+                            watermark: str = "10 minutes",
+                            query_name: str = "stream_trending",
+                            state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
+    """Trending top-k: the k most frequent event types PER tumbling
+    window — the live leaderboard every monitoring/trending surface
+    runs. Structured Streaming cannot rank inside an aggregation, so
+    the streaming stage maintains the windowed counts (the incremental,
+    stateful part) and the rank is a tiny batch window over the DRAINED
+    count table — the same drain-then-finalize split as
+    ``streaming_funnel``: state stays bounded by (windows x types), and
+    the finalize step sees one row per (window, type), not per event.
+    Deterministic order: (count desc, event_type) within each window.
+    """
+    from pyspark.sql.window import Window
+
+    agg = (_event_stream(spark, sf_dir)
+           .withWatermark("ts_t", watermark)
+           .groupBy(F.window("ts_t", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    w = Window.partitionBy("w").orderBy(F.col("n_events").desc(),
+                                        F.col("event_type").asc())
+    return (spark.table(query_name)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"), "event_type", "n_events",
+                    F.col("rank").cast("long").alias("rank")))
