@@ -1,0 +1,313 @@
+"""ML-adjacent data-pipeline primitives (north-star extensions, SURVEY §7.5).
+
+The training-data operators a 100 TB pipeline needs *around* the dedup /
+similarity / text families already in this package: label propagation
+(kNN classify), item-item collaborative filtering, leakage-safe target
+encoding, chi-square feature selection, A/B significance testing,
+weight-proportional sampling, and event-sequence transition models.
+
+Determinism contract (same as the rest of the repo): integer / decimal
+aggregation wherever a sum crosses rows; double math only in fixed
+per-row chains of correctly-rounded IEEE ops (+ - * / sqrt — never ln or
+pow, whose last ulp varies across libms); md5-derived 60-bit hashes for
+anything pseudo-random, so every operator replays bit-exact in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import as_double_vec, dot, md5_hash60, norm2
+from .relational import top_k_per_group
+
+
+def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-nearest-neighbor label prediction over an embedding corpus.
+
+    The zero-training classifier every labeling pipeline starts from:
+    each query vector takes the majority label of its k nearest labeled
+    neighbors by cosine (vote ties break to the smaller label, neighbor
+    ties to the smaller id — a total order, so the prediction is
+    deterministic).
+
+    Scale design: ``queries`` is broadcast (label-propagation batches are
+    small relative to the corpus); the corpus streams through one narrow
+    scan with per-partition scoring — the only shuffle is the tiny
+    per-query top-k, and the vote is a groupBy over k*|queries| rows.
+    For corpus-scale query sets, swap the broadcast scorer for the
+    LSH/IVF candidate generators in operators/similarity.py; the voting
+    tail below is unchanged.
+
+    Returns (query_id, pred_label, votes, n_candidates).
+    """
+    qd, cd = as_double_vec(F.col(vec_col)), as_double_vec(F.col(vec_col))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   qd.alias("_qv"), norm2(qd).alias("_qn")))
+    c = corpus.select(F.col(id_col), F.col(label_col).alias("_lbl"),
+                      cd.alias("_cv"), norm2(cd).alias("_cn"))
+    scored = (c.crossJoin(q)
+               .filter(F.col(id_col) != F.col("query_id"))
+               .withColumn("cos", dot(F.col("_qv"), F.col("_cv"))
+                           / (F.col("_qn") * F.col("_cn"))))
+    top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
+                          tiebreak=[id_col])
+    votes = (top.groupBy("query_id", "_lbl")
+                .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(),
+                                               F.col("_lbl").asc())
+    return (votes.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("query_id",
+                         F.col("_lbl").cast("long").alias("pred_label"),
+                         "votes",
+                         F.lit(k).cast("long").alias("n_candidates")))
+
+
+def item_item_cf(baskets: DataFrame, basket_col: str, item_col: str,
+                 min_support: int = 2, k: int = 3) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity on the
+    item-basket incidence matrix, top-k recommendations per item.
+
+    sim(a, b) = co(a, b) / sqrt(n_a * n_b) where co counts shared
+    baskets — the classic Amazon-style item-to-item recommender, computed
+    as a basket-grouped self-join (quadratic only within a basket, which
+    real baskets bound at tens of items, the same per-group cap argument
+    as the co-occurrence projections in catalog._copurchase_edges).
+
+    Scale design: one distinct() to collapse repeat purchases, one
+    self-join keyed on the basket id (co-partitioned, no broadcast of
+    anything big), integer co/na/nb counts — the sqrt + divide happens
+    once per surviving pair. The per-item top-k is a WindowGroupLimit.
+    Returns (item_a, item_b, co, sim_r, rank) with both orientations of
+    every pair, so `item_a` is a complete recommendation key.
+    """
+    inc = (baskets.select(F.col(basket_col).alias("_b"),
+                          F.col(item_col).alias("_i"))
+                  .distinct())
+    n_i = inc.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = inc.select(F.col("_b"), F.col("_i").alias("_u"))
+    b = inc.select(F.col("_b"), F.col("_i").alias("_v"))
+    co = (a.join(b, "_b")
+           .filter(F.col("_u") < F.col("_v"))
+           .groupBy("_u", "_v")
+           .agg(F.count(F.lit(1)).alias("co"))
+           .filter(F.col("co") >= min_support))
+    both = co.unionByName(
+        co.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"), "co"))
+    sim = (both
+           .join(n_i.select(F.col("_i").alias("_u"),
+                            F.col("_n").alias("_na")), "_u")
+           .join(n_i.select(F.col("_i").alias("_v"),
+                            F.col("_n").alias("_nb")), "_v")
+           .withColumn("sim", F.col("co").cast("double")
+                       / F.sqrt((F.col("_na") * F.col("_nb"))
+                                .cast("double"))))
+    w = Window.partitionBy("_u").orderBy(F.col("sim").desc(),
+                                         F.col("_v").asc())
+    return (sim.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= k)
+               .select(F.col("_u").alias("item_a"),
+                       F.col("_v").alias("item_b"),
+                       "co", F.round("sim", 6).alias("sim_r"),
+                       F.col("_rn").cast("long").alias("rank")))
+
+
+def target_encode(df: DataFrame, cat_col: str, y01, smoothing: float = 20.0
+                  ) -> DataFrame:
+    """Smoothed mean target encoding of a categorical column.
+
+    enc(c) = (sum_y(c) + m * global_mean) / (n(c) + m) — the standard
+    empirical-Bayes shrinkage that keeps rare categories from memorizing
+    their few labels. ``y01`` is a 0/1 integer Column.
+
+    Scale design: two aggregations, both map-side-combinable (integer
+    sums); the global mean is a 1-row frame broadcast back via
+    crossJoin — no second pass over the data, no window. Returns
+    (category, n, sum_y, rate_r, enc_r).
+    """
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y01.cast("long")).alias("sum_y"))
+    tot = per.agg(F.sum("n").alias("_tn"), F.sum("sum_y").alias("_ty"))
+    g = F.col("_ty").cast("double") / F.col("_tn").cast("double")
+    m = F.lit(float(smoothing))
+    enc = ((F.col("sum_y").cast("double") + m * g)
+           / (F.col("n").cast("double") + m))
+    return (per.crossJoin(F.broadcast(tot))
+               .select("category", "n", "sum_y",
+                       F.round(F.col("sum_y").cast("double")
+                               / F.col("n").cast("double"), 6).alias("rate_r"),
+                       F.round(enc, 6).alias("enc_r")))
+
+
+def chi2_terms(docs: DataFrame, text_col: str, pos01, top_k: int = 20,
+               min_df: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Chi-square feature selection: the terms most associated with a
+    binary document class, by presence (document frequency, not raw tf —
+    the standard formulation, robust to repetition spam).
+
+    chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)) over the 2x2
+    presence/class contingency table per term. All four cells are exact
+    integer counts from ONE distinct (doc, term) explode + aggregation;
+    the polynomial is evaluated in double with a fixed association order,
+    so both engines emit the identical value.
+
+    Scale design: the explode is linear in tokens; per-term cells are a
+    map-side-combinable count; class totals are a broadcast 1-row frame.
+    The top-k is a TakeOrdered, no global sort. Returns
+    (term, df, df_pos, chi2_r).
+    """
+    toks = F.array_distinct(F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit("")))
+    dt = (docs.select(F.col(id_col), pos01.cast("long").alias("_y"),
+                      F.explode(toks).alias("term")))
+    per = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_y").alias("df_pos"))
+    tot = (docs.select(pos01.cast("long").alias("_y"))
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum("_y").alias("_npos")))
+    a = F.col("df_pos").cast("double")                    # term & pos
+    b = (F.col("df") - F.col("df_pos")).cast("double")    # term & neg
+    c = (F.col("_npos") - F.col("df_pos")).cast("double")  # no-term & pos
+    d = ((F.col("_n") - F.col("_npos"))
+         - (F.col("df") - F.col("df_pos"))).cast("double")
+    n = F.col("_n").cast("double")
+    chi2 = (n * (a * d - b * c) * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d)))
+    scored = (per.filter(F.col("df") >= min_df)
+                 .crossJoin(F.broadcast(tot))
+                 .select("term", "df", "df_pos",
+                         F.round(chi2, 6).alias("chi2_r")))
+    return (scored.orderBy(F.col("chi2_r").desc(), F.col("term").asc())
+                  .limit(top_k))
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_2dec,
+                group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of a 2-decimal
+    metric — the A/B-test significance primitive.
+
+    Sums accumulate in exact DECIMAL cents (order-independent, no double
+    associativity drift — same discipline as operators/stats.py linreg);
+    mean / variance / t / Welch df are then fixed per-row double chains
+    (+ - * / sqrt only). Returns one row:
+    (n_a, n_b, mean_a_r, mean_b_r, t_r, df_r).
+
+    Scale design: a single map-side-combinable aggregation per group —
+    the whole test is one shuffle of two 3-number partial states.
+    """
+    cents = (value_2dec.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    agg = (df.filter(F.col(group_col).isin([group_a, group_b]))
+             .groupBy(F.col(group_col).alias("_g"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(cents).alias("_s"),
+                  F.sum(cents * cents).alias("_ss")))
+
+    def side(tag: str, g: str):
+        return (agg.filter(F.col("_g") == g)
+                   .select(F.col("_n").alias(f"n_{tag}"),
+                           F.col("_s").cast("double").alias(f"_s_{tag}"),
+                           F.col("_ss").cast("double").alias(f"_ss_{tag}")))
+
+    j = side("a", group_a).crossJoin(side("b", group_b))
+    out_cols = []
+    for tag in ("a", "b"):
+        n = F.col(f"n_{tag}").cast("double")
+        s, ss = F.col(f"_s_{tag}"), F.col(f"_ss_{tag}")
+        mean_c = s / n                                       # cents
+        var_c = (n * ss - s * s) / (n * (n - 1))             # cents^2
+        j = (j.withColumn(f"_m_{tag}", mean_c)
+              .withColumn(f"_v_{tag}", var_c / (n * 10000.0)))  # $^2/n
+        out_cols.append(F.round(mean_c / 100.0, 6).alias(f"mean_{tag}_r"))
+    num = (F.col("_m_a") - F.col("_m_b")) / 100.0
+    se2 = F.col("_v_a") + F.col("_v_b")
+    t = num / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        F.col("_v_a") * F.col("_v_a") / (F.col("n_a").cast("double") - 1)
+        + F.col("_v_b") * F.col("_v_b") / (F.col("n_b").cast("double") - 1))
+    return j.select("n_a", "n_b", *out_cols,
+                    F.round(t, 6).alias("t_r"),
+                    F.round(dfw, 3).alias("df_r"))
+
+
+def weighted_systematic_sample(df: DataFrame, key_col: str, weight_cents,
+                               per_shard: int = 8, shards: int = 64
+                               ) -> DataFrame:
+    """Weight-proportional sample via sharded systematic (PPS) selection
+    — deterministic, exact-integer, one window per shard.
+
+    Rows are dealt to ``shards`` hash shards, permuted within the shard
+    by their 60-bit md5 hash (a deterministic 'random' order), and a row
+    is selected whenever the scaled cumulative weight crosses one of
+    ``per_shard`` equally-spaced thresholds:
+    floor(cum * k / W) > floor((cum - w) * k / W). Selection probability
+    is proportional to weight (rows heavier than W/k are always taken),
+    the expected sample size is per_shard * shards, and — unlike the
+    Efraimidis-Spirakis u^(1/w) keys — there is NO transcendental math:
+    the comparison is exact DECIMAL arithmetic, so both engines pick the
+    identical set.
+
+    Scale design: the cumulative sum is windowed PER SHARD (parallel, no
+    global sort); shard totals come from an unbounded frame over the same
+    partitioning — one shuffle total. All arithmetic is BIGINT with
+    integral division (``DIV`` / DuckDB ``//`` agree exactly for
+    non-negative operands — no decimal-division scale rules, no doubles);
+    cum * per_shard must stay under 2^63, i.e. per-shard weight below
+    ~10^18/per_shard cents — raise ``shards`` long before that bites.
+
+    Returns (key, weight_cents, shard, pick).
+    """
+    h = md5_hash60(F.col(key_col).cast("string"))
+    shard = (h % shards).cast("int")
+    base = df.select(F.col(key_col).alias("key"),
+                     weight_cents.cast("long").alias("w"),
+                     shard.alias("shard"), h.alias("_h"))
+    win = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                              F.col("key").asc())
+    tot = Window.partitionBy("shard")
+    base = (base.withColumn("_cum", F.sum("w").over(win))
+                .withColumn("_big", F.sum("w").over(tot)))
+    hi = F.expr(f"(_cum * {int(per_shard)}L) DIV _big")
+    lo = F.expr(f"((_cum - w) * {int(per_shard)}L) DIV _big")
+    return (base.withColumn("_hi", hi).withColumn("_lo", lo)
+                .filter(F.col("_hi") > F.col("_lo"))
+                .select("key", F.col("w").cast("long").alias("weight_cents"),
+                        F.col("shard").cast("long").alias("shard"),
+                        F.col("_hi").cast("long").alias("pick")))
+
+
+def markov_transitions(events: DataFrame, entity_col: str, state_col: str,
+                       order_cols: Sequence[str]) -> DataFrame:
+    """First-order Markov transition model over per-entity event
+    sequences: P(next state | state), from a LAG over each entity's
+    totally-ordered history — the session-flow / funnel-discovery
+    primitive (and the generative model behind synthetic-sequence data).
+
+    Scale design: one window partitioned by entity (parallel across the
+    key space, no global sort), one integer count aggregation; the
+    per-source normalizer is a second tiny aggregation joined back (the
+    (src, dst) frame is |states|^2 rows, broadcast). Probability is a
+    single double division, rounded at the edge.
+
+    Returns (src, dst, n, p_r).
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    steps = (events.withColumn("_prev", F.lag(F.col(state_col)).over(w))
+                   .filter(F.col("_prev").isNotNull())
+                   .select(F.col("_prev").alias("src"),
+                           F.col(state_col).alias("dst")))
+    n = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = n.groupBy("src").agg(F.sum("n").alias("_t"))
+    return (n.join(F.broadcast(tot), "src")
+             .select("src", "dst", "n",
+                     F.round(F.col("n").cast("double")
+                             / F.col("_t").cast("double"), 6).alias("p_r")))

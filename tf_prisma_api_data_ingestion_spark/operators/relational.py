@@ -582,3 +582,67 @@ def skyline_2d(df: DataFrame, cost_col: str, benefit_col: str) -> DataFrame:
                     (F.col(cost_col) == F.col("_c"))
                     & (F.col(benefit_col) == F.col("_gmax")))
               .drop("_c", "_gmax"))
+
+def bloom_prefilter_semi_join(big: DataFrame, small: DataFrame,
+                              big_key: str, small_key: str,
+                              m_bits: int = 1 << 17, k: int = 3) -> DataFrame:
+    """Exact semi-join executed through a portable Bloom-filter
+    prefilter: build a k-hash bitmap over the small side's keys, drop
+    big-side rows map-side when any probe bit is absent, then finish
+    with the exact semi-join over the (tiny) survivor set.
+
+    This is the join-pruning pattern that matters at 100 TB: when the
+    semi-join is selective, the expensive join machinery sees only
+    matches + Bloom false positives instead of the whole fact table.
+    Spark's built-in runtime Bloom pushdown (InjectRuntimeFilter) covers
+    simple shuffle-join cases; this operator makes the filter EXPLICIT
+    (own m/k dials, md5-derived bit positions) so it survives caches,
+    checkpoints, and non-parquet sources, and so its false-positive rate
+    is a queryable number ((1 - e^(-kn/m))^k) instead of an engine
+    internal. Correctness never depends on the filter — false positives
+    die in the final exact join, which is why the DuckDB oracle is the
+    plain semi-join.
+
+    Plan shape: the bitmap is m_bits/64 longs (ONE small aggregation,
+    broadcast); each of the k probes is a BroadcastHashJoin LEFT SEMI
+    with a bitwise residual — zero shuffle of the big side; only
+    survivors reach the exact semi-join (broadcast as well, since
+    ``small`` is small by contract).
+    """
+    from .dedup import md5_hash60
+
+    def positions(key_col: Column) -> list[Column]:
+        return [md5_hash60(F.concat(F.lit(f"bf{i}:"),
+                                    key_col.cast("string"))) % m_bits
+                for i in range(k)]
+
+    # build side: distinct keys -> k (word, mask) rows -> OR per word
+    sk = small.select(F.col(small_key).alias("_k")).distinct()
+    rows = None
+    for h in positions(F.col("_k")):
+        part = (sk.select(h.alias("_h"))
+                  .select(F.expr("_h DIV 64").alias("_w"),
+                          F.expr("shiftleft(1L, cast(_h % 64 as int))")
+                           .alias("_m")))
+        rows = part if rows is None else rows.unionByName(part)
+    bitmap = rows.groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+
+    probed = big
+    for i, h in enumerate(positions(F.col(big_key))):
+        probed = (probed
+                  .withColumn(f"_ph{i}", h)
+                  .withColumn(f"_pw{i}", F.expr(f"_ph{i} DIV 64"))
+                  .withColumn(f"_pm{i}", F.expr(
+                      f"shiftleft(1L, cast(_ph{i} % 64 as int))")))
+    for i in range(k):
+        bm = F.broadcast(bitmap
+                         .withColumnRenamed("_w", f"_w{i}")
+                         .withColumnRenamed("_bits", f"_bits{i}"))
+        probed = probed.join(
+            bm, (F.col(f"_pw{i}") == F.col(f"_w{i}"))
+            & (F.col(f"_pm{i}").bitwiseAND(F.col(f"_bits{i}"))
+               == F.col(f"_pm{i}")), "left_semi")
+    survivors = probed.drop(*[c for i in range(k)
+                              for c in (f"_ph{i}", f"_pw{i}", f"_pm{i}")])
+    return survivors.join(F.broadcast(sk),
+                          F.col(big_key) == F.col("_k"), "left_semi")

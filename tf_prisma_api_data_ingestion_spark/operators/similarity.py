@@ -530,3 +530,46 @@ def lsh_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
     top = top_k_per_group(scored, ["query_id"], "cos", k, descending=True,
                           tiebreak=[id_col])
     return top.select("query_id", id_col, F.round("cos", 4).alias("cos_r"))
+
+
+def quantize_int8_error(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization audit: quantize every embedding to 8 bits
+    per dimension against the corpus-wide per-dimension [min, max] range
+    and report each vector's worst-case reconstruction error — the
+    go/no-go check before shipping a 4x-smaller vector index (int8 is the
+    standard serving format; this measures what it costs on YOUR corpus).
+
+    q = floor((v - min_d) / scale_d + 0.5) clamped to [0, 255],
+    scale_d = (max_d - min_d) / 255, reconstruction r = min_d + q*scale_d.
+    Every step is a fixed chain of correctly-rounded IEEE double ops
+    (subtract / divide / floor / multiply / add — no libm), so the
+    per-vector max |v - r| is bit-identical across engines. Per-vector
+    MAX is aggregation-order-independent (unlike a mean), which is what
+    makes the audit oracle-checkable; constant dimensions (max == min)
+    reconstruct exactly and contribute 0.
+
+    Scale design: the per-dimension range is one map-side-combinable
+    aggregation over the exploded corpus, broadcast back as a |dim|-row
+    frame; the audit pass is then embarrassingly parallel. Returns
+    (vec_id, max_err_r, n_clipped) where n_clipped counts dimensions
+    landing exactly on a range endpoint (saturation pressure).
+    """
+    v = F.col("_v").cast("double")
+    ex = embeddings.select(F.col(id_col), F.posexplode(F.col(vec_col))
+                           .alias("_d", "_v"))
+    rng = (ex.groupBy("_d").agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+             .withColumn("_scale", (F.col("_hi") - F.col("_lo")) / 255.0))
+    q = F.least(F.greatest(
+        F.floor((v - F.col("_lo")) / F.col("_scale") + 0.5), F.lit(0)),
+        F.lit(255)).cast("double")
+    recon = F.col("_lo") + q * F.col("_scale")
+    err = F.when(F.col("_hi") > F.col("_lo"), F.abs(v - recon)) \
+           .otherwise(F.lit(0.0))
+    clipped = F.when((F.col("_hi") > F.col("_lo"))
+                     & ((q == 0) | (q == 255)), 1).otherwise(0)
+    return (ex.join(F.broadcast(rng), "_d")
+              .select(F.col(id_col), err.alias("_e"), clipped.alias("_cl"))
+              .groupBy(id_col)
+              .agg(F.round(F.max("_e"), 6).alias("max_err_r"),
+                   F.sum("_cl").alias("n_clipped")))

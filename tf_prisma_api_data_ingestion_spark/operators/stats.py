@@ -241,3 +241,74 @@ def winsorized_mean(df: DataFrame, group_col: str, y_2dec: Column,
                     F.round(F.col("_phi") / 100.0, 4).alias("p_hi"),
                     F.round((F.col("_s") / F.col("n")) / 100.0, 4)
                      .alias("win_mean")))
+
+
+def benford_profile(df: DataFrame, amount_2dec) -> DataFrame:
+    """First-significant-digit distribution of a positive money column
+    against Benford's law — the classic fraud / synthetic-data smoke
+    test (real transactional amounts follow log10(1+1/d); generated or
+    tampered ones usually don't).
+
+    Determinism: the digit is extracted from the STRING of the exact
+    BIGINT cents value (integer-to-string renders identically in every
+    engine; a double-to-string rendering would not), and the expected
+    shares are hardcoded literals — no log10 at query time, whose last
+    ulp is libm-specific. One map-side-combinable 9-row aggregation.
+
+    Returns (digit, n, obs_r, exp_r, dev_r) — observed vs expected share
+    and the signed deviation, all rounded at the edge.
+    """
+    cents = _cents(amount_2dec)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    per = (df.filter(amount_2dec > 0)
+             .select(digit.alias("digit"))
+             .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = per.agg(F.sum("n").alias("_t"))
+    # log10(1 + 1/d) to 6 places, as literals (same constants both engines)
+    exp = (F.when(F.col("digit") == 1, 0.301030)
+            .when(F.col("digit") == 2, 0.176091)
+            .when(F.col("digit") == 3, 0.124939)
+            .when(F.col("digit") == 4, 0.096910)
+            .when(F.col("digit") == 5, 0.079181)
+            .when(F.col("digit") == 6, 0.066947)
+            .when(F.col("digit") == 7, 0.057992)
+            .when(F.col("digit") == 8, 0.051153)
+            .otherwise(0.045757))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    return (per.crossJoin(F.broadcast(tot))
+               .select("digit", "n",
+                       F.round(obs, 6).alias("obs_r"),
+                       exp.alias("exp_r"),
+                       F.round(obs - exp, 6).alias("dev_r")))
+
+
+def key_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew profile: the one-row diagnostic to read BEFORE
+    picking a join strategy at 100 TB — distinct keys, rows, the heaviest
+    key's share, quartile/tail per-key counts, and the max/mean skew
+    ratio that decides between a plain shuffle join, AQE skew split, and
+    explicit salting (operators/relational.py salted_join).
+
+    Two aggregations: per-key counts (map-side-combinable), then a
+    single-row reduction over the (distinct-key-sized) count frame.
+    Percentiles interpolate over exact integer counts — at most one
+    binary fraction of precision, recovered exactly by round(4) in both
+    engines (same argument as catalog op-percentiles).
+    """
+    per = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("_c"))
+    pct = F.percentile("_c", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").alias("n_rows"),
+        F.max("_c").alias("max_cnt"),
+        pct.alias("_p"),
+    ).select(
+        "n_keys", "n_rows", "max_cnt",
+        F.round(F.element_at("_p", 1), 4).alias("p50_cnt"),
+        F.round(F.element_at("_p", 2), 4).alias("p90_cnt"),
+        F.round(F.element_at("_p", 3), 4).alias("p99_cnt"),
+        F.round(F.col("max_cnt").cast("double")
+                / (F.col("n_rows").cast("double")
+                   / F.col("n_keys").cast("double")), 4).alias("skew_ratio"),
+        F.round(F.col("max_cnt").cast("double")
+                / F.col("n_rows").cast("double"), 6).alias("top_share"))

@@ -140,3 +140,49 @@ def merge_intervals(df: DataFrame, key: str, start_col: str, end_col: str,
                    F.max(end_col).alias(out_end),
                    F.count(F.lit(1)).alias(count_out))
               .drop("_island"))
+
+
+def seasonal_anomaly(events: DataFrame, ts_col: str = "ts",
+                     z_threshold: float = 2.0) -> DataFrame:
+    """Seasonal-profile anomaly detection on event volume: hourly counts
+    are compared to the mean/stddev of the SAME hour-of-day across all
+    days (the seasonal baseline), and (day, hour) cells whose z-score
+    crosses the threshold are flagged — the on-call 'traffic looks wrong
+    for 3am' primitive, purely declarative.
+
+    Timestamps reduce to integer epoch seconds first (``unix_seconds`` —
+    timezone-free, the repo-wide rule for ts determinism), so the
+    day/hour bucketing is exact integer math. The per-hour-of-day
+    mean/std come from exact integer sums (sample stddev, one sqrt at
+    the edge); z is a fixed double chain. Hours observed on fewer than 2
+    days, or with zero variance, are skipped (z undefined).
+
+    Scale design: the raw scan collapses map-side to one row per
+    (day, hour); the seasonal profile is a 24-row frame broadcast back.
+    Returns (day, hod, n, mean_r, z_r) for flagged cells.
+    """
+    sec = F.unix_seconds(F.col(ts_col))
+    cells = (events
+             .select((sec - (sec % 86400)).alias("day"),
+                     ((sec % 86400) / 3600).cast("long").alias("hod"))
+             .groupBy("day", "hod")
+             .agg(F.count(F.lit(1)).alias("n")))
+    prof = cells.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("_d"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"))
+    d = F.col("_d").cast("double")
+    s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
+    mean = s / d
+    var = (d * ss - s * s) / (d * (d - 1))
+    prof = (prof.filter(F.col("_d") >= 2)
+                .select("hod", mean.alias("_mean"),
+                        F.sqrt(var).alias("_std"))
+                .filter(F.col("_std") > 0))
+    z = (F.col("n").cast("double") - F.col("_mean")) / F.col("_std")
+    return (cells.join(F.broadcast(prof), "hod")
+                 .withColumn("_z", z)
+                 .filter(F.abs(F.col("_z")) >= F.lit(float(z_threshold)))
+                 .select("day", "hod", "n",
+                         F.round("_mean", 6).alias("mean_r"),
+                         F.round("_z", 6).alias("z_r")))
