@@ -5901,6 +5901,424 @@ WHERE NOT EXISTS (
 """
 
 
+
+# =====================================================================
+# round-6b ML-pipeline batch: label propagation, recommenders, feature
+# engineering, significance testing, sampling, sequence models, data
+# forensics, quantization, and Bloom-prefiltered joins
+# =====================================================================
+
+def q_op_knn_classify(spark, sf_dir):
+    """kNN label propagation (operators/ml.py knn_classify): the held-out
+    5% of embeddings (vec_id % 20 == 0) take the majority label of their
+    5 nearest labeled neighbors by cosine. Broadcast query batch, one
+    corpus scan, tiny top-k + vote shuffles; vote ties break to the
+    smaller label, so the prediction is a total order both engines walk
+    identically."""
+    from .operators.ml import knn_classify
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_classify(e.filter(F.col("vec_id") % 20 == 0),
+                        e.filter(F.col("vec_id") % 20 != 0), k=5)
+
+
+SQL_OP_KNN_CLASSIFY = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+c AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+         {_SQL_COS.format(a='q.v', b='c.v')} AS cos
+  FROM q JOIN c ON c.vec_id <> q.vec_id),
+top AS (
+  SELECT query_id, label
+  FROM (SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= 5),
+votes AS (SELECT query_id, label, count(*) AS votes FROM top GROUP BY 1, 2)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes,
+       CAST(5 AS BIGINT) AS n_candidates
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label ASC) AS rn
+      FROM votes)
+WHERE rn = 1
+"""
+
+
+def q_op_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering over order baskets
+    (operators/ml.py item_item_cf): cosine on the part-order incidence
+    matrix, top-3 recommendations per part with support >= 2. The
+    self-join is keyed on the basket id (quadratic only within a basket,
+    bounded by basket size); counts are exact integers, the sqrt+divide
+    is one fixed double chain per surviving pair."""
+    from .operators.ml import item_item_cf
+    li = _t(spark, sf_dir, "lineitem")
+    return item_item_cf(li, "l_orderkey", "l_partkey",
+                        min_support=2, k=3)
+
+
+SQL_OP_ITEM_CF = """
+WITH inc AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ni AS (SELECT i, count(*) AS n FROM inc GROUP BY 1),
+co AS (SELECT a.i AS u, b.i AS v, count(*) AS co
+       FROM inc a JOIN inc b ON a.b = b.b AND a.i < b.i
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+bo AS (SELECT u, v, co FROM co UNION ALL SELECT v, u, co FROM co),
+sim AS (
+  SELECT u AS item_a, v AS item_b, co,
+         CAST(co AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+  FROM bo JOIN ni na ON bo.u = na.i JOIN ni nb ON bo.v = nb.i)
+SELECT item_a, item_b, co, round(sim, 6) AS sim_r, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY item_a
+                                   ORDER BY sim DESC, item_b ASC) AS rn
+      FROM sim)
+WHERE rn <= 3
+"""
+
+
+def q_op_target_encode(spark, sf_dir):
+    """Smoothed mean target encoding (operators/ml.py target_encode) of
+    part brand against the returned-flag label: empirical-Bayes shrinkage
+    (m=20) toward the broadcast global mean. Two map-side-combinable
+    integer aggregations; encoding is one fixed double chain."""
+    from .operators.ml import target_encode
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return target_encode(joined, "p_brand",
+                         (F.col("l_returnflag") == "R").cast("int"))
+
+
+SQL_OP_TARGET_ENCODE = """
+WITH per AS (
+  SELECT p_brand AS category, count(*) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS sum_y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(sum_y) AS ty FROM per)
+SELECT category, n, sum_y,
+       round(CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r,
+       round((CAST(sum_y AS DOUBLE)
+              + 20.0 * (CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + 20.0), 6) AS enc_r
+FROM per, tot
+"""
+
+
+def q_op_chi2_terms(spark, sf_dir):
+    """Chi-square feature selection (operators/ml.py chi2_terms): the 20
+    tokens most associated with lang='en' by document frequency, df >= 5.
+    One distinct (doc, term) explode, exact integer contingency cells,
+    the chi2 polynomial in a fixed double association order — the oracle
+    orders by the same rounded statistic so ties resolve identically."""
+    from .operators.ml import chi2_terms
+    d = _t(spark, sf_dir, "documents")
+    return chi2_terms(d, "text", (F.col("lang") == "en").cast("int"),
+                      top_k=20, min_df=5)
+
+
+SQL_OP_CHI2_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'),
+           x -> x <> ''))) AS term
+  FROM documents),
+per AS (SELECT term, count(*) AS df, CAST(sum(y) AS BIGINT) AS df_pos
+        FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS npos
+        FROM documents),
+cells AS (
+  SELECT term, df, df_pos,
+         CAST(df_pos AS DOUBLE) AS a,
+         CAST(df - df_pos AS DOUBLE) AS b,
+         CAST(npos - df_pos AS DOUBLE) AS c,
+         CAST((n - npos) - (df - df_pos) AS DOUBLE) AS d,
+         CAST(n AS DOUBLE) AS nn
+  FROM per, tot WHERE df >= 5)
+SELECT term, df, df_pos,
+       round(nn * (a * d - b * c) * (a * d - b * c)
+             / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2_r
+FROM cells
+ORDER BY chi2_r DESC, term ASC
+LIMIT 20
+"""
+
+
+def q_op_welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test (operators/ml.py welch_ttest) between the
+    click and view event values: exact DECIMAL-cents sums (one
+    map-side-combinable aggregation), then mean/variance/t/df as fixed
+    double chains — the A/B significance primitive, one row out."""
+    from .operators.ml import welch_ttest
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", F.col("value"), "click", "view")
+
+
+SQL_OP_WELCH_TTEST = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(18,0))) AS DOUBLE) AS s,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(18,0))
+                  * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS DECIMAL(18,0))) AS DOUBLE) AS ss
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+a AS (SELECT n AS n_a, s AS sa, ss AS ssa,
+             CAST(n AS DOUBLE) AS nda FROM g WHERE event_type = 'click'),
+b AS (SELECT n AS n_b, s AS sb, ss AS ssb,
+             CAST(n AS DOUBLE) AS ndb FROM g WHERE event_type = 'view'),
+m AS (
+  SELECT n_a, n_b,
+         sa / nda AS ma, sb / ndb AS mb,
+         ((nda * ssa - sa * sa) / (nda * (nda - 1))) / (nda * 10000.0) AS va,
+         ((ndb * ssb - sb * sb) / (ndb * (ndb - 1))) / (ndb * 10000.0) AS vb,
+         nda, ndb
+  FROM a, b)
+SELECT n_a, n_b,
+       round(ma / 100.0, 6) AS mean_a_r,
+       round(mb / 100.0, 6) AS mean_b_r,
+       round(((ma - mb) / 100.0) / sqrt(va + vb), 6) AS t_r,
+       round(((va + vb) * (va + vb))
+             / (va * va / (nda - 1) + vb * vb / (ndb - 1)), 3) AS df_r
+FROM m
+"""
+
+
+def q_op_weighted_sample(spark, sf_dir):
+    """Weight-proportional systematic (PPS) sample of orders by price
+    (operators/ml.py weighted_systematic_sample): 64 hash shards x 8
+    picks, md5-permuted order, exact BIGINT threshold crossings — no
+    transcendental sampling keys, so both engines select the identical
+    set. The windows are per-shard (parallel, no global sort)."""
+    from .operators.ml import weighted_systematic_sample
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(18,0)").cast("long")
+    return weighted_systematic_sample(o, "o_orderkey", cents,
+                                      per_shard=8, shards=64)
+
+
+SQL_OP_WEIGHTED_SAMPLE = """
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS DECIMAL(18,0)) AS BIGINT) AS w,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM orders),
+c AS (
+  SELECT key, w, h % 64 AS shard,
+         sum(w) OVER (PARTITION BY h % 64 ORDER BY h, key) AS cum,
+         sum(w) OVER (PARTITION BY h % 64) AS big
+  FROM base)
+SELECT key, w AS weight_cents, CAST(shard AS BIGINT) AS shard,
+       CAST((cum * 8) // big AS BIGINT) AS pick
+FROM c
+WHERE (cum * 8) // big > ((cum - w) * 8) // big
+"""
+
+
+def q_op_markov_transitions(spark, sf_dir):
+    """First-order Markov transition model over per-user event sequences
+    (operators/ml.py markov_transitions): LAG over (ts, event_id) order,
+    integer transition counts, per-source probabilities from a broadcast
+    normalizer — the session-flow model behind funnel discovery and
+    synthetic-sequence generation."""
+    from .operators.ml import markov_transitions
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "event_type",
+                              ["ts", "event_id"])
+
+
+SQL_OP_MARKOV_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+n AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT src, sum(n) AS tt FROM n GROUP BY 1)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS p_r
+FROM n JOIN t USING (src)
+"""
+
+
+def q_op_benford(spark, sf_dir):
+    """Benford first-digit forensics on order totals
+    (operators/stats.py benford_profile): digit from the STRING of the
+    exact BIGINT cents (integer rendering is engine-identical; double
+    rendering is not), expected shares as hardcoded literals — no
+    query-time log10. One 9-row aggregation."""
+    from .operators.stats import benford_profile
+    o = _t(spark, sf_dir, "orders")
+    return benford_profile(o, F.col("o_totalprice"))
+
+
+SQL_OP_BENFORD = """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS DECIMAL(18,0)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM per),
+e AS (SELECT digit, n,
+             CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS obs,
+             CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                        WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                        WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                        WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                        ELSE 0.045757 END AS exp_r
+      FROM per, tot)
+SELECT digit, n, round(obs, 6) AS obs_r, exp_r,
+       round(obs - exp_r, 6) AS dev_r
+FROM e
+"""
+
+
+def q_op_key_profile(spark, sf_dir):
+    """Join-key skew profile of lineitem.l_partkey
+    (operators/stats.py key_profile): the one-row diagnostic read before
+    choosing shuffle vs AQE-skew vs salted join. Exact integer counts;
+    percentile interpolation recovered by round(4) (op-percentiles
+    argument)."""
+    from .operators.stats import key_profile
+    li = _t(spark, sf_dir, "lineitem")
+    return key_profile(li, "l_partkey")
+
+
+SQL_OP_KEY_PROFILE = """
+WITH per AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+SELECT count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_cnt,
+       round(quantile_cont(c, 0.5), 4) AS p50_cnt,
+       round(quantile_cont(c, 0.9), 4) AS p90_cnt,
+       round(quantile_cont(c, 0.99), 4) AS p99_cnt,
+       round(CAST(max(c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
+         AS skew_ratio,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS top_share
+FROM per
+"""
+
+
+def q_op_anomaly_seasonal(spark, sf_dir):
+    """Seasonal-profile volume anomalies (operators/timeseries.py
+    seasonal_anomaly): hourly event counts vs the same-hour-of-day
+    mean/std across days, |z| >= 2 flagged. Integer epoch-second
+    bucketing (timezone-free), exact integer sums, one sqrt at the edge;
+    the 24-row seasonal profile is broadcast."""
+    from .operators.timeseries import seasonal_anomaly
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "ts", z_threshold=2.0)
+
+
+SQL_OP_ANOMALY_SEASONAL = """
+WITH cells AS (
+  SELECT sec - (sec % 86400) AS day,
+         (sec % 86400) // 3600 AS hod, count(*) AS n
+  FROM (SELECT epoch_us(ts) // 1000000 AS sec FROM events)
+  GROUP BY 1, 2),
+prof0 AS (
+  SELECT hod, count(*) AS d, CAST(sum(n) AS DOUBLE) AS s,
+         CAST(sum(n * n) AS DOUBLE) AS ss, CAST(count(*) AS DOUBLE) AS dd
+  FROM cells GROUP BY 1),
+prof AS (
+  SELECT hod, s / dd AS mean,
+         sqrt((dd * ss - s * s) / (dd * (dd - 1))) AS std
+  FROM prof0 WHERE d >= 2),
+z AS (
+  SELECT day, c.hod, n, mean,
+         (CAST(n AS DOUBLE) - mean) / std AS z
+  FROM cells c JOIN prof p ON c.hod = p.hod
+  WHERE std > 0)
+SELECT day, hod, n, round(mean, 6) AS mean_r, round(z, 6) AS z_r
+FROM z WHERE abs(z) >= 2.0
+"""
+
+
+def q_sim_quantize_int8(spark, sf_dir):
+    """Int8 scalar-quantization audit (operators/similarity.py
+    quantize_int8_error): per-dimension corpus range, floor(+0.5)
+    quantize, per-vector MAX reconstruction error (order-independent,
+    unlike a mean — that is what makes the audit oracle-checkable) plus
+    a saturation count. Every step is +-*/ floor abs — no libm."""
+    from .operators.similarity import quantize_int8_error
+    return quantize_int8_error(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SIM_QUANTIZE_INT8 = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+rng AS (
+  SELECT d, min(v) AS lo, max(v) AS hi,
+         CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / 255.0
+              ELSE 1.0 END AS scale
+  FROM ex GROUP BY 1),
+aud AS (
+  SELECT vec_id,
+         CASE WHEN hi > lo
+              THEN abs(v - (lo + CAST(LEAST(GREATEST(
+                     floor((v - lo) / scale + 0.5), 0), 255) AS DOUBLE)
+                     * scale))
+              ELSE 0.0 END AS e,
+         CASE WHEN hi > lo
+                   AND (LEAST(GREATEST(floor((v - lo) / scale + 0.5), 0),
+                              255) = 0
+                        OR LEAST(GREATEST(floor((v - lo) / scale + 0.5),
+                                          0), 255) = 255)
+              THEN 1 ELSE 0 END AS cl
+  FROM ex JOIN rng USING (d))
+SELECT vec_id, round(max(e), 6) AS max_err_r,
+       CAST(sum(cl) AS BIGINT) AS n_clipped
+FROM aud GROUP BY 1
+"""
+
+
+def q_op_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered exact semi-join (operators/relational.py
+    bloom_prefilter_semi_join): lineitem rows of top-2% orders, pruned
+    map-side by a 2^17-bit / 3-hash bitmap (three BroadcastHashJoin LEFT
+    SEMI probes, zero shuffle of the fact side) before the exact
+    semi-join. The filter never affects the answer — false positives die
+    in the exact join — so the oracle is the plain semi-join aggregate."""
+    from .operators.relational import bloom_prefilter_semi_join
+    li = _t(spark, sf_dir, "lineitem")
+    hv = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_totalprice") > 490000)
+          .select("o_orderkey"))
+    bl = bloom_prefilter_semi_join(li, hv, "l_orderkey", "o_orderkey")
+    return bl.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dec_sum("l_quantity").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+SQL_OP_BLOOM_PREFILTER = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -5917,7 +6335,20 @@ WHERE NOT EXISTS (
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # 1-5: the 5 NEW synthetic-partsupp TPC-H keys (full 22/22 suite)
+    # 1-12: the r6b ML-pipeline batch (newest keys, never driver-checked)
+    "op-knn-classify": q_op_knn_classify,
+    "op-item-cf": q_op_item_cf,
+    "op-target-encode": q_op_target_encode,
+    "op-chi2-terms": q_op_chi2_terms,
+    "op-welch-ttest": q_op_welch_ttest,
+    "op-weighted-sample": q_op_weighted_sample,
+    "op-markov-transitions": q_op_markov_transitions,
+    "op-benford": q_op_benford,
+    "op-key-profile": q_op_key_profile,
+    "op-anomaly-seasonal": q_op_anomaly_seasonal,
+    "sim-quantize-int8": q_sim_quantize_int8,
+    "op-bloom-prefilter": q_op_bloom_prefilter,
+    # 13-17: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
     "tpch-q2": q_tpch_q2,
     "tpch-q9": q_tpch_q9,
     "tpch-q11": q_tpch_q11,
@@ -6141,6 +6572,18 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "op-knn-classify": SQL_OP_KNN_CLASSIFY,
+    "op-item-cf": SQL_OP_ITEM_CF,
+    "op-target-encode": SQL_OP_TARGET_ENCODE,
+    "op-chi2-terms": SQL_OP_CHI2_TERMS,
+    "op-welch-ttest": SQL_OP_WELCH_TTEST,
+    "op-weighted-sample": SQL_OP_WEIGHTED_SAMPLE,
+    "op-markov-transitions": SQL_OP_MARKOV_TRANSITIONS,
+    "op-benford": SQL_OP_BENFORD,
+    "op-key-profile": SQL_OP_KEY_PROFILE,
+    "op-anomaly-seasonal": SQL_OP_ANOMALY_SEASONAL,
+    "sim-quantize-int8": SQL_SIM_QUANTIZE_INT8,
+    "op-bloom-prefilter": SQL_OP_BLOOM_PREFILTER,
     "op-fuzzy-join": SQL_OP_FUZZY_JOIN,
     "op-linreg-group": SQL_OP_LINREG_GROUP,
     "op-outlier-mad": SQL_OP_OUTLIER_MAD,

@@ -559,7 +559,10 @@ def quantize_int8_error(embeddings: DataFrame, id_col: str = "vec_id",
     ex = embeddings.select(F.col(id_col), F.posexplode(F.col(vec_col))
                            .alias("_d", "_v"))
     rng = (ex.groupBy("_d").agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
-             .withColumn("_scale", (F.col("_hi") - F.col("_lo")) / 255.0))
+             .withColumn("_scale",
+                         F.when(F.col("_hi") > F.col("_lo"),
+                                (F.col("_hi") - F.col("_lo")) / 255.0)
+                          .otherwise(F.lit(1.0))))  # constant dim: no NaN div
     q = F.least(F.greatest(
         F.floor((v - F.col("_lo")) / F.col("_scale") + 0.5), F.lit(0)),
         F.lit(255)).cast("double")
