@@ -6044,8 +6044,10 @@ cells AS (
          CAST(n AS DOUBLE) AS nn
   FROM per, tot WHERE df >= 5)
 SELECT term, df, df_pos,
-       round(nn * (a * d - b * c) * (a * d - b * c)
-             / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2_r
+       round(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                  THEN nn * (a * d - b * c) * (a * d - b * c)
+                       / ((a + b) * (c + d) * (a + c) * (b + d))
+                  ELSE 0.0 END, 6) AS chi2_r
 FROM cells
 ORDER BY chi2_r DESC, term ASC
 LIMIT 20

@@ -180,8 +180,12 @@ def chi2_terms(docs: DataFrame, text_col: str, pos01, top_k: int = 20,
     d = ((F.col("_n") - F.col("_npos"))
          - (F.col("df") - F.col("df_pos"))).cast("double")
     n = F.col("_n").cast("double")
-    chi2 = (n * (a * d - b * c) * (a * d - b * c)
-            / ((a + b) * (c + d) * (a + c) * (b + d)))
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    # a zero marginal (term in every/no doc, or a one-class corpus) means
+    # zero signal, not a division error — the operator is total under ANSI
+    chi2 = F.when(denom > 0,
+                  n * (a * d - b * c) * (a * d - b * c) / denom) \
+            .otherwise(F.lit(0.0))
     scored = (per.filter(F.col("df") >= min_df)
                  .crossJoin(F.broadcast(tot))
                  .select("term", "df", "df_pos",
