@@ -56,6 +56,11 @@ HEADLINE = (
     "op-triangle-count",      # degree-oriented wedge join
     "op-graph-bfs",           # frontier-iteration reachability
     "op-skyline",             # Pareto frontier (collapsed-frame window)
+    # r6b ML-pipeline batch representatives (the rest of the batch is
+    # fixed-overhead-bound at sf0.1 — SCALING "ML-pipeline batch" table)
+    "op-knn-classify",        # broadcast-queries cosine kNN vote
+    "op-item-cf",             # capped item-item co-occurrence CF
+    "op-bloom-prefilter",     # Bloom-film semi-join over lineitem
 )
 
 # Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
@@ -82,6 +87,8 @@ SCALING_SF01 = {
     "dedup-prefix-jaccard": 3.27, "dedup-containment": 1.78,
     "text-bm25-topk": 0.74, "op-pagerank": 4.16,
     "op-triangle-count": 7.85, "op-graph-bfs": 8.08, "op-skyline": 0.41,
+    # r6b ML-pipeline batch (SCALING "ML-pipeline batch" table)
+    "op-knn-classify": 1.91, "op-item-cf": 2.73, "op-bloom-prefilter": 5.92,
 }
 
 
