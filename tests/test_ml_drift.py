@@ -1,0 +1,116 @@
+"""Unit tests for the round-6c drift / diversity / association / LM
+batch (operators/ml.py ks_drift, drift_bins, gini_diversity, cramers_v;
+operators/text.py lm_likelihood).
+
+Hand-computed micro-fixtures plus the degenerate shapes the parquet
+fixtures don't contain (one-sided samples, single-level categoricals,
+sub-bigram documents)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.operators import ml
+from tf_prisma_api_data_ingestion_spark.operators.text import lm_likelihood
+
+
+def test_ks_drift_hand_example(spark):
+    # ref: bins 1,1,2,3 ; cur: bins 2,3,3,3
+    # ECDF_ref = 1:.5  2:.75 3:1 ; ECDF_cur = 1:0 2:.25 3:1
+    # KS = max(.5, .5, 0) = 0.5
+    rows = [(1, 0), (1, 0), (2, 0), (3, 0),
+            (2, 1), (3, 1), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "bin long, c int")
+    out = ml.ks_drift(df, F.col("bin"), F.col("c") == 1).collect()[0]
+    assert (out.n_ref, out.n_cur, out.n_bins) == (4, 4, 3)
+    assert out.ks_r == pytest.approx(0.5)
+
+
+def test_ks_drift_identical_distributions_is_zero(spark):
+    rows = [(b, c) for b in (1, 2, 3, 4) for c in (0, 1)]
+    df = spark.createDataFrame(rows, "bin long, c int")
+    out = ml.ks_drift(df, F.col("bin"), F.col("c") == 1).collect()[0]
+    assert out.ks_r == 0.0
+
+
+def test_ks_drift_one_sided_sample_is_null_not_error(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0)], "bin long, c int")
+    out = ml.ks_drift(df, F.col("c") == 1, F.col("c") == 1)
+    row = ml.ks_drift(df, F.col("bin"), F.col("c") == 1).collect()[0]
+    assert row.n_cur == 0 and row.ks_r is None
+    assert out.count() == 1  # total on the degenerate bin too
+
+
+def test_drift_bins_shares_and_chi2(spark):
+    # bin 1: ref 3 cur 1 ; bin 2: ref 1 cur 3  (n=8, bt=4 each)
+    rows = [(1, 0)] * 3 + [(1, 1)] + [(2, 0)] + [(2, 1)] * 3
+    df = spark.createDataFrame(rows, "bin long, c int")
+    out = {r.bin: r for r in
+           ml.drift_bins(df, F.col("bin"), F.col("c") == 1).collect()}
+    assert out[1].n_ref == 3 and out[1].n_cur == 1
+    assert out[1].p_ref_r == pytest.approx(0.75)
+    assert out[1].p_cur_r == pytest.approx(0.25)
+    # expected ref in bin1 = bt*tr/n = 4*4/8 = 2; term = (3-2)^2/2 = .5
+    # cur term = (1-2)^2/2 = .5 ; chi2 = 1.0 — symmetric for bin 2
+    assert out[1].chi2_r == pytest.approx(1.0)
+    assert out[2].chi2_r == pytest.approx(1.0)
+
+
+def test_gini_diversity_hand_example(spark):
+    # group a: cats x,x,y,y -> gini = 1 - (4+4)/16 = .5, simpson = 2
+    # group b: cats x,x,x,x -> gini = 0, simpson = 1
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+            ("b", "x"), ("b", "x"), ("b", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.grp: r for r in ml.gini_diversity(df, "g", "c").collect()}
+    assert out["a"].gini_r == pytest.approx(0.5)
+    assert out["a"].simpson_r == pytest.approx(2.0)
+    assert out["a"].n_cats == 2
+    assert out["b"].gini_r == 0.0 and out["b"].simpson_r == 1.0
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    rows = [("a", "p")] * 5 + [("b", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = ml.cramers_v(df, "x", "y").collect()[0]
+    assert (out.n, out.r_levels, out.c_levels) == (10, 2, 2)
+    assert out.chi2_r == pytest.approx(10.0)  # chi2 = n for a perfect 2x2
+    assert out.v_r == pytest.approx(1.0)
+
+
+def test_cramers_v_independence_is_zero(spark):
+    rows = [(x, y) for x in ("a", "b") for y in ("p", "q")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = ml.cramers_v(df, "x", "y").collect()[0]
+    assert out.chi2_r == 0.0 and out.v_r == 0.0
+
+
+def test_cramers_v_single_level_is_null(spark):
+    df = spark.createDataFrame([("a", "p"), ("a", "q")], "x string, y string")
+    out = ml.cramers_v(df, "x", "y").collect()[0]
+    assert out.r_levels == 1 and out.v_r is None
+
+
+def test_lm_likelihood_hand_example(spark):
+    # corpus: d1 = "a b a b" -> bigrams (a,b)x2, (b,a)x1
+    #         d2 = "a b"     -> (a,b)x1
+    # c12: (a,b)=3, (b,a)=1 ; c1: a=3, b=1 ; V=2
+    # P(b|a) = (3+1)/(3+2) = .8 ; P(a|b) = (1+1)/(1+2) = 2/3
+    rows = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_likelihood(df).collect()}
+    assert out[1].n_bigrams == 3
+    # mean = (2*.8 + 2/3)/3 ; integer-scaled floor division truncates at
+    # 1e-12, so compare to 6 decimals
+    assert out[1].lm_ppm_r == pytest.approx(
+        ((0.8 * 2 + 2 / 3) / 3) * 1e6, abs=1.0)
+    assert out[2].lm_ppm_r == pytest.approx(0.8 * 1e6, abs=1.0)
+
+
+def test_lm_likelihood_short_docs_dropped(spark):
+    rows = [(1, "single"), (2, ""), (3, "two tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_likelihood(df).collect()
+    assert [r.doc_id for r in out] == [3]
+    assert out[0].n_bigrams == 1

@@ -6321,6 +6321,215 @@ WHERE l_orderkey IN
 """
 
 
+
+def q_op_drift_ks(spark, sf_dir):
+    """Binned two-sample KS drift (operators/ml.py ks_drift) on the
+    order-price distribution, pre-1996 reference vs 1996+ current:
+    $1000 bins, exact-integer ECDF gap numerator in DECIMAL(38,0), one
+    double division at the edge. The train/serve feature-drift test."""
+    from .operators.ml import ks_drift
+    o = _t(spark, sf_dir, "orders")
+    bins = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000")
+    return ks_drift(o, bins, F.col("o_orderdate") >= F.lit("1996-01-01"))
+
+
+SQL_OP_DRIFT_KS = """
+WITH b AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         // 100000 AS bin,
+         CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END AS c
+  FROM orders),
+g AS (SELECT bin,
+             COUNT(*) FILTER (WHERE c = 0) AS r,
+             COUNT(*) FILTER (WHERE c = 1) AS k
+      FROM b GROUP BY bin),
+cum AS (SELECT bin, r, k,
+               CAST(SUM(r) OVER (ORDER BY bin) AS HUGEINT) AS cr,
+               CAST(SUM(k) OVER (ORDER BY bin) AS HUGEINT) AS ck,
+               CAST(SUM(r) OVER () AS HUGEINT) AS tr,
+               CAST(SUM(k) OVER () AS HUGEINT) AS tk
+        FROM g)
+SELECT CAST(MAX(tr) AS BIGINT) AS n_ref,
+       CAST(MAX(tk) AS BIGINT) AS n_cur,
+       COUNT(*) AS n_bins,
+       round(CASE WHEN MAX(tr) > 0 AND MAX(tk) > 0 THEN
+             CAST(MAX(ABS(cr * tk - ck * tr)) AS DOUBLE)
+             / (CAST(MAX(tr) AS DOUBLE) * CAST(MAX(tk) AS DOUBLE)) END,
+             6) AS ks_r
+FROM cum
+"""
+
+
+def q_op_drift_bins(spark, sf_dir):
+    """Per-bin drift audit (operators/ml.py drift_bins) on order price,
+    $25k bins, pre-1996 vs 1996+: per-bin shares plus the log-free
+    chi-square contribution (the PSI analog under this repo's no-ln
+    contract). Each bin's term is a fixed double chain over exact
+    DECIMAL(38,0) cross products — no cross-row double sums."""
+    from .operators.ml import drift_bins
+    o = _t(spark, sf_dir, "orders")
+    bins = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 2500000")
+    return drift_bins(o, bins, F.col("o_orderdate") >= F.lit("1996-01-01"))
+
+
+SQL_OP_DRIFT_BINS = """
+WITH b AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         // 2500000 AS bin,
+         CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END AS c
+  FROM orders),
+g AS (SELECT bin,
+             COUNT(*) FILTER (WHERE c = 0) AS n_ref,
+             COUNT(*) FILTER (WHERE c = 1) AS n_cur
+      FROM b GROUP BY bin),
+t AS (SELECT bin, n_ref, n_cur,
+             SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tk,
+             n_ref + n_cur AS bt,
+             SUM(n_ref) OVER () + SUM(n_cur) OVER () AS n
+      FROM g)
+SELECT bin, n_ref, n_cur,
+       round(CASE WHEN tr > 0
+                  THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) END,
+             6) AS p_ref_r,
+       round(CASE WHEN tk > 0
+                  THEN CAST(n_cur AS DOUBLE) / CAST(tk AS DOUBLE) END,
+             6) AS p_cur_r,
+       round(CASE WHEN tr > 0 AND tk > 0 THEN
+             (CAST(CAST(n_ref AS HUGEINT) * n - CAST(bt AS HUGEINT) * tr
+                   AS DOUBLE)
+              * CAST(CAST(n_ref AS HUGEINT) * n - CAST(bt AS HUGEINT) * tr
+                     AS DOUBLE))
+             / CAST(CAST(n AS HUGEINT) * bt * tr AS DOUBLE)
+             + (CAST(CAST(n_cur AS HUGEINT) * n - CAST(bt AS HUGEINT) * tk
+                     AS DOUBLE)
+                * CAST(CAST(n_cur AS HUGEINT) * n - CAST(bt AS HUGEINT) * tk
+                       AS DOUBLE))
+             / CAST(CAST(n AS HUGEINT) * bt * tk AS DOUBLE) END,
+             6) AS chi2_r
+FROM t
+ORDER BY bin
+"""
+
+
+def q_op_gini_diversity(spark, sf_dir):
+    """Per-source language-mix diversity over the document corpus
+    (operators/ml.py gini_diversity): Gini impurity + inverse Simpson
+    ("effective languages") on exact integer counts — the source-mix
+    audit run before corpus sampling. Entropy's ln is deliberately
+    replaced (cross-engine ulp contract)."""
+    from .operators.ml import gini_diversity
+    d = _t(spark, sf_dir, "documents")
+    return gini_diversity(d, "source", "lang").orderBy("grp")
+
+
+SQL_OP_GINI_DIVERSITY = """
+WITH c AS (SELECT source AS grp, lang, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+             COUNT(*) AS n_cats,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+      FROM c GROUP BY grp)
+SELECT grp, n, n_cats,
+       round(1.0 - CAST(ss AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini_r,
+       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / CAST(ss AS DOUBLE), 6) AS simpson_r
+FROM g
+ORDER BY grp
+"""
+
+
+def q_op_cramers_v(spark, sf_dir):
+    """Cramer's V association between order priority and order status
+    (operators/ml.py cramers_v): the feature-redundancy / leakage screen.
+    Exact integer cell counts; per-cell chi-square terms are fixed double
+    chains scaled to exact BIGINT before the cross-cell sum."""
+    from .operators.ml import cramers_v
+    o = _t(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+SQL_OP_CRAMERS_V = """
+WITH obs AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+                    COUNT(*) AS o
+             FROM orders GROUP BY 1, 2),
+xs AS (SELECT x, SUM(o) AS rt FROM obs GROUP BY x),
+ys AS (SELECT y, SUM(o) AS ct FROM obs GROUP BY y),
+tot AS (SELECT (SELECT SUM(rt) FROM xs) AS n,
+               (SELECT COUNT(*) FROM xs) AS r,
+               (SELECT COUNT(*) FROM ys) AS k),
+m AS (SELECT COALESCE(c.o, 0) AS o, xs.rt, ys.ct, t.r, t.k, t.n
+      FROM xs CROSS JOIN ys
+      LEFT JOIN obs c ON c.x = xs.x AND c.y = ys.y
+      CROSS JOIN tot t),
+s AS (SELECT n, r, k,
+             CAST(round(
+               (CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+                     AS DOUBLE)
+                * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+                       AS DOUBLE))
+               / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS ts
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS r_levels,
+       CAST(k AS BIGINT) AS c_levels,
+       round(CAST(SUM(ts) AS DOUBLE) / 1000000.0, 6) AS chi2_r,
+       round(CASE WHEN LEAST(r, k) > 1 THEN
+             sqrt((CAST(SUM(ts) AS DOUBLE) / 1000000.0)
+                  / (CAST(n AS DOUBLE)
+                     * CAST(LEAST(r, k) - 1 AS DOUBLE))) END, 6) AS v_r
+FROM s
+GROUP BY n, r, k
+"""
+
+
+def q_text_lm_likelihood(spark, sf_dir):
+    """Corpus-self-trained bigram LM quality score per document
+    (operators/text.py lm_likelihood): add-one smoothed mean bigram
+    probability in ppm, exact integer scaling end-to-end (Spark DECIMAL
+    DIV == DuckDB HUGEINT //). The CCNet-style LM filter, log-free."""
+    from .operators.text import lm_likelihood
+    d = _t(spark, sf_dir, "documents")
+    return lm_likelihood(d)
+
+
+SQL_TEXT_LM_LIKELIHOOD = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+dcnt AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM pairs GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(m) AS c12 FROM dcnt GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM words)),
+scored AS (
+  SELECT d.doc_id, d.m,
+         ((CAST(c.c12 AS HUGEINT) + 1) * 1000000000000)
+         // (c1.c1 + voc.v) AS s
+  FROM dcnt d
+  JOIN c12 c USING (w1, w2)
+  JOIN c1 USING (w1)
+  CROSS JOIN voc)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       CAST((2 * SUM(m * s) + SUM(m)) // (2 * CAST(SUM(m) AS HUGEINT))
+            AS DOUBLE) / 1000000.0 AS lm_ppm_r
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6337,7 +6546,13 @@ WHERE l_orderkey IN
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # 1-12: the r6b ML-pipeline batch (newest keys, never driver-checked)
+    # 1-5: the r6c drift/diversity/LM batch (newest, never driver-checked)
+    "op-drift-ks": q_op_drift_ks,
+    "op-drift-bins": q_op_drift_bins,
+    "op-gini-diversity": q_op_gini_diversity,
+    "op-cramers-v": q_op_cramers_v,
+    "text-lm-likelihood": q_text_lm_likelihood,
+    # 6-17: the r6b ML-pipeline batch (never driver-checked)
     "op-knn-classify": q_op_knn_classify,
     "op-item-cf": q_op_item_cf,
     "op-target-encode": q_op_target_encode,
@@ -6574,6 +6789,11 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "op-drift-ks": SQL_OP_DRIFT_KS,
+    "op-drift-bins": SQL_OP_DRIFT_BINS,
+    "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
+    "op-cramers-v": SQL_OP_CRAMERS_V,
+    "text-lm-likelihood": SQL_TEXT_LM_LIKELIHOOD,
     "op-knn-classify": SQL_OP_KNN_CLASSIFY,
     "op-item-cf": SQL_OP_ITEM_CF,
     "op-target-encode": SQL_OP_TARGET_ENCODE,

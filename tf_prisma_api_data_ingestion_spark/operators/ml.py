@@ -315,3 +315,190 @@ def markov_transitions(events: DataFrame, entity_col: str, state_col: str,
              .select("src", "dst", "n",
                      F.round(F.col("n").cast("double")
                              / F.col("_t").cast("double"), 6).alias("p_r")))
+
+
+def ks_drift(df: DataFrame, bin_col, current) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic between a reference
+    and a current population — the standard train/serve feature-drift
+    test (max absolute ECDF gap).
+
+    ``bin_col`` is an integer bin id the caller derives from the feature
+    (binned KS is the practice at scale: the final ordering touches B
+    bins, not N rows); ``current`` is a boolean column naming the
+    current-period sample. The ECDF comparison is EXACT-INTEGER: the gap
+    numerator max|cum_ref * n_cur - cum_cur * n_ref| accumulates in
+    DECIMAL(38,0) (products reach ~1e24 at 100 TB row counts — past
+    BIGINT, nowhere near DECIMAL38), and the single double division
+    happens once at the edge. No ln/pow anywhere, so DuckDB replays the
+    identical statistic bit-for-bit.
+
+    Scale design: one map-side-combinable count aggregation shuffles B
+    partial states; the cumulative window then orders the B-row binned
+    frame (a deliberate single-partition sort over bins, NOT rows —
+    document B <= ~1e5). Returns one row (n_ref, n_cur, n_bins, ks_r).
+    """
+    b = df.select(bin_col.cast("long").alias("bin"),
+                  F.when(current, F.lit(1)).otherwise(F.lit(0)).alias("_c"))
+    g = b.groupBy("bin").agg(
+        F.count(F.when(F.col("_c") == 0, True)).alias("_r"),
+        F.count(F.when(F.col("_c") == 1, True)).alias("_k"))
+    w = Window.orderBy(F.col("bin").asc()) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = Window.partitionBy()
+    cum = (g.withColumn("_cr", F.sum("_r").over(w).cast("decimal(38,0)"))
+            .withColumn("_ck", F.sum("_k").over(w).cast("decimal(38,0)"))
+            .withColumn("_tr", F.sum("_r").over(t).cast("decimal(38,0)"))
+            .withColumn("_tk", F.sum("_k").over(t).cast("decimal(38,0)")))
+    gap = F.abs(F.col("_cr") * F.col("_tk") - F.col("_ck") * F.col("_tr"))
+    return cum.agg(
+        F.max(F.col("_tr")).cast("long").alias("n_ref"),
+        F.max(F.col("_tk")).cast("long").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.when(
+            (F.max(F.col("_tr")) > 0) & (F.max(F.col("_tk")) > 0),
+            F.max(gap).cast("double")
+            / (F.max(F.col("_tr")).cast("double")
+               * F.max(F.col("_tk")).cast("double"))), 6).alias("ks_r"))
+
+
+def drift_bins(df: DataFrame, bin_col, current) -> DataFrame:
+    """Per-bin population-drift audit between a reference and a current
+    sample — the log-free PSI analog (per-bin shares plus the two-sample
+    chi-square contribution, whose sum IS the drift test statistic).
+
+    PSI's ln(p/q) term is deliberately replaced by the chi-square
+    contribution (o*n - bt*rt)^2 / (n*bt*rt): rank-equivalent for
+    flagging drifted bins, and free of the libm-ulp nondeterminism this
+    repo's cross-engine contract forbids (same policy as the log-free
+    BM25 family, operators/text.py). Counts are exact integers; each
+    bin's term is a FIXED per-row double chain (exact DECIMAL(38,0)
+    cross products cast once to double, then one multiply + one divide)
+    — never a cross-row double sum, so partition order cannot move a
+    digit (precedent: ml.chi2_terms).
+
+    Scale design: one map-side-combinable aggregation; everything after
+    operates on the B-row binned frame. Returns per bin, ordered:
+    (bin, n_ref, n_cur, p_ref_r, p_cur_r, chi2_r).
+    """
+    b = df.select(bin_col.cast("long").alias("bin"),
+                  F.when(current, F.lit(1)).otherwise(F.lit(0)).alias("_c"))
+    g = b.groupBy("bin").agg(
+        F.count(F.when(F.col("_c") == 0, True)).alias("n_ref"),
+        F.count(F.when(F.col("_c") == 1, True)).alias("n_cur"))
+    t = Window.partitionBy()
+    g = (g.withColumn("_tr", F.sum("n_ref").over(t))
+          .withColumn("_tk", F.sum("n_cur").over(t))
+          .withColumn("_n", F.col("_tr") + F.col("_tk"))
+          .withColumn("_bt", F.col("n_ref") + F.col("n_cur")))
+
+    def term(o, coltot):
+        num = (o.cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+               - F.col("_bt").cast("decimal(38,0)")
+               * coltot.cast("decimal(38,0)")).cast("double")
+        den = (F.col("_n").cast("decimal(38,0)")
+               * F.col("_bt").cast("decimal(38,0)")
+               * coltot.cast("decimal(38,0)")).cast("double")
+        return num * num / den
+
+    both = (F.col("_tr") > 0) & (F.col("_tk") > 0)
+    chi2 = term(F.col("n_ref"), F.col("_tr")) \
+        + term(F.col("n_cur"), F.col("_tk"))
+    return (g.select(
+                "bin", "n_ref", "n_cur",
+                F.round(F.when(F.col("_tr") > 0,
+                               F.col("n_ref").cast("double")
+                               / F.col("_tr").cast("double")), 6)
+                 .alias("p_ref_r"),
+                F.round(F.when(F.col("_tk") > 0,
+                               F.col("n_cur").cast("double")
+                               / F.col("_tk").cast("double")), 6)
+                 .alias("p_cur_r"),
+                F.round(F.when(both, chi2), 6).alias("chi2_r"))
+             .orderBy(F.col("bin").asc()))
+
+
+def gini_diversity(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Per-group categorical diversity: Gini impurity and the inverse
+    Simpson index ("effective number of categories") — the label-balance
+    / source-mix audit a training-data pipeline runs before sampling.
+
+    Entropy's ln is deliberately avoided (cross-engine ulp contract);
+    Gini 1 - sum(c^2)/n^2 and Simpson n^2/sum(c^2) carry the same
+    diversity signal on pure integer sums: c^2 accumulates in
+    DECIMAL(38,0) (a 1e11-row category squares to 1e22), with the two
+    double divisions at the edge.
+
+    Scale design: two map-side-combinable aggregations (group x cat,
+    then group); no window, no skew sensitivity beyond the natural key
+    distribution. Returns (group, n, n_cats, gini_r, simpson_r).
+    """
+    c = (df.groupBy(F.col(group_col).alias("grp"),
+                    F.col(cat_col).alias("_cat"))
+           .agg(F.count(F.lit(1)).alias("_c")))
+    cd = F.col("_c").cast("decimal(38,0)")
+    g = c.groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(cd * cd).alias("_ss"))
+    n2 = F.col("n").cast("double") * F.col("n").cast("double")
+    ss = F.col("_ss").cast("double")
+    return g.select("grp", "n", "n_cats",
+                    F.round(F.lit(1.0) - ss / n2, 6).alias("gini_r"),
+                    F.round(n2 / ss, 6).alias("simpson_r"))
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramer's V association between two categorical columns — the
+    feature-redundancy / leakage screen (V ~ 1 means one column encodes
+    the other; drop it before training).
+
+    chi-square = sum over cells of (o*n - rt*ct)^2 / (n*rt*ct), each
+    cell's term a fixed double chain over exact DECIMAL(38,0) integer
+    cross products (chi2_terms precedent). Summing terms ACROSS cells
+    would be a cross-row double sum, so each term is first scaled to an
+    exact BIGINT (round(term * 1e6) — terms are bounded by n*min(r,c),
+    ~1e17 scaled at 1e11 rows, inside BIGINT) and the sum is integer;
+    /1e6 and sqrt happen once at the edge. V = sqrt(chi2 / (n * min(r-1,
+    c-1))); degenerate single-level inputs return V = NULL rather than
+    dividing by zero (ANSI-safe).
+
+    The contingency table is DENSIFIED before the sum: a zero cell
+    (level pair never observed) still contributes (rt*ct/n) to chi-square
+    — summing only observed cells silently halves the statistic on a
+    perfectly-associated 2x2 (caught by the unit fixture). The r x c
+    level grid is a crossJoin of the two tiny marginal frames.
+
+    Scale design: one cell-count aggregation (map-side combinable);
+    marginals and the level grid are aggregations of the tiny r x c cell
+    frame. Returns one row (n, r_levels, c_levels, chi2_r, v_r).
+    """
+    obs = (df.groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+             .agg(F.count(F.lit(1)).alias("_raw")))
+    xs = obs.groupBy("_x").agg(F.sum("_raw").alias("_rt"))
+    ys = obs.groupBy("_y").agg(F.sum("_raw").alias("_ct"))
+    tot = xs.agg(F.sum("_rt").alias("_n"), F.count(F.lit(1)).alias("_r")) \
+            .crossJoin(ys.agg(F.count(F.lit(1)).alias("_k")))
+    cells = (xs.crossJoin(ys)
+               .join(obs, ["_x", "_y"], "left")
+               .withColumn("_o", F.coalesce(F.col("_raw"), F.lit(0)))
+               .crossJoin(F.broadcast(tot)))
+    term_scaled = F.expr(
+        "CAST(round((({0}) * ({0})) / ({1}) * 1000000.0) AS BIGINT)".format(
+            "CAST(CAST(_o AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)) "
+            "- CAST(_rt AS DECIMAL(38,0)) * CAST(_ct AS DECIMAL(38,0)) "
+            "AS DOUBLE)",
+            "CAST(CAST(_n AS DECIMAL(38,0)) * CAST(_rt AS DECIMAL(38,0)) "
+            "* CAST(_ct AS DECIMAL(38,0)) AS DOUBLE)"))
+    agg = cells.select(F.col("_n"), F.col("_r"), F.col("_k"),
+                       term_scaled.alias("_ts")) \
+               .groupBy("_n", "_r", "_k") \
+               .agg(F.sum("_ts").alias("_chi2s"))
+    chi2 = F.col("_chi2s").cast("double") / F.lit(1000000.0)
+    mind = F.least(F.col("_r") - 1, F.col("_k") - 1).cast("double")
+    v = F.when(F.least(F.col("_r"), F.col("_k")) > 1,
+               F.sqrt(chi2 / (F.col("_n").cast("double") * mind)))
+    return agg.select(F.col("_n").cast("long").alias("n"),
+                      F.col("_r").cast("long").alias("r_levels"),
+                      F.col("_k").cast("long").alias("c_levels"),
+                      F.round(chi2, 6).alias("chi2_r"),
+                      F.round(v, 6).alias("v_r"))

@@ -337,3 +337,64 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
                 F.count(F.lit(1)).alias("n_terms")))
     return (agg.orderBy(F.col("score").desc(), F.col(id_col).asc())
                .limit(k))
+
+
+def lm_likelihood(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document likelihood under an add-one-smoothed bigram language
+    model trained on the corpus itself — the classic LM-based quality
+    filter (CCNet-style: sort by model fit, drop the tail), re-expressed
+    without perplexity's ln (cross-engine ulp contract; same policy as
+    the log-free BM25 family above). The reported score is the MEAN
+    bigram probability in parts-per-million — rank-equivalent to mean
+    likelihood, and every step is exact integer arithmetic:
+    P(w2|w1) = (c12 + 1) / (c1 + V) is scaled to an exact integer
+    ((c12+1) * 1e12) DIV (c1+V) in DECIMAL(38,0) (Spark DIV == DuckDB
+    HUGEINT //, verified), summed per doc as integers, and divided by
+    the bigram count once at the edge.
+
+    Scale design: the token stream is aggregated to per-(doc, bigram)
+    multiplicities FIRST (one shuffle of the raw stream); the corpus
+    bigram table c12 and head table c1 derive from that smaller frame
+    (c1 from c12 — no second pass over raw tokens); the vocabulary size
+    is a 1-row broadcast. The scoring join is keyed on the bigram —
+    skewed at stopword pairs like every n-gram family here; the salting
+    pattern from dedup.py applies unchanged if a head key melts an
+    executor. Returns (doc_id, n_bigrams, lm_ppm_r), all docs with >= 1
+    bigram.
+    """
+    t = tokens(F.col(text_col))
+    k = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(t, 1, k), F.slice(t, 2, k))
+    stream = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.explode(pairs).alias("_p"))
+                  .select("doc_id", F.col("_p")["0"].alias("w1"),
+                          F.col("_p")["1"].alias("w2")))
+    dcnt = stream.groupBy("doc_id", "w1", "w2") \
+                 .agg(F.count(F.lit(1)).alias("m"))
+    c12 = dcnt.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+               .agg(F.countDistinct("w").alias("v")))
+    scored = (dcnt.join(c12, ["w1", "w2"])
+                  .join(c1, ["w1"])
+                  .crossJoin(F.broadcast(voc))
+                  .withColumn("s", F.expr(
+                      "(CAST(c12 + 1 AS DECIMAL(38,0)) * 1000000000000)"
+                      " DIV CAST(c1 + v AS DECIMAL(38,0))")))
+    # The 6-decimal rounding happens in EXACT INTEGER space:
+    # round(S/(n*1e6), 6) == round_half_up(S/n) / 1e6, and
+    # round_half_up(S/n) == (2S + n) DIV (2n) for positives — so there
+    # is no float rounding boundary for the engines to disagree on (a
+    # double-round tie produced a 1e-6 cross-engine diff in the first
+    # formulation; the quotient is < 1e12, exact in a double).
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                       F.sum(F.col("m") * F.col("s"))
+                        .cast("decimal(38,0)").alias("_S"))
+                  .select("doc_id", "n_bigrams",
+                          (F.expr("CAST((2 * _S + n_bigrams)"
+                                  " DIV CAST(2 * n_bigrams AS DECIMAL(38,0))"
+                                  " AS DOUBLE)") / F.lit(1000000.0))
+                           .alias("lm_ppm_r"))
+                  .orderBy("doc_id"))
