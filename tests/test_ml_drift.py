@@ -114,3 +114,31 @@ def test_lm_likelihood_short_docs_dropped(spark):
     out = lm_likelihood(df).collect()
     assert [r.doc_id for r in out] == [3]
     assert out[0].n_bigrams == 1
+
+
+def test_feature_store_orderless_customer_kept(spark):
+    from tf_prisma_api_data_ingestion_spark.plans.features import (
+        customer_feature_store,
+    )
+    import datetime as dt
+    cust = spark.createDataFrame(
+        [(1, "AUTO"), (2, "AUTO")], "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(10, 1, dt.date(1997, 5, 1), "1-URGENT", 100.50),
+         (11, 1, dt.date(1995, 1, 1), "3-MEDIUM", 10.25)],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_orderpriority string, o_totalprice double")
+    li = spark.createDataFrame(
+        [(10,), (10,), (11,)], "l_orderkey long")
+    out = {r.c_custkey: r
+           for r in customer_feature_store(cust, orders, li).collect()}
+    assert len(out) == 2
+    a, b = out[1], out[2]
+    assert a.frequency == 2 and a.monetary_cents == 11075
+    assert a.recency_days == 0 and a.label_active == 1
+    assert a.avg_lines_r == 1.5          # 3 lines / 2 orders
+    assert a.fav_priority == "1-URGENT"  # count tie -> lexicographic min
+    # orderless customer: kept, zeroed counters, NULL shape features
+    assert b.frequency == 0 and b.monetary_cents == 0
+    assert b.recency_days is None and b.avg_lines_r is None
+    assert b.fav_priority is None and b.label_active == 0

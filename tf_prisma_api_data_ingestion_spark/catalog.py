@@ -6530,6 +6530,74 @@ ORDER BY doc_id
 """
 
 
+
+def q_plan_feature_store(spark, sf_dir):
+    """Customer feature store (plans/features.py customer_feature_store):
+    RFM + order-shape + modal priority + segment target encoding +
+    activity label in one wide deterministic table — the composite a
+    training pipeline materializes before model fitting. Left-join
+    semantics keep orderless customers (dropping them is silent training
+    skew); integer-space rounding everywhere a quotient is emitted."""
+    from .plans.features import customer_feature_store
+    return customer_feature_store(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+SQL_PLAN_FEATURE_STORE = """
+WITH per AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(18,0)) AS cents
+  FROM orders),
+rfm AS (SELECT o_custkey, COUNT(*) AS frequency,
+               CAST(SUM(cents) AS BIGINT) AS monetary_cents,
+               MAX(o_orderdate) AS last
+        FROM per GROUP BY 1),
+lines AS (SELECT o_custkey, COUNT(*) AS nlines
+          FROM lineitem JOIN per ON l_orderkey = o_orderkey GROUP BY 1),
+pc AS (SELECT o_custkey, o_orderpriority, COUNT(*) AS pc
+       FROM per GROUP BY 1, 2),
+fav AS (SELECT o_custkey, o_orderpriority AS fav_priority
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY pc DESC, o_orderpriority ASC) AS rn FROM pc)
+        WHERE rn = 1),
+seg AS (SELECT c_mktsegment AS category, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS sum_y
+        FROM per JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn, SUM(sum_y) AS ty FROM seg),
+te AS (SELECT category,
+              round((CAST(sum_y AS DOUBLE)
+                     + 20.0 * (CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) + 20.0), 6) AS seg_enc_r
+       FROM seg, tot),
+maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders)
+SELECT c_custkey, c_mktsegment AS mktsegment,
+       COALESCE(frequency, 0) AS frequency,
+       COALESCE(monetary_cents, 0) AS monetary_cents,
+       CAST(date_diff('day', last, maxd) AS BIGINT) AS recency_days,
+       CASE WHEN frequency IS NOT NULL THEN
+            CAST((2 * CAST(nlines AS HUGEINT) * 1000000 + frequency)
+                 // (2 * CAST(frequency AS HUGEINT)) AS DOUBLE)
+            / 1000000.0 END AS avg_lines_r,
+       fav_priority,
+       te.seg_enc_r,
+       CASE WHEN last >= DATE '1997-01-01' THEN 1 ELSE 0 END
+         AS label_active
+FROM customer
+LEFT JOIN rfm ON c_custkey = rfm.o_custkey
+LEFT JOIN lines ON c_custkey = lines.o_custkey
+LEFT JOIN fav ON c_custkey = fav.o_custkey
+LEFT JOIN te ON c_mktsegment = te.category
+CROSS JOIN maxd
+ORDER BY c_custkey
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6546,7 +6614,9 @@ ORDER BY doc_id
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # 1-5: the r6c drift/diversity/LM batch (newest, never driver-checked)
+    # 1-6: the r6c drift/diversity/LM/feature batch (newest, never
+    # driver-checked)
+    "plan-feature-store": q_plan_feature_store,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -6789,6 +6859,7 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
