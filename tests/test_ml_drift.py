@@ -142,3 +142,26 @@ def test_feature_store_orderless_customer_kept(spark):
     assert b.frequency == 0 and b.monetary_cents == 0
     assert b.recency_days is None and b.avg_lines_r is None
     assert b.fav_priority is None and b.label_active == 0
+
+
+def test_rag_contexts_diversity_drop(spark):
+    from tf_prisma_api_data_ingestion_spark.plans.rag import rag_contexts
+    # query doc 0: "alpha beta gamma". candidates: 1 and 2 are
+    # near-identical (jaccard 1 > 4/5 -> 2 dropped), 3 shares one term.
+    rows = [(0, "alpha beta gamma"),
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha zulu yankee xray whisky victor")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rag_contexts(df, n_queries=1, k=3)
+    got = [(r.rank, r.doc_id) for r in out.collect()]
+    # 1 and 2 tie exactly; id asc puts 1 first, 2 dies to diversity,
+    # 3 survives as the second (diverse) context
+    assert got == [(1, 1), (2, 3)]
+
+
+def test_rag_contexts_no_shared_terms_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.plans.rag import rag_contexts
+    rows = [(0, "alpha beta"), (1, "gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert rag_contexts(df, n_queries=1, k=3).count() == 0

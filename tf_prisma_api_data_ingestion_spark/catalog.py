@@ -6598,6 +6598,81 @@ ORDER BY c_custkey
 """
 
 
+
+def q_plan_rag_context(spark, sf_dir):
+    """RAG context assembly (plans/rag.py rag_contexts): the 5
+    lowest-id docs retrieve their top-3 DIVERSE contexts from the rest
+    of the corpus — log-free BM25 scoring with exact-integer-micro
+    ranking, then the rank-greedy Jaccard>4/5 diversity drop expressed
+    as a NOT-EXISTS (9*inter > 4*(|A|+|B|), no division). The
+    serving-side retrieval composite."""
+    from .plans.rag import rag_contexts
+    return rag_contexts(_t(spark, sf_dir, "documents"),
+                        n_queries=5, k=3)
+
+
+SQL_PLAN_RAG_CONTEXT = r"""
+WITH b2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ts,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         w -> w <> '')) AS dl
+  FROM documents),
+qids AS (SELECT doc_id AS query_id, ts FROM b2 ORDER BY doc_id LIMIT 5),
+qterms AS (SELECT DISTINCT query_id, unnest(list_distinct(ts)) AS t
+           FROM qids),
+cand AS (SELECT * FROM b2
+         WHERE doc_id NOT IN (SELECT query_id FROM qids)),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM cand),
+toks AS (SELECT doc_id, dl, unnest(ts) AS t FROM cand),
+hits AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM toks
+         WHERE t IN (SELECT DISTINCT t FROM qterms)
+         GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, COUNT(*) AS df FROM hits GROUP BY 1),
+perterm AS (
+  SELECT q.query_id, h.doc_id,
+         CAST(round(
+           ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)
+              / (CAST(h.tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(h.dl AS DOUBLE)
+                            / (CAST(s.sumdl AS DOUBLE)
+                               / CAST(s.n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS wm
+  FROM hits h
+  JOIN dfreq d USING (t)
+  JOIN qterms q USING (t)
+  CROSS JOIN stats s),
+qc AS (SELECT query_id, doc_id, SUM(wm) AS sm FROM perterm GROUP BY 1, 2),
+short AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sm DESC, doc_id ASC) AS r0
+          FROM qc QUALIFY r0 <= 6),
+sets AS (SELECT s.query_id, s.doc_id, s.r0, s.sm,
+                list_distinct(b.ts) AS st,
+                len(list_distinct(b.ts)) AS nt
+         FROM short s JOIN b2 b USING (doc_id)),
+dropped AS (SELECT DISTINCT a.query_id, bb.doc_id
+            FROM sets a JOIN sets bb
+              ON a.query_id = bb.query_id AND a.r0 < bb.r0
+            WHERE 9 * len(list_intersect(a.st, bb.st))
+                  > 4 * (a.nt + bb.nt)),
+surv AS (SELECT s.* FROM sets s
+         LEFT JOIN dropped d
+           ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+         WHERE d.doc_id IS NULL),
+fin AS (SELECT query_id, doc_id, sm, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sm DESC, doc_id ASC) AS rank
+        FROM surv QUALIFY rank <= 3)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(sm AS DOUBLE) / 1000000.0 AS score_r
+FROM fin
+ORDER BY query_id, rank
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6617,6 +6692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 1-6: the r6c drift/diversity/LM/feature batch (newest, never
     # driver-checked)
     "plan-feature-store": q_plan_feature_store,
+    "plan-rag-context": q_plan_rag_context,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -6860,6 +6936,7 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
+    "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
