@@ -6673,6 +6673,86 @@ ORDER BY query_id, rank
 """
 
 
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """Approximation-quality audit of the MinHash-LSH dedup path: its
+    verified pairs vs the exact inverted-index Jaccard truth at the same
+    threshold (operators/dedup.py minhash_lsh_pairs_md5 vs
+    ngram_jaccard_pairs). Recall is the banding miss rate made visible
+    (an S-curve tail miss is silent data skew in production); precision
+    is 1.0 by construction (candidates are exact-verified) and is
+    asserted here rather than assumed. Ratio rounding happens in exact
+    integer space ((2a+b) DIV 2b) — no float tie can split the engines."""
+    truth = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=None
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs_md5(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).select("doc_a", "doc_b")
+    both = truth.join(lsh, ["doc_a", "doc_b"]).select("doc_a")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    b = both.agg(F.count(F.lit(1)).alias("n_both"))
+    r6 = ("CAST(CAST((2 * CAST(n_both AS DECIMAL(38,0)) * 1000000"
+          " + n_truth) DIV CAST(2 * n_truth AS DECIMAL(38,0)) AS DOUBLE)"
+          " / 1000000.0 AS DOUBLE)")
+    p6 = ("CAST(CAST((2 * CAST(n_both AS DECIMAL(38,0)) * 1000000"
+          " + n_lsh) DIV CAST(2 * n_lsh AS DECIMAL(38,0)) AS DOUBLE)"
+          " / 1000000.0 AS DOUBLE)")
+    return (t.crossJoin(l).crossJoin(b)
+             .selectExpr("n_truth", "n_lsh", "n_both",
+                         f"{r6} AS recall_r", f"{p6} AS precision_r"))
+
+
+SQL_DEDUP_MINHASH_RECALL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+truth AS (SELECT doc_a, doc_b FROM inter
+          WHERE i / (ma + mb - i) >= 0.2),
+pre AS (SELECT doc_id, shingles,
+               list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+seeded AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
+  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
+  GROUP BY doc_id, i),
+sigs AS (
+  SELECT doc_id, i // 4 AS bidx,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
+  FROM seeded GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         len(sa.shingles) AS ma, len(sb.shingles) AS mb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b),
+lsh AS (SELECT doc_a, doc_b FROM verified
+        WHERE i / (ma + mb - i) >= 0.2),
+n AS (SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        (SELECT COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b))
+          AS n_both)
+SELECT n_truth, n_lsh, n_both,
+       CAST((2 * CAST(n_both AS HUGEINT) * 1000000 + n_truth)
+            // (2 * CAST(n_truth AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS recall_r,
+       CAST((2 * CAST(n_both AS HUGEINT) * 1000000 + n_lsh)
+            // (2 * CAST(n_lsh AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS precision_r
+FROM n
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6693,6 +6773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-checked)
     "plan-feature-store": q_plan_feature_store,
     "plan-rag-context": q_plan_rag_context,
+    "dedup-minhash-recall": q_dedup_minhash_recall,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -6937,6 +7018,7 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
+    "dedup-minhash-recall": SQL_DEDUP_MINHASH_RECALL,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
