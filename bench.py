@@ -61,6 +61,10 @@ HEADLINE = (
     "op-knn-classify",        # broadcast-queries cosine kNN vote
     "op-item-cf",             # capped item-item co-occurrence CF
     "op-bloom-prefilter",     # Bloom-film semi-join over lineitem
+    # r6c drift/LM/feature/RAG representatives (SCALING r6c table)
+    "text-lm-likelihood",     # corpus bigram-LM quality scoring
+    "plan-feature-store",     # customer feature-store composite
+    "plan-rag-context",       # BM25 retrieve + diversity composite
 )
 
 # Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
@@ -89,6 +93,9 @@ SCALING_SF01 = {
     "op-triangle-count": 7.85, "op-graph-bfs": 8.08, "op-skyline": 0.41,
     # r6b ML-pipeline batch (SCALING "ML-pipeline batch" table)
     "op-knn-classify": 1.91, "op-item-cf": 2.73, "op-bloom-prefilter": 5.92,
+    # r6c batch (SCALING "Drift/diversity/LM/feature/RAG" table)
+    "text-lm-likelihood": 1.25, "plan-feature-store": 1.05,
+    "plan-rag-context": 2.61,
 }
 
 

@@ -6769,7 +6769,12 @@ FROM n
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # 1-6: the r6c drift/diversity/LM/feature batch (newest, never
+    # With 43 never-driver-checked keys this round (r6c 8 + r6b 12 +
+    # graph/retrieval 12 + partsupp TPC-H 5 + late-r5 TPC-H 6), the 50
+    # slots hold ALL never-checked keys plus the 7 r6-code-changed keys;
+    # the two remaining r6-changed keys (plan-corpus-clean-v2 / -train,
+    # driver-green r3/r4, selfcheck-green today) queue at 51-52 for r7.
+    # 1-8: the r6c drift/diversity/LM/feature/RAG batch (newest, never
     # driver-checked)
     "plan-feature-store": q_plan_feature_store,
     "plan-rag-context": q_plan_rag_context,
@@ -6779,7 +6784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-gini-diversity": q_op_gini_diversity,
     "op-cramers-v": q_op_cramers_v,
     "text-lm-likelihood": q_text_lm_likelihood,
-    # 6-17: the r6b ML-pipeline batch (never driver-checked)
+    # 9-20: the r6b ML-pipeline batch (never driver-checked)
     "op-knn-classify": q_op_knn_classify,
     "op-item-cf": q_op_item_cf,
     "op-target-encode": q_op_target_encode,
@@ -6792,21 +6797,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-anomaly-seasonal": q_op_anomaly_seasonal,
     "sim-quantize-int8": q_sim_quantize_int8,
     "op-bloom-prefilter": q_op_bloom_prefilter,
-    # 13-17: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
+    # 21-25: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
     "tpch-q2": q_tpch_q2,
     "tpch-q9": q_tpch_q9,
     "tpch-q11": q_tpch_q11,
     "tpch-q16": q_tpch_q16,
     "tpch-q20": q_tpch_q20,
-    # 6-11: the 6 TPC-H keys added late in r5 that have NEVER seen a
-    # driver window
+    # 26-31: the 6 TPC-H keys added late in r5 that have NEVER seen
+    # a driver window
     "tpch-q8": q_tpch_q8,
     "tpch-q12": q_tpch_q12,
     "tpch-q13": q_tpch_q13,
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
-    # 12-16: NEW r6 retrieval/similarity/graph/preference operators,
+    # 32-43: NEW r6 retrieval/similarity/graph/preference operators,
     # in-window for first exposure
     "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
     "text-bm25-topk": q_text_bm25_topk,
@@ -6820,24 +6825,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
     "stream-trending-topk": q_stream_trending_topk,
-    # 17-21: keys whose CODE changed in r6 (overflow-safe linreg /
+    # 44-48: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel stream funnel)
     "op-linreg-group": q_op_linreg_group,
     "op-table-checksum": q_op_table_checksum,
     "dedup-passage-exact": q_dedup_passage_exact,
     "dedup-passage-pairs": q_dedup_passage_pairs,
     "stream-funnel": q_stream_funnel,
-    # 22-25: keys whose code changed later in r6 (LSH bucket
-    # auto-sizing; CC auto-select + df-cap + fan_out in the corpus
-    # plans)
+    # 49-50: multimodal/corpus plans whose code changed later in r6
+    # (LSH bucket auto-sizing; CC auto-select + df-cap + fan_out) —
+    # clean-v2/train land at 51-52 (driver-green r3/r4, selfcheck-green
+    # today) and lead the r7 window
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "plan-corpus-clean": q_plan_corpus_clean,
     "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
     "plan-corpus-train": q_plan_corpus_train,
-    # 26-50: the first 25 of the 29 keys whose newest driver row is
-    # r02 (the staleness debt VERDICT r5 named) — all selfcheck-green;
-    # the remaining 4 (op-unpivot, op-string-functions,
-    # op-array-functions, op-sample-hash) queue first for r7
+    # ---- entry 50 boundary (within the group above) ----
+    # 53+: the 29 keys whose newest driver row is r02 (the staleness
+    # debt VERDICT r5 named) — all selfcheck+drivercheck-green today,
+    # displaced from this round's window by the 43 never-driver-checked
+    # keys; they queue right behind the corpus plans for r7
     "op-union-all": q_op_union_all,
     "op-lit-cols": q_op_lit_cols,
     "op-json-flatten": q_op_json_flatten,
@@ -6867,7 +6874,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
-    # ---- entry 50 boundary ----
     "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
     # r03/r04-green keys first (stalest remaining), r05-green keys last
     "sink-rollback": q_sink_rollback,
