@@ -82,6 +82,10 @@ AUDIT = (
     ("op-pagerank", "three unrolled join+sum iterations over checkpointed edges; exact BIGINT units, no float accumulation"),
     ("op-skyline", "per-cost max aggregation, running max over the COLLAPSED distinct-cost frame (single-reducer window sees group rows, not table rows)"),
     ("dedup-containment", "same single-shuffle inverted index as the jaccard family; integer least-side boundary compare"),
+    ("op-drift-ks", "one combinable count agg; the cumulative window orders B bins, not N rows (deliberate single-partition sort over the binned frame)"),
+    ("text-lm-likelihood", "per-(doc,bigram) agg FIRST, then corpus tables derive from the smaller frame; vocab is a 1-row broadcast; scoring join keyed on the bigram"),
+    ("plan-feature-store", "all feature frames broadcast back onto customers; lineitem joins the slim (orderkey->custkey) projection; column-pruned scans throughout"),
+    ("plan-rag-context", "corpus explode pruned by the broadcast query vocabulary BEFORE the tf shuffle; pairwise Jaccard confined to the per-query top-2k shortlist"),
 )
 
 

@@ -165,3 +165,39 @@ def test_rag_contexts_no_shared_terms_empty(spark):
     rows = [(0, "alpha beta"), (1, "gamma delta")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert rag_contexts(df, n_queries=1, k=3).count() == 0
+
+
+def test_markov_self_eval_hand_example(spark):
+    import datetime as dt
+    # user 1: a->b, b->a, a->b ; user 2: a->c
+    # counts: (a,b)=2, (b,a)=1, (a,c)=1 -> model: a->b, b->a
+    # hits = n(a,b) + n(b,a) = 3 of 4 steps
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    seq1 = ["a", "b", "a", "b"]
+    for i, s in enumerate(seq1):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, s))
+    for i, s in enumerate(["a", "c"]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 2, s))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = ml.markov_self_eval(df, "user_id", "event_type",
+                              ["ts", "event_id"]).collect()[0]
+    assert (out.n_steps, out.n_hits) == (4, 3)
+    assert out.acc_r == 0.75
+
+
+def test_streaming_drift_uniform_window_terms_small(spark):
+    # the sf0.001 fixture: streamed per-window histograms must agree
+    # with a batch recomputation of the same cells (engine parity is
+    # the oracle's job; here we pin the invariant sum(n_bin) == N)
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        streaming_drift,
+    )
+    from tf_prisma_api_data_ingestion_spark import tables
+    sf = "/root/testdata/sf0.001"
+    out = streaming_drift(spark, sf, query_name="t_stream_drift")
+    total = out.agg(F.sum("n_bin")).collect()[0][0]
+    n = tables.load(spark, sf, "events").count()
+    assert total == n
+    assert out.filter(F.col("chi2_term_r") < 0).count() == 0

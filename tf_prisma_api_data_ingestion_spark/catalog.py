@@ -6753,6 +6753,81 @@ FROM n
 """
 
 
+
+def q_stream_drift(spark, sf_dir):
+    """Streaming drift monitor (streaming/windows.py streaming_drift):
+    per-day event-value histograms computed by the STREAMING engine
+    (watermarked tumbling window, complete-mode drain), then scored
+    cell-by-cell against the full-corpus reference with the log-free
+    goodness-of-fit chi-square — drift_bins' streaming face. No
+    cross-row double sums; every cell term is a fixed double chain over
+    exact integer cross products."""
+    from .streaming.windows import streaming_drift
+    return streaming_drift(spark, sf_dir, query_name="q_stream_drift")
+
+
+SQL_STREAM_DRIFT = """
+WITH b AS (
+  SELECT strftime(time_bucket(INTERVAL '1 day', ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500 AS bin
+  FROM events),
+win AS (SELECT window_start, bin, COUNT(*) AS n_bin FROM b GROUP BY 1, 2),
+ref AS (SELECT bin, COUNT(*) AS rb FROM b GROUP BY 1),
+tot AS (SELECT SUM(rb) AS nr FROM ref),
+nws AS (SELECT window_start, SUM(n_bin) AS nw FROM win GROUP BY 1)
+SELECT w.window_start, w.bin, w.n_bin,
+       round((CAST(CAST(w.n_bin AS HUGEINT) * t.nr
+                   - CAST(x.nw AS HUGEINT) * r.rb AS DOUBLE))
+             * (CAST(CAST(w.n_bin AS HUGEINT) * t.nr
+                     - CAST(x.nw AS HUGEINT) * r.rb AS DOUBLE))
+             / CAST(CAST(x.nw AS HUGEINT) * r.rb * t.nr AS DOUBLE),
+             6) AS chi2_term_r
+FROM win w
+JOIN ref r USING (bin)
+JOIN nws x USING (window_start)
+CROSS JOIN tot t
+ORDER BY 1, 2
+"""
+
+
+
+def q_op_markov_eval(spark, sf_dir):
+    """In-sample hit-rate@1 of the Markov next-event model
+    (operators/ml.py markov_self_eval): the modal-next-state baseline
+    every sequence model is compared against. Same transition window as
+    op-markov-transitions; the argmax model scores the (src, dst)
+    aggregate, not the raw stream; exact-integer accuracy rounding."""
+    from .operators.ml import markov_self_eval
+    ev = _t(spark, sf_dir, "events")
+    return markov_self_eval(ev, "user_id", "event_type",
+                            ["ts", "event_id"])
+
+
+SQL_OP_MARKOV_EVAL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events),
+n AS (SELECT src, dst, COUNT(*) AS n FROM steps
+      WHERE src IS NOT NULL GROUP BY 1, 2),
+model AS (SELECT src, dst AS pred FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY src ORDER BY n DESC, dst ASC) AS rn FROM n)
+          WHERE rn = 1),
+agg AS (SELECT CAST(SUM(n.n) AS BIGINT) AS n_steps,
+               CAST(SUM(CASE WHEN n.dst = m.pred THEN n.n ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM n JOIN model m USING (src))
+SELECT n_steps, n_hits,
+       CAST((2 * CAST(n_hits AS HUGEINT) * 1000000 + n_steps)
+            // (2 * CAST(n_steps AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS acc_r
+FROM agg
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6779,6 +6854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-feature-store": q_plan_feature_store,
     "plan-rag-context": q_plan_rag_context,
     "dedup-minhash-recall": q_dedup_minhash_recall,
+    "stream-drift": q_stream_drift,
+    "op-markov-eval": q_op_markov_eval,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7025,6 +7102,8 @@ ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
     "dedup-minhash-recall": SQL_DEDUP_MINHASH_RECALL,
+    "stream-drift": SQL_STREAM_DRIFT,
+    "op-markov-eval": SQL_OP_MARKOV_EVAL,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,

@@ -502,3 +502,41 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                       F.col("_k").cast("long").alias("c_levels"),
                       F.round(chi2, 6).alias("chi2_r"),
                       F.round(v, 6).alias("v_r"))
+
+
+def markov_self_eval(events: DataFrame, entity_col: str, state_col: str,
+                     order_cols: Sequence[str]) -> DataFrame:
+    """In-sample hit-rate@1 of the first-order Markov model: for every
+    observed transition, predict the modal next state of its source
+    (ties to the lexicographically smaller state — a total order) and
+    score the prediction — the sanity bound every sequence model gets
+    compared against before anything fancier ships.
+
+    Scale design: the transition stream is ONE window per entity (same
+    shuffle as markov_transitions); the argmax model is a window over
+    the |states|^2 count frame, broadcast back onto the stream's
+    (src, dst) AGGREGATE (|states|^2 rows score against the model, not
+    N rows). Accuracy rounds in exact integer space ((2a+b) DIV 2b).
+    Returns one row (n_steps, n_hits, acc_r).
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    steps = (events.withColumn("_prev", F.lag(F.col(state_col)).over(w))
+                   .filter(F.col("_prev").isNotNull())
+                   .select(F.col("_prev").alias("src"),
+                           F.col(state_col).alias("dst")))
+    n = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("src").orderBy(F.col("n").desc(),
+                                           F.col("dst").asc())
+    model = (n.withColumn("_rn", F.row_number().over(wm))
+              .filter(F.col("_rn") == 1)
+              .select("src", F.col("dst").alias("_pred")))
+    scored = n.join(F.broadcast(model), "src")
+    agg = scored.agg(
+        F.sum("n").cast("long").alias("n_steps"),
+        F.sum(F.when(F.col("dst") == F.col("_pred"), F.col("n"))
+               .otherwise(F.lit(0))).cast("long").alias("n_hits"))
+    acc = ("CAST(CAST((2 * CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+           " + n_steps) DIV CAST(2 * n_steps AS DECIMAL(38,0))"
+           " AS DOUBLE) / 1000000.0 AS DOUBLE)")
+    return agg.selectExpr("n_steps", "n_hits", f"{acc} AS acc_r")

@@ -693,3 +693,65 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3,
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                      .alias("window_start"), "event_type", "n_events",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def streaming_drift(spark: SparkSession, sf_dir: str,
+                    window: str = "1 day",
+                    watermark: str = "10 minutes",
+                    bin_cents: int = 500,
+                    query_name: str = "streaming_drift",
+                    state_partitions: int = DEFAULT_STATE_PARTITIONS
+                    ) -> DataFrame:
+    """Per-window distribution-drift monitor: each tumbling window's
+    event-value histogram is scored against the full-corpus reference
+    distribution with the log-free goodness-of-fit chi-square — the
+    streaming face of operators/ml.py drift_bins (a serving pipeline
+    watches this to catch feature drift the day it starts, not at the
+    next batch audit).
+
+    The windowed histogram runs on the STREAMING engine (watermarked
+    tumbling window over value bins, complete-mode drain); the reference
+    join and the per-cell chi-square are batch post-processing of the
+    drained frame — bins x windows rows, not event rows. Each cell's
+    term (o*Nr - nw*rb)^2 / (nw*rb*Nr) is a fixed double chain over
+    exact DECIMAL(38,0) integer cross products; there is no cross-row
+    double sum anywhere (drift_bins discipline).
+
+    Returns (window_start, bin, n_bin, chi2_term_r) ordered.
+    """
+    binx = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" DIV {int(bin_cents)}")
+    agg = (_event_stream(spark, sf_dir)
+           .withWatermark("ts_t", watermark)
+           .select(F.col("ts_t"), binx.alias("bin"))
+           .groupBy(F.window("ts_t", window).alias("w"), "bin")
+           .agg(F.count(F.lit(1)).alias("n_bin")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    win = (spark.table(query_name)
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "bin", "n_bin"))
+
+    from .. import tables
+    ev = tables.load(spark, sf_dir, "events")
+    ref = (ev.select(binx.alias("bin"))
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("_rb")))
+    tot = ref.agg(F.sum("_rb").alias("_nr"))
+    nw = win.groupBy("window_start").agg(F.sum("n_bin").alias("_nw"))
+
+    j = (win.join(F.broadcast(ref), "bin")
+            .join(F.broadcast(nw), "window_start")
+            .crossJoin(F.broadcast(tot)))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = ("CAST(" + dec.format("n_bin") + " * " + dec.format("_nr")
+           + " - " + dec.format("_nw") + " * " + dec.format("_rb")
+           + " AS DOUBLE)")
+    den = ("CAST(" + dec.format("_nw") + " * " + dec.format("_rb")
+           + " * " + dec.format("_nr") + " AS DOUBLE)")
+    term = f"round(({num}) * ({num}) / ({den}), 6)"
+    return (j.selectExpr("window_start", "bin", "n_bin",
+                         f"{term} AS chi2_term_r")
+             .orderBy("window_start", "bin"))
