@@ -347,3 +347,18 @@ def test_triangle_counts_equal_naive_enumeration(spark, raw):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**15),
+       st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=60, deadline=None)
+def test_integer_round_half_up_identity(a, b):
+    # The (2a + b) DIV (2b) identity used by lm_likelihood /
+    # feature-store / recall-audit / markov-eval: exact round-half-up
+    # of a/b with no float boundary. Checked against Fraction math.
+    from fractions import Fraction
+    import math
+    got = (2 * a + b) // (2 * b)
+    frac = Fraction(a, b)
+    want = math.floor(frac + Fraction(1, 2))
+    assert got == want
