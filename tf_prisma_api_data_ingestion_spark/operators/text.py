@@ -388,10 +388,14 @@ def lm_likelihood(docs: DataFrame, id_col: str = "doc_id",
     # is no float rounding boundary for the engines to disagree on (a
     # double-round tie produced a 1e-6 cross-engine diff in the first
     # formulation; the quotient is < 1e12, exact in a double).
+    # m*s is cast to DECIMAL(38,0) BEFORE the sum: the per-row product
+    # is < 1e17 but a long SUM of them overflows past ~100 such rows per
+    # doc at corpus scale (ANSI exception; DuckDB auto-promotes its sum
+    # to HUGEINT, so only the Spark side needs the widening).
     return (scored.groupBy("doc_id")
                   .agg(F.sum("m").cast("long").alias("n_bigrams"),
-                       F.sum(F.col("m") * F.col("s"))
-                        .cast("decimal(38,0)").alias("_S"))
+                       F.sum((F.col("m") * F.col("s"))
+                             .cast("decimal(38,0)")).alias("_S"))
                   .select("doc_id", "n_bigrams",
                           (F.expr("CAST((2 * _S + n_bigrams)"
                                   " DIV CAST(2 * n_bigrams AS DECIMAL(38,0))"

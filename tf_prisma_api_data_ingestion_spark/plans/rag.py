@@ -80,8 +80,13 @@ def rag_contexts(docs: DataFrame, n_queries: int = 5, k: int = 3,
     w_micro = F.expr(
         "CAST(round(({w}) * 1000000.0) AS BIGINT)".format(w="_w"))
     per_term = scored.withColumn("_w", idf * sat).withColumn("_wm", w_micro)
+    # micros widen to DECIMAL(38,0) before the sum: the odds-ratio idf
+    # grows with corpus size (~4N at df=0.5), so per-term micros reach
+    # ~4e18 at 1e12 docs and a LONG sum would overflow on the first
+    # multi-term doc (DuckDB's SUM auto-promotes to HUGEINT)
     qc = (per_term.groupBy("query_id", "doc_id")
-                  .agg(F.sum("_wm").alias("_sm")))
+                  .agg(F.sum(F.col("_wm").cast("decimal(38,0)"))
+                        .alias("_sm")))
 
     # shortlist: top-2k per query by the EXACT integer score
     w_rank = Window.partitionBy("query_id").orderBy(
