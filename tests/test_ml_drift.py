@@ -201,3 +201,36 @@ def test_streaming_drift_uniform_window_terms_small(spark):
     n = tables.load(spark, sf, "events").count()
     assert total == n
     assert out.filter(F.col("chi2_term_r") < 0).count() == 0
+
+
+def test_te_calibration_bins_partition_rows(spark):
+    rows = [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = ml.te_calibration(df, "c", F.col("y"), bins=4, smoothing=0.0)
+    rs = out.collect()
+    assert sum(r.n for r in rs) == 6
+    for r in rs:
+        # mean predicted and observed rate are both probabilities
+        assert 0.0 <= r.mean_pred_r <= 1.0 and 0.0 <= r.rate_r <= 1.0
+    # with smoothing=0 the encoder IS the per-category rate, so within a
+    # single-category bin prediction equals observation exactly
+    by_bin = {r.bin: r for r in rs}
+    for r in by_bin.values():
+        assert r.mean_pred_r == pytest.approx(r.rate_r, abs=1e-6)
+
+
+def test_negative_sample_determinism_and_correction(spark):
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "u long, it long")
+    items = spark.createDataFrame(
+        [(10,), (11,), (12,), (13,)], "it long")
+    out1 = ml.negative_sample(pos, items, "u", "it", m=3).collect()
+    out2 = ml.negative_sample(pos, items, "u", "it", m=3).collect()
+    assert out1 == out2                      # reproducible draw
+    for r in out1:
+        assert r.neg_item in (10, 11, 12, 13)
+        if r.user == 1:
+            assert r.neg_item not in (10, 11)  # true positives corrected
+        else:
+            assert r.neg_item != 10
+    assert len(out1) <= 3 * 3                # collisions only remove rows

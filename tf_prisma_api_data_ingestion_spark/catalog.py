@@ -6828,6 +6828,97 @@ FROM agg
 """
 
 
+
+def q_op_te_calibration(spark, sf_dir):
+    """Reliability audit of the brand target encoding (operators/ml.py
+    te_calibration): rows binned by their category's encoded score,
+    mean predicted vs observed return rate per decile bin. enc_micro is
+    an exact integer (enc_r is pre-rounded), so the per-bin sums are
+    integer arithmetic — no float accumulation anywhere."""
+    from .operators.ml import te_calibration
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return te_calibration(joined, "p_brand",
+                          (F.col("l_returnflag") == "R").cast("int"),
+                          bins=10)
+
+
+SQL_OP_TE_CALIBRATION = """
+WITH per AS (
+  SELECT p_brand AS category, count(*) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS sum_y
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(sum_y) AS ty FROM per),
+enc AS (SELECT category,
+               CAST(round(round((CAST(sum_y AS DOUBLE)
+                                 + 20.0 * (CAST(ty AS DOUBLE)
+                                           / CAST(tn AS DOUBLE)))
+                                / (CAST(n AS DOUBLE) + 20.0), 6)
+                          * 1000000.0) AS BIGINT) AS em
+        FROM per, tot),
+span AS (SELECT MIN(em) AS mn, MAX(em) AS mx FROM enc),
+rws AS (SELECT p_brand AS category,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+j AS (SELECT ((e.em - s.mn) * 10) // (s.mx - s.mn + 1) AS bin, r.y, e.em
+      FROM rws r JOIN enc e USING (category) CROSS JOIN span s),
+g AS (SELECT bin, COUNT(*) AS n,
+             SUM(CAST(em AS HUGEINT)) AS sp,
+             SUM(CAST(y AS HUGEINT)) AS sy
+      FROM j GROUP BY 1)
+SELECT bin, n,
+       CAST((2 * sp + n) // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS mean_pred_r,
+       CAST((2 * sy * 1000000 + n) // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS rate_r
+FROM g
+ORDER BY bin
+"""
+
+
+def q_op_negative_sample(spark, sf_dir):
+    """Deterministic hash-based negative sampling (operators/ml.py
+    negative_sample): 2 md5-drawn supplier negatives per distinct
+    (customer, supplier) positive, corrected against true positives —
+    the reproducible contrastive-pair generator for embedding/recsys
+    training data."""
+    from .operators.ml import negative_sample
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("usr"),
+                     F.col("l_suppkey").alias("item")))
+    sup = _t(spark, sf_dir, "supplier")
+    return negative_sample(pos,
+                           sup.select(F.col("s_suppkey").alias("item")),
+                           "usr", "item", m=2)
+
+
+SQL_OP_NEGATIVE_SAMPLE = """
+WITH cat AS (SELECT it, ROW_NUMBER() OVER (ORDER BY it) - 1 AS rw
+             FROM (SELECT DISTINCT s_suppkey AS it FROM supplier)),
+ni AS (SELECT COUNT(*) AS n FROM cat),
+pos AS (SELECT DISTINCT o_custkey AS usr, l_suppkey AS pos_item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+cand AS (SELECT usr, pos_item, j,
+                ('0x' || substr(md5(CAST(usr AS VARCHAR) || '#'
+                                    || CAST(pos_item AS VARCHAR) || '#'
+                                    || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                % ni.n AS rw
+         FROM pos, UNNEST([0, 1]) t(j), ni),
+neg AS (SELECT c.usr, c.pos_item, CAST(c.j AS BIGINT) AS j,
+               k.it AS neg_item
+        FROM cand c JOIN cat k USING (rw))
+SELECT n.usr AS "user", n.pos_item, n.j, n.neg_item
+FROM neg n
+LEFT JOIN pos p ON n.usr = p.usr AND n.neg_item = p.pos_item
+WHERE p.usr IS NULL
+ORDER BY 1, 2, 3
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6856,6 +6947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-minhash-recall": q_dedup_minhash_recall,
     "stream-drift": q_stream_drift,
     "op-markov-eval": q_op_markov_eval,
+    "op-te-calibration": q_op_te_calibration,
+    "op-negative-sample": q_op_negative_sample,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7104,6 +7197,8 @@ ORACLES: dict[str, str] = {
     "dedup-minhash-recall": SQL_DEDUP_MINHASH_RECALL,
     "stream-drift": SQL_STREAM_DRIFT,
     "op-markov-eval": SQL_OP_MARKOV_EVAL,
+    "op-te-calibration": SQL_OP_TE_CALIBRATION,
+    "op-negative-sample": SQL_OP_NEGATIVE_SAMPLE,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,

@@ -540,3 +540,92 @@ def markov_self_eval(events: DataFrame, entity_col: str, state_col: str,
            " + n_steps) DIV CAST(2 * n_steps AS DECIMAL(38,0))"
            " AS DOUBLE) / 1000000.0 AS DOUBLE)")
     return agg.selectExpr("n_steps", "n_hits", f"{acc} AS acc_r")
+
+
+def te_calibration(df: DataFrame, cat_col: str, y01, bins: int = 10,
+                   smoothing: float = 20.0) -> DataFrame:
+    """Reliability audit of the smoothed target encoding: bin rows by
+    their category's encoded score and compare mean predicted vs
+    observed rate per bin — the calibration check every encoded feature
+    (and every model consuming it) gets before shipping.
+
+    Exactness hinge: ``enc_r`` is already rounded to 6 decimals, so
+    enc_micro = round(enc_r * 1e6) is an EXACT integer per category —
+    the per-bin mean-predicted sum is integer arithmetic, not a float
+    accumulation. Bins are RANGE-SCALED over the observed encoder span
+    ((em - mn) * bins DIV (mx - mn + 1), exact integral math) — shrunk
+    encoders cluster tightly, and absolute deciles would lump every
+    category into one uninformative bin (observed on the brand
+    fixture). Observed rates round via (2a+b) DIV 2b.
+
+    Scale design: rows join the tiny broadcast encoder table; everything
+    after is one combinable aggregation over ``bins`` groups. Returns
+    (bin, n, mean_pred_r, rate_r) ordered by bin.
+    """
+    enc = target_encode(df, cat_col, y01, smoothing=smoothing) \
+        .select("category",
+                F.expr("CAST(round(enc_r * 1000000.0) AS BIGINT)")
+                 .alias("_em"))
+    span = enc.agg(F.min("_em").alias("_mn"), F.max("_em").alias("_mx"))
+    rows = (df.select(F.col(cat_col).alias("category"),
+                      y01.cast("long").alias("_y"))
+              .join(F.broadcast(enc), "category")
+              .crossJoin(F.broadcast(span)))
+    binx = F.expr(
+        f"((_em - _mn) * {int(bins)}L) DIV (_mx - _mn + 1L)")
+    g = (rows.withColumn("bin", binx)
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  # widen BEFORE summing: micros reach 1e6 per row, so a
+                  # LONG sum overflows past ~9e12 rows per bin
+                  F.sum(F.col("_em").cast("decimal(38,0)")).alias("_sp"),
+                  F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy")))
+    mean_pred = ("CAST(CAST((2 * _sp + n) DIV CAST(2 * n AS DECIMAL(38,0))"
+                 " AS DOUBLE) / 1000000.0 AS DOUBLE)")
+    rate = ("CAST(CAST((2 * _sy * 1000000 + n)"
+            " DIV CAST(2 * n AS DECIMAL(38,0)) AS DOUBLE)"
+            " / 1000000.0 AS DOUBLE)")
+    return (g.selectExpr("bin", "n", f"{mean_pred} AS mean_pred_r",
+                         f"{rate} AS rate_r")
+             .orderBy("bin"))
+
+
+def negative_sample(positives: DataFrame, items: DataFrame,
+                    user_col: str, item_col: str, m: int = 4) -> DataFrame:
+    """Deterministic hash-based negative sampling — the contrastive-pair
+    generator behind recsys / embedding training data: each observed
+    (user, item) positive is joined by ``m`` pseudo-random negatives
+    drawn uniformly from the item catalog via md5 arithmetic, then
+    filtered against the user's true positives (a sampled negative the
+    user actually interacted with is dropped, the standard correction).
+
+    Determinism: the j-th candidate for a positive is
+    items[md5_hash60(user || '#' || item || '#' || j) % |items|] — both
+    engines derive the identical draw, so the training set is
+    reproducible row-for-row (and backfills don't silently reshuffle
+    negatives).
+
+    Scale design: the item index (id -> row_number) is a broadcast (item
+    catalogs are small relative to interactions); the anti-join against
+    true positives shuffles on (user, item) exactly like the positives
+    themselves. Expected output ~ m * |positives| minus collisions.
+    Returns (user, pos_item, j, neg_item).
+    """
+    idx = Window.orderBy(F.col("_it").asc())
+    cat = (items.select(F.col(item_col).alias("_it")).distinct()
+                .withColumn("_row", F.row_number().over(idx) - 1))
+    n_items = cat.agg(F.count(F.lit(1)).alias("_ni"))
+    pos = positives.select(F.col(user_col).alias("user"),
+                           F.col(item_col).alias("pos_item")).distinct()
+    cand = (pos.crossJoin(F.broadcast(n_items))
+               .withColumn("j", F.explode(
+                   F.array(*[F.lit(i) for i in range(m)])))
+               .withColumn("_h", md5_hash60(F.concat_ws(
+                   "#", F.col("user"), F.col("pos_item"), F.col("j"))))
+               .withColumn("_row", F.col("_h") % F.col("_ni")))
+    neg = (cand.join(F.broadcast(cat), "_row")
+               .select("user", "pos_item", F.col("j").cast("long").alias("j"),
+                       F.col("_it").alias("neg_item")))
+    truth = pos.select("user", F.col("pos_item").alias("neg_item"))
+    return (neg.join(truth, ["user", "neg_item"], "left_anti")
+               .orderBy("user", "pos_item", "j"))
