@@ -6935,13 +6935,14 @@ ORDER BY 1, 2, 3
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # With 43 never-driver-checked keys this round (r6c 8 + r6b 12 +
+    # With 47 never-driver-checked keys this round (r6c 12 + r6b 12 +
     # graph/retrieval 12 + partsupp TPC-H 5 + late-r5 TPC-H 6), the 50
-    # slots hold ALL never-checked keys plus the 7 r6-code-changed keys;
-    # the two remaining r6-changed keys (plan-corpus-clean-v2 / -train,
-    # driver-green r3/r4, selfcheck-green today) queue at 51-52 for r7.
-    # 1-8: the r6c drift/diversity/LM/feature/RAG batch (newest, never
-    # driver-checked)
+    # slots hold ALL never-checked keys plus the first 3 r6-code-changed
+    # keys; the remaining changed keys (passage pair/funnel ADVICE fixes
+    # at 51-52, multimodal/corpus plans at 53-56 — every one r5-driver-
+    # green AND selfcheck+drivercheck-green today) lead the r7 window.
+    # 1-12: the r6c drift/diversity/LM/feature/RAG/eval batch (newest,
+    # never driver-checked)
     "plan-feature-store": q_plan_feature_store,
     "plan-rag-context": q_plan_rag_context,
     "dedup-minhash-recall": q_dedup_minhash_recall,
@@ -6954,7 +6955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-gini-diversity": q_op_gini_diversity,
     "op-cramers-v": q_op_cramers_v,
     "text-lm-likelihood": q_text_lm_likelihood,
-    # 9-20: the r6b ML-pipeline batch (never driver-checked)
+    # 13-24: the r6b ML-pipeline batch (never driver-checked)
     "op-knn-classify": q_op_knn_classify,
     "op-item-cf": q_op_item_cf,
     "op-target-encode": q_op_target_encode,
@@ -6967,13 +6968,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-anomaly-seasonal": q_op_anomaly_seasonal,
     "sim-quantize-int8": q_sim_quantize_int8,
     "op-bloom-prefilter": q_op_bloom_prefilter,
-    # 21-25: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
+    # 25-29: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
     "tpch-q2": q_tpch_q2,
     "tpch-q9": q_tpch_q9,
     "tpch-q11": q_tpch_q11,
     "tpch-q16": q_tpch_q16,
     "tpch-q20": q_tpch_q20,
-    # 26-31: the 6 TPC-H keys added late in r5 that have NEVER seen
+    # 30-35: the 6 TPC-H keys added late in r5 that have NEVER seen
     # a driver window
     "tpch-q8": q_tpch_q8,
     "tpch-q12": q_tpch_q12,
@@ -6981,7 +6982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
-    # 32-43: NEW r6 retrieval/similarity/graph/preference operators,
+    # 36-47: NEW r6 retrieval/similarity/graph/preference operators,
     # in-window for first exposure
     "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
     "text-bm25-topk": q_text_bm25_topk,
@@ -6995,17 +6996,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
     "stream-trending-topk": q_stream_trending_topk,
-    # 44-48: keys whose CODE changed in r6 (overflow-safe linreg /
-    # checksum, total passage_hashes, None-sentinel stream funnel)
+    # 48-50: keys whose CODE changed in r6 (overflow-safe linreg /
+    # checksum, total passage_hashes); the window boundary falls inside
+    # this group
     "op-linreg-group": q_op_linreg_group,
     "op-table-checksum": q_op_table_checksum,
     "dedup-passage-exact": q_dedup_passage_exact,
     "dedup-passage-pairs": q_dedup_passage_pairs,
     "stream-funnel": q_stream_funnel,
-    # 49-50: multimodal/corpus plans whose code changed later in r6
-    # (LSH bucket auto-sizing; CC auto-select + df-cap + fan_out) —
-    # clean-v2/train land at 51-52 (driver-green r3/r4, selfcheck-green
-    # today) and lead the r7 window
+    # 51-56: remaining r6-changed keys just past the boundary (passage
+    # pairs / stream funnel ADVICE fixes; LSH bucket auto-sizing and the
+    # CC/df-cap/fan_out corpus-plan work) — r3-r5 driver-green, verified
+    # locally today, first in line for r7
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "plan-corpus-clean": q_plan_corpus_clean,
     "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
