@@ -6919,6 +6919,55 @@ ORDER BY 1, 2, 3
 """
 
 
+
+def q_plan_corpus_report(spark, sf_dir):
+    """Dataset-card summary of the document corpus in one row: volume,
+    vocabulary-bearing token mass, language/source mix, and the exact
+    duplication rate — the numbers a training-data release publishes
+    (and re-verifies on every refresh). Pure combinable aggregations +
+    one exact-dup groupBy; ratios round in exact integer space."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != ""))
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("decimal(38,0)")).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("_uniq"))
+    dup = ("CAST(CAST((2 * CAST(n_docs - _uniq AS DECIMAL(38,0)) * 1000000"
+           " + n_docs) DIV CAST(2 * n_docs AS DECIMAL(38,0)) AS DOUBLE)"
+           " / 1000000.0 AS DOUBLE)")
+    mean_t = ("CAST(CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+              " + n_docs) DIV CAST(2 * n_docs AS DECIMAL(38,0)) AS DOUBLE)"
+              " / 1000000.0 AS DOUBLE)")
+    return base.selectExpr(
+        "n_docs", "n_tokens", "n_langs", "n_sources",
+        f"{dup} AS dup_rate_r", f"{mean_t} AS mean_tokens_r")
+
+
+SQL_PLAN_CORPUS_REPORT = r"""
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CAST(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS HUGEINT)) AS n_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT text) AS uniq
+  FROM documents)
+SELECT n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, n_langs, n_sources,
+       CAST((2 * CAST(n_docs - uniq AS HUGEINT) * 1000000 + n_docs)
+            // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS dup_rate_r,
+       CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + n_docs)
+            // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS mean_tokens_r
+FROM base
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -6950,6 +6999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-markov-eval": q_op_markov_eval,
     "op-te-calibration": q_op_te_calibration,
     "op-negative-sample": q_op_negative_sample,
+    "plan-corpus-report": q_plan_corpus_report,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7201,6 +7251,7 @@ ORACLES: dict[str, str] = {
     "op-markov-eval": SQL_OP_MARKOV_EVAL,
     "op-te-calibration": SQL_OP_TE_CALIBRATION,
     "op-negative-sample": SQL_OP_NEGATIVE_SAMPLE,
+    "plan-corpus-report": SQL_PLAN_CORPUS_REPORT,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
