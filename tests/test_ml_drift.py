@@ -234,3 +234,34 @@ def test_negative_sample_determinism_and_correction(spark):
         else:
             assert r.neg_item != 10
     assert len(out1) <= 3 * 3                # collisions only remove rows
+
+
+def test_auc_hand_examples(spark):
+    # perfect separation: scores 1,2 with labels 0,1 -> AUC 1.0
+    df = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 1), (2, 1)], "s long, y int")
+    out = ml.auc_score(df, F.col("s"), F.col("y")).collect()[0]
+    assert (out.n_pos, out.n_neg) == (2, 2)
+    assert out.auc_r == 1.0
+    # all tied: AUC 0.5 exactly (tie-averaged ranks)
+    df2 = spark.createDataFrame([(5, 0), (5, 1)], "s long, y int")
+    assert ml.auc_score(df2, F.col("s"), F.col("y")).collect()[0].auc_r == 0.5
+    # anti-predictive: AUC 0.0
+    df3 = spark.createDataFrame([(2, 0), (1, 1)], "s long, y int")
+    assert ml.auc_score(df3, F.col("s"), F.col("y")).collect()[0].auc_r == 0.0
+
+
+def test_auc_single_class_is_null(spark):
+    df = spark.createDataFrame([(1, 1), (2, 1)], "s long, y int")
+    assert ml.auc_score(df, F.col("s"), F.col("y")).collect()[0].auc_r is None
+
+
+def test_auc_matches_sklearn_formula(spark):
+    # tie-heavy fixture checked against the hand rank-sum:
+    # scores [1,1,2,3,3,3], labels [0,1,0,0,1,1]
+    # ranks: 1,1 -> 1.5 ; 2 -> 3 ; 3,3,3 -> 5
+    # R_pos = 1.5 + 5 + 5 = 11.5 ; U = 11.5 - 3*4/2 = 5.5 ; AUC = 5.5/9
+    rows = [(1, 0), (1, 1), (2, 0), (3, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = ml.auc_score(df, F.col("s"), F.col("y")).collect()[0]
+    assert out.auc_r == pytest.approx(5.5 / 9, abs=1e-6)

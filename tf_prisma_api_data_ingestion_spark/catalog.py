@@ -6968,6 +6968,66 @@ FROM base
 """
 
 
+
+def q_op_auc(spark, sf_dir):
+    """Exact rank-sum ROC AUC (operators/ml.py auc_score) of the brand
+    target-encoding against the returned-flag label — discrimination to
+    pair with op-te-calibration's reliability. Mann-Whitney with
+    tie-averaged ranks in PURE INTEGER arithmetic (2*avg_rank = lo+hi);
+    zero float ops before the final division."""
+    from .operators.ml import auc_score, target_encode
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    enc = target_encode(joined, "p_brand",
+                        (F.col("l_returnflag") == "R").cast("int"))         .select("category",
+                F.expr("CAST(round(enc_r * 1000000.0) AS BIGINT)")
+                 .alias("_em"))
+    rows = (joined.select(F.col("p_brand").alias("category"),
+                          (F.col("l_returnflag") == "R").cast("int")
+                           .alias("_y"))
+                  .join(F.broadcast(enc), "category"))
+    return auc_score(rows, F.col("_em"), F.col("_y"))
+
+
+SQL_OP_AUC = """
+WITH per AS (
+  SELECT p_brand AS category, count(*) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS sum_y
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(sum_y) AS ty FROM per),
+enc AS (SELECT category,
+               CAST(round(round((CAST(sum_y AS DOUBLE)
+                                 + 20.0 * (CAST(ty AS DOUBLE)
+                                           / CAST(tn AS DOUBLE)))
+                                / (CAST(n AS DOUBLE) + 20.0), 6)
+                          * 1000000.0) AS BIGINT) AS em
+        FROM per, tot),
+rws AS (SELECT e.em AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN enc e ON e.category = p_brand),
+g AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+      FROM rws GROUP BY s),
+cum AS (SELECT s, n, np,
+               CAST(SUM(n) OVER (ORDER BY s) AS HUGEINT) AS hi
+        FROM g),
+agg AS (SELECT CAST(SUM(np) AS HUGEINT) AS p,
+               CAST(SUM(n - np) AS HUGEINT) AS nn,
+               COUNT(*) AS n_scores,
+               SUM(CAST(np AS HUGEINT) * ((hi - n + 1) + hi)) AS u2
+        FROM cum)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       n_scores,
+       CASE WHEN p > 0 AND nn > 0 THEN
+         CAST((2 * (u2 - p * (p + 1)) * 1000000 + 2 * p * nn)
+              // (2 * (2 * p * nn)) AS DOUBLE) / 1000000.0 END AS auc_r
+FROM agg
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7000,6 +7060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-te-calibration": q_op_te_calibration,
     "op-negative-sample": q_op_negative_sample,
     "plan-corpus-report": q_plan_corpus_report,
+    "op-auc": q_op_auc,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7252,6 +7313,7 @@ ORACLES: dict[str, str] = {
     "op-te-calibration": SQL_OP_TE_CALIBRATION,
     "op-negative-sample": SQL_OP_NEGATIVE_SAMPLE,
     "plan-corpus-report": SQL_PLAN_CORPUS_REPORT,
+    "op-auc": SQL_OP_AUC,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,

@@ -629,3 +629,46 @@ def negative_sample(positives: DataFrame, items: DataFrame,
     truth = pos.select("user", F.col("pos_item").alias("neg_item"))
     return (neg.join(truth, ["user", "neg_item"], "left_anti")
                .orderBy("user", "pos_item", "j"))
+
+
+def auc_score(scored: DataFrame, score_long, y01) -> DataFrame:
+    """ROC AUC of an integer score against a binary label via the exact
+    Mann-Whitney rank-sum — the discrimination metric next to
+    ``te_calibration``'s reliability view, and a pure-integer
+    computation: with tie groups collapsed to distinct scores,
+    2*avg_rank = lo + hi (both cumulative-count integers), so
+    U2 = sum(npos_s * (lo_s + hi_s)) and
+    AUC = (U2 - npos*(npos+1)) / (2*npos*nneg) — an integer ratio,
+    rounded with the (2a+b) DIV 2b half-up identity. ZERO floating-point
+    operations before the final division, so the engines cannot drift.
+
+    Scale design: one combinable aggregation per distinct score, then a
+    cumulative window over the |distinct scores| frame (B rows, not N —
+    binned-KS argument; integer scores from quantized model outputs keep
+    B small by construction). Returns one row
+    (n_pos, n_neg, n_scores, auc_r).
+    """
+    s = scored.select(score_long.cast("long").alias("_s"),
+                      y01.cast("long").alias("_y"))
+    g = s.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_np"))
+    w = Window.orderBy(F.col("_s").asc()) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = (g.withColumn("_hi", F.sum("_n").over(w).cast("decimal(38,0)"))
+          .withColumn("_lo", (F.col("_hi")
+                              - F.col("_n").cast("decimal(38,0)") + 1)))
+    agg = g.agg(
+        F.sum("_np").cast("decimal(38,0)").alias("_P"),
+        F.sum(F.col("_n").cast("decimal(38,0)")
+              - F.col("_np").cast("decimal(38,0)")).alias("_N"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum(F.col("_np").cast("decimal(38,0)")
+              * (F.col("_lo") + F.col("_hi"))).alias("_U2"))
+    auc = ("CAST(CAST((2 * (_U2 - _P * (_P + 1)) * 1000000"
+           " + 2 * _P * _N) DIV (2 * (2 * _P * _N)) AS DOUBLE)"
+           " / 1000000.0 AS DOUBLE)")
+    return agg.selectExpr(
+        "CAST(_P AS BIGINT) AS n_pos", "CAST(_N AS BIGINT) AS n_neg",
+        "n_scores",
+        f"CASE WHEN _P > 0 AND _N > 0 THEN {auc} END AS auc_r")
