@@ -7028,6 +7028,86 @@ FROM agg
 """
 
 
+
+def q_dedup_minhash_recall_sampled(spark, sf_dir):
+    """The production-scale form of dedup-minhash-recall: the audit runs
+    on a DETERMINISTIC 1-in-5 md5 stratum of the corpus, so the uncapped
+    exact-jaccard truth side costs a fixed fraction of the corpus no
+    matter how large the corpus grows (the full-corpus audit's truth
+    side is super-linear — SCALING.md r6c reading). Same md5 bucket as
+    op-sample-hash: reruns audit the identical stratum."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.expr("CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT) % 5 = 0"))
+    truth = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)         .select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs_md5(d, n=3, threshold=0.2)         .select("doc_a", "doc_b")
+    both = truth.join(lsh, ["doc_a", "doc_b"]).select("doc_a")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    b = both.agg(F.count(F.lit(1)).alias("n_both"))
+    r6 = ("CAST(CAST((2 * CAST(n_both AS DECIMAL(38,0)) * 1000000"
+          " + n_truth) DIV CAST(2 * n_truth AS DECIMAL(38,0)) AS DOUBLE)"
+          " / 1000000.0 AS DOUBLE)")
+    return (t.crossJoin(l).crossJoin(b)
+             .selectExpr("n_truth", "n_lsh", "n_both",
+                         f"CASE WHEN n_truth > 0 THEN {r6} END"
+                         " AS recall_r"))
+
+
+_SQL_SHINGLES_SAMPLED = _SQL_SHINGLES.replace(
+    "FROM documents", "FROM documents_s", 1)     if "FROM documents" in _SQL_SHINGLES else _SQL_SHINGLES
+
+SQL_DEDUP_MINHASH_RECALL_SAMPLED = f"""
+WITH documents_s AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 5 = 0),
+sh AS ({_SQL_SHINGLES_SAMPLED}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+truth AS (SELECT doc_a, doc_b FROM inter
+          WHERE i / (ma + mb - i) >= 0.2),
+pre AS (SELECT doc_id, shingles,
+               list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+seeded AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
+  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
+  GROUP BY doc_id, i),
+sigs AS (
+  SELECT doc_id, i // 4 AS bidx,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
+  FROM seeded GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         len(sa.shingles) AS ma, len(sb.shingles) AS mb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b),
+lsh AS (SELECT doc_a, doc_b FROM verified
+        WHERE i / (ma + mb - i) >= 0.2),
+n AS (SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        (SELECT COUNT(*) FROM truth JOIN lsh USING (doc_a, doc_b))
+          AS n_both)
+SELECT n_truth, n_lsh, n_both,
+       CASE WHEN n_truth > 0 THEN
+         CAST((2 * CAST(n_both AS HUGEINT) * 1000000 + n_truth)
+              // (2 * CAST(n_truth AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 END AS recall_r
+FROM n
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7061,6 +7141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-negative-sample": q_op_negative_sample,
     "plan-corpus-report": q_plan_corpus_report,
     "op-auc": q_op_auc,
+    "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7314,6 +7395,7 @@ ORACLES: dict[str, str] = {
     "op-negative-sample": SQL_OP_NEGATIVE_SAMPLE,
     "plan-corpus-report": SQL_PLAN_CORPUS_REPORT,
     "op-auc": SQL_OP_AUC,
+    "dedup-minhash-recall-sampled": SQL_DEDUP_MINHASH_RECALL_SAMPLED,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
