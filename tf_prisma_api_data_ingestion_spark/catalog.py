@@ -7124,13 +7124,13 @@ FROM n
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r06 driver window (first 50) ----
-    # With 47 never-driver-checked keys this round (r6c 12 + r6b 12 +
-    # graph/retrieval 12 + partsupp TPC-H 5 + late-r5 TPC-H 6), the 50
-    # slots hold ALL never-checked keys plus the first 3 r6-code-changed
-    # keys; the remaining changed keys (passage pair/funnel ADVICE fixes
-    # at 51-52, multimodal/corpus plans at 53-56 — every one r5-driver-
-    # green AND selfcheck+drivercheck-green today) lead the r7 window.
-    # 1-12: the r6c drift/diversity/LM/feature/RAG/eval batch (newest,
+    # The 50 slots hold EXACTLY this round's 50 never-driver-checked
+    # keys (r6c 15 + r6b 12 + TPC-H 11 + graph/retrieval 12); the
+    # r6-code-changed keys (linreg/checksum/passage/funnel ADVICE fixes,
+    # multimodal/corpus plans) queue from position 51 — every one
+    # r3-r5-driver-green AND selfcheck+drivercheck-green today
+    # (202/202 full + 5-newest vanilla spot-checks) — and lead r7.
+    # 1-15: the r6c drift/diversity/LM/feature/RAG/eval batch (newest,
     # never driver-checked)
     "plan-feature-store": q_plan_feature_store,
     "plan-rag-context": q_plan_rag_context,
@@ -7147,7 +7147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-gini-diversity": q_op_gini_diversity,
     "op-cramers-v": q_op_cramers_v,
     "text-lm-likelihood": q_text_lm_likelihood,
-    # 13-24: the r6b ML-pipeline batch (never driver-checked)
+    # 16-27: the r6b ML-pipeline batch (never driver-checked)
     "op-knn-classify": q_op_knn_classify,
     "op-item-cf": q_op_item_cf,
     "op-target-encode": q_op_target_encode,
@@ -7160,13 +7160,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-anomaly-seasonal": q_op_anomaly_seasonal,
     "sim-quantize-int8": q_sim_quantize_int8,
     "op-bloom-prefilter": q_op_bloom_prefilter,
-    # 25-29: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
+    # 28-32: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
     "tpch-q2": q_tpch_q2,
     "tpch-q9": q_tpch_q9,
     "tpch-q11": q_tpch_q11,
     "tpch-q16": q_tpch_q16,
     "tpch-q20": q_tpch_q20,
-    # 30-35: the 6 TPC-H keys added late in r5 that have NEVER seen
+    # 33-38: the 6 TPC-H keys added late in r5 that have NEVER seen
     # a driver window
     "tpch-q8": q_tpch_q8,
     "tpch-q12": q_tpch_q12,
@@ -7174,7 +7174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch-q19": q_tpch_q19,
     "tpch-q21": q_tpch_q21,
     "tpch-q22": q_tpch_q22,
-    # 36-47: NEW r6 retrieval/similarity/graph/preference operators,
+    # 39-50: NEW r6 retrieval/similarity/graph/preference operators,
     # in-window for first exposure
     "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
     "text-bm25-topk": q_text_bm25_topk,
@@ -7188,18 +7188,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
     "stream-trending-topk": q_stream_trending_topk,
-    # 48-50: keys whose CODE changed in r6 (overflow-safe linreg /
-    # checksum, total passage_hashes); the window boundary falls inside
-    # this group
+    # ---- entry 50 boundary ----
+    # 51+: keys whose CODE changed in r6 (overflow-safe linreg /
+    # checksum, total passage_hashes, None-sentinel funnel, LSH/CC
+    # corpus-plan work) — verified locally today, first for r7
     "op-linreg-group": q_op_linreg_group,
     "op-table-checksum": q_op_table_checksum,
     "dedup-passage-exact": q_dedup_passage_exact,
     "dedup-passage-pairs": q_dedup_passage_pairs,
     "stream-funnel": q_stream_funnel,
-    # 51-56: remaining r6-changed keys just past the boundary (passage
-    # pairs / stream funnel ADVICE fixes; LSH bucket auto-sizing and the
-    # CC/df-cap/fan_out corpus-plan work) — r3-r5 driver-green, verified
-    # locally today, first in line for r7
     "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "plan-corpus-clean": q_plan_corpus_clean,
     "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
