@@ -7108,6 +7108,132 @@ FROM n
 """
 
 
+
+def q_sim_lsh_recall(spark, sf_dir):
+    """ANN recall@k audit — the vector-family twin of
+    dedup-minhash-recall: the md5 sign-bucket LSH top-5 joined against
+    the exact brute-force top-5 per query, per-query hit counts and
+    exact-integer recall — PLUS the same audit for the Hamming-1
+    multiprobe variant, quantifying the recall the probe expansion buys
+    back. The number a serving pipeline watches when it trades the
+    exact scan for the bucketed path."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(q, e, k=5) \
+        .select("query_id", "vec_id")
+    lsh = similarity.lsh_bucket_topk(q, e, k=5, dim=64, mode="md5") \
+        .select("query_id", "vec_id")
+    mp = similarity.lsh_multiprobe_topk(q, e, k=5, dim=64, mode="md5") \
+        .select("query_id", "vec_id")
+    hits = bf.join(lsh, ["query_id", "vec_id"]) \
+             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    mph = bf.join(mp, ["query_id", "vec_id"]) \
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_mp_hits"))
+    nbf = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+
+    def rec(hit_col, out):
+        return (f"CAST(CAST((2 * CAST({hit_col} AS DECIMAL(38,0)) * 1000000"
+                f" + n_exact) DIV CAST(2 * n_exact AS DECIMAL(38,0))"
+                f" AS DOUBLE) / 1000000.0 AS DOUBLE) AS {out}")
+
+    return (nbf.join(nl, "query_id", "left")
+               .join(hits, "query_id", "left")
+               .join(mph, "query_id", "left")
+               .na.fill(0, ["n_lsh", "n_hits", "n_mp_hits"])
+               .selectExpr("query_id", "n_exact", "n_lsh", "n_hits",
+                           rec("n_hits", "recall_r"), "n_mp_hits",
+                           rec("n_mp_hits", "mp_recall_r"))
+               .orderBy("query_id"))
+
+
+SQL_SIM_LSH_RECALL = f"""
+WITH
+hp AS (
+  SELECT t, p, d,
+         (('0x' || substr(md5('hp,' || t || ',' || p || ',' || d), 1, 15))::BIGINT
+          % 2001) - 1000 AS c
+  FROM range(4) AS r1(t), range(8) AS r2(p), range(64) AS r3(d)),
+qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
+  FROM embeddings),
+dots AS (
+  SELECT qv.vec_id, hp.t, hp.p, SUM(qv.q * hp.c) AS dt
+  FROM qv JOIN hp ON qv.d = hp.d
+  GROUP BY 1, 2, 3),
+bkt AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dt >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS b
+  FROM dots GROUP BY 1, 2),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM bkt qb JOIN bkt cb ON qb.t = cb.t AND qb.b = cb.b
+  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+lscored AS (
+  SELECT c.query_id, c.vec_id, list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e t ON t.vec_id = c.vec_id),
+lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+    FROM lscored) WHERE rn <= 5),
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM (SELECT * FROM e WHERE vec_id < 5) q
+  JOIN e c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM bscored) WHERE rn <= 5),
+qp AS (
+  SELECT vec_id, t,
+         CASE WHEN p = 8 THEN b
+              ELSE xor(b, CAST(1 AS BIGINT) << p) END AS b
+  FROM bkt, range(0, 9) r(p)
+  WHERE vec_id < 5),
+mcand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM qp JOIN bkt cb ON qp.t = cb.t AND qp.b = cb.b
+  WHERE cb.vec_id <> qp.vec_id),
+mscored AS (
+  SELECT c.query_id, c.vec_id, list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM mcand c JOIN e q ON q.vec_id = c.query_id JOIN e t ON t.vec_id = c.vec_id),
+mp AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+    FROM mscored) WHERE rn <= 5),
+hits AS (SELECT query_id, COUNT(*) AS n_hits
+         FROM bf JOIN lsh USING (query_id, vec_id) GROUP BY 1),
+mph AS (SELECT query_id, COUNT(*) AS n_mp_hits
+        FROM bf JOIN mp USING (query_id, vec_id) GROUP BY 1),
+nbf AS (SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY 1),
+nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM lsh GROUP BY 1)
+SELECT nbf.query_id, nbf.n_exact,
+       COALESCE(nl.n_lsh, 0) AS n_lsh,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST((2 * CAST(COALESCE(hits.n_hits, 0) AS HUGEINT) * 1000000
+             + nbf.n_exact)
+            // (2 * CAST(nbf.n_exact AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS recall_r,
+       COALESCE(mph.n_mp_hits, 0) AS n_mp_hits,
+       CAST((2 * CAST(COALESCE(mph.n_mp_hits, 0) AS HUGEINT) * 1000000
+             + nbf.n_exact)
+            // (2 * CAST(nbf.n_exact AS HUGEINT)) AS DOUBLE)
+       / 1000000.0 AS mp_recall_r
+FROM nbf
+LEFT JOIN nl USING (query_id)
+LEFT JOIN hits USING (query_id)
+LEFT JOIN mph USING (query_id)
+ORDER BY nbf.query_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7142,6 +7268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-corpus-report": q_plan_corpus_report,
     "op-auc": q_op_auc,
     "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
+    "sim-lsh-recall": q_sim_lsh_recall,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7393,6 +7520,7 @@ ORACLES: dict[str, str] = {
     "plan-corpus-report": SQL_PLAN_CORPUS_REPORT,
     "op-auc": SQL_OP_AUC,
     "dedup-minhash-recall-sampled": SQL_DEDUP_MINHASH_RECALL_SAMPLED,
+    "sim-lsh-recall": SQL_SIM_LSH_RECALL,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,
