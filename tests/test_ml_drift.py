@@ -265,3 +265,27 @@ def test_auc_matches_sklearn_formula(spark):
     df = spark.createDataFrame(rows, "s long, y int")
     out = ml.auc_score(df, F.col("s"), F.col("y")).collect()[0]
     assert out.auc_r == pytest.approx(5.5 / 9, abs=1e-6)
+
+
+def test_session_features_hand_example(spark):
+    import datetime as dt
+    from tf_prisma_api_data_ingestion_spark.plans.features import (
+        session_features,
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "view", 0.0),
+        (1, t0 + dt.timedelta(minutes=5), "purchase", 19.99),
+        (1, t0 + dt.timedelta(hours=2), "view", 0.0),     # new session
+        (2, t0, "click", 1.50),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {(r.user_id, r.session_id): r
+           for r in session_features(df).collect()}
+    s1 = out[("1", 1)]
+    assert s1.n_events == 2 and s1.converted == 1
+    assert s1.value_cents == 1999 and s1.duration_us == 300_000_000
+    s2 = out[("1", 2)]
+    assert s2.n_events == 1 and s2.converted == 0 and s2.duration_us == 0
+    assert out[("2", 1)].n_clicks == 1

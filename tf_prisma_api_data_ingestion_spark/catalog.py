@@ -7234,6 +7234,96 @@ ORDER BY nbf.query_id
 """
 
 
+
+def q_plan_session_features(spark, sf_dir):
+    """Per-session behavioral feature table (plans/features.py
+    session_features): gap-based sessions (30-min, µs precision — the
+    op-sessionize islands) aggregated into model-ready features with the
+    conversion label. One user-window + one combinable aggregation."""
+    from .plans.features import session_features
+    return session_features(_t(spark, sf_dir, "events"))
+
+
+SQL_PLAN_SESSION_FEATURES = """
+WITH flagged AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
+         event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+           AS cents,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   > 1800000000
+              OR lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+numbered AS (
+  SELECT user_id, ts_us, event_type, cents,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       min(ts_us) AS session_start,
+       max(ts_us) AS session_end,
+       max(ts_us) - min(ts_us) AS duration_us,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'view') AS n_views,
+       count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS value_cents,
+       CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') > 0
+            THEN 1 ELSE 0 END AS converted
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+
+def q_op_ab_srm(spark, sf_dir):
+    """A/B sample-ratio-mismatch check: deterministic md5 unit
+    assignment (the same cross-engine bucket as op-sample-hash — rerun
+    = same arms) over distinct event users, then the 2-arm chi-square
+    goodness-of-fit vs the intended 50/50, (nA-nB)^2/n exactly. The
+    first guardrail every experimentation platform runs; srm_flag
+    trips at the df=1 95% critical value 3.84."""
+    ev = _t(spark, sf_dir, "events")
+    units = ev.select("user_id").distinct().select(
+        F.expr("CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT) % 2").alias("arm"))
+    g = units.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    a = g.filter(F.col("arm") == 0).select(F.col("n").alias("n_a"))
+    b = g.filter(F.col("arm") == 1).select(F.col("n").alias("n_b"))
+    j = a.crossJoin(b)
+    chi2 = ("CAST(CAST(n_a AS DECIMAL(38,0)) - n_b AS DOUBLE)"
+            " * CAST(CAST(n_a AS DECIMAL(38,0)) - n_b AS DOUBLE)"
+            " / CAST(CAST(n_a AS DECIMAL(38,0)) + n_b AS DOUBLE)")
+    return j.selectExpr("n_a + n_b AS n_units", "n_a", "n_b",
+                        f"round({chi2}, 6) AS chi2_r",
+                        f"CAST({chi2} > 3.84 AS INT) AS srm_flag")
+
+
+SQL_OP_AB_SRM = """
+WITH units AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)),
+g AS (SELECT arm, COUNT(*) AS n FROM units GROUP BY arm),
+j AS (SELECT (SELECT n FROM g WHERE arm = 0) AS n_a,
+             (SELECT n FROM g WHERE arm = 1) AS n_b)
+SELECT n_a + n_b AS n_units, n_a, n_b,
+       round(CAST(CAST(n_a AS HUGEINT) - n_b AS DOUBLE)
+             * CAST(CAST(n_a AS HUGEINT) - n_b AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) + n_b AS DOUBLE), 6) AS chi2_r,
+       CAST(CAST(CAST(n_a AS HUGEINT) - n_b AS DOUBLE)
+            * CAST(CAST(n_a AS HUGEINT) - n_b AS DOUBLE)
+            / CAST(CAST(n_a AS HUGEINT) + n_b AS DOUBLE) > 3.84
+            AS INT) AS srm_flag
+FROM j
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7269,6 +7359,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-auc": q_op_auc,
     "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
     "sim-lsh-recall": q_sim_lsh_recall,
+    "plan-session-features": q_plan_session_features,
+    "op-ab-srm": q_op_ab_srm,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7521,6 +7613,8 @@ ORACLES: dict[str, str] = {
     "op-auc": SQL_OP_AUC,
     "dedup-minhash-recall-sampled": SQL_DEDUP_MINHASH_RECALL_SAMPLED,
     "sim-lsh-recall": SQL_SIM_LSH_RECALL,
+    "plan-session-features": SQL_PLAN_SESSION_FEATURES,
+    "op-ab-srm": SQL_OP_AB_SRM,
     "op-drift-ks": SQL_OP_DRIFT_KS,
     "op-drift-bins": SQL_OP_DRIFT_BINS,
     "op-gini-diversity": SQL_OP_GINI_DIVERSITY,

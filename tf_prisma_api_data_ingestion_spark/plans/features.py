@@ -115,3 +115,52 @@ def customer_feature_store(customers: DataFrame, orders: DataFrame,
                 F.when(F.col("_last") >= F.lit(active_cutoff), 1)
                  .otherwise(0).cast("int").alias("label_active"))
             .orderBy("c_custkey"))
+
+
+def session_features(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+                     ) -> DataFrame:
+    """Per-session behavioral feature table — the event-side sibling of
+    the customer feature store: gap-based sessions (same gap-and-islands
+    window as relational.sessionize) aggregated into the features a
+    ranking / propensity model consumes, with the conversion label
+    attached.
+
+    Exactness: value sums accumulate in DECIMAL cents; the conversion
+    flag and event-type counts are conditional integer counts; no float
+    leaves the operator un-rounded (value_cents stays integer).
+
+    Scale design: one window per user (the sessionize shuffle), one
+    combinable aggregation per session — nothing else. Returns
+    (user_id, session_id, session_start, session_end, duration_us,
+    n_events, n_views, n_clicks, n_purchases, value_cents, converted).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("_ts").asc())
+    cents = (F.col("value").cast("decimal(18,2)") * 100) \
+        .cast("decimal(18,0)")
+    flagged = (events
+               .select(F.col("user_id").cast("string").alias("user_id"),
+                       F.unix_micros(F.col("ts")).alias("_ts"),
+                       F.col("event_type").alias("_et"),
+                       cents.alias("_cents"))
+               .withColumn("_prev", F.lag("_ts").over(w))
+               .withColumn("_new", F.when(
+                   F.col("_prev").isNull()
+                   | (F.col("_ts") - F.col("_prev") > gap_us), 1)
+                   .otherwise(0)))
+    wc = Window.partitionBy("user_id").orderBy(F.col("_ts").asc()) \
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    num = flagged.withColumn("session_id",
+                             F.sum("_new").over(wc).cast("long"))
+    et = lambda n: F.count(F.when(F.col("_et") == n, True))  # noqa: E731
+    return (num.groupBy("user_id", "session_id")
+               .agg(F.min("_ts").alias("session_start"),
+                    F.max("_ts").alias("session_end"),
+                    (F.max("_ts") - F.min("_ts")).alias("duration_us"),
+                    F.count(F.lit(1)).alias("n_events"),
+                    et("view").alias("n_views"),
+                    et("click").alias("n_clicks"),
+                    et("purchase").alias("n_purchases"),
+                    F.sum("_cents").cast("long").alias("value_cents"),
+                    (F.count(F.when(F.col("_et") == "purchase", True)) > 0)
+                    .cast("int").alias("converted"))
+               .orderBy("user_id", "session_id"))
