@@ -7355,12 +7355,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-markov-eval": q_op_markov_eval,
     "op-te-calibration": q_op_te_calibration,
     "op-negative-sample": q_op_negative_sample,
-    "plan-corpus-report": q_plan_corpus_report,
     "op-auc": q_op_auc,
-    "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
     "sim-lsh-recall": q_sim_lsh_recall,
     "plan-session-features": q_plan_session_features,
-    "op-ab-srm": q_op_ab_srm,
     "op-drift-ks": q_op_drift_ks,
     "op-drift-bins": q_op_drift_bins,
     "op-gini-diversity": q_op_gini_diversity,
@@ -7407,6 +7404,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
     "stream-trending-topk": q_stream_trending_topk,
+    # 51-53: never-driver-checked VARIANTS of in-window keys
+    # (sampled recall sibling, 1-row SRM guardrail, 1-row dataset
+    # card) — yielded their slots to the graph/retrieval batch;
+    # selfcheck+drivercheck-green today, first for r7
+    "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
+    "op-ab-srm": q_op_ab_srm,
+    "plan-corpus-report": q_plan_corpus_report,
     # ---- entry 50 boundary ----
     # 51+: keys whose CODE changed in r6 (overflow-safe linreg /
     # checksum, total passage_hashes, None-sentinel funnel, LSH/CC
