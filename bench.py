@@ -92,7 +92,7 @@ SCALING_SF01 = {
     "text-bm25-topk": 0.74, "op-pagerank": 4.16,
     "op-triangle-count": 7.85, "op-graph-bfs": 8.08, "op-skyline": 0.41,
     # r6b ML-pipeline batch (SCALING "ML-pipeline batch" table)
-    "op-knn-classify": 1.91, "op-item-cf": 2.73, "op-bloom-prefilter": 5.92,
+    "op-knn-classify": 1.91, "op-item-cf": 2.73, "op-bloom-prefilter": 4.96,
     # r6c batch (SCALING "Drift/diversity/LM/feature/RAG" table)
     "text-lm-likelihood": 1.25, "plan-feature-store": 1.05,
     "plan-rag-context": 2.61,

@@ -627,7 +627,14 @@ def bloom_prefilter_semi_join(big: DataFrame, small: DataFrame,
         rows = part if rows is None else rows.unionByName(part)
     bitmap = rows.groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
 
-    probed = big
+    # the probe is CPU-shaped (k md5 hashes per row), so a small-file
+    # scan that parquet splits into a few byte-sized partitions
+    # serializes it onto a few cores — the parallel.fan_out case
+    # (measured: sf0.1 lineitem = 3 partitions, 5.6s wall; the 10x
+    # corpus in 28 splits ran FASTER at 3.6s). No-op on real clusters
+    # where the fact table is thousands of splits.
+    from ..parallel import fan_out
+    probed = fan_out(big)
     for i, h in enumerate(positions(F.col(big_key))):
         probed = (probed
                   .withColumn(f"_ph{i}", h)
