@@ -183,12 +183,26 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    flagged: list[str] = []
     if abs(sf - 0.1) < 1e-9:
         ratios = {n: round(t / SCALING_SF01[n], 2)
                   for n, t in timings.items() if n in SCALING_SF01}
         out["vs_scaling"] = ratios
-        out["flagged"] = sorted(n for n, r in ratios.items() if r > 2.0)
-    print(json.dumps(out))
+        flagged = sorted(n for n, r in ratios.items() if r > 2.0)
+        out["flagged"] = flagged
+    print(json.dumps(out), flush=True)
+    # Compact headline LAST: the detailed line above is ~4 KB and a
+    # truncating tail capture can cut its head off (BENCH_r06 recorded
+    # "parsed": null for exactly that reason). This short final line
+    # carries the machine-readable contract on its own.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "flagged": flagged,
+    }), flush=True)
     spark.stop()
 
 

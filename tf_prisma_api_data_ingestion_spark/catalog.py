@@ -7339,96 +7339,15 @@ FROM j
 # scripts/drivercheck.py re-verify the full catalog locally each round
 # — r6: 167/167 drivercheck-green in a hostile non-UTC session).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r06 driver window (first 50) ----
-    # The 50 slots hold EXACTLY this round's 50 never-driver-checked
-    # keys (r6c 15 + r6b 12 + TPC-H 11 + graph/retrieval 12); the
-    # r6-code-changed keys (linreg/checksum/passage/funnel ADVICE fixes,
-    # multimodal/corpus plans) queue from position 51 — every one
-    # r3-r5-driver-green AND selfcheck+drivercheck-green today
-    # (202/202 full + 5-newest vanilla spot-checks) — and lead r7.
-    # 1-15: the r6c drift/diversity/LM/feature/RAG/eval batch (newest,
-    # never driver-checked)
-    "plan-feature-store": q_plan_feature_store,
-    "plan-rag-context": q_plan_rag_context,
-    "dedup-minhash-recall": q_dedup_minhash_recall,
-    "stream-drift": q_stream_drift,
-    "op-markov-eval": q_op_markov_eval,
-    "op-te-calibration": q_op_te_calibration,
-    "op-negative-sample": q_op_negative_sample,
-    "op-auc": q_op_auc,
-    "sim-lsh-recall": q_sim_lsh_recall,
-    "plan-session-features": q_plan_session_features,
-    "op-drift-ks": q_op_drift_ks,
-    "op-drift-bins": q_op_drift_bins,
-    "op-gini-diversity": q_op_gini_diversity,
-    "op-cramers-v": q_op_cramers_v,
-    "text-lm-likelihood": q_text_lm_likelihood,
-    # 16-27: the r6b ML-pipeline batch (never driver-checked)
-    "op-knn-classify": q_op_knn_classify,
-    "op-item-cf": q_op_item_cf,
-    "op-target-encode": q_op_target_encode,
-    "op-chi2-terms": q_op_chi2_terms,
-    "op-welch-ttest": q_op_welch_ttest,
-    "op-weighted-sample": q_op_weighted_sample,
-    "op-markov-transitions": q_op_markov_transitions,
-    "op-benford": q_op_benford,
-    "op-key-profile": q_op_key_profile,
-    "op-anomaly-seasonal": q_op_anomaly_seasonal,
-    "sim-quantize-int8": q_sim_quantize_int8,
-    "op-bloom-prefilter": q_op_bloom_prefilter,
-    # 28-32: the 5 synthetic-partsupp TPC-H keys (full 22/22 suite)
-    "tpch-q2": q_tpch_q2,
-    "tpch-q9": q_tpch_q9,
-    "tpch-q11": q_tpch_q11,
-    "tpch-q16": q_tpch_q16,
-    "tpch-q20": q_tpch_q20,
-    # 33-38: the 6 TPC-H keys added late in r5 that have NEVER seen
-    # a driver window
-    "tpch-q8": q_tpch_q8,
-    "tpch-q12": q_tpch_q12,
-    "tpch-q13": q_tpch_q13,
-    "tpch-q19": q_tpch_q19,
-    "tpch-q21": q_tpch_q21,
-    "tpch-q22": q_tpch_q22,
-    # 39-50: NEW r6 retrieval/similarity/graph/preference operators,
-    # in-window for first exposure
-    "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
-    "text-bm25-topk": q_text_bm25_topk,
-    "op-triangle-count": q_op_triangle_count,
-    "op-pagerank": q_op_pagerank,
-    "op-skyline": q_op_skyline,
-    "dedup-containment": q_dedup_containment,
-    "op-graph-bfs": q_op_graph_bfs,
-    "plan-leakproof-split": q_plan_leakproof_split,
-    "op-group-cap": q_op_group_cap,
-    "op-equidepth-histogram": q_op_equidepth_histogram,
-    "sim-multiprobe-topk": q_sim_multiprobe_topk,
-    "stream-trending-topk": q_stream_trending_topk,
-    # 51-53: never-driver-checked VARIANTS of in-window keys
-    # (sampled recall sibling, 1-row SRM guardrail, 1-row dataset
-    # card) — yielded their slots to the graph/retrieval batch;
-    # selfcheck+drivercheck-green today, first for r7
+    # ---- r07 driver window (first 50): the staleness rotation the r6
+    # VERDICT ordered. Every key below is selfcheck-green today; the
+    # window spends ALL 50 slots on the oldest driver rows.
+    # 1-3: never driver-checked (oracle-paired since r6c)
     "dedup-minhash-recall-sampled": q_dedup_minhash_recall_sampled,
     "op-ab-srm": q_op_ab_srm,
     "plan-corpus-report": q_plan_corpus_report,
-    # ---- entry 50 boundary ----
-    # 51+: keys whose CODE changed in r6 (overflow-safe linreg /
-    # checksum, total passage_hashes, None-sentinel funnel, LSH/CC
-    # corpus-plan work) — verified locally today, first for r7
-    "op-linreg-group": q_op_linreg_group,
-    "op-table-checksum": q_op_table_checksum,
-    "dedup-passage-exact": q_dedup_passage_exact,
-    "dedup-passage-pairs": q_dedup_passage_pairs,
-    "stream-funnel": q_stream_funnel,
-    "plan-multimodal-dedup": q_plan_multimodal_dedup,
-    "plan-corpus-clean": q_plan_corpus_clean,
-    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
-    "plan-corpus-train": q_plan_corpus_train,
-    # ---- entry 50 boundary (within the group above) ----
-    # 53+: the 29 keys whose newest driver row is r02 (the staleness
-    # debt VERDICT r5 named) — all selfcheck+drivercheck-green today,
-    # displaced from this round's window by the 43 never-driver-checked
-    # keys; they queue right behind the corpus plans for r7
+    # 4-32: all 29 keys whose newest driver row is r02 (set-ops,
+    # scalar batteries, UDx family, json trio...)
     "op-union-all": q_op_union_all,
     "op-lit-cols": q_op_lit_cols,
     "op-json-flatten": q_op_json_flatten,
@@ -7458,8 +7377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-string-functions": q_op_string_functions,
     "op-array-functions": q_op_array_functions,
     "op-sample-hash": q_op_sample_hash,
+    # 33-50: the 18 oldest r03 keys (dedup/sim families + text head)
     "dedup-ngram-jaccard": q_dedup_ngram_jaccard,
-    # r03/r04-green keys first (stalest remaining), r05-green keys last
     "sink-rollback": q_sink_rollback,
     "dedup-exact": q_dedup_exact,
     "dedup-minhash-md5": q_dedup_minhash_md5,
@@ -7477,6 +7396,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-lang-id": q_text_lang_id,
     "text-quality": q_text_quality,
     "text-fingerprint": q_text_fingerprint,
+    # ---- entry 50 boundary ----
+    # 51-60: the remaining 10 r03 keys (next-stalest; they queue first
+    # for r8 so no key's driver row ever falls further than 5 rounds)
     "text-top-tokens": q_text_top_tokens,
     "text-pii-redact": q_text_pii_redact,
     "text-repetition": q_text_repetition,
@@ -7487,6 +7409,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal-decode": q_multimodal_decode,
     "multimodal-frame-sample": q_multimodal_frame_sample,
     "src-backoff": q_src_backoff,
+    # 61+: r04-green keys (incl. the corpus plans whose code moved in
+    # r6 -- selfcheck covers them daily)
+    "plan-corpus-clean": q_plan_corpus_clean,
+    "plan-corpus-clean-v2": q_plan_corpus_clean_v2,
+    "plan-corpus-train": q_plan_corpus_train,
     "plan-alert-report": q_plan_alert_report,
     "stream-window-agg": q_stream_window_agg,
     "stream-sliding-window": q_stream_sliding_window,
@@ -7531,8 +7458,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src-paginated-post": q_src_paginated_post,
     "sink-csv": q_sink_csv,
     "sink-partition": q_sink_partition,
-    # ---- r05-driver-green keys displaced from the r06 window (their
-    # ---- d5 rows are the freshest on disk, so they queue last) ----
+    # then r05-green keys
+    "op-linreg-group": q_op_linreg_group,
+    "op-table-checksum": q_op_table_checksum,
+    "dedup-passage-exact": q_dedup_passage_exact,
+    "dedup-passage-pairs": q_dedup_passage_pairs,
+    "stream-funnel": q_stream_funnel,
+    "plan-multimodal-dedup": q_plan_multimodal_dedup,
     "sketch-kmv-union": q_sketch_kmv_union,
     "asof-join-forward": q_asof_join_forward,
     "op-fuzzy-join": q_op_fuzzy_join,
@@ -7577,6 +7509,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-groupagg-count": q_op_groupagg_count,
     "op-project-rename": q_op_project_rename,
     "op-fillna": q_op_fillna,
+    # freshest last: r06-green keys (driver-checked last round)
+    "plan-feature-store": q_plan_feature_store,
+    "plan-rag-context": q_plan_rag_context,
+    "dedup-minhash-recall": q_dedup_minhash_recall,
+    "stream-drift": q_stream_drift,
+    "op-markov-eval": q_op_markov_eval,
+    "op-te-calibration": q_op_te_calibration,
+    "op-negative-sample": q_op_negative_sample,
+    "op-auc": q_op_auc,
+    "sim-lsh-recall": q_sim_lsh_recall,
+    "plan-session-features": q_plan_session_features,
+    "op-drift-ks": q_op_drift_ks,
+    "op-drift-bins": q_op_drift_bins,
+    "op-gini-diversity": q_op_gini_diversity,
+    "op-cramers-v": q_op_cramers_v,
+    "text-lm-likelihood": q_text_lm_likelihood,
+    "op-knn-classify": q_op_knn_classify,
+    "op-item-cf": q_op_item_cf,
+    "op-target-encode": q_op_target_encode,
+    "op-chi2-terms": q_op_chi2_terms,
+    "op-welch-ttest": q_op_welch_ttest,
+    "op-weighted-sample": q_op_weighted_sample,
+    "op-markov-transitions": q_op_markov_transitions,
+    "op-benford": q_op_benford,
+    "op-key-profile": q_op_key_profile,
+    "op-anomaly-seasonal": q_op_anomaly_seasonal,
+    "sim-quantize-int8": q_sim_quantize_int8,
+    "op-bloom-prefilter": q_op_bloom_prefilter,
+    "tpch-q2": q_tpch_q2,
+    "tpch-q9": q_tpch_q9,
+    "tpch-q11": q_tpch_q11,
+    "tpch-q16": q_tpch_q16,
+    "tpch-q20": q_tpch_q20,
+    "tpch-q8": q_tpch_q8,
+    "tpch-q12": q_tpch_q12,
+    "tpch-q13": q_tpch_q13,
+    "tpch-q19": q_tpch_q19,
+    "tpch-q21": q_tpch_q21,
+    "tpch-q22": q_tpch_q22,
+    "dedup-prefix-jaccard": q_dedup_prefix_jaccard,
+    "text-bm25-topk": q_text_bm25_topk,
+    "op-triangle-count": q_op_triangle_count,
+    "op-pagerank": q_op_pagerank,
+    "op-skyline": q_op_skyline,
+    "dedup-containment": q_dedup_containment,
+    "op-graph-bfs": q_op_graph_bfs,
+    "plan-leakproof-split": q_plan_leakproof_split,
+    "op-group-cap": q_op_group_cap,
+    "op-equidepth-histogram": q_op_equidepth_histogram,
+    "sim-multiprobe-topk": q_sim_multiprobe_topk,
+    "stream-trending-topk": q_stream_trending_topk,
 }
 
 
