@@ -1,0 +1,143 @@
+"""Round-7 regression tests: the five round-6 advisor items (see
+ADVICE.md). Each fix is also mirrored in the paired DuckDB oracle, so
+these pin the Python-side semantics the differential gate can't see
+(both engines changing together would keep hashes matching)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- linreg
+
+def test_linreg_constant_x_gives_null_fit(spark):
+    """A group whose x never varies has no least-squares fit: slope,
+    intercept and r2 must be NULL, not an Inf/garbage division."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg,
+    )
+    df = spark.createDataFrame(
+        [("a", 5, 1.00), ("a", 5, 2.00), ("a", 5, 3.00),
+         ("b", 1, 1.00), ("b", 2, 2.00), ("b", 3, 3.00)],
+        "g string, x int, y double")
+    out = {r["g"]: r for r in
+           grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["a"]["slope"] is None
+    assert out["a"]["intercept"] is None
+    assert out["a"]["r2"] is None
+    # the non-degenerate group is untouched: y = x exactly
+    assert abs(out["b"]["slope"] - 1.0) < 1e-9
+    assert abs(out["b"]["r2"] - 1.0) < 1e-9
+
+
+def test_linreg_constant_y_gives_null_r2(spark):
+    """Constant y -> vary term is exactly 0 -> r2 NULL (0/0 is not a
+    goodness-of-fit); slope stays a well-defined 0."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg,
+    )
+    df = spark.createDataFrame(
+        [("a", 1, 7.00), ("a", 2, 7.00), ("a", 3, 7.00)],
+        "g string, x int, y double")
+    row = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert row["slope"] == 0.0
+    assert row["r2"] is None
+
+
+def test_linreg_r2_capped_at_one(spark):
+    """r2 can never exceed 1.0 (last-ulp overshoot on perfect fits is
+    clamped)."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg,
+    )
+    rows = [("g", i, round(1234.56 + 0.01 * i, 2)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    row = grouped_linreg(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert row["r2"] is not None and row["r2"] <= 1.0
+
+
+# ------------------------------------------------------------------ knn
+
+def test_knn_n_candidates_reflects_small_corpus(spark):
+    """With only 3 labeled neighbors and k=5, n_candidates must report
+    3 (the real vote pool), not k."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import (
+        knn_classify,
+    )
+    mk = lambda vid, lbl, v: (vid, lbl, v)  # noqa: E731
+    corpus = spark.createDataFrame(
+        [mk(1, 0, [1.0, 0.0]), mk(2, 0, [0.9, 0.1]), mk(3, 1, [0.0, 1.0])],
+        "vec_id long, label long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [mk(100, -1, [1.0, 0.05])],
+        "vec_id long, label long, embedding array<double>")
+    row = knn_classify(queries, corpus, k=5).collect()[0]
+    assert row["n_candidates"] == 3
+    assert row["pred_label"] == 0
+    assert row["votes"] == 2
+
+
+# ------------------------------------------------------- weighted sample
+
+def test_weighted_sample_ignores_nonpositive_weights(spark):
+    """Zero/negative weights neither crash (all-zero shard division)
+    nor distort the cumulative walk — they are excluded up front."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import (
+        weighted_systematic_sample,
+    )
+    rows = ([(i, 100) for i in range(50)]
+            + [(1000 + i, 0) for i in range(20)]
+            + [(2000 + i, -5) for i in range(20)])
+    df = spark.createDataFrame(rows, "k long, w long")
+    out = weighted_systematic_sample(df, "k", F.col("w"),
+                                     per_shard=2, shards=4).collect()
+    keys = {r["key"] for r in out}
+    assert keys, "positive-weight rows must still be sampled"
+    assert all(k < 1000 for k in keys), "w<=0 rows must never be picked"
+    assert all(r["weight_cents"] > 0 for r in out)
+
+
+def test_weighted_sample_all_zero_weights_is_empty_not_error(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import (
+        weighted_systematic_sample,
+    )
+    df = spark.createDataFrame([(i, 0) for i in range(10)], "k long, w long")
+    assert weighted_systematic_sample(df, "k", F.col("w")).count() == 0
+
+
+# -------------------------------------------------------------- item-cf
+
+def test_item_cf_max_basket_size_drops_pathological_basket(spark):
+    """One null-ish basket holding every item would contribute a full
+    quadratic pair set; the cap drops it whole and keeps honest baskets."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import (
+        item_item_cf,
+    )
+    honest = [(b, i) for b in range(10) for i in (1, 2)]       # {1,2} x10
+    # two identical 100-item baskets, so their quadratic pair set
+    # survives min_support and only the cap can remove it
+    patho = [(bb, i) for bb in (998, 999) for i in range(100)]
+    df = spark.createDataFrame(honest + patho, "b long, i long")
+    capped = item_item_cf(df, "b", "i", min_support=2, k=3,
+                          max_basket_size=10)
+    pairs = {(r["item_a"], r["item_b"]) for r in capped.collect()}
+    assert pairs == {(1, 2), (2, 1)}
+    # default (None) keeps classic semantics: the big basket contributes
+    uncapped = item_item_cf(df, "b", "i", min_support=2, k=3)
+    assert uncapped.count() > capped.count()
+
+
+# -------------------------------------------------------------- skyline
+
+def test_skyline_drops_null_cost_benefit_rows(spark):
+    """Rows with NULL cost/benefit are excluded by documented contract
+    (a raw NOT EXISTS would keep them vacuously undominated)."""
+    from tf_prisma_api_data_ingestion_spark.operators.relational import (
+        skyline_2d,
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 10.0, 9), (3, 5.0, 9),
+         (4, None, 99), (5, 1.0, None)],
+        "id long, cost double, benefit int")
+    ids = {r["id"] for r in skyline_2d(df, "cost", "benefit").collect()}
+    assert ids == {3}

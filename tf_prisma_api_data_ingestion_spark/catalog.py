@@ -4461,13 +4461,20 @@ d AS (
          CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
          CAST(syy AS DOUBLE) AS syyd
   FROM a)
+-- degenerate-group guard mirrors grouped_linreg: non-positive variance
+-- terms (double cancellation on near-constant groups) -> NULL, r2
+-- capped at 1.0 against last-ulp overshoot
 SELECT event_type, n,
-  round(((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) / 100.0, 6) AS slope,
-  round((syd/100.0
-         - ((nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)) * sxd/100.0) / nd,
-        6) AS intercept,
-  round(((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
-        / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+  round(CASE WHEN nd*sxxd - sxd*sxd > 0 THEN
+    ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) / 100.0 END, 6) AS slope,
+  round(CASE WHEN nd*sxxd - sxd*sxd > 0 THEN
+    (syd/100.0
+     - ((nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)) * sxd/100.0) / nd
+    END, 6) AS intercept,
+  round(CASE WHEN nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0 THEN
+    least(((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+          / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 1.0) END,
+    6) AS r2
 FROM d
 """
 
@@ -5892,11 +5899,15 @@ def q_op_skyline(spark, sf_dir):
 
 
 SQL_OP_SKYLINE = """
+-- NULL contract mirrors skyline_2d: rows with NULL cost/benefit are
+-- excluded explicitly (a raw NOT EXISTS would keep them vacuously)
 SELECT p_partkey, p_name, p_retailprice, CAST(p_size AS BIGINT) AS p_size
 FROM part x
-WHERE NOT EXISTS (
+WHERE x.p_retailprice IS NOT NULL AND x.p_size IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM part y
-  WHERE y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+  WHERE y.p_retailprice IS NOT NULL AND y.p_size IS NOT NULL
+    AND y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
     AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size))
 """
 
@@ -5939,10 +5950,14 @@ top AS (
         FROM scored)
   WHERE rn <= 5),
 votes AS (SELECT query_id, label, count(*) AS votes FROM top GROUP BY 1, 2)
+-- n_candidates = the real vote-pool size (sum of votes per query),
+-- mirroring knn_classify's window sum — equals k only when the corpus
+-- actually supplied k labeled neighbors
 SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes,
-       CAST(5 AS BIGINT) AS n_candidates
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY votes DESC, label ASC) AS rn
+       CAST(nc AS BIGINT) AS n_candidates
+FROM (SELECT *, sum(votes) OVER (PARTITION BY query_id) AS nc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS rn
       FROM votes)
 WHERE rn = 1
 """
@@ -6117,11 +6132,14 @@ WITH base AS (
          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
            AS h
   FROM orders),
+-- PPS weight contract (mirrors weighted_systematic_sample): only
+-- positive weights participate
+pos AS (SELECT * FROM base WHERE w > 0),
 c AS (
   SELECT key, w, h % 64 AS shard,
          sum(w) OVER (PARTITION BY h % 64 ORDER BY h, key) AS cum,
          sum(w) OVER (PARTITION BY h % 64) AS big
-  FROM base)
+  FROM pos)
 SELECT key, w AS weight_cents, CAST(shard AS BIGINT) AS shard,
        CAST((cum * 8) // big AS BIGINT) AS pick
 FROM c

@@ -59,18 +59,25 @@ def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           tiebreak=[id_col])
     votes = (top.groupBy("query_id", "_lbl")
                 .agg(F.count(F.lit(1)).alias("votes")))
+    # n_candidates is the REAL vote-pool size (sum of votes over the
+    # query's label groups): min(k, labeled neighbors actually found),
+    # not lit(k) — a corpus with < k neighbors would otherwise overstate
+    # the pool. Same window partitioning as the argmax, no extra shuffle.
     w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(),
                                                F.col("_lbl").asc())
-    return (votes.withColumn("_rn", F.row_number().over(w))
+    wq = Window.partitionBy("query_id")
+    return (votes.withColumn("_nc", F.sum("votes").over(wq))
+                 .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
                  .select("query_id",
                          F.col("_lbl").cast("long").alias("pred_label"),
                          "votes",
-                         F.lit(k).cast("long").alias("n_candidates")))
+                         F.col("_nc").cast("long").alias("n_candidates")))
 
 
 def item_item_cf(baskets: DataFrame, basket_col: str, item_col: str,
-                 min_support: int = 2, k: int = 3) -> DataFrame:
+                 min_support: int = 2, k: int = 3,
+                 max_basket_size: int | None = None) -> DataFrame:
     """Item-item collaborative filtering: cosine similarity on the
     item-basket incidence matrix, top-k recommendations per item.
 
@@ -79,6 +86,16 @@ def item_item_cf(baskets: DataFrame, basket_col: str, item_col: str,
     as a basket-grouped self-join (quadratic only within a basket, which
     real baskets bound at tens of items, the same per-group cap argument
     as the co-occurrence projections in catalog._copurchase_edges).
+
+    ``max_basket_size`` makes that boundedness ENFORCED rather than
+    assumed: baskets with more distinct items are dropped whole before
+    the self-join (dropping, not truncating — a truncated basket would
+    bias co-occurrence toward whichever items survive the cut), the same
+    hot-key guard the dedup family applies via max_df. Default None
+    keeps the unguarded classic semantics for data whose basket key is
+    bounded by construction; set it whenever the key can collapse (a
+    default/null-ish basket id would otherwise put its full quadratic
+    pair set into one join group).
 
     Scale design: one distinct() to collapse repeat purchases, one
     self-join keyed on the basket id (co-partitioned, no broadcast of
@@ -90,6 +107,12 @@ def item_item_cf(baskets: DataFrame, basket_col: str, item_col: str,
     inc = (baskets.select(F.col(basket_col).alias("_b"),
                           F.col(item_col).alias("_i"))
                   .distinct())
+    if max_basket_size is not None:
+        ok = (inc.groupBy("_b")
+                 .agg(F.count(F.lit(1)).alias("_sz"))
+                 .filter(F.col("_sz") <= int(max_basket_size))
+                 .select("_b"))
+        inc = inc.join(ok, "_b", "left_semi")
     n_i = inc.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
     a = inc.select(F.col("_b"), F.col("_i").alias("_u"))
     b = inc.select(F.col("_b"), F.col("_i").alias("_v"))
@@ -267,13 +290,21 @@ def weighted_systematic_sample(df: DataFrame, key_col: str, weight_cents,
     cum * per_shard must stay under 2^63, i.e. per-shard weight below
     ~10^18/per_shard cents — raise ``shards`` long before that bites.
 
+    Weight contract: only rows with weight > 0 participate. A zero- or
+    negative-weight row has no selection probability under PPS anyway,
+    but left in it would break the machinery — an all-zero shard divides
+    by zero (ANSI error) and a negative weight makes the cumulative
+    threshold walk non-monotone — so they are filtered up front (the
+    paired oracle states the same predicate).
+
     Returns (key, weight_cents, shard, pick).
     """
     h = md5_hash60(F.col(key_col).cast("string"))
     shard = (h % shards).cast("int")
     base = df.select(F.col(key_col).alias("key"),
                      weight_cents.cast("long").alias("w"),
-                     shard.alias("shard"), h.alias("_h"))
+                     shard.alias("shard"), h.alias("_h")) \
+             .filter(F.col("w") > 0)
     win = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
                                               F.col("key").asc())
     tot = Window.partitionBy("shard")

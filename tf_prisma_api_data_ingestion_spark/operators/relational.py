@@ -565,9 +565,19 @@ def skyline_2d(df: DataFrame, cost_col: str, benefit_col: str) -> DataFrame:
 
     Ties at the same (cost, benefit) all survive (neither dominates —
     no strict inequality), matching the NOT EXISTS semantics exactly.
+
+    NULL contract: rows with a NULL cost or benefit are dropped up
+    front. Under a raw NOT EXISTS such rows are vacuously undominated
+    (NULL comparisons are never true) and would survive, but they carry
+    no position in the preference order, so this operator excludes them
+    EXPLICITLY — the paired oracle states the same `IS NOT NULL`
+    predicate, keeping the divergence from the textbook formulation a
+    documented choice rather than a silent join-drop.
     """
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(cost_col).isNotNull()
+                   & F.col(benefit_col).isNotNull())
     grp = (df.groupBy(F.col(cost_col).alias("_c"))
              .agg(F.max(benefit_col).alias("_gmax")))
     w = (Window.orderBy(F.col("_c").asc())

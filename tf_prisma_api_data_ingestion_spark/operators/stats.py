@@ -90,10 +90,19 @@ def grouped_linreg(df: DataFrame, group_col: str, x_int: Column,
     cov_n = n * sxy - sx * sy
     varx_n = n * sxx - sx * sx
     vary_n = n * syy - sy * sy
+    # Degenerate-group guard: the n·Σ−Σ·Σ differences are computed in
+    # DOUBLE, so a near-constant column (variance << mean²) can cancel
+    # to a TINY NEGATIVE where the exact value is ~0, yielding a garbage
+    # slope or a negative / >1 r². Groups with a non-positive variance
+    # term get NULL (a fit on a constant axis is undefined), and r² is
+    # capped at 1.0 against last-ulp overshoot — both mirrored verbatim
+    # in the DuckDB oracle, so the guard itself is differential-tested.
     slope_cents = cov_n / varx_n                      # cents per x unit
-    slope = slope_cents / 100.0
-    intercept = (sy / 100.0 - slope_cents * sx / 100.0) / n
-    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    slope = F.when(varx_n > 0, slope_cents / 100.0)
+    intercept = F.when(varx_n > 0,
+                       (sy / 100.0 - slope_cents * sx / 100.0) / n)
+    r2 = F.when((varx_n > 0) & (vary_n > 0),
+                F.least((cov_n * cov_n) / (varx_n * vary_n), F.lit(1.0)))
     return agg.select(
         group_col, "n",
         F.round(slope, 6).alias("slope"),
