@@ -141,3 +141,88 @@ def test_skyline_drops_null_cost_benefit_rows(spark):
         "id long, cost double, benefit int")
     ids = {r["id"] for r in skyline_2d(df, "cost", "benefit").collect()}
     assert ids == {3}
+
+
+# ----------------------------------------------------------- auto bands
+
+def test_auto_bands_dial():
+    """S-curve banding: largest crossover t* = (1/b)^(1/r) still <= the
+    threshold, num_hashes fixed; r=1 fallback below every crossover."""
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        auto_bands,
+    )
+    assert auto_bands(64, 0.5) == 16      # (1/16)^(1/4) = 0.5 exactly
+    assert auto_bands(64, 0.2) == 32      # (1/32)^(1/2) ~ 0.177
+    assert auto_bands(64, 0.9) == 8       # (1/8)^(1/8) ~ 0.771
+    assert auto_bands(64, 0.01) == 64     # below every crossover -> r=1
+    assert auto_bands(128, 0.2) == 64     # (1/64)^(1/2) = 0.125
+    # recall-safety invariant: crossover never exceeds the threshold
+    for nh in (32, 64, 128):
+        for t in (0.05, 0.2, 0.5, 0.8, 0.95):
+            b = auto_bands(nh, t)
+            r = nh // b
+            assert (1.0 / b) ** (1.0 / r) <= t or b == nh
+
+
+def test_minhash_auto_matches_explicit_banding(spark):
+    """bands="auto" at threshold 0.2 must equal the explicit 32x2 run
+    (and remain a verified subset of the exact truth)."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators import dedup
+
+    d = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    auto = {(r.doc_a, r.doc_b) for r in
+            dedup.minhash_lsh_pairs(d, threshold=0.2).collect()}
+    explicit = {(r.doc_a, r.doc_b) for r in
+                dedup.minhash_lsh_pairs(d, bands=32,
+                                        threshold=0.2).collect()}
+    assert auto == explicit and auto
+    exact = {(r.doc_a, r.doc_b) for r in
+             dedup.ngram_jaccard_pairs(d, threshold=0.2,
+                                       max_df=None).collect()}
+    assert auto <= exact
+
+
+# ------------------------------------------------------- executed plans
+# VERDICT r6 #6: pin the optimizer story in tests so a Spark-version
+# bump or conf drift that silently de-optimizes a headline plan fails CI
+# instead of a bench. (q4/q19 plan tests live in test_round4/5.)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pd_filter_eq_pushes_predicate_to_scan(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import q_pd_filter_eq
+    plan = _plan(q_pd_filter_eq(spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    # column pruning: the scan must read only the 5 referenced columns
+    assert "o_comment" not in plan
+
+
+def test_pd_filter_range_pushes_both_bounds(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_pd_filter_range,
+    )
+    plan = _plan(q_pd_filter_range(spark, SF))
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+    assert "PushedFilters" in plan
+
+
+def test_tpch_dim_chains_broadcast(spark):
+    """q3/q5/q10's dimension chains must resolve to BroadcastHashJoins
+    over the fact scan — never a shuffle of lineitem onto a dim key,
+    never a nested-loop fallback."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_tpch_q3,
+        q_tpch_q5,
+        q_tpch_q10,
+    )
+    for q in (q_tpch_q3, q_tpch_q5, q_tpch_q10):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoop" not in plan, q.__name__

@@ -1106,7 +1106,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     on Spark's xxhash64 — no SQL oracle (rows-only check); the pytest suite
     asserts LSH pairs are a subset of the exact-Jaccard pairs."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                   n=3, num_hashes=64, bands=16, threshold=0.2)
+                                   n=3, num_hashes=64, bands="auto",
+                                   threshold=0.2)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -3903,12 +3904,20 @@ def q_dedup_minhash_md5(spark, sf_dir):
     """Fully-oracle-verified MinHash+LSH: the md5-seeded twin of
     dedup-minhash-lsh (operators/dedup.py minhash_lsh_pairs_md5). DuckDB
     replays the ENTIRE pipeline — shingles, 64 seeded 60-bit md5 minima,
-    16 band keys, candidate self-join, exact-jaccard verification — and
-    hash-compares the result, closing the gap that xxhash64-based LSH
-    (no DuckDB analog) can only rows-check."""
+    the auto_bands band keys, candidate self-join, exact-jaccard
+    verification — and hash-compares the result, closing the gap that
+    xxhash64-based LSH (no DuckDB analog) can only rows-check. Banding
+    is the r7 S-curve dial (bands="auto" -> 32x2 at threshold 0.2); the
+    oracle derives its band width from the SAME function below, so the
+    dial can never silently diverge between engines."""
     return dedup.minhash_lsh_pairs_md5(_t(spark, sf_dir, "documents"),
                                        n=3, threshold=0.2)
 
+
+# Single source of truth for every md5-minhash oracle below: the band
+# grouping width (rows per band) follows dedup.auto_bands exactly as the
+# Spark side's bands="auto" default does (64 hashes, threshold 0.2).
+_MINHASH_RPB = 64 // dedup.auto_bands(64, 0.2)
 
 SQL_DEDUP_MINHASH_MD5 = f"""
 WITH sh AS ({_SQL_SHINGLES}),
@@ -3919,9 +3928,9 @@ seeded AS (
   FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
   GROUP BY doc_id, i),
 sigs AS (
-  SELECT doc_id, i // 4 AS bidx,
+  SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
-  FROM seeded GROUP BY doc_id, i // 4),
+  FROM seeded GROUP BY doc_id, i // {_MINHASH_RPB}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
@@ -6694,15 +6703,25 @@ ORDER BY query_id, rank
 
 def q_dedup_minhash_recall(spark, sf_dir):
     """Approximation-quality audit of the MinHash-LSH dedup path: its
-    verified pairs vs the exact inverted-index Jaccard truth at the same
-    threshold (operators/dedup.py minhash_lsh_pairs_md5 vs
-    ngram_jaccard_pairs). Recall is the banding miss rate made visible
-    (an S-curve tail miss is silent data skew in production); precision
-    is 1.0 by construction (candidates are exact-verified) and is
-    asserted here rather than assumed. Ratio rounding happens in exact
-    integer space ((2a+b) DIV 2b) — no float tie can split the engines."""
-    truth = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=None
+    verified pairs vs the exact Jaccard truth at the same threshold
+    (operators/dedup.py minhash_lsh_pairs_md5 vs
+    prefix_filter_jaccard_pairs). Recall is the banding miss rate made
+    visible (an S-curve tail miss is silent data skew in production);
+    precision is 1.0 by construction (candidates are exact-verified) and
+    is asserted here rather than assumed. Ratio rounding happens in exact
+    integer space ((2a+b) DIV 2b) — no float tie can split the engines.
+
+    The truth side is the LOSSLESS prefix-filter join at t = 1/5 (r7:
+    replaces the exhaustive full-index join, whose quadratic hot-posting
+    term made this audit the repo's one super-linear SCALING row at
+    12.7x/decade). Equivalence is exact, not approximate: prefix
+    filtering is a pigeonhole theorem (every J >= t pair collides on a
+    rarest-first prefix entry) and the integer compare 5i >= u selects
+    the same set as the oracle's double i/u >= 0.2 because the smallest
+    ratio step 1/(5u) dwarfs the 1-ulp gap at 0.2 — so the DuckDB twin
+    STAYS the exhaustive join, proving losslessness on every run."""
+    truth = dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, t_num=1, t_den=5, hashed=True
     ).select("doc_a", "doc_b")
     lsh = dedup.minhash_lsh_pairs_md5(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -6740,9 +6759,9 @@ seeded AS (
   FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
   GROUP BY doc_id, i),
 sigs AS (
-  SELECT doc_id, i // 4 AS bidx,
+  SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
-  FROM seeded GROUP BY doc_id, i // 4),
+  FROM seeded GROUP BY doc_id, i // {_MINHASH_RPB}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
@@ -7051,13 +7070,17 @@ def q_dedup_minhash_recall_sampled(spark, sf_dir):
     """The production-scale form of dedup-minhash-recall: the audit runs
     on a DETERMINISTIC 1-in-5 md5 stratum of the corpus, so the uncapped
     exact-jaccard truth side costs a fixed fraction of the corpus no
-    matter how large the corpus grows (the full-corpus audit's truth
-    side is super-linear — SCALING.md r6c reading). Same md5 bucket as
-    op-sample-hash: reruns audit the identical stratum."""
+    matter how large the corpus grows. Same md5 bucket as
+    op-sample-hash: reruns audit the identical stratum. r7: the stratum
+    truth side also moved to the lossless prefix-filter join (same
+    theorem as the full audit; the oracle stays exhaustive), so BOTH
+    audit forms are now sub-quadratic — the sampling here buys the
+    constant factor, not the exponent."""
     d = _t(spark, sf_dir, "documents").filter(
         F.expr("CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15),"
                " 16, 10) AS BIGINT) % 5 = 0"))
-    truth = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)         .select("doc_a", "doc_b")
+    truth = dedup.prefix_filter_jaccard_pairs(
+        d, n=3, t_num=1, t_den=5, hashed=True).select("doc_a", "doc_b")
     lsh = dedup.minhash_lsh_pairs_md5(d, n=3, threshold=0.2)         .select("doc_a", "doc_b")
     both = truth.join(lsh, ["doc_a", "doc_b"]).select("doc_a")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -7097,9 +7120,9 @@ seeded AS (
   FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
   GROUP BY doc_id, i),
 sigs AS (
-  SELECT doc_id, i // 4 AS bidx,
+  SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
-  FROM seeded GROUP BY doc_id, i // 4),
+  FROM seeded GROUP BY doc_id, i // {_MINHASH_RPB}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk

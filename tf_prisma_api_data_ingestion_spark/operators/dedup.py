@@ -178,7 +178,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id", n: int = 3,
-                                t_num: int = 3, t_den: int = 5) -> DataFrame:
+                                t_num: int = 3, t_den: int = 5,
+                                hashed: bool = False) -> DataFrame:
     """Exact Jaccard pairs at threshold ``t_num/t_den`` via PREFIX
     FILTERING (Bayardo et al., WWW'07 / SSJoin): instead of indexing
     every shingle, each document indexes only its first
@@ -201,12 +202,27 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     boundary can silently shorten a prefix differently per engine.
     One extra aggregation (global df) + one per-doc rank window versus
     ``ngram_jaccard_pairs``; the verify join moves only candidate rows.
+
+    ``hashed=True`` (r7) runs the identical algorithm over xxhash64
+    longs instead of shingle strings — same pair set modulo 64-bit hash
+    collisions (negligible; any collision would fail the paired
+    exhaustive oracle) at ~6x fewer shuffle/verify bytes, the same
+    trade ``minhash_lsh_pairs`` makes vs its md5 twin. The audits'
+    truth sides use it; the oracle-exact string form stays the default
+    (its own catalog key differential-checks jaccard_r values). The
+    r7 SSJoin size filter also applies in both forms: J >= t implies
+    min(ma,mb) >= t*max(ma,mb), so cross-length candidates die in the
+    prefix join itself (t_den*min >= t_num*max, pure integer).
     """
     from pyspark.sql.window import Window
 
     sh = (fan_out(df)
           .select(F.col(id_col).alias("_id"),
                   word_shingles(F.col(text_col), n).alias("_sh")))
+    if hashed:
+        sh = sh.withColumn(
+            "_sh", F.array_distinct(F.transform(
+                "_sh", lambda s: F.xxhash64(s))))
     sh = tracked_persist(sh.withColumn("_m", F.size("_sh")))
     inv = sh.select("_id", "_m", F.explode("_sh").alias("_s"))
     dfreq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -218,10 +234,15 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     prefix = (inv.join(dfreq, "_s")
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= plen)
-                 .select("_id", "_s"))
-    cand = (prefix.select(F.col("_id").alias("doc_a"), "_s")
-            .join(prefix.select(F.col("_id").alias("doc_b"), "_s"), "_s")
-            .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("_id", "_m", "_s"))
+    size_ok = ((F.lit(t_den) * F.least(F.col("_pma"), F.col("_pmb"))
+                >= F.lit(t_num) * F.greatest(F.col("_pma"),
+                                             F.col("_pmb"))))
+    cand = (prefix.select(F.col("_id").alias("doc_a"),
+                          F.col("_m").alias("_pma"), "_s")
+            .join(prefix.select(F.col("_id").alias("doc_b"),
+                                F.col("_m").alias("_pmb"), "_s"), "_s")
+            .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
             .select("doc_a", "doc_b").distinct())
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"),
                   F.col("_m").alias("_ma"))
@@ -313,17 +334,66 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
         lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))))
 
 
+def auto_bands(num_hashes: int, threshold: float) -> int:
+    """S-curve-derived LSH banding: the number of bands b (with r =
+    num_hashes/b rows each) whose collision crossover t* = (1/b)^(1/r)
+    is the LARGEST value still <= ``threshold`` — i.e. the cheapest
+    banding at which a pair sitting exactly AT the dedup threshold still
+    collides with >= ~50% probability (recall-safe by construction; a
+    t* above the threshold puts threshold-grade pairs on the S-curve's
+    miss tail). Falls back to b = num_hashes (r=1, maximum recall) for
+    thresholds below every crossover.
+
+    The companion dial to similarity.auto_planes: num_hashes stays FIXED
+    (so md5-seeded signatures replay unchanged in the SQL oracle — only
+    the band grouping width changes), and the choice is a pure function
+    of (num_hashes, threshold), so both engines and every rerun derive
+    the same banding. Cost note, measured on the synthetic corpus
+    (threshold 0.2 -> b=32, r=2, t*=0.177 vs the old hand-set 16x4's
+    t*=0.5): candidate volume rises ~15x but stays LINEAR in corpus size
+    across the sf0.1 -> sf1eq decade (3.9k -> 42k candidates), because
+    random-pair jaccard is far below t* — the r-row band key keeps
+    noise-pair collision probability ~s^r per band. Recall on corpora
+    whose true pairs sit well above the threshold is unchanged (1.0
+    measured both bandings, both scales); the dial exists for the
+    corpora where they DON'T — threshold-grade pairs a t*=0.5 banding
+    silently drops (the S-curve tail the recall audit makes visible).
+    """
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t_star = (1.0 / b) ** (1.0 / r)
+        if t_star <= threshold and (best is None or t_star > best[1]):
+            best = (b, t_star)
+    return best[0] if best is not None else num_hashes
+
+
+def _resolve_bands(bands: int | str, num_hashes: int,
+                   threshold: float) -> int:
+    if bands == "auto":
+        return auto_bands(num_hashes, threshold)
+    return int(bands)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      n: int = 3, num_hashes: int = 64,
+                      bands: int | str = "auto",
                       threshold: float = 0.2) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
-    bands=16 x rows=4 over 64 hashes -> collision prob ~ s^4 per band;
-    candidates are pairs agreeing on >=1 full band. Each band induces one
-    equality-join shuffle on (band_idx, band_hash) — the scalable path at
-    100 TB where exact all-pairs is impossible. Output is a subset of the
-    exact result (candidates only), each verified exactly.
+    b bands x r rows over ``num_hashes`` -> collision prob ~ s^r per
+    band; candidates are pairs agreeing on >=1 full band. The default
+    ``bands="auto"`` derives b from the threshold via the S-curve
+    (``auto_bands`` above — r7, replacing the hand-set 16x4 whose
+    t*=0.5 crossover sat far above a 0.2 threshold); pass an int to pin
+    it. Each band induces one equality-join shuffle on (band_idx,
+    band_hash) — the scalable path at 100 TB where exact all-pairs is
+    impossible. Output is a subset of the exact result (candidates
+    only), each verified exactly.
     """
+    bands = _resolve_bands(bands, num_hashes, threshold)
     rows_per_band = num_hashes // bands
     df = fan_out(df)  # 64-permutation signatures are CPU-bound
     # _hashed: the shingle SET as 8-byte longs, materialized ONCE — the 64
@@ -759,7 +829,7 @@ def md5_hash60(col: Column) -> Column:
 
 def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 3,
-                          num_hashes: int = 64, bands: int = 16,
+                          num_hashes: int = 64, bands: int | str = "auto",
                           threshold: float = 0.2) -> DataFrame:
     """Oracle-verifiable twin of ``minhash_lsh_pairs``: the identical
     shingle -> signature -> band -> candidate -> exact-jaccard-verify
@@ -767,10 +837,16 @@ def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
     keys so EVERY intermediate value is reproducible in ANSI SQL (DuckDB
     differential-checks the full result, not just row counts).
 
+    ``bands="auto"`` resolves through the same ``auto_bands`` S-curve as
+    the throughput twin; num_hashes stays fixed, so the seeded
+    signatures replay unchanged in SQL and only the band grouping width
+    (``i // r``) follows the dial.
+
     The xxhash64 variant stays the throughput path — md5 per (shingle,
     seed) costs more per byte; the algorithmic shape (single posexplode
     band self-join, exact verification) is byte-for-byte the same.
     """
+    bands = _resolve_bands(bands, num_hashes, threshold)
     rpb = num_hashes // bands
     shingled = fan_out(df).select(F.col(id_col).alias("_id"),
                                   word_shingles(F.col(text_col), n).alias("shingles"))
