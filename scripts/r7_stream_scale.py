@@ -1,7 +1,7 @@
-"""r7 one-off: re-measure dedup-minhash-recall(+sampled) after the
-truth-side swap to prefix_filter_jaccard_pairs + pair-frame persists
-(bench protocol: warm at sf0.001, min of two timed passes at sf0.1 /
-sf1eq; single pass at sf10docs — the SCALING.md sf10 convention)."""
+"""r7 one-off (VERDICT r6 #8): decade rows for the two r6-new streaming
+keys — stream-trending-topk and stream-drift — at sf0.1 vs sf1eq
+(events x10). Bench protocol: warm drain at sf0.001 immediately before
+each timed drain, two timed passes, min."""
 
 from __future__ import annotations
 
@@ -14,26 +14,24 @@ from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
-SCALES = [("sf0.1", "/root/testdata/sf0.1", 2),
-          ("sf1eq", "/tmp/sf1eq", 2),
-          ("sf10docs", "/tmp/sf10docs", 1)]
-KEYS = ["dedup-minhash-recall-sampled", "dedup-minhash-recall"]
+SCALES = [("sf0.1", "/root/testdata/sf0.1"), ("sf1eq", "/tmp/sf1eq")]
+KEYS = ["stream-trending-topk", "stream-drift"]
 
 
 def main() -> None:
-    spark = get_spark("r7scale")
+    spark = get_spark("r7stream")
     for key in KEYS:
         fn = QUERIES[key]
-        for label, d, passes in SCALES:
+        for label, d in SCALES:
             fn(spark, "/root/testdata/sf0.001").count()
             cache.release_all(blocking=True)
             best = float("inf")
-            for _ in range(passes):
+            for _ in range(2):
                 t0 = time.time()
-                rows = fn(spark, d).collect()
+                n = fn(spark, d).count()
                 best = min(best, time.time() - t0)
                 cache.release_all(blocking=True)
-            print(f"RES {key} {label} {best:.2f}s {rows}", flush=True)
+            print(f"RES {key} {label} {best:.2f}s rows={n}", flush=True)
     spark.stop()
 
 

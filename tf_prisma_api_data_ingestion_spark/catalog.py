@@ -6719,13 +6719,19 @@ def q_dedup_minhash_recall(spark, sf_dir):
     rarest-first prefix entry) and the integer compare 5i >= u selects
     the same set as the oracle's double i/u >= 0.2 because the smallest
     ratio step 1/(5u) dwarfs the 1-ulp gap at 0.2 — so the DuckDB twin
-    STAYS the exhaustive join, proving losslessness on every run."""
-    truth = dedup.prefix_filter_jaccard_pairs(
+    STAYS the exhaustive join, proving losslessness on every run.
+
+    Both pair frames are persisted (tiny: |pairs| rows): each feeds its
+    own count AND the intersection count, and without the barrier the
+    two heaviest joins of the repo would execute twice inside the one
+    crossJoin action — measured as the difference between completing
+    and dying on spill disk at the 500k-doc decade."""
+    truth = cache.tracked_persist(dedup.prefix_filter_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, t_num=1, t_den=5, hashed=True
-    ).select("doc_a", "doc_b")
-    lsh = dedup.minhash_lsh_pairs_md5(
+    ).select("doc_a", "doc_b"))
+    lsh = cache.tracked_persist(dedup.minhash_lsh_pairs_md5(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b"))
     both = truth.join(lsh, ["doc_a", "doc_b"]).select("doc_a")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
@@ -7079,9 +7085,11 @@ def q_dedup_minhash_recall_sampled(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(
         F.expr("CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15),"
                " 16, 10) AS BIGINT) % 5 = 0"))
-    truth = dedup.prefix_filter_jaccard_pairs(
-        d, n=3, t_num=1, t_den=5, hashed=True).select("doc_a", "doc_b")
-    lsh = dedup.minhash_lsh_pairs_md5(d, n=3, threshold=0.2)         .select("doc_a", "doc_b")
+    truth = cache.tracked_persist(dedup.prefix_filter_jaccard_pairs(
+        d, n=3, t_num=1, t_den=5, hashed=True).select("doc_a", "doc_b"))
+    lsh = cache.tracked_persist(
+        dedup.minhash_lsh_pairs_md5(d, n=3, threshold=0.2)
+        .select("doc_a", "doc_b"))
     both = truth.join(lsh, ["doc_a", "doc_b"]).select("doc_a")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
