@@ -5,6 +5,7 @@ these pin the Python-side semantics the differential gate can't see
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -226,3 +227,128 @@ def test_tpch_dim_chains_broadcast(spark):
         assert "BroadcastHashJoin" in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoop" not in plan, q.__name__
+
+
+# ------------------------------------------------- r7 new operators
+
+def test_grouped_linreg2_exact_plane(spark):
+    """Points on y = 2 + 3*x1 + 5*x2 recover the plane exactly."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg2,
+    )
+    pts = [(1, 1), (2, 1), (1, 2), (3, 2), (2, 4)]
+    rows = [("g", x1, x2, float(2 + 3 * x1 + 5 * x2)) for x1, x2 in pts]
+    df = spark.createDataFrame(rows, "g STRING, x1 LONG, x2 LONG, y DOUBLE")
+    got = grouped_linreg2(df, "g", F.col("x1"), F.col("x2"),
+                          F.col("y")).collect()[0]
+    assert got["n"] == 5
+    assert got["b1"] == pytest.approx(3.0, abs=1e-6)
+    assert got["b2"] == pytest.approx(5.0, abs=1e-6)
+    assert got["intercept"] == pytest.approx(2.0, abs=1e-6)
+    assert got["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_grouped_linreg2_matches_numpy(spark):
+    import numpy as np
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg2,
+    )
+    rng = np.random.default_rng(11)
+    x1 = rng.integers(0, 50, size=300)
+    x2 = rng.integers(1, 13, size=300)
+    y = np.round(4.0 + 1.5 * x1 - 2.25 * x2
+                 + rng.normal(0, 3, size=300), 2)
+    rows = [("g", int(a), int(b), float(v))
+            for a, b, v in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "g STRING, x1 LONG, x2 LONG, y DOUBLE")
+    got = grouped_linreg2(df, "g", F.col("x1"), F.col("x2"),
+                          F.col("y")).collect()[0]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["intercept"] == pytest.approx(beta[0], abs=1e-4)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-4)
+    assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_grouped_linreg2_collinear_is_null(spark):
+    """x2 = 2*x1 makes the Gram matrix singular -> NULL fit."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        grouped_linreg2,
+    )
+    rows = [("g", i, 2 * i, float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "g STRING, x1 LONG, x2 LONG, y DOUBLE")
+    got = grouped_linreg2(df, "g", F.col("x1"), F.col("x2"),
+                          F.col("y")).collect()[0]
+    assert got["b1"] is None and got["b2"] is None
+    assert got["intercept"] is None and got["r2"] is None
+
+
+def test_ndcg_at_k_known_values(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import ndcg_at_k
+    rows = [
+        # query a: system puts rel=1 above rel=3 -> imperfect
+        ("a", 10.0, 1, 1), ("a", 9.0, 3, 2), ("a", 8.0, 0, 3),
+        # query b: perfect ranking
+        ("b", 5.0, 2, 1), ("b", 1.0, 0, 2),
+        # query c: nothing relevant -> NULL ndcg
+        ("c", 4.0, 0, 1), ("c", 3.0, 0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "q STRING, score DOUBLE, rel LONG, id LONG")
+    got = {r["query"]: r for r in ndcg_at_k(
+        df, "q", F.col("score"), F.col("rel"), F.col("id"),
+        k=10).collect()}
+    # a: DCG = 1*1000000 + 7*630930, IDCG = 7*1000000 + 1*630930
+    assert got["a"]["dcg_micro"] == 1 * 1000000 + 7 * 630930
+    assert got["a"]["idcg_micro"] == 7 * 1000000 + 1 * 630930
+    assert got["a"]["ndcg_r"] == pytest.approx(
+        5416510 / 7630930, abs=1e-6)
+    assert got["b"]["ndcg_r"] == pytest.approx(1.0)
+    assert got["c"]["ndcg_r"] is None and got["c"]["idcg_micro"] == 0
+    assert got["a"]["n_ranked"] == 3
+
+
+def test_ndcg_at_k_ties_break_deterministically(spark):
+    """Equal scores order by the tiebreak column, so the result is a
+    function of the data, not of partitioning."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import ndcg_at_k
+    rows = [("q", 1.0, 3, 2), ("q", 1.0, 0, 1)]
+    df = spark.createDataFrame(
+        rows, "q STRING, score DOUBLE, rel LONG, id LONG")
+    got = ndcg_at_k(df, "q", F.col("score"), F.col("rel"),
+                    F.col("id"), k=10).collect()[0]
+    # id=1 (gain 0) ranks first on the tiebreak; rel=3 second
+    assert got["dcg_micro"] == 7 * 630930
+    assert got["idcg_micro"] == 7 * 1000000
+
+
+def test_cohens_kappa_known_value(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import cohens_kappa
+    pairs = [("A", "A")] * 3 + [("B", "B")] * 2 + \
+            [("A", "B")] * 1 + [("B", "A")] * 2
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    # n=8 diag=5 po=0.625; margins a:{A:4,B:4} b:{A:5,B:3}
+    # pe = (4*5 + 4*3)/64 = 0.5; kappa = 0.125/0.5 = 0.25
+    assert got["n"] == 8
+    assert got["po_r"] == pytest.approx(0.625)
+    assert got["pe_r"] == pytest.approx(0.5)
+    assert got["kappa_r"] == pytest.approx(0.25)
+
+
+def test_cohens_kappa_degenerate_is_null(spark):
+    """Both raters constant: pe = 1, agreement is vacuous -> NULL."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import cohens_kappa
+    df = spark.createDataFrame([("X", "X")] * 5, "a STRING, b STRING")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["kappa_r"] is None and got["po_r"] == pytest.approx(1.0)
+
+
+def test_cohens_kappa_drops_nulls(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import cohens_kappa
+    df = spark.createDataFrame(
+        [("A", "A"), ("A", None), (None, "B"), ("B", "B")],
+        "a STRING, b STRING")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["n"] == 2 and got["po_r"] == pytest.approx(1.0)

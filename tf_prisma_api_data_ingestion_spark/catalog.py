@@ -7373,6 +7373,183 @@ FROM j
 """
 
 
+def q_op_linreg2_group(spark, sf_dir):
+    """Per-returnflag TWO-feature least squares of extended price on
+    quantity and ship month, via the closed 2x2 normal equations over
+    exact DECIMAL(38,0) sufficient statistics
+    (operators/stats.grouped_linreg2) — the multivariate step after
+    op-linreg-group, still ONE map-side-combinable aggregation with
+    floats only as fixed-order IEEE ops over the exact sums, so the
+    coefficients hash-match DuckDB bit-for-bit."""
+    from .operators.stats import grouped_linreg2
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_linreg2(li, "l_returnflag", F.col("l_quantity"),
+                           F.month("l_shipdate"),
+                           F.col("l_extendedprice"))
+
+
+SQL_OP_LINREG2_GROUP = """
+WITH s AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(extract(month FROM l_shipdate) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+a AS (
+  -- exact HUGEINT sums mirror the operator's DECIMAL(38,0) buffers
+  SELECT g, COUNT(*) AS n,
+         SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x1 AS HUGEINT)*CAST(x1 AS HUGEINT)) AS s11,
+         SUM(CAST(x2 AS HUGEINT)*CAST(x2 AS HUGEINT)) AS s22,
+         SUM(CAST(x1 AS HUGEINT)*CAST(x2 AS HUGEINT)) AS s12,
+         SUM(CAST(x1 AS HUGEINT)*CAST(y AS HUGEINT)) AS s1y,
+         SUM(CAST(x2 AS HUGEINT)*CAST(y AS HUGEINT)) AS s2y,
+         SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS syy
+  FROM s GROUP BY g),
+d AS (
+  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(sy AS DOUBLE) AS syd,
+         CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+         CAST(s12 AS DOUBLE) AS s12d,
+         CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM a),
+g AS (
+  SELECT g, n,
+         nd*s11d - s1d*s1d AS a11, nd*s12d - s1d*s2d AS a12,
+         nd*s22d - s2d*s2d AS a22,
+         nd*s1yd - s1d*syd AS c1, nd*s2yd - s2d*syd AS c2,
+         nd*syyd - syd*syd AS vy, nd, s1d, s2d, syd
+  FROM d),
+f AS (
+  SELECT g, n, nd, s1d, s2d, syd, c1, c2, vy,
+         a11*a22 - a12*a12 AS det, a11, a12, a22
+  FROM g),
+b AS (
+  SELECT g, n, nd, s1d, s2d, syd, c1, c2, vy, det,
+         (c1*a22 - c2*a12) / det AS b1c,
+         (c2*a11 - c1*a12) / det AS b2c,
+         (n >= 3 AND det > 0) AS ok
+  FROM f)
+SELECT g AS l_returnflag, n,
+  round(CASE WHEN ok THEN b1c / 100.0 END, 6) AS b1,
+  round(CASE WHEN ok THEN b2c / 100.0 END, 6) AS b2,
+  round(CASE WHEN ok THEN
+    (syd/100.0 - b1c*s1d/100.0 - b2c*s2d/100.0) / nd END, 6)
+    AS intercept,
+  round(CASE WHEN ok AND vy > 0 THEN
+    greatest(least((b1c*c1 + b2c*c2) / vy, 1.0), 0.0) END, 6) AS r2
+FROM b
+"""
+
+
+def q_op_ndcg_retrieval(spark, sf_dir):
+    """Per-user NDCG@10 of the value-ranked event feed against graded
+    relevance (purchase=3, signup=2, click=1, view/error=0) —
+    operators/ml.ndcg_at_k. The retrieval-eval twin of the BM25/ANN
+    family: gains are exact 2^rel−1 BIGINTs, discounts come from a
+    LITERAL integer-micro 1/log2(i+1) table shared verbatim with the
+    oracle, so DCG/IDCG are exact integer sums and the only float op is
+    the final divide. One hash exchange on user_id feeds both window
+    sorts; no transcendental ever runs in either engine."""
+    from .operators.ml import ndcg_at_k
+    ev = _t(spark, sf_dir, "events")
+    rel = (F.when(F.col("event_type") == "purchase", 3)
+            .when(F.col("event_type") == "signup", 2)
+            .when(F.col("event_type") == "click", 1).otherwise(0))
+    return ndcg_at_k(ev, "user_id", F.col("value"), rel,
+                     F.col("event_id"), k=10).withColumnRenamed(
+        "query", "user_id")
+
+
+SQL_OP_NDCG_RETRIEVAL = """
+WITH base AS (
+  SELECT user_id, event_id, value AS score,
+         CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+              WHEN 'click' THEN 1 ELSE 0 END AS rel
+  FROM events),
+g AS (
+  SELECT user_id,
+         CAST((1 << rel) - 1 AS BIGINT) AS gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id) AS r_sys,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, event_id) AS r_ideal
+  FROM base),
+-- the same literal micro-discount table the Spark operator embeds
+w AS (SELECT * FROM (VALUES (1,1000000),(2,630930),(3,500000),
+      (4,430677),(5,386853),(6,356207),(7,333333),(8,315465),
+      (9,301030),(10,289065)) AS t(pos, wm)),
+s AS (
+  SELECT g.user_id, g.gain, ws.wm AS w_sys, wi.wm AS w_ideal
+  FROM g LEFT JOIN w ws ON ws.pos = g.r_sys
+         LEFT JOIN w wi ON wi.pos = g.r_ideal)
+SELECT user_id, COUNT(*) AS n_ranked,
+       CAST(coalesce(SUM(gain * w_sys), 0) AS BIGINT) AS dcg_micro,
+       CAST(coalesce(SUM(gain * w_ideal), 0) AS BIGINT) AS idcg_micro,
+       round(CASE WHEN coalesce(SUM(gain * w_ideal), 0) > 0 THEN
+         CAST(coalesce(SUM(gain * w_sys), 0) AS DOUBLE)
+         / CAST(coalesce(SUM(gain * w_ideal), 0) AS DOUBLE) END, 6)
+         AS ndcg_r
+FROM s GROUP BY user_id
+"""
+
+
+def q_op_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two heuristic document raters — a
+    char-length bucket (n_chars) and a whitespace-token bucket
+    (text.token_count) — operators/ml.cohens_kappa. The
+    inter-annotator-agreement gate a labeling pipeline runs before
+    trusting one heuristic as ground truth for another: exact integer
+    contingency counts, margins joined at |labels| cardinality, and
+    po/pe/kappa as fixed-order IEEE ops over the exact values."""
+    from .operators.ml import cohens_kappa
+    from .operators import text as text_ops
+    d = _t(spark, sf_dir, "documents")
+    chars = (F.when(F.col("n_chars") < 200, "S")
+              .when(F.col("n_chars") < 380, "M").otherwise("L"))
+    tok = text_ops.token_count(F.col("text"))
+    tokens = F.when(tok < 40, "S").when(tok < 76, "M").otherwise("L")
+    return cohens_kappa(d, chars, tokens)
+
+
+SQL_OP_COHENS_KAPPA = """
+WITH lab AS (
+  SELECT CASE WHEN n_chars < 200 THEN 'S'
+              WHEN n_chars < 380 THEN 'M' ELSE 'L' END AS a,
+         CASE WHEN t < 40 THEN 'S' WHEN t < 76 THEN 'M'
+              ELSE 'L' END AS b
+  FROM (SELECT n_chars,
+               len(list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\\s+'), x -> x <> '')) AS t
+        FROM documents)),
+obs AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS diag
+  FROM lab),
+ma AS (SELECT a AS lab_k, CAST(COUNT(*) AS HUGEINT) AS ra
+       FROM lab GROUP BY a),
+mb AS (SELECT b AS lab_k, CAST(COUNT(*) AS HUGEINT) AS rb
+       FROM lab GROUP BY b),
+cx AS (SELECT coalesce(SUM(ra * rb), 0) AS s
+       FROM ma JOIN mb USING (lab_k))
+SELECT n,
+  round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po_r,
+  round(CAST(s AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe_r,
+  round(CASE WHEN CAST(s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+    (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+     - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (1.0 - CAST(s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
+    AS kappa_r
+FROM obs, cx
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7609,6 +7786,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-equidepth-histogram": q_op_equidepth_histogram,
     "sim-multiprobe-topk": q_sim_multiprobe_topk,
     "stream-trending-topk": q_stream_trending_topk,
+    # ---- new in r7 (behind the window by design: the r6 VERDICT spends
+    # the whole r7 window on stale keys; these three rotate in next)
+    "op-linreg2-group": q_op_linreg2_group,
+    "op-ndcg-retrieval": q_op_ndcg_retrieval,
+    "op-cohens-kappa": q_op_cohens_kappa,
 }
 
 
@@ -7850,6 +8032,9 @@ ORACLES: dict[str, str] = {
     "asof-join-nearest": SQL_ASOF_JOIN_NEAREST,
     "dedup-keep-best": _sql_dedup_keep_best(),
     "plan-stream-report": SQL_PLAN_STREAM_REPORT,
+    "op-linreg2-group": SQL_OP_LINREG2_GROUP,
+    "op-ndcg-retrieval": SQL_OP_NDCG_RETRIEVAL,
+    "op-cohens-kappa": SQL_OP_COHENS_KAPPA,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

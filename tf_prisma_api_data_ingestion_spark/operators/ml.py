@@ -703,3 +703,124 @@ def auc_score(scored: DataFrame, score_long, y01) -> DataFrame:
         "CAST(_P AS BIGINT) AS n_pos", "CAST(_N AS BIGINT) AS n_neg",
         "n_scores",
         f"CASE WHEN _P > 0 AND _N > 0 THEN {auc} END AS auc_r")
+
+
+# 1e6/log2(i+1) rounded to integer micros, positions 1..10. A LITERAL
+# table (not a runtime log2) so the Spark plan and the DuckDB oracle
+# use bit-identical discounts — transcendentals never enter either
+# engine, which is what keeps NDCG hash-comparable.
+NDCG_DISCOUNT_MICRO = [1000000, 630930, 500000, 430677, 386853,
+                       356207, 333333, 315465, 301030, 289065]
+
+
+def ndcg_at_k(df: DataFrame, query_col: str, score, rel_int,
+              tiebreak, k: int = 10) -> DataFrame:
+    """Per-query NDCG@k of a system ranking (``score`` desc, ``tiebreak``
+    asc totalizes ties) against graded integer relevance — the standard
+    retrieval-eval metric next to the BM25/ANN operators, computed with
+    ZERO transcendentals: gains are exact 2^rel−1 BIGINTs, discounts come
+    from the literal integer-micro table above, so DCG/IDCG are exact
+    integer sums and the only float op is the final single divide.
+
+    Scale design: ONE hash exchange on the query key feeds both window
+    sorts (system rank and ideal rank); everything after is a combinable
+    per-query aggregation, so the operator is a groupBy-shaped pass over
+    the run file — no self-join, no global sort. k ≤ 10 (the literal
+    table's reach); extend the table to raise it.
+
+    Returns one row per query: n_ranked (candidates seen), dcg_micro,
+    idcg_micro (exact BIGINTs), ndcg_r (round 6, NULL when every graded
+    candidate in the top-k ideal is irrelevant).
+    """
+    if not 1 <= k <= len(NDCG_DISCOUNT_MICRO):
+        raise ValueError(f"k must be in 1..{len(NDCG_DISCOUNT_MICRO)}")
+    w_tab = F.array(*[F.lit(w) for w in NDCG_DISCOUNT_MICRO[:k]])
+    base = df.select(
+        F.col(query_col).alias("query"),
+        score.alias("_score"),
+        rel_int.cast("long").alias("_rel"),
+        tiebreak.alias("_tb"),
+    ).withColumn("_gain", F.expr(
+        "CAST(shiftleft(1, CAST(_rel AS INT)) AS BIGINT) - 1"))
+    sys_w = Window.partitionBy("query").orderBy(
+        F.col("_score").desc(), F.col("_tb").asc())
+    ideal_w = Window.partitionBy("query").orderBy(
+        F.col("_rel").desc(), F.col("_tb").asc())
+    ranked = base.select(
+        "query", "_gain",
+        F.row_number().over(sys_w).alias("_r_sys"),
+        F.row_number().over(ideal_w).alias("_r_ideal"))
+    dcg = F.sum(F.when(F.col("_r_sys") <= k,
+                       F.col("_gain")
+                       * F.element_at(w_tab, F.col("_r_sys"))))
+    idcg = F.sum(F.when(F.col("_r_ideal") <= k,
+                        F.col("_gain")
+                        * F.element_at(w_tab, F.col("_r_ideal"))))
+    return (ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.coalesce(dcg, F.lit(0)).alias("dcg_micro"),
+        F.coalesce(idcg, F.lit(0)).alias("idcg_micro"))
+        .select(
+            "query", "n_ranked", "dcg_micro", "idcg_micro",
+            F.round(F.when(
+                F.col("idcg_micro") > 0,
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double")), 6).alias("ndcg_r")))
+
+
+def cohens_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
+    """Cohen's kappa agreement between two label columns — the
+    inter-annotator metric a labeling pipeline runs before trusting a
+    heuristic rater (or an LLM judge) against a reference rater, with
+    chance agreement removed:
+
+        po = Σ_k n_kk / N      pe = Σ_k rowmarg_k · colmarg_k / N²
+        kappa = (po − pe) / (1 − pe)
+
+    All counts (diagonal, margins, the margin cross product) accumulate
+    as exact integers/DECIMAL(38,0); po, pe, and kappa are single IEEE
+    ops over the exact values in a fixed order mirrored in the oracle.
+
+    Scale design: the data is read ONCE — a single map-side-combinable
+    aggregation reduces it to the |labels|² contingency table, and the
+    diagonal, margins, and margin cross product all derive from that
+    tiny frame (label cardinality is never data-sized). NULL labels on
+    either side are dropped up front (agreement over the
+    jointly-labeled subset — stated contract).
+
+    Returns one row: n, po_r, pe_r, kappa_r (kappa NULL when pe = 1,
+    i.e. both raters are constant and agreement is vacuous).
+    """
+    from ..cache import tracked_persist
+    # persisted: the |labels|^2 frame feeds three derivations (observed
+    # agreement, both margins); without the barrier each branch would
+    # re-run the data-sized aggregation
+    ct = tracked_persist(
+        df.select(rater_a.alias("_a"), rater_b.alias("_b"))
+          .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+          .groupBy("_a", "_b")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+    obs = ct.agg(
+        F.coalesce(F.sum("_c"), F.lit(0).cast("decimal(38,0)"))
+         .cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("_a") == F.col("_b"),
+                                F.col("_c"))),
+                   F.lit(0).cast("decimal(38,0)"))
+         .cast("long").alias("_diag"))
+    ma = ct.groupBy(F.col("_a").alias("_lab")).agg(
+        F.sum("_c").alias("_ra"))
+    mb = ct.groupBy(F.col("_b").alias("_lab")).agg(
+        F.sum("_c").alias("_rb"))
+    cross = (ma.join(F.broadcast(mb), "_lab")
+               .agg(F.coalesce(F.sum(F.col("_ra") * F.col("_rb")),
+                               F.lit(0).cast("decimal(38,0)"))
+                    .alias("_s")))
+    n = F.col("n").cast("double")
+    po = F.col("_diag").cast("double") / n
+    pe = F.col("_s").cast("double") / (n * n)
+    return (obs.crossJoin(F.broadcast(cross)).select(
+        "n",
+        F.round(po, 6).alias("po_r"),
+        F.round(pe, 6).alias("pe_r"),
+        F.round(F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6)
+         .alias("kappa_r")))

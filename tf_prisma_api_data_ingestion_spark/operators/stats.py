@@ -321,3 +321,75 @@ def key_profile(df: DataFrame, key_col: str) -> DataFrame:
                    / F.col("n_keys").cast("double")), 4).alias("skew_ratio"),
         F.round(F.col("max_cnt").cast("double")
                 / F.col("n_rows").cast("double"), 6).alias("top_share"))
+
+
+def grouped_linreg2(df: DataFrame, group_col: str, x1_int: Column,
+                    x2_int: Column, y_2dec: Column) -> DataFrame:
+    """Per-group TWO-feature least squares (y on x1, x2) via the closed
+    2x2 normal equations over exact sufficient statistics — the
+    multivariate extension of ``grouped_linreg`` (same determinism
+    contract, same single-aggregation scale posture).
+
+    One map-side-combinable aggregation accumulates the ten exact sums
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) in
+    DECIMAL(38,0); each is cast to DOUBLE once, and the centered Gram
+    entries / solution are plain IEEE ops in a FIXED order mirrored
+    verbatim in the DuckDB oracle:
+
+        A11 = nΣx1² − (Σx1)²   A12 = nΣx1x2 − Σx1Σx2
+        A22 = nΣx2² − (Σx2)²   C1  = nΣx1y − Σx1Σy   C2 = nΣx2y − Σx2Σy
+        det = A11·A22 − A12²
+        b1  = (C1·A22 − C2·A12)/det      b2 = (C2·A11 − C1·A12)/det
+        b0  = (Σy − b1Σx1 − b2Σx2)/n
+        R²  = (b1·C1 + b2·C2)/Vy,  Vy = nΣy² − (Σy)²
+
+    Degenerate guard (same philosophy as grouped_linreg): collinear or
+    constant features make the Gram determinant cancel to ≤ 0 in double
+    — those groups get NULL coefficients (the fit is not identifiable),
+    and R² is clamped to [0, 1] against last-ulp overshoot. Groups need
+    n ≥ 3 (two slopes + intercept) — smaller groups are NULL too.
+    """
+    y = _cents(y_2dec)
+    x1 = x1_int.cast("long").cast("decimal(18,0)")
+    x2 = x2_int.cast("long").cast("decimal(18,0)")
+    yd = y.cast("decimal(18,0)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("_s1"), F.sum(x2).alias("_s2"),
+        F.sum(yd).alias("_sy"),
+        F.sum(x1 * x1).alias("_s11"), F.sum(x2 * x2).alias("_s22"),
+        F.sum(x1 * x2).alias("_s12"),
+        F.sum(x1 * yd).alias("_s1y"), F.sum(x2 * yd).alias("_s2y"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("_s1").cast("double"), F.col("_s2").cast("double")
+    sy = F.col("_sy").cast("double")
+    s11, s22 = F.col("_s11").cast("double"), F.col("_s22").cast("double")
+    s12 = F.col("_s12").cast("double")
+    s1y, s2y = F.col("_s1y").cast("double"), F.col("_s2y").cast("double")
+    syy = F.col("_syy").cast("double")
+    a11 = n * s11 - s1 * s1
+    a12 = n * s12 - s1 * s2
+    a22 = n * s22 - s2 * s2
+    c1 = n * s1y - s1 * sy
+    c2 = n * s2y - s2 * sy
+    vy = n * syy - sy * sy
+    det = a11 * a22 - a12 * a12
+    ok = (F.col("n") >= 3) & (det > 0)
+    b1c = (c1 * a22 - c2 * a12) / det          # cents per x1 unit
+    b2c = (c2 * a11 - c1 * a12) / det          # cents per x2 unit
+    b1 = F.when(ok, b1c / 100.0)
+    b2 = F.when(ok, b2c / 100.0)
+    b0 = F.when(ok, (sy / 100.0 - b1c * s1 / 100.0
+                     - b2c * s2 / 100.0) / n)
+    r2 = F.when(ok & (vy > 0),
+                F.greatest(F.least((b1c * c1 + b2c * c2) / vy,
+                                   F.lit(1.0)), F.lit(0.0)))
+    return agg.select(
+        F.col(group_col), "n",
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(b0, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
