@@ -352,3 +352,85 @@ def test_cohens_kappa_drops_nulls(spark):
         "a STRING, b STRING")
     got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
     assert got["n"] == 2 and got["po_r"] == pytest.approx(1.0)
+
+
+def test_mixture_rebalance_budget_and_targets(spark):
+    """Targets {a:50%, b:50%} on counts {a:10, b:30}: the binding
+    stratum is a (B=20), so want=10 each; a keeps everything (threshold
+    at 100% keep rate), b keeps a deterministic hash-selected subset."""
+    from tf_prisma_api_data_ingestion_spark.plans.corpus import (
+        mixture_rebalance,
+    )
+    rows = [(i, "a") for i in range(10)] + \
+           [(100 + i, "b") for i in range(30)] + \
+           [(900 + i, "zz") for i in range(5)]  # no target -> dropped
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = {r["stratum"]: r for r in mixture_rebalance(
+        df, "lang", {"a": 500000, "b": 500000}).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_total"] == 10 and out["b"]["n_total"] == 30
+    assert out["a"]["n_target"] == 10 and out["b"]["n_target"] == 10
+    assert out["a"]["n_kept"] == 10          # keep rate 100% is exact
+    assert 0 < out["b"]["n_kept"] <= 30      # hash-binomial, nonzero
+    assert out["a"]["target_micro"] == 500000
+    total = out["a"]["n_kept"] + out["b"]["n_kept"]
+    for s in ("a", "b"):
+        assert out[s]["realized_micro"] == \
+            out[s]["n_kept"] * 1000000 // total
+    # determinism: same inputs, same selection
+    out2 = {r["stratum"]: r["n_kept"] for r in mixture_rebalance(
+        df, "lang", {"a": 500000, "b": 500000}).collect()}
+    assert out2 == {s: out[s]["n_kept"] for s in out}
+
+
+def test_vocab_coverage_hand_counts(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        vocab_coverage,
+    )
+    # tf: x appears 4 times, y 3, z 2, q 1 -> vocab(2) = {x, y}
+    df = spark.createDataFrame(
+        [(1, "s1", "x x y z"), (2, "s1", "x y q"), (3, "s2", "x y z")],
+        "doc_id LONG, source STRING, text STRING")
+    out = {r["source"]: r for r in vocab_coverage(
+        df, "text", "source", vocab_size=2).collect()}
+    assert out["s1"]["n_tokens"] == 7 and out["s1"]["n_oov"] == 2
+    assert out["s1"]["oov_micro"] == 2 * 1000000 // 7
+    assert out["s2"]["n_tokens"] == 3 and out["s2"]["n_oov"] == 1
+
+
+def test_embed_centroids_hand_values(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        embed_centroids,
+    )
+    df = spark.createDataFrame(
+        [(1, "x", [1.0, -0.5]), (2, "x", [3.0, -0.5]),
+         (3, "y", [0.0, 2.0])],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>")
+    out = {(r["label"], r["dim"]): r
+           for r in embed_centroids(df, "label").collect()}
+    assert out[("x", 0)]["mean_micro"] == 2_000_000
+    # var num = 2*(1e12 + 9e12) - (4e6)^2 = 4e12; DIV n^2=4 -> 1e12
+    assert out[("x", 0)]["var_micro2"] == 1_000_000_000_000
+    assert out[("x", 1)]["mean_micro"] == -500_000
+    assert out[("x", 1)]["var_micro2"] == 0
+    assert out[("y", 0)]["n"] == 1 and out[("y", 1)]["mean_micro"] == 2_000_000
+
+
+def test_mrr_at_k_known_and_nohit(spark):
+    """Includes the element_at(literal array, NULL) regression: Spark
+    4.1 folds a NULL index into the LAST element, so a user with no
+    relevant result in the top-k must still get rr_micro = 0."""
+    from tf_prisma_api_data_ingestion_spark.operators.ml import mrr_at_k
+    rows = [
+        ("a", 9.0, 0, 1), ("a", 8.0, 1, 2), ("a", 7.0, 1, 3),  # first@2
+        ("b", 5.0, 0, 1), ("b", 4.0, 0, 2),                    # no hit
+    ]
+    df = spark.createDataFrame(
+        rows, "q STRING, score DOUBLE, rel INT, id LONG")
+    out = {r["query"]: r for r in mrr_at_k(
+        df, "q", F.col("score"), F.col("rel"), F.col("id"),
+        k=10).collect()}
+    assert out["a"]["first_rel_rank"] == 2
+    assert out["a"]["rr_micro"] == 500000 and out["a"]["hit"] == 1
+    assert out["b"]["first_rel_rank"] is None
+    assert out["b"]["rr_micro"] == 0 and out["b"]["hit"] == 0

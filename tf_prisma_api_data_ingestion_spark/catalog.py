@@ -7550,6 +7550,158 @@ FROM obs, cx
 """
 
 
+def q_plan_corpus_mix(spark, sf_dir):
+    """Corpus mixture rebalance to a uniform 20%-per-language target
+    (plans/corpus.mixture_rebalance) — the data-mixing step of a
+    training run, as deterministic hash-threshold sampling: the keep
+    rule hash60(doc_id)·count_s < 2^60·want_s is pure DECIMAL(38,0)
+    row-local arithmetic (HUGEINT in the oracle), so the corpus is
+    never shuffled or window-ranked; the only data-sized work is two
+    combinable count aggregations. Reports target vs realized mix per
+    stratum."""
+    from .plans.corpus import mixture_rebalance
+    d = _t(spark, sf_dir, "documents")
+    targets = {"de": 200000, "en": 200000, "es": 200000,
+               "fr": 200000, "zh": 200000}
+    return mixture_rebalance(d, "lang", targets)
+
+
+SQL_PLAN_CORPUS_MIX = """
+WITH t AS (
+  SELECT * FROM (VALUES ('de', 200000), ('en', 200000), ('es', 200000),
+                        ('fr', 200000), ('zh', 200000)) AS t(stratum, m)),
+c AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM documents GROUP BY lang),
+j AS (
+  SELECT c.stratum, c.c, CAST(t.m AS HUGEINT) AS m
+  FROM c JOIN t USING (stratum)),
+b AS (SELECT MIN(c * 1000000 // m) AS B FROM j),
+w AS (SELECT j.stratum, j.c, j.m, (j.m * b.B) // 1000000 AS want
+      FROM j, b),
+k AS (
+  SELECT d.lang AS stratum, CAST(COUNT(*) AS HUGEINT) AS kept
+  FROM documents d JOIN w ON d.lang = w.stratum
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT AS HUGEINT) * w.c
+        < CAST(1152921504606846976 AS HUGEINT) * w.want
+  GROUP BY d.lang),
+tot AS (SELECT SUM(kept) AS tk FROM k)
+SELECT w.stratum AS stratum,
+       CAST(w.c AS BIGINT) AS n_total,
+       CAST(w.want AS BIGINT) AS n_target,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS n_kept,
+       CAST(w.m AS INT) AS target_micro,
+       CAST(coalesce(k.kept, 0) * 1000000 // tot.tk AS BIGINT)
+         AS realized_micro
+FROM w LEFT JOIN k USING (stratum), tot
+"""
+
+
+def q_text_vocab_coverage(spark, sf_dir):
+    """Per-source out-of-vocabulary audit against the corpus top-64
+    vocabulary (operators/text.vocab_coverage): one explode pass feeds a
+    combinable term-frequency agg; the 64-row vocab is ranked on the
+    distinct-terms frame (never on data) and broadcast back as a LEFT
+    marker; OOV shares are exact integer micros."""
+    from .operators.text import vocab_coverage
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", "source", vocab_size=64)
+
+
+SQL_TEXT_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                '\\s+'), x -> x <> '')) AS w
+  FROM documents),
+tf AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+v AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS rn FROM tf)
+  WHERE rn <= 64)
+SELECT t.grp AS source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS BIGINT) AS oov_micro
+FROM tok t LEFT JOIN v ON t.w = v.w
+GROUP BY t.grp
+"""
+
+
+def q_sim_embed_centroids(spark, sf_dir):
+    """Per-label embedding centroid + per-dimension dispersion in exact
+    integer micros (operators/similarity.embed_centroids) — one
+    combinable aggregation over the exploded corpus, output cardinality
+    |labels|·dim. The class-geometry audit behind embedding drift
+    detection; a float mean() would be partition-order-dependent, the
+    micro-quantized DECIMAL(38,0) sums are not."""
+    from .operators.similarity import embed_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    return embed_centroids(e, "label", "embedding")
+
+
+SQL_SIM_EMBED_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS xm
+  FROM embeddings),
+a AS (
+  SELECT label, dim, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(xm) AS s, SUM(xm * xm) AS ss
+  FROM ex GROUP BY label, dim)
+SELECT label, CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((2 * -s + n) // (2 * n)) END AS BIGINT)
+         AS mean_micro,
+       CAST((n * ss - s * s) // (n * n) AS BIGINT) AS var_micro2
+FROM a
+"""
+
+
+def q_op_mrr_retrieval(spark, sf_dir):
+    """Per-user MRR@10 of the value-ranked event feed with binary
+    relevance (purchase) — operators/ml.mrr_at_k, the binary companion
+    to op-ndcg-retrieval: reciprocals come from a literal integer-micro
+    table shared verbatim with the oracle, one window sort + one
+    combinable aggregation, no division anywhere."""
+    from .operators.ml import mrr_at_k
+    ev = _t(spark, sf_dir, "events")
+    return mrr_at_k(ev, "user_id", F.col("value"),
+                    (F.col("event_type") == "purchase").cast("int"),
+                    F.col("event_id"), k=10).withColumnRenamed(
+        "query", "user_id")
+
+
+SQL_OP_MRR_RETRIEVAL = """
+WITH base AS (
+  SELECT user_id, event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events),
+g AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id) AS r
+  FROM base),
+a AS (
+  SELECT user_id, COUNT(*) AS n_ranked,
+         CAST(MIN(CASE WHEN r <= 10 AND rel = 1 THEN r END) AS BIGINT)
+           AS first_rel_rank
+  FROM g GROUP BY user_id),
+m AS (SELECT * FROM (VALUES (1,1000000),(2,500000),(3,333333),
+      (4,250000),(5,200000),(6,166667),(7,142857),(8,125000),
+      (9,111111),(10,100000)) AS t(pos, rm))
+SELECT a.user_id, a.n_ranked, a.first_rel_rank,
+       CAST(coalesce(m.rm, 0) AS BIGINT) AS rr_micro,
+       CASE WHEN a.first_rel_rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+FROM a LEFT JOIN m ON m.pos = a.first_rel_rank
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7791,6 +7943,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-linreg2-group": q_op_linreg2_group,
     "op-ndcg-retrieval": q_op_ndcg_retrieval,
     "op-cohens-kappa": q_op_cohens_kappa,
+    "plan-corpus-mix": q_plan_corpus_mix,
+    "text-vocab-coverage": q_text_vocab_coverage,
+    "sim-embed-centroids": q_sim_embed_centroids,
+    "op-mrr-retrieval": q_op_mrr_retrieval,
 }
 
 
@@ -8035,6 +8191,10 @@ ORACLES: dict[str, str] = {
     "op-linreg2-group": SQL_OP_LINREG2_GROUP,
     "op-ndcg-retrieval": SQL_OP_NDCG_RETRIEVAL,
     "op-cohens-kappa": SQL_OP_COHENS_KAPPA,
+    "plan-corpus-mix": SQL_PLAN_CORPUS_MIX,
+    "text-vocab-coverage": SQL_TEXT_VOCAB_COVERAGE,
+    "sim-embed-centroids": SQL_SIM_EMBED_CENTROIDS,
+    "op-mrr-retrieval": SQL_OP_MRR_RETRIEVAL,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

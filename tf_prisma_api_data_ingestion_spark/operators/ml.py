@@ -824,3 +824,54 @@ def cohens_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
         F.round(pe, 6).alias("pe_r"),
         F.round(F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6)
          .alias("kappa_r")))
+
+
+# 1e6/i rounded half-even to integer micros, positions 1..10 — the MRR
+# twin of NDCG_DISCOUNT_MICRO (literal, shared verbatim with the oracle).
+MRR_RECIP_MICRO = [1000000, 500000, 333333, 250000, 200000,
+                   166667, 142857, 125000, 111111, 100000]
+
+
+def mrr_at_k(df: DataFrame, query_col: str, score, rel01,
+             tiebreak, k: int = 10) -> DataFrame:
+    """Per-query reciprocal rank of the FIRST relevant result within the
+    top-k of a system ranking (``score`` desc, ``tiebreak`` asc) — the
+    binary-relevance companion to ``ndcg_at_k``, sharing its contract:
+    the reciprocal comes from the literal integer-micro table above, so
+    the metric is exact integer data flow with no division at all.
+
+    Scale design: one hash exchange on the query key, one window sort,
+    one combinable aggregation — strictly cheaper than NDCG (no second
+    window: binary relevance needs no ideal ranking).
+
+    Returns (query, n_ranked, first_rel_rank — NULL when nothing
+    relevant lands in the top-k, rr_micro — 0 in that case, hit).
+    """
+    if not 1 <= k <= len(MRR_RECIP_MICRO):
+        raise ValueError(f"k must be in 1..{len(MRR_RECIP_MICRO)}")
+    r_tab = F.array(*[F.lit(r) for r in MRR_RECIP_MICRO[:k]])
+    base = df.select(
+        F.col(query_col).alias("query"),
+        score.alias("_score"),
+        rel01.cast("int").alias("_rel"),
+        tiebreak.alias("_tb"))
+    w = Window.partitionBy("query").orderBy(
+        F.col("_score").desc(), F.col("_tb").asc())
+    ranked = base.withColumn("_r", F.row_number().over(w))
+    first = F.min(F.when((F.col("_r") <= k) & (F.col("_rel") == 1),
+                         F.col("_r")))
+    return (ranked.groupBy("query")
+                  .agg(F.count(F.lit(1)).alias("n_ranked"),
+                       first.cast("long").alias("first_rel_rank"))
+                  .select(
+                      "query", "n_ranked", "first_rel_rank",
+                      # NOT element_at(tab, NULL): on a foldable array
+                      # literal Spark 4.1 resolves a NULL index to the
+                      # LAST element instead of NULL (measured), so the
+                      # no-hit case must short-circuit before indexing
+                      F.when(F.col("first_rel_rank").isNotNull(),
+                             F.element_at(r_tab, F.col("first_rel_rank")
+                                          .cast("int")))
+                       .otherwise(0).cast("long").alias("rr_micro"),
+                      F.when(F.col("first_rel_rank").isNotNull(), 1)
+                       .otherwise(0).alias("hit")))

@@ -576,3 +576,43 @@ def quantize_int8_error(embeddings: DataFrame, id_col: str = "vec_id",
               .groupBy(id_col)
               .agg(F.round(F.max("_e"), 6).alias("max_err_r"),
                    F.sum("_cl").alias("n_clipped")))
+
+
+def embed_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-class embedding centroid + per-dimension dispersion in EXACT
+    integer micros — the class-geometry audit behind drift detection
+    ("did the 'code' cluster move between snapshots?") and retrieval
+    debugging ("are two labels' centroids collapsing?").
+
+    Each component is quantized once to micros (round(v * 1e6), the
+    same float boundary contract as _cents) and every cross-row sum
+    accumulates in DECIMAL(38,0), so the centroid is order- and
+    partition-independent and hash-matches the oracle: a float mean()
+    over a billion rows is none of those things. mean is half-up via
+    the (2S + n) DIV 2n identity; the variance numerator n·Σx² − (Σx)²
+    stays in exact integer micro² (DIV n² at the edge).
+
+    Scale design: ONE map-side-combinable aggregation over the exploded
+    (|rows| × dim) frame, grouped by (label, dim) — cardinality
+    |labels|·dim, never data-sized; no join, no window, no second pass.
+
+    Returns (label, dim, n, mean_micro, var_micro2).
+    """
+    xm = F.round(F.col("_v").cast("double") * 1000000.0).cast("long") \
+          .cast("decimal(38,0)")
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+    agg = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(xm).alias("_s"),
+        F.sum(xm * xm).alias("_ss"))
+    return agg.select(
+        "label", "dim", F.col("_n").cast("long").alias("n"),
+        # half-up integer mean: (2S + n) DIV 2n shifted for negatives
+        F.expr("CAST(CASE WHEN _s >= 0 THEN (2 * _s + _n) DIV (2 * _n) "
+               "ELSE -((2 * -_s + _n) DIV (2 * _n)) END AS BIGINT)")
+         .alias("mean_micro"),
+        F.expr("CAST((_n * _ss - _s * _s) DIV (_n * _n) AS BIGINT)")
+         .alias("var_micro2"))

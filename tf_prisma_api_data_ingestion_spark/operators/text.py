@@ -402,3 +402,42 @@ def lm_likelihood(docs: DataFrame, id_col: str = "doc_id",
                                   " AS DOUBLE)") / F.lit(1000000.0))
                            .alias("lm_ppm_r"))
                   .orderBy("doc_id"))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source",
+                   vocab_size: int = 64) -> DataFrame:
+    """Out-of-vocabulary audit per corpus segment: build the corpus
+    top-``vocab_size`` vocabulary by term frequency (ties broken by the
+    token string — a total order, so the vocab boundary is
+    deterministic), then report what share of each segment's tokens
+    falls outside it. The tokenizer-fit question every pretraining run
+    asks ("how much of slice X does a vocab trained on the corpus
+    cover?"), with the fixed-vocab stand-in built from the corpus
+    itself.
+
+    Scale design: one explode pass over tokens feeds a combinable
+    term-frequency aggregation; the vocabulary is |vocab_size| rows —
+    window-ranked on the (bounded, distinct-terms-sized) count frame,
+    never on data — and broadcast back as a LEFT join marker. The
+    per-segment rollup is one more combinable aggregation. OOV shares
+    are exact integer micros (n_oov * 1e6 DIV n_tokens).
+
+    Returns one row per segment: (group, n_tokens, n_oov, oov_micro).
+    """
+    from pyspark.sql.window import Window
+    tok = df.select(F.col(group_col).alias("grp"),
+                    F.explode(tokens(F.col(text_col))).alias("_w"))
+    tf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(F.col("_n").desc(), F.col("_w").asc())
+    vocab = (tf.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= vocab_size)
+               .select("_w", F.lit(True).alias("_in")))
+    return (tok.join(F.broadcast(vocab), "_w", "left")
+               .groupBy(F.col("grp").alias(group_col))
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                     .alias("n_oov"))
+               .select(group_col, "n_tokens", "n_oov",
+                       F.expr("n_oov * 1000000 DIV n_tokens")
+                        .alias("oov_micro")))

@@ -180,3 +180,74 @@ def corpus_to_training(spark: SparkSession, sf_dir: str,
     # text-temperature-sample — decimal-quantized Z, order-free, exact)
     sampled = temperature_sample(docs, budget=sample_budget)
     return pack_sequences(sampled, budget=budget)
+
+
+def mixture_rebalance(df: DataFrame, stratum_col: str,
+                      targets: dict[str, int]) -> DataFrame:
+    """Rebalance a corpus to target stratum proportions (the data-mixing
+    step every LLM training run performs: "20% per language", "60% web /
+    30% code / 10% books") via deterministic hash-threshold sampling —
+    and report what the rebalance achieved.
+
+    ``targets`` maps stratum value -> share in MICROS (must sum to
+    1e6 over the strata you care about). The plan computes the largest
+    total budget B the corpus supports at those proportions
+    (B = min over strata of count_s * 1e6 / m_s, all integer), the
+    per-stratum keep target want_s = m_s * B / 1e6, then keeps a row iff
+
+        hash60(doc_id) * count_s  <  2^60 * want_s
+
+    — a pure per-row comparison in DECIMAL(38,0) (HUGEINT in the
+    oracle), so selection is exact integer arithmetic, reproducible
+    from doc_id alone, and requires NO shuffle of the data: the only
+    data-sized operations are two map-side-combinable count
+    aggregations (per-stratum totals, then per-stratum kept counts).
+    No window over the corpus, no global sort — the rank-based
+    alternative would shuffle the entire corpus into |strata|
+    partitions, the classic skew trap at 100 TB. Hash thresholding
+    trades exact per-stratum counts for binomial-noise counts
+    (realized_micro reports the achieved mix honestly).
+
+    Strata missing from ``targets`` (or targets absent from the data)
+    are dropped — inner-join contract, stated here.
+
+    Returns one row per stratum: (stratum, n_total, n_target, n_kept,
+    target_micro, realized_micro).
+    """
+    from ..operators.dedup import md5_hash60
+    t = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    counts = (df.groupBy(F.col(stratum_col).alias("stratum"))
+                .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+                .withColumn("_m", t[F.col("stratum")]
+                            .cast("decimal(38,0)"))
+                .filter(F.col("_m").isNotNull()))
+    budget = counts.agg(
+        F.min(F.expr("_c * 1000000 DIV _m")).alias("_B"))
+    plan = tracked_persist(
+        counts.crossJoin(F.broadcast(budget))
+              .withColumn("_want", F.expr("_m * _B DIV 1000000"))
+              .select("stratum", "_c", "_m", "_want"))
+    marked = df.join(
+        F.broadcast(plan),
+        df[stratum_col] == plan["stratum"]).withColumn(
+        "_keep",
+        md5_hash60(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+        * F.col("_c")
+        < F.lit(2 ** 60).cast("decimal(38,0)") * F.col("_want"))
+    kept = (marked.groupBy("stratum")
+                  .agg(F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                        .cast("decimal(38,0)").alias("_kept")))
+    total = kept.agg(F.sum("_kept").alias("_tk"))
+    return (plan.join(kept, "stratum", "left")
+                .crossJoin(F.broadcast(total))
+                .select(
+                    "stratum",
+                    F.col("_c").cast("long").alias("n_total"),
+                    F.col("_want").cast("long").alias("n_target"),
+                    F.coalesce(F.col("_kept"), F.lit(0)
+                               .cast("decimal(38,0)"))
+                     .cast("long").alias("n_kept"),
+                    F.col("_m").cast("int").alias("target_micro"),
+                    F.expr("CAST(coalesce(_kept, CAST(0 AS DECIMAL(38,0)))"
+                           " * 1000000 DIV _tk AS BIGINT)")
+                     .alias("realized_micro")))
