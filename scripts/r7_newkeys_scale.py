@@ -1,0 +1,43 @@
+"""r7 one-off: sf0.001/0.01/0.1 decade rows for the seven round-7 keys
+(same warm-adjacent min-of-2 protocol as the SCALING.md main tables)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
+
+SCALES = [("sf0.001", "/root/testdata/sf0.001"),
+          ("sf0.01", "/root/testdata/sf0.01"),
+          ("sf0.1", "/root/testdata/sf0.1")]
+if "--sf1eq" in sys.argv:
+    SCALES = [("sf0.1", "/root/testdata/sf0.1"), ("sf1eq", "/tmp/sf1eq")]
+KEYS = ["op-linreg2-group", "op-ndcg-retrieval", "op-cohens-kappa",
+        "plan-corpus-mix", "text-vocab-coverage", "sim-embed-centroids",
+        "op-mrr-retrieval"]
+
+
+def main() -> None:
+    spark = get_spark("r7new")
+    for key in KEYS:
+        fn = QUERIES[key]
+        for label, d in SCALES:
+            fn(spark, "/root/testdata/sf0.001").count()
+            cache.release_all(blocking=True)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                best = min(best, time.time() - t0)
+                cache.release_all(blocking=True)
+            print(f"RES {key} {label} {best:.2f}s rows={n}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
