@@ -434,3 +434,33 @@ def test_mrr_at_k_known_and_nohit(spark):
     assert out["a"]["rr_micro"] == 500000 and out["a"]["hit"] == 1
     assert out["b"]["first_rel_rank"] is None
     assert out["b"]["rr_micro"] == 0 and out["b"]["hit"] == 0
+
+
+def test_rrf_fusion_known_values_and_ties(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import rrf_fusion
+    # ranker A order: 1,2,3; ranker B order: 3,2,1
+    rows = [("q", 1, 3.0, 1.0), ("q", 2, 2.0, 2.0), ("q", 3, 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "q STRING, item LONG, sa DOUBLE, sb DOUBLE")
+    out = {r["item"]: r for r in rrf_fusion(
+        df, "q", "item", F.col("sa"), F.col("sb"), F.col("item"),
+        k=10, top_n=3).collect()}
+    assert out[1]["rrf_micro"] == 16393 + 15873
+    assert out[2]["rrf_micro"] == 16129 + 16129
+    assert out[3]["rrf_micro"] == 15873 + 16393
+    # 1 and 3 tie at 32266; item id breaks the tie
+    assert out[1]["fused_rank"] == 1
+    assert out[3]["fused_rank"] == 2
+    assert out[2]["fused_rank"] == 3
+
+
+def test_rrf_fusion_outside_topk_contributes_zero(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.ml import rrf_fusion
+    rows = [("q", 1, 3.0, 1.0), ("q", 2, 2.0, 2.0), ("q", 3, 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "q STRING, item LONG, sa DOUBLE, sb DOUBLE")
+    out = {r["item"]: r for r in rrf_fusion(
+        df, "q", "item", F.col("sa"), F.col("sb"), F.col("item"),
+        k=2, top_n=3).collect()}
+    # item 3 is outside A's top-2: rank_a NULL, only B's rank-1 counts
+    assert out[3]["rank_a"] is None and out[3]["rank_b"] == 1
+    assert out[3]["rrf_micro"] == 16393
+    assert out[1]["rank_b"] is None and out[1]["rrf_micro"] == 16393

@@ -7702,6 +7702,52 @@ FROM a LEFT JOIN m ON m.pos = a.first_rel_rank
 """
 
 
+def q_op_rrf_fusion(spark, sf_dir):
+    """Hybrid-ranking fusion per user: reciprocal-rank fusion of the
+    value ranker and the recency ranker over each user's events
+    (operators/ml.rrf_fusion, k0=60 literal micro table, k=10,
+    top_n=3). One hash exchange on user_id feeds all three window
+    sorts; both ranks live on the candidate's own row, so there is no
+    union or self-join."""
+    from .operators.ml import rrf_fusion
+    ev = _t(spark, sf_dir, "events")
+    return (rrf_fusion(ev, "user_id", "event_id",
+                       F.col("value"), F.col("ts"),
+                       F.col("event_id"), k=10, top_n=3)
+            .withColumnRenamed("query", "user_id")
+            .withColumnRenamed("item", "event_id"))
+
+
+SQL_OP_RRF_FUSION = """
+WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rb
+  FROM events),
+m AS (SELECT * FROM (VALUES (1,16393),(2,16129),(3,15873),(4,15625),
+      (5,15385),(6,15152),(7,14925),(8,14706),(9,14493),(10,14286))
+      AS t(pos, sc)),
+f AS (
+  SELECT r.user_id, r.event_id, r.ra, r.rb,
+         CAST(coalesce(ma.sc, 0) + coalesce(mb.sc, 0) AS BIGINT) AS s
+  FROM r LEFT JOIN m ma ON ma.pos = r.ra
+         LEFT JOIN m mb ON mb.pos = r.rb
+  WHERE coalesce(ma.sc, 0) + coalesce(mb.sc, 0) > 0),
+g AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY s DESC, event_id ASC) AS fr
+  FROM f)
+SELECT user_id, event_id,
+       CAST(CASE WHEN ra <= 10 THEN ra END AS BIGINT) AS rank_a,
+       CAST(CASE WHEN rb <= 10 THEN rb END AS BIGINT) AS rank_b,
+       s AS rrf_micro,
+       CAST(fr AS BIGINT) AS fused_rank
+FROM g WHERE fr <= 3
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7947,6 +7993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-vocab-coverage": q_text_vocab_coverage,
     "sim-embed-centroids": q_sim_embed_centroids,
     "op-mrr-retrieval": q_op_mrr_retrieval,
+    "op-rrf-fusion": q_op_rrf_fusion,
 }
 
 
@@ -8195,6 +8242,7 @@ ORACLES: dict[str, str] = {
     "text-vocab-coverage": SQL_TEXT_VOCAB_COVERAGE,
     "sim-embed-centroids": SQL_SIM_EMBED_CENTROIDS,
     "op-mrr-retrieval": SQL_OP_MRR_RETRIEVAL,
+    "op-rrf-fusion": SQL_OP_RRF_FUSION,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -875,3 +875,64 @@ def mrr_at_k(df: DataFrame, query_col: str, score, rel01,
                        .otherwise(0).cast("long").alias("rr_micro"),
                       F.when(F.col("first_rel_rank").isNotNull(), 1)
                        .otherwise(0).alias("hit")))
+
+
+# 1e6/(60+i) rounded to integer micros, positions 1..10 — the RRF
+# constant k0=60 from the original reciprocal-rank-fusion formulation,
+# as a literal table shared verbatim with the oracle.
+RRF_SCORE_MICRO = [16393, 16129, 15873, 15625, 15385,
+                   15152, 14925, 14706, 14493, 14286]
+
+
+def rrf_fusion(df: DataFrame, query_col: str, item_col: str,
+               score_a, score_b, tiebreak, k: int = 10,
+               top_n: int = 3) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers over the same candidates —
+    the standard hybrid-retrieval combiner (BM25 + embeddings, price +
+    recency, …): each ranker contributes 1e6/(60 + rank) micros for its
+    top-``k``, candidates are scored by the sum, and the fused top-
+    ``top_n`` per query is returned. Scores come from the literal table
+    above, so fusion is exact integer arithmetic end to end.
+
+    Scale design: BOTH rank windows and the final fused-top-N window
+    partition on the query key, so the single hash exchange is reused
+    by all three sorts — no union, no join: a candidate's two ranks are
+    computed on its own row. Ranker ties totalize on ``tiebreak``.
+
+    Returns (query, item, rank_a, rank_b, rrf_micro, fused_rank) —
+    rank_a/rank_b NULL when the candidate is outside that ranker's
+    top-k (it can still win on the other ranker's contribution).
+    """
+    if not 1 <= k <= len(RRF_SCORE_MICRO):
+        raise ValueError(f"k must be in 1..{len(RRF_SCORE_MICRO)}")
+    tab = F.array(*[F.lit(x) for x in RRF_SCORE_MICRO[:k]])
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("item"),
+        score_a.alias("_sa"), score_b.alias("_sb"),
+        tiebreak.alias("_tb"))
+    wa = Window.partitionBy("query").orderBy(
+        F.col("_sa").desc(), F.col("_tb").asc())
+    wb = Window.partitionBy("query").orderBy(
+        F.col("_sb").desc(), F.col("_tb").asc())
+    ranked = (base.withColumn("_ra", F.row_number().over(wa))
+                  .withColumn("_rb", F.row_number().over(wb)))
+    contrib_a = F.when(F.col("_ra") <= k,
+                       F.element_at(tab, F.col("_ra"))).otherwise(0)
+    contrib_b = F.when(F.col("_rb") <= k,
+                       F.element_at(tab, F.col("_rb"))).otherwise(0)
+    fused = (ranked
+             .withColumn("_s", (contrib_a + contrib_b).cast("long"))
+             .filter(F.col("_s") > 0))
+    wf = Window.partitionBy("query").orderBy(
+        F.col("_s").desc(), F.col("_tb").asc())
+    return (fused.withColumn("fused_rank", F.row_number().over(wf))
+                 .filter(F.col("fused_rank") <= top_n)
+                 .select(
+                     "query", "item",
+                     F.when(F.col("_ra") <= k, F.col("_ra"))
+                      .cast("long").alias("rank_a"),
+                     F.when(F.col("_rb") <= k, F.col("_rb"))
+                      .cast("long").alias("rank_b"),
+                     F.col("_s").alias("rrf_micro"),
+                     F.col("fused_rank").cast("long").alias("fused_rank")))
