@@ -464,3 +464,32 @@ def test_rrf_fusion_outside_topk_contributes_zero(spark):
     assert out[3]["rank_a"] is None and out[3]["rank_b"] == 1
     assert out[3]["rrf_micro"] == 16393
     assert out[1]["rank_b"] is None and out[1]["rrf_micro"] == 16393
+
+
+def test_hybrid_retrieval_invariants(spark):
+    """Fused results come only from the two top-k lists, scores are the
+    exact sum of the literal contributions, and ranks are total."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.ml import (
+        RRF_SCORE_MICRO,
+    )
+    from tf_prisma_api_data_ingestion_spark.plans.rag import (
+        hybrid_retrieval,
+    )
+    sf = "/root/testdata/sf0.001"
+    out = hybrid_retrieval(
+        tables.load(spark, sf, "documents"),
+        tables.load(spark, sf, "embeddings"),
+        ["hash", "join", "vector", "stream"], k=10, top_n=5).collect()
+    assert [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5] or \
+           len(out) < 5  # tiny sf can have < 5 fused candidates
+    for r in out:
+        assert r["rank_lex"] is not None or r["rank_sem"] is not None
+        want = 0
+        if r["rank_lex"] is not None:
+            want += RRF_SCORE_MICRO[r["rank_lex"] - 1]
+        if r["rank_sem"] is not None:
+            want += RRF_SCORE_MICRO[r["rank_sem"] - 1]
+        assert r["rrf_micro"] == want
+    scores = [r["rrf_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)

@@ -7748,6 +7748,88 @@ FROM g WHERE fr <= 3
 """
 
 
+def q_plan_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval (plans/rag.hybrid_retrieval):
+    BM25 top-10 over documents and exact-cosine top-10 against the
+    vec_id=0 query embedding, fused by reciprocal-rank fusion. Each
+    ranker keeps its own optimal plan; fusion joins two 10-row frames,
+    so the expensive sides never meet in a shuffle."""
+    from .plans.rag import hybrid_retrieval
+    return hybrid_retrieval(_t(spark, sf_dir, "documents"),
+                            _t(spark, sf_dir, "embeddings"),
+                            list(BM25_QUERY_TERMS),
+                            query_vec_id=0, k=10, top_n=5)
+
+
+SQL_PLAN_HYBRID_RETRIEVAL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM base),
+stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM d),
+hits AS (
+  SELECT doc_id, dl, t, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+  WHERE t IN ('hash', 'join', 'vector', 'stream')
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY t),
+scored AS (
+  SELECT h.doc_id,
+         ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+          / (CAST(f.df AS DOUBLE) + 0.5))
+         * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(h.tf AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(h.dl AS DOUBLE)
+                        / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           AS w
+  FROM hits h JOIN dfreq f USING (t) CROSS JOIN stats s),
+lex0 AS (
+  SELECT doc_id, round(sum(w), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+  FROM lex0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cos0 AS (
+  SELECT c.vec_id AS doc_id,
+         {_SQL_COS.format(a='q.v', b='c.v')} AS cos
+  FROM e c, q WHERE c.vec_id <> 0),
+sem0 AS (
+  SELECT doc_id, round(cos, 4) AS cos_r FROM cos0
+  ORDER BY cos DESC, doc_id ASC LIMIT 10),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_r DESC, doc_id ASC) AS rank_sem
+  FROM sem0),
+m AS (SELECT * FROM (VALUES (1,16393),(2,16129),(3,15873),(4,15625),
+      (5,15385),(6,15152),(7,14925),(8,14706),(9,14493),(10,14286))
+      AS t(pos, sc)),
+f AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.rank_lex, sem.rank_sem
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+s AS (
+  SELECT f.doc_id,
+         CAST(f.rank_lex AS BIGINT) AS rank_lex,
+         CAST(f.rank_sem AS BIGINT) AS rank_sem,
+         CAST(coalesce(ma.sc, 0) + coalesce(mb.sc, 0) AS BIGINT)
+           AS rrf_micro
+  FROM f LEFT JOIN m ma ON ma.pos = f.rank_lex
+         LEFT JOIN m mb ON mb.pos = f.rank_sem)
+SELECT doc_id, rank_lex, rank_sem, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+            AS BIGINT) AS fused_rank
+FROM s
+QUALIFY fused_rank <= 5
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -7994,6 +8076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-embed-centroids": q_sim_embed_centroids,
     "op-mrr-retrieval": q_op_mrr_retrieval,
     "op-rrf-fusion": q_op_rrf_fusion,
+    "plan-hybrid-retrieval": q_plan_hybrid_retrieval,
 }
 
 
@@ -8243,6 +8326,7 @@ ORACLES: dict[str, str] = {
     "sim-embed-centroids": SQL_SIM_EMBED_CENTROIDS,
     "op-mrr-retrieval": SQL_OP_MRR_RETRIEVAL,
     "op-rrf-fusion": SQL_OP_RRF_FUSION,
+    "plan-hybrid-retrieval": SQL_PLAN_HYBRID_RETRIEVAL,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

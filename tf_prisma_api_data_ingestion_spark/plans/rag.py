@@ -124,3 +124,58 @@ def rag_contexts(docs: DataFrame, n_queries: int = 5, k: int = 3,
                              (F.col("_sm").cast("double")
                               / F.lit(1000000.0)).alias("score_r"))
                      .orderBy("query_id", "rank"))
+
+
+def hybrid_retrieval(docs: DataFrame, embeddings: DataFrame,
+                     terms: list[str], query_vec_id: int = 0,
+                     k: int = 10, top_n: int = 5) -> DataFrame:
+    """Hybrid lexical+semantic retrieval — the production RAG retriever
+    shape: BM25 top-k over the text corpus and exact-cosine top-k
+    against a query embedding, fused by reciprocal-rank fusion
+    (operators/ml.RRF_SCORE_MICRO, k0=60 literal table). The point of
+    RRF is exactly this composition: the two score scales (odds-ratio
+    BM25 vs cosine) are incomparable, their RANKS are not.
+
+    Scale design: each ranker keeps its own optimal plan (BM25 =
+    semi-join-pruned explode + broadcast df frame + TakeOrdered; cosine
+    = broadcast single query over a shuffle-free candidate scan); the
+    fusion then joins two k-row frames — the expensive sides never meet
+    in a shuffle. Ranks inside each k-row list order by the ROUNDED
+    output score with id tie-break (the rounding both engines agree
+    on), so fusion is exact integer arithmetic on deterministic ranks.
+
+    Returns the fused top-``top_n``: (doc_id, rank_lex, rank_sem,
+    rrf_micro, fused_rank); rank_lex/rank_sem NULL when the document
+    appears in only one ranker's top-k.
+    """
+    from ..operators.ml import RRF_SCORE_MICRO
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text import bm25_topk
+    if not 1 <= k <= len(RRF_SCORE_MICRO):
+        raise ValueError(f"k must be in 1..{len(RRF_SCORE_MICRO)}")
+    lex0 = bm25_topk(docs, list(terms), k=k)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex0.select("doc_id", F.row_number().over(wl).alias("rank_lex"))
+    sem0 = brute_force_topk(
+        embeddings.filter(F.col("vec_id") == query_vec_id),
+        embeddings, k=k)
+    ws = Window.orderBy(F.col("cos_r").desc(), F.col("vec_id").asc())
+    sem = sem0.select(F.col("vec_id").alias("doc_id"),
+                      F.row_number().over(ws).alias("rank_sem"))
+    tab = F.array(*[F.lit(x) for x in RRF_SCORE_MICRO[:k]])
+    fused = lex.join(sem, "doc_id", "full_outer")
+    # NULL ranks short-circuit BEFORE element_at (the Spark 4.1
+    # foldable-array NULL-index quirk — see operators/ml.mrr_at_k)
+    sc = (F.when(F.col("rank_lex").isNotNull(),
+                 F.element_at(tab, F.col("rank_lex"))).otherwise(0)
+          + F.when(F.col("rank_sem").isNotNull(),
+                   F.element_at(tab, F.col("rank_sem"))).otherwise(0))
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (fused.withColumn("rrf_micro", sc.cast("long"))
+                 .withColumn("fused_rank",
+                             F.row_number().over(wf).cast("long"))
+                 .filter(F.col("fused_rank") <= top_n)
+                 .select("doc_id",
+                         F.col("rank_lex").cast("long").alias("rank_lex"),
+                         F.col("rank_sem").cast("long").alias("rank_sem"),
+                         "rrf_micro", "fused_rank"))
