@@ -20,6 +20,8 @@ if "--sf1eq" in sys.argv:
 KEYS = ["op-linreg2-group", "op-ndcg-retrieval", "op-cohens-kappa",
         "plan-corpus-mix", "text-vocab-coverage", "sim-embed-centroids",
         "op-mrr-retrieval"]
+if "--batch2" in sys.argv:
+    KEYS = ["op-rrf-fusion", "plan-hybrid-retrieval"]
 
 
 def main() -> None:

@@ -493,3 +493,42 @@ def test_hybrid_retrieval_invariants(spark):
         assert r["rrf_micro"] == want
     scores = [r["rrf_micro"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_r7_retrieval_ops_single_data_exchange(spark):
+    """ndcg/mrr/rrf must reuse ONE hash exchange on the query key for
+    every window sort and the final aggregation — a second Exchange
+    over the data would mean the window/groupBy partitioning stopped
+    lining up (conf drift or a Spark upgrade de-optimizing the plan)."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_op_mrr_retrieval,
+        q_op_ndcg_retrieval,
+        q_op_rrf_fusion,
+    )
+    for q in (q_op_ndcg_retrieval, q_op_mrr_retrieval, q_op_rrf_fusion):
+        plan = _plan(q(spark, SF))
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex == 1, f"{q.__name__}: {n_ex} exchanges"
+        assert "CartesianProduct" not in plan
+
+
+def test_r7_linreg2_single_aggregation_exchange(spark):
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_op_linreg2_group,
+    )
+    plan = _plan(q_op_linreg2_group(spark, SF))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "Sort" not in plan  # closed form: no window, no sort
+
+
+def test_r7_corpus_mix_no_data_window(spark):
+    """The mix plan must never window-rank or sort the corpus: its only
+    data-sized operators are two combinable aggregations; the keep rule
+    is row-local arithmetic against a broadcast threshold frame."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_corpus_mix,
+    )
+    plan = _plan(q_plan_corpus_mix(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
