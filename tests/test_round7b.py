@@ -1,0 +1,210 @@
+"""Round-7b data-selection/curation batch: invariants the differential
+gate can't see (both engines implementing the same wrong rule would
+still hash-match). Pins the semantics of dsir_importance,
+ngram_novelty, semdedup, cluster_silhouette, and gopher_rules on
+hand-built corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ dsir
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """A doc built from the target subset's vocabulary must outscore a
+    doc built from vocabulary the target never uses."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        dsir_importance,
+    )
+    target_text = "the quick brown fox jumps over the lazy dog"
+    rows = ([(i, target_text, "en") for i in range(5)]
+            + [(10, target_text, "xx"),                 # target-like, unscored-as-target
+               (11, "zzz qqq www eee rrr ttt yyy uuu", "xx")])  # alien vocab
+    d = _docs(spark, rows)
+    out = {r["doc_id"]: r["imp_ppm"] for r in
+           dsir_importance(d, d.filter(F.col("lang") == "en"),
+                           buckets=512).collect()}
+    assert out[10] > out[11]
+
+
+def test_dsir_scores_every_nonempty_doc_once(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        dsir_importance,
+    )
+    d = _docs(spark, [(1, "a b c", "en"), (2, "single", "xx"),
+                      (3, "   ", "xx")])
+    rows = dsir_importance(d, d.filter(F.col("lang") == "en"),
+                           buckets=64).collect()
+    got = {r["doc_id"]: r["n_bigrams"] for r in rows}
+    # whitespace-only doc has no grams and drops out; the single-token
+    # doc contributes its full token string as one gram (word_ngrams)
+    assert got == {1: 2, 2: 1}
+
+
+# --------------------------------------------------------------- novelty
+
+def test_novelty_extremes(spark):
+    """A doc identical to reference text scores 0; a doc sharing nothing
+    scores exactly 1e6."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        ngram_novelty,
+    )
+    ref = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en")])
+    probe = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),   # covered
+        (2, "one two three four five six seven", "en"),     # all new
+    ])
+    out = {r["doc_id"]: r["novel_ppm"] for r in
+           ngram_novelty(probe, ref, n=5).collect()}
+    assert out[1] == 0
+    assert out[2] == 1000000
+
+
+def test_novelty_half_up_ppm(spark):
+    """1 novel gram of 3 -> round(1e6/3) = 333333; 2 of 3 -> 666667."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        ngram_novelty,
+    )
+    ref = _docs(spark, [(100, "a b c d e f g", "en")])
+    # 7 tokens -> 3 distinct 5-grams ("a b c d e", "b c d e f",
+    # "c d e f x"); the first two appear in ref, the third is novel:
+    # round_half_up(1e6 * 1/3) = 333333
+    probe = _docs(spark, [(1, "a b c d e f x", "en")])
+    row = ngram_novelty(probe, ref, n=5).collect()[0]
+    assert row["n_grams"] == 3
+    assert row["novel_ppm"] == 333333
+
+
+# -------------------------------------------------------------- semdedup
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_semdedup_drops_exact_dups_keeps_lowest_id(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    d = _emb(spark, [(1, v1, 0), (2, v1, 0), (3, v1, 0),
+                     (10, v2, 1), (11, v2, 1)])
+    out = {r["vec_id"]: r["kept"] for r in semdedup(d, 17, 20).collect()}
+    assert out == {1: True, 2: False, 3: False, 10: True, 11: False}
+
+
+def test_semdedup_orthogonal_vectors_all_kept(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)])
+    out = semdedup(d, 17, 20).collect()
+    assert all(r["kept"] for r in out)
+
+
+def test_semdedup_zero_vectors_never_match(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    d = _emb(spark, [(1, [0.0, 0.0], 0), (2, [0.0, 0.0], 0)])
+    out = semdedup(d, 17, 20).collect()
+    assert all(r["kept"] for r in out)
+
+
+def test_semdedup_max_cluster_size_guard(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    d = _emb(spark, [(i, [1.0, float(i) / 100.0], 0) for i in range(5)])
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(d, 17, 20, max_cluster_size=2)
+
+
+def test_semdedup_threshold_is_exact_rational(spark):
+    """cos = 0.8 sits below 17/20=0.85 (kept); cos = 0.9 above (dropped).
+    Construct planar vectors with known cosines against [1, 0]."""
+    import math
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    def at(cos):
+        return [cos, math.sqrt(1 - cos * cos)]
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, at(0.8), 0), (3, at(0.9), 0)])
+    out = {r["vec_id"]: r["kept"] for r in semdedup(d, 17, 20).collect()}
+    assert out[2] is True      # 0.8 < 0.85: not a dup of vec 1
+    assert out[3] is False     # 0.9 >= 0.85: dropped
+
+
+# ------------------------------------------------------------ silhouette
+
+def test_silhouette_well_separated_near_one(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0),
+                     (3, [-1.0, 0.0], 1), (4, [-1.0, 0.01], 1)])
+    rows = cluster_silhouette(d).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["mean_sil_ppm"] > 990000  # tight clusters, far apart
+
+
+def test_silhouette_single_cluster_empty(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0)])
+    assert cluster_silhouette(d).count() == 0
+
+
+def test_silhouette_range_and_assignment_not_label(spark):
+    """A vector labeled 1 but sitting on cluster 0's centroid is ASSIGNED
+    to 0 — geometric assignment, not the label column."""
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+                     (3, [-1.0, 0.0], 1), (4, [-1.0, 0.0], 1),
+                     (5, [0.95, 0.0], 1)])   # mislabeled straggler
+    # centroids: 0 -> ~(1, 0) pulled by 2 members; 1 -> (-0.35, 0)
+    out = {r["vec_id"]: r["cluster"] for r in
+           assign_nearest_centroid(d).collect()}
+    assert out[5] == 0
+
+
+# ---------------------------------------------------------- gopher rules
+
+def test_gopher_rules_battery(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        gopher_rules,
+    )
+    good = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    short = "the cat"
+    symbolic = " ".join(["the #tag and"] * 20)
+    bullets = "\n".join(["- item the and of"] * 10)
+    d = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbolic), (4, bullets)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(d).collect()}
+    assert out[1]["pass_gopher"] is True
+    assert out[2]["r_words"] is False and out[2]["pass_gopher"] is False
+    assert out[3]["r_symbol"] is False   # 20 '#' in 60 words > 10%
+    assert out[4]["r_bullet"] is False   # 100% bullet lines
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        gopher_rules,
+    )
+    tiny = " ".join(["a b"] * 30)                       # mean len 1 < 3
+    huge = " ".join(["pneumonoultramicroscopic"] * 60)  # mean len 24 > 10
+    d = spark.createDataFrame([(1, tiny), (2, huge)],
+                              "doc_id long, text string")
+    out = {r["doc_id"]: r["r_mean_len"] for r in gopher_rules(d).collect()}
+    assert out == {1: False, 2: False}

@@ -7830,6 +7830,242 @@ QUALIFY fused_rank <= 5
 """
 
 
+def q_text_dsir_score(spark, sf_dir):
+    """DSIR-style hashed-bigram importance score of every document
+    against the English subset as the target distribution
+    (operators/selection.dsir_importance): ONE aggregation of the raw
+    bigram stream into (doc, bucket) multiplicities, <=4096-row bucket
+    stats broadcast back onto it, log-free exact ppm ratios end to end
+    — the cheap-classifier data-selection pass a 100 TB curation
+    pipeline runs instead of scoring with a model."""
+    from .operators.selection import dsir_importance
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, d.filter(F.col("lang") == "en"),
+                           buckets=4096)
+
+
+SQL_TEXT_DSIR_SCORE = f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                END) AS g
+  FROM t),
+dm AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS g,
+         COUNT(*) AS m
+  FROM big GROUP BY 1, 2),
+cs AS (SELECT g, SUM(m) AS c_s FROM dm GROUP BY g),
+ct AS (SELECT g, SUM(m) AS c_t FROM dm
+       WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+       GROUP BY g),
+tot AS (SELECT CAST(SUM(m) AS HUGEINT) AS n_src,
+               CAST(coalesce(SUM(m) FILTER (WHERE doc_id IN
+                 (SELECT doc_id FROM documents WHERE lang = 'en')), 0)
+                 AS HUGEINT) AS n_tgt
+        FROM dm),
+stats AS (
+  SELECT cs.g,
+         (CAST(coalesce(ct.c_t, 0) + 1 AS HUGEINT) * (tot.n_src + 4096)
+          * 1000000)
+           // (CAST(cs.c_s + 1 AS HUGEINT) * (tot.n_tgt + 4096)) AS r
+  FROM cs LEFT JOIN ct ON cs.g = ct.g, tot),
+sc AS (
+  SELECT dm.doc_id, SUM(dm.m) AS n_bigrams,
+         SUM(CAST(dm.m AS HUGEINT) * s.r) AS s
+  FROM dm JOIN stats s ON dm.g = s.g GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST((2 * s + n_bigrams)
+            // (2 * CAST(n_bigrams AS HUGEINT)) AS BIGINT) AS imp_ppm
+FROM sc
+"""
+
+
+def q_text_novelty(spark, sf_dir):
+    """5-gram novelty of every non-src0 document against the src0
+    reference corpus (operators/selection.ngram_novelty): DISTINCT
+    60-bit gram hashes on both sides before the compact-key hit join —
+    the before-you-add-a-source overlap audit."""
+    from .operators.selection import ngram_novelty
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d.filter(F.col("source") != "src0"),
+                         d.filter(F.col("source") == "src0"), n=5)
+
+
+SQL_TEXT_NOVELTY = f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+g5 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                END) AS g
+  FROM t),
+h AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS g FROM g5),
+refset AS (SELECT DISTINCT h.g FROM h JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0'),
+probe AS (SELECT h.* FROM h JOIN documents d USING (doc_id)
+          WHERE d.source <> 'src0'),
+sc AS (
+  SELECT p.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS novel
+  FROM probe p LEFT JOIN refset r ON p.g = r.g GROUP BY 1)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST((2 * novel * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
+         AS novel_ppm
+FROM sc
+"""
+
+
+# Shared CTE chain for the nearest-centroid quantizer: per-label
+# centroids in half-up integer micros (the embed_centroids contract),
+# exact HUGEINT squared distances, deterministic argmin (lowest cluster
+# id on ties) — the DuckDB twin of similarity.assign_nearest_centroid.
+_SQL_NEAREST_ASSIGN = """
+ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS xm
+  FROM embeddings),
+cen AS (
+  SELECT label AS cluster, dim,
+         CAST(CASE WHEN SUM(xm) >= 0
+              THEN (2 * SUM(xm) + COUNT(*)) // (2 * COUNT(*))
+              ELSE -((2 * -SUM(xm) + COUNT(*)) // (2 * COUNT(*))) END
+              AS HUGEINT) AS c
+  FROM ex GROUP BY label, dim),
+vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS xm
+  FROM embeddings),
+d2 AS (
+  SELECT vq.vec_id, cen.cluster,
+         SUM((vq.xm - cen.c) * (vq.xm - cen.c)) AS d2
+  FROM vq JOIN cen ON vq.dim = cen.dim
+  GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cluster, d2 AS a2
+  FROM (SELECT vec_id, cluster, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rn
+        FROM d2)
+  WHERE rn = 1)
+"""
+
+
+def q_sim_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table at cosine >= 17/20
+    (operators/similarity.semdedup): nearest-centroid quantizer, the
+    quadratic pairwise stage confined WITHIN clusters, keep-lowest-id
+    survivors — every comparison exact integer micro arithmetic, so the
+    oracle replays the entire pipeline including the threshold test."""
+    from .operators.similarity import semdedup
+    return semdedup(_t(spark, sf_dir, "embeddings"), 17, 20)
+
+
+SQL_SIM_SEMDEDUP = f"""
+WITH {_SQL_NEAREST_ASSIGN},
+n2 AS (SELECT vec_id, SUM(xm * xm) AS n2 FROM vq GROUP BY 1),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT p.va, p.vb, SUM(x.xm * y.xm) AS dot
+  FROM pairs p JOIN vq x ON x.vec_id = p.va
+               JOIN vq y ON y.vec_id = p.vb AND y.dim = x.dim
+  GROUP BY 1, 2),
+dup AS (
+  SELECT DISTINCT d.vb AS vec_id
+  FROM dots d JOIN n2 na ON na.vec_id = d.va
+              JOIN n2 nb ON nb.vec_id = d.vb
+  WHERE na.n2 > 0 AND nb.n2 > 0 AND d.dot >= 0
+    AND d.dot * d.dot * 400 >= na.n2 * nb.n2 * 289)
+SELECT a.vec_id, a.cluster, (dup.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+"""
+
+
+def q_sim_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the nearest-centroid
+    quantizer (operators/similarity.cluster_silhouette) — the
+    clustering-quality audit for the coarse quantizer SemDeDup and IVF
+    hang off; O(n x |labels|) centroid form, exact integer throughout."""
+    from .operators.similarity import cluster_silhouette
+    return cluster_silhouette(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SIM_SILHOUETTE = f"""
+WITH {_SQL_NEAREST_ASSIGN},
+oth AS (
+  SELECT d2.vec_id, MIN(d2.d2) AS b2
+  FROM d2 JOIN asg ON asg.vec_id = d2.vec_id AND d2.cluster <> asg.cluster
+  GROUP BY 1),
+pv AS (
+  SELECT asg.vec_id, asg.cluster,
+         CASE WHEN oth.b2 = 0 THEN 0
+              ELSE (2 * (oth.b2 - asg.a2) * 1000000 + oth.b2)
+                   // (2 * oth.b2)
+         END AS s_ppm
+  FROM asg JOIN oth ON oth.vec_id = asg.vec_id)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((2 * SUM(s_ppm) + COUNT(*))
+            // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS mean_sil_ppm
+FROM pv GROUP BY cluster
+"""
+
+
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule battery (operators/text.gopher_rules):
+    six boolean quality gates per document, every ratio test
+    cross-multiplied into exact integer form — a single map-side scan,
+    the first (and cheapest) pass of every corpus-cleaning pipeline."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def _sql_gopher() -> str:
+    stop_hits = _sql_marker_hits(text.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS sym,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines,
+         {stop_hits} AS stop_hits
+  FROM documents),
+r AS (
+  SELECT doc_id, len(t) AS n,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         chars, sym, len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(ltrim(x), '^[-*•]'))) AS bullets,
+         stop_hits
+  FROM f)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       (n >= 50 AND n <= 100000) AS r_words,
+       (n > 0 AND chars >= 3 * n AND chars <= 10 * n) AS r_mean_len,
+       (n > 0 AND 10 * sym <= n) AS r_symbol,
+       (n_lines = 0 OR 10 * bullets <= 9 * n_lines) AS r_bullet,
+       (n > 0 AND 5 * alpha >= 4 * n) AS r_alpha,
+       (stop_hits >= 2) AS r_stop,
+       ((n >= 50 AND n <= 100000)
+        AND (n > 0 AND chars >= 3 * n AND chars <= 10 * n)
+        AND (n > 0 AND 10 * sym <= n)
+        AND (n_lines = 0 OR 10 * bullets <= 9 * n_lines)
+        AND (n > 0 AND 5 * alpha >= 4 * n)
+        AND stop_hits >= 2) AS pass_gopher
+FROM r
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -8077,6 +8313,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-mrr-retrieval": q_op_mrr_retrieval,
     "op-rrf-fusion": q_op_rrf_fusion,
     "plan-hybrid-retrieval": q_plan_hybrid_retrieval,
+    # r7b data-selection/curation batch (queue for the r8 window with
+    # the other round-7 keys — the r7 window is spent on stale rows)
+    "text-dsir-score": q_text_dsir_score,
+    "text-novelty": q_text_novelty,
+    "sim-semdedup": q_sim_semdedup,
+    "sim-silhouette": q_sim_silhouette,
+    "text-gopher-rules": q_text_gopher_rules,
 }
 
 
@@ -8327,6 +8570,11 @@ ORACLES: dict[str, str] = {
     "op-mrr-retrieval": SQL_OP_MRR_RETRIEVAL,
     "op-rrf-fusion": SQL_OP_RRF_FUSION,
     "plan-hybrid-retrieval": SQL_PLAN_HYBRID_RETRIEVAL,
+    "text-dsir-score": SQL_TEXT_DSIR_SCORE,
+    "text-novelty": SQL_TEXT_NOVELTY,
+    "sim-semdedup": SQL_SIM_SEMDEDUP,
+    "sim-silhouette": SQL_SIM_SILHOUETTE,
+    "text-gopher-rules": _sql_gopher(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

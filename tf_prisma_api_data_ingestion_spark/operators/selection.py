@@ -1,0 +1,154 @@
+"""Data-selection operators for training-data curation (north-star
+extensions, SURVEY.md §7.5): hashed n-gram importance scoring (DSIR,
+Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") and n-gram novelty auditing against a reference corpus.
+
+Scale design notes (the point of this module):
+- DSIR reduces per-document scoring to ONE aggregation of the raw bigram
+  stream into (doc, bucket) multiplicities; the bucket statistics for
+  both the source and target distributions derive from that same small
+  frame (cardinality <= buckets, a broadcast), so the corpus is tokenized
+  exactly once and the scoring join never shuffles the big side again.
+- Novelty joins fixed-width 60-bit gram hashes instead of raw gram
+  strings: the reference gram set is deduplicated BEFORE the join and the
+  join key is a long, not a variable-length string — at 100 TB the
+  reference set is itself corpus-sized, so this is a shuffle equi-join on
+  a compact key (broadcast only if the reference is genuinely small).
+
+Like the BM25/LM family in text.py, both operators are deliberately
+log-free: every ratio is an exact scaled-integer division (Spark
+DECIMAL(38,0) DIV == DuckDB HUGEINT //), so the DuckDB oracle twin
+hash-matches bit-for-bit with no float ulp contract between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
+from .dedup import md5_hash60
+from .text import word_ngrams
+
+
+def dsir_importance(docs: DataFrame, target_ids: DataFrame,
+                    buckets: int = 4096, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document DSIR-style importance score: how much more likely the
+    document's hashed-bigram profile is under the TARGET distribution
+    (the docs named by ``target_ids``) than under the full source corpus.
+    Rank by it descending and take the head to curate a source corpus
+    toward a target domain — the hashed n-gram variant of importance
+    resampling (DSIR), which at 100 TB is the standard cheap alternative
+    to a learned quality classifier.
+
+    Formulation (log-free; same cross-engine ulp policy as
+    text.lm_likelihood): word bigrams hash into ``buckets`` buckets via
+    the 60-bit md5 primitive; with add-one smoothing over buckets the
+    per-bucket likelihood ratio is
+
+        r(g) = ((c_t(g)+1) * (N_s+B)) / ((c_s(g)+1) * (N_t+B))
+
+    scaled to exact ppm integers with a DECIMAL(38,0) DIV, and the
+    document score is the half-up integer mean of r over the document's
+    bigram OCCURRENCES ((2S+n) DIV 2n — the arithmetic-mean-of-ratios
+    form; DSIR's geometric mean needs ln, which has no bit-stable SQL
+    replay, and the arithmetic form preserves the selection ranking for
+    the near-1 ratios hashed bucketing produces).
+
+    Scale design: the raw bigram stream aggregates to (doc, bucket)
+    multiplicities FIRST (one shuffle); c_s sums that frame, c_t sums its
+    semi-join against the broadcast target ids, both land in a <=B-row
+    frame that broadcasts back onto the per-doc buckets. Totals ride the
+    same <=B-row frame (no extra pass over the stream). Returns
+    (doc_id, n_bigrams, imp_ppm) for every doc with >= 1 bigram.
+    """
+    grams = word_ngrams(F.col(text_col), n=2)
+    stream = (docs
+              .select(F.col(id_col).alias("doc_id"),
+                      F.explode(grams).alias("_g"))
+              .select("doc_id",
+                      (md5_hash60(F.col("_g")) % buckets).alias("g")))
+    # one shuffle: per-(doc, bucket) multiplicities; everything else
+    # derives from this frame (cardinality <= docs * buckets, typically
+    # ~docs * distinct-buckets-touched, far below the raw token stream).
+    # Persisted as a recompute barrier: four consumers (c_s, c_t, the two
+    # totals) would otherwise each re-run the tokenize+explode scan.
+    dm = tracked_persist(
+        stream.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("m")))
+    c_s = dm.groupBy("g").agg(F.sum("m").alias("c_s"))
+    c_t = (dm.join(F.broadcast(target_ids.select(
+                       F.col(id_col).alias("doc_id")).distinct()),
+                   "doc_id", "left_semi")
+             .groupBy("g").agg(F.sum("m").alias("c_t")))
+    # bucket stats + corpus totals in one <=B-row frame; buckets the
+    # target never touched keep c_t = 0 (the +1 smoothing handles them)
+    stats = (c_s.join(c_t, "g", "left")
+                .fillna({"c_t": 0})
+                .crossJoin(F.broadcast(
+                    dm.agg(F.sum("m").cast("decimal(38,0)").alias("n_src"))))
+                .crossJoin(F.broadcast(
+                    dm.join(F.broadcast(target_ids.select(
+                                F.col(id_col).alias("doc_id")).distinct()),
+                            "doc_id", "left_semi")
+                      .agg(F.coalesce(F.sum("m"), F.lit(0))
+                            .cast("decimal(38,0)").alias("n_tgt"))))
+                .withColumn("r", F.expr(
+                    f"(CAST(c_t + 1 AS DECIMAL(38,0)) * (n_src + {buckets})"
+                    f" * 1000000) DIV (CAST(c_s + 1 AS DECIMAL(38,0))"
+                    f" * (n_tgt + {buckets}))"))
+                .select("g", "r"))
+    scored = dm.join(F.broadcast(stats), "g")
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                       F.sum((F.col("m") * F.col("r"))
+                             .cast("decimal(38,0)")).alias("_S"))
+                  .select("doc_id", "n_bigrams",
+                          # half-up integer mean in exact space (r >= 0)
+                          F.expr("CAST((2 * _S + n_bigrams) DIV "
+                                 "CAST(2 * n_bigrams AS DECIMAL(38,0))"
+                                 " AS BIGINT)").alias("imp_ppm")))
+
+
+def ngram_novelty(docs: DataFrame, ref: DataFrame, n: int = 5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the ppm
+    fraction of the document's DISTINCT word n-grams that appear nowhere
+    in ``ref`` — the memorization/novelty audit run before adding a new
+    source to a training mix (a near-0 score means the source is already
+    covered; a near-1e6 score means genuinely new text). The complement
+    of the contamination check (text.contamination_hits matches a known
+    benchmark list; this measures overlap with an arbitrary corpus).
+
+    Scale design: both sides reduce to DISTINCT (id, gram-hash) /
+    (gram-hash) frames before any join — the reference set is
+    deduplicated once and joined on a fixed-width 60-bit key, so the
+    probe is a compact-key equi-join (hash, not string, comparisons;
+    broadcast it only when the reference is genuinely small — this
+    operator deliberately does NOT force a broadcast). Grams shorter
+    than ``n`` tokens follow word_ngrams' convention (the full token
+    string as one gram), so short docs are still scored. Returns
+    (doc_id, n_grams, novel_ppm) for every doc with >= 1 gram; the ppm
+    is the half-up exact-integer division used across this package.
+    """
+    def g_hashes(frame: DataFrame) -> DataFrame:
+        grams = word_ngrams(F.col(text_col), n=n)
+        return (frame
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(grams).alias("_g"))
+                .select("doc_id", md5_hash60(F.col("_g")).alias("g"))
+                .distinct())
+
+    ref_set = g_hashes(ref).select("g").distinct()
+    probe = g_hashes(docs)
+    hits = (probe.join(ref_set.withColumn("_seen", F.lit(1)), "g", "left")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum(F.when(F.col("_seen").isNull(), 1)
+                             .otherwise(0)).alias("novel")))
+    return hits.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+        # half-up ppm in exact integer space: round(1e6 * novel / n)
+        F.expr("CAST((2 * novel * 1000000 + n_grams) DIV (2 * n_grams)"
+               " AS BIGINT)").alias("novel_ppm"))

@@ -616,3 +616,174 @@ def embed_centroids(embeddings: DataFrame, label_col: str = "label",
          .alias("mean_micro"),
         F.expr("CAST((_n * _ss - _s * _s) DIV (_n * _n) AS BIGINT)")
          .alias("var_micro2"))
+
+
+def _micro_explode(embeddings: DataFrame, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(id, dim, xm): per-dimension micro-quantized components — the same
+    round(v * 1e6) float boundary contract as embed_centroids, so every
+    exact-integer consumer below shares one quantization."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
+        "vec_id", "dim",
+        F.round(F.col("_v").cast("double") * 1000000.0).cast("long")
+         .cast("decimal(38,0)").alias("xm"))
+
+
+def assign_nearest_centroid(embeddings: DataFrame,
+                            label_col: str = "label",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """One k-means assignment step in EXACT integer micro space: each
+    vector goes to the nearest (squared-distance) per-label centroid —
+    the coarse quantizer behind SemDeDup / silhouette below. Unlike the
+    label column itself, the assignment is GEOMETRIC: a vector whose
+    label says "code" but whose embedding sits in the "prose" cluster is
+    assigned to prose, which is exactly the disagreement the curation
+    audits want to see.
+
+    Scale design: centroids are |labels| x dim rows (broadcast); the
+    per-vector distance frame is |rows| x |labels| after an n x dim
+    explode joined map-side against the broadcast. The argmin is
+    min(struct(d2, cluster)) — map-side-combinable, deterministic
+    (lowest cluster id wins exact ties), no window. Returns
+    (vec_id, cluster, d2_own).
+    """
+    cen = F.broadcast(
+        embed_centroids(embeddings, label_col, vec_col)
+        .select(F.col("label").alias("cluster"), "dim",
+                F.col("mean_micro").cast("decimal(38,0)").alias("c")))
+    d2 = (_micro_explode(embeddings, id_col, vec_col)
+          .join(cen, "dim")
+          .groupBy("vec_id", "cluster")
+          .agg(F.sum((F.col("xm") - F.col("c"))
+                     * (F.col("xm") - F.col("c"))).alias("d2")))
+    return (d2.groupBy("vec_id")
+              .agg(F.min(F.struct("d2", "cluster")).alias("_m"))
+              .select("vec_id", F.col("_m.cluster").alias("cluster"),
+                      F.col("_m.d2").alias("d2_own")))
+
+
+def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
+             label_col: str = "label", id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             max_cluster_size: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — assign every
+    embedding to its nearest centroid, find within-cluster pairs whose
+    cosine >= tau, keep one representative per duplicate neighborhood
+    (the keep-lowest-id rule: b is dropped iff a lower-id a in the same
+    cluster has cos(a,b) >= tau — the deterministic greedy variant; the
+    paper's keep-farthest-from-centroid rule changes WHICH survivor is
+    kept, not how many near-dup neighborhoods exist).
+
+    tau is an exact rational tau_num/tau_den (default 17/20 = 0.85), so
+    the threshold test is pure integer arithmetic on micro-quantized
+    vectors: cos >= tau <=> dot >= 0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2
+    — no sqrt, no float, bit-identical in the DuckDB twin. Zero vectors
+    never match (cosine undefined -> excluded by |a|^2, |b|^2 > 0).
+
+    Scale design: this is the SemDeDup contract — the quadratic pairwise
+    stage is confined WITHIN clusters, so cost is sum(|cluster|^2), set
+    by the quantizer's granularity, never n^2. The dot products are
+    zip_with/aggregate over the paired arrays (JVM codegen, no dimension
+    explode on the pair frame). ``max_cluster_size`` makes the budget
+    explicit like dedup.embedding_near_dup_pairs: when set, a cluster
+    above it fails fast with the offending id instead of melting an
+    executor — the remedy is a finer quantizer or the in-cluster LSH
+    path (embedding_near_dup_pairs). Returns (vec_id, cluster, kept).
+    """
+    asg = tracked_persist(
+        assign_nearest_centroid(embeddings, label_col, id_col, vec_col)
+        .select("vec_id", "cluster"))
+    if max_cluster_size is not None:
+        over = (asg.groupBy("cluster").count()
+                   .filter(F.col("count") > max_cluster_size).first())
+        if over is not None:
+            raise ValueError(
+                f"semdedup: cluster {over['cluster']} has {over['count']} "
+                f"vectors (max_cluster_size={max_cluster_size}); use a "
+                "finer quantizer or the in-cluster LSH path")
+    vq = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000000.0)
+                               .cast("long")).alias("v"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    sides = asg.join(vq, "vec_id")
+    a = sides.select(F.col("vec_id").alias("va"), "cluster",
+                     F.col("v").alias("_av"))
+    b = sides.select(F.col("vec_id").alias("vb"),
+                     F.col("cluster").alias("_bc"), F.col("v").alias("_bv"))
+    dup = (a.join(b, (F.col("cluster") == F.col("_bc"))
+                  & (F.col("va") < F.col("vb")))
+            .withColumn("dot", F.aggregate(
+                F.zip_with("_av", "_bv",
+                           lambda x, y: x.cast("decimal(38,0)") * y),
+                zero, lambda acc, x: acc + x))
+            .withColumn("na2", F.aggregate(
+                F.transform("_av", lambda x: x.cast("decimal(38,0)") * x),
+                zero, lambda acc, x: acc + x))
+            .withColumn("nb2", F.aggregate(
+                F.transform("_bv", lambda x: x.cast("decimal(38,0)") * x),
+                zero, lambda acc, x: acc + x))
+            .filter((F.col("na2") > 0) & (F.col("nb2") > 0)
+                    & (F.col("dot") >= 0)
+                    & (F.col("dot") * F.col("dot") * (tau_den * tau_den)
+                       >= F.col("na2") * F.col("nb2") * (tau_num * tau_num)))
+            .select(F.col("vb").alias("vec_id")).distinct())
+    return (asg.join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
+               .select("vec_id", "cluster",
+                       F.col("_d").isNull().alias("kept")))
+
+
+def cluster_silhouette(embeddings: DataFrame, label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster simplified silhouette in squared-distance micro space:
+    for each vector, a = d^2 to its assigned (nearest) centroid, b = d^2
+    to the nearest OTHER centroid, s = (b - a) / max(a, b) — the
+    clustering-quality audit run on the quantizer SemDeDup and IVF both
+    hang off (a cluster whose mean silhouette collapses toward 0 is two
+    clusters the quantizer failed to separate). Under nearest-centroid
+    assignment a <= b always, so s is in [0, 1] ppm; the centroid form
+    is O(n x |labels|), never the O(n^2) pairwise silhouette.
+
+    Every step is exact: micro quantization, DECIMAL(38,0) squared
+    distances, and the per-vector two-smallest selection is
+    min(struct(d2, cluster)) twice over one persisted |rows| x |labels|
+    frame — no window, both aggregations map-side-combinable. The mean
+    is half-up in exact integer space. Returns
+    (cluster, n, mean_sil_ppm); a single-cluster corpus returns no rows
+    (b, and thus s, is undefined with nothing to separate from).
+    """
+    cen = F.broadcast(
+        embed_centroids(embeddings, label_col, vec_col)
+        .select(F.col("label").alias("cluster"), "dim",
+                F.col("mean_micro").cast("decimal(38,0)").alias("c")))
+    d2 = tracked_persist(
+        (_micro_explode(embeddings, id_col, vec_col)
+         .join(cen, "dim")
+         .groupBy("vec_id", "cluster")
+         .agg(F.sum((F.col("xm") - F.col("c"))
+                    * (F.col("xm") - F.col("c"))).alias("d2"))))
+    own = (d2.groupBy("vec_id")
+             .agg(F.min(F.struct("d2", "cluster")).alias("_m"))
+             .select("vec_id", F.col("_m.cluster").alias("own"),
+                     F.col("_m.d2").alias("a2")))
+    other = (d2.join(own, "vec_id")
+               .filter(F.col("cluster") != F.col("own"))
+               .groupBy("vec_id").agg(F.min("d2").alias("b2")))
+    per_vec = (own.join(other, "vec_id")
+                  .withColumn("s_ppm", F.expr(
+                      "CAST(CASE WHEN b2 = 0 THEN 0 ELSE "
+                      "(2 * (b2 - a2) * 1000000 + b2) DIV (2 * b2) "
+                      "END AS BIGINT)")))
+    return (per_vec.groupBy(F.col("own").alias("cluster"))
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("s_ppm").cast("decimal(38,0)"))
+                         .alias("_S"))
+                   .select("cluster", F.col("n").cast("long").alias("n"),
+                           F.expr("CAST((2 * _S + n) DIV "
+                                  "CAST(2 * n AS DECIMAL(38,0)) AS BIGINT)")
+                            .alias("mean_sil_ppm")))

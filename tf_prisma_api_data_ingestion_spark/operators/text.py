@@ -441,3 +441,51 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
                .select(group_col, "n_tokens", "n_oov",
                        F.expr("n_oov * 1000000 DIV n_tokens")
                         .alias("oov_micro")))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100000) -> DataFrame:
+    """Gopher/MassiveText rule battery (Rae et al. 2021 §A1.1) — the
+    boolean quality gates run before any model-based filter: word count
+    in [min_words, max_words], mean word length in [3, 10], symbol-to-
+    word ratio <= 0.1 ('#' and '...'), <= 90% of lines bullet-led,
+    >= 80% of words containing an alphabetic character, and >= 2
+    stop-word hits. Returns one row per doc with each rule as its own
+    boolean (the corpus diagnostic: WHICH gate rejects a source matters
+    as much as the count) plus the composite pass_gopher.
+
+    Every ratio test is cross-multiplied into exact integer form
+    (3n <= L <= 10n, 10*sym <= n, 10*bul <= 9*lines, 5*alpha >= 4n) —
+    the same no-float-boundary policy as the rest of this module, so the
+    DuckDB twin matches bit-for-bit. Pure per-row map over one scan: no
+    shuffle, no join; at 100 TB this is the cheapest full-corpus pass
+    there is, which is why production pipelines run it FIRST.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # non-whitespace char mass == sum of token lengths, without a second
+    # explode (the quality_features trick)
+    chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    sym = (F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), 0))
+           + F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit(r"\.\.\."), 0)))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).rlike(r"^[-*•]")))
+    stop_hits = marker_hits(t, STOPWORDS)
+    r_words = (n >= min_words) & (n <= max_words)
+    r_mean_len = (n > 0) & (chars >= 3 * n) & (chars <= 10 * n)
+    r_symbol = (n > 0) & (10 * sym <= n)
+    r_bullet = (n_lines == 0) | (10 * bullets <= 9 * n_lines)
+    r_alpha = (n > 0) & (5 * alpha >= 4 * n)
+    r_stop = stop_hits >= 2
+    return df.select(
+        "doc_id", n.cast("long").alias("n_words"),
+        r_words.alias("r_words"), r_mean_len.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
+        r_alpha.alias("r_alpha"), r_stop.alias("r_stop"),
+        (r_words & r_mean_len & r_symbol & r_bullet & r_alpha & r_stop)
+        .alias("pass_gopher"))
