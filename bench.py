@@ -65,6 +65,10 @@ HEADLINE = (
     "text-lm-likelihood",     # corpus bigram-LM quality scoring
     "plan-feature-store",     # customer feature-store composite
     "plan-rag-context",       # BM25 retrieve + diversity composite
+    # r7b data-selection batch representatives (gopher/novelty/silhouette
+    # are overhead-bound at sf0.1 — SCALING "Round-7b" table)
+    "text-dsir-score",        # DSIR hashed-bigram importance scoring
+    "sim-semdedup",           # within-cluster semantic dedup
 )
 
 # Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
@@ -96,6 +100,8 @@ SCALING_SF01 = {
     # r6c batch (SCALING "Drift/diversity/LM/feature/RAG" table)
     "text-lm-likelihood": 1.25, "plan-feature-store": 1.05,
     "plan-rag-context": 2.61,
+    # r7b batch (SCALING "Round-7b data-selection/curation" table)
+    "text-dsir-score": 1.95, "sim-semdedup": 1.66,
 }
 
 

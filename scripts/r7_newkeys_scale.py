@@ -22,6 +22,9 @@ KEYS = ["op-linreg2-group", "op-ndcg-retrieval", "op-cohens-kappa",
         "op-mrr-retrieval"]
 if "--batch2" in sys.argv:
     KEYS = ["op-rrf-fusion", "plan-hybrid-retrieval"]
+if "--batch3" in sys.argv:  # r7b data-selection/curation batch
+    KEYS = ["text-dsir-score", "text-novelty", "sim-semdedup",
+            "sim-silhouette", "text-gopher-rules"]
 
 
 def main() -> None:

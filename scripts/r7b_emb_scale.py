@@ -1,0 +1,80 @@
+"""r7b one-off: embeddings x10 step for sim-semdedup / sim-silhouette.
+
+Construction (the round-3 protocol, rebuilt): 10 copies of sf0.1
+embeddings (20 000 vectors), copy i circularly rotated by 7*i
+dimensions — rotation is orthogonal, so within-copy geometry (cosines,
+centroid distances) is preserved exactly; labels are preserved, so the
+cluster COUNT stays fixed while every cluster grows 10x. That is the
+deliberately hostile regime for SemDeDup: its pairwise stage is
+sum(|cluster|^2), so 10x vectors at fixed cluster count is ~100x pair
+work — the measurement shows the quadratic-within-cluster term
+honestly (production holds cluster SIZE constant by scaling the
+cluster count with the corpus, which keeps the term linear).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, ".")
+
+from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
+
+OUT = "/tmp/embx10"
+SRC = "/root/testdata/sf0.1"
+
+
+def build() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = t["vec_id"].to_numpy()
+    labels = t["label"].to_numpy()
+    n = len(ids)
+    parts = []
+    for i in range(10):
+        parts.append(pa.table({
+            "vec_id": pa.array(ids + i * n, type=t.schema.field("vec_id").type),
+            "embedding": pa.array(
+                np.roll(vecs, 7 * i, axis=1).tolist(),
+                type=t.schema.field("embedding").type),
+            "label": pa.array(labels, type=t.schema.field("label").type),
+        }))
+    pq.write_table(pa.concat_tables(parts), f"{OUT}/embeddings.parquet")
+    # the two keys only read embeddings; link the rest verbatim
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"):
+        dst = f"{OUT}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+
+
+def main() -> None:
+    if not os.path.exists(f"{OUT}/embeddings.parquet"):
+        build()
+    spark = get_spark("r7bemb")
+    for key in ("sim-semdedup", "sim-silhouette"):
+        fn = QUERIES[key]
+        for label, d in (("sf0.1", SRC), ("embx10", OUT)):
+            fn(spark, "/root/testdata/sf0.001").count()
+            cache.release_all(blocking=True)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                cnt = fn(spark, d).count()
+                best = min(best, time.time() - t0)
+                cache.release_all(blocking=True)
+            print(f"RES {key} {label} {best:.2f}s rows={cnt}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
