@@ -2,8 +2,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
 
-Each query is materialized with a cheap-but-total action (count on the
-final plan) so the full pipeline executes; timings exclude session startup
+Protocol v2 (round 7): each query is materialized with the noop sink
+(actions.materialize) — every column of every row executes. The v1
+action was count(), under which Catalyst prunes aggregate EXPRESSIONS
+(count of a groupBy needs only the keys: tpch-q1's eight sums never
+ran, 0.33s "measured" vs 0.95s real) and eliminates
+cardinality-preserving joins with their whole subtrees. The SCALING_SF01
+reference walls below were re-measured under v2 the day of the switch;
+pre-v2 SCALING.md tables are internally consistent (pruning is
+scale-independent, so decade RATIOS were honest) but their absolute
+walls under-state agg-final queries. Timings exclude session startup
 and include one warm-up of the parquet footer reads.
 """
 
@@ -71,37 +79,40 @@ HEADLINE = (
     "sim-semdedup",           # within-cluster semantic dedup
 )
 
-# Same-day sf0.1 reference walls from SCALING.md (main + late-r5 tables;
-# r6 re-measurements for the two queries whose code changed in r6). The
-# in-run self-guard compares each timed query against this: >2x earns
-# ONE extra rerun (codegen-eviction outliers — the r4 top-k incident —
-# die on a rerun), and a query still >2x after that is FLAGGED in the
-# output so a real regression is named by the bench itself, not
-# discovered by a human diffing SCALING.md later.
+# Same-day sf0.1 reference walls, re-measured under protocol v2 (noop
+# full materialization, round 7 — see the module docstring; the v1
+# count() walls under-stated agg-final queries: tpch-q1 0.34 -> 1.03,
+# text-quality 0.25 -> 1.04). The in-run self-guard compares each timed
+# query against this: >2x earns ONE extra rerun (codegen-eviction
+# outliers — the r4 top-k incident — die on a rerun), and a query still
+# >2x after that is FLAGGED in the output so a real regression is named
+# by the bench itself, not discovered by a human diffing SCALING.md
+# later.
 SCALING_SF01 = {
-    "tpch-q1": 0.34, "tpch-q3": 0.66, "tpch-q5": 1.09, "tpch-q6": 0.22,
-    "pd-groupby": 0.19, "op-groupagg-count": 0.22, "top-k-per-group": 1.12,
-    "asof-join": 0.26, "op-range-join": 0.39, "op-time-rollup": 1.08,
-    "op-gap-fill": 0.21, "op-merge-upsert": 0.38, "dedup-exact": 0.21,
-    "dedup-ngram-jaccard": 1.96, "dedup-minhash-lsh": 0.79,
-    "dedup-simhash-pairs": 2.73, "dedup-embedding-lsh": 1.51,
-    "sim-bruteforce-topk": 0.52, "sim-lsh-topk": 1.31, "sim-ivf-topk": 2.01,
-    "text-quality": 0.25, "text-tfidf-top-terms": 1.89,
-    "op-sessionize": 0.50, "stream-window-agg": 1.07,
-    "stream-stream-join": 2.56, "stream-funnel": 2.07,
-    "plan-alert-report": 0.30, "plan-corpus-train": 13.50,
-    "dedup-passage-exact": 1.13, "plan-multimodal-dedup": 2.72,
-    # round-6 additions (SCALING "Round-6 operator additions" table)
-    "dedup-prefix-jaccard": 3.27, "dedup-containment": 1.78,
-    "text-bm25-topk": 0.74, "op-pagerank": 4.16,
-    "op-triangle-count": 7.85, "op-graph-bfs": 8.08, "op-skyline": 0.41,
-    # r6b ML-pipeline batch (SCALING "ML-pipeline batch" table)
-    "op-knn-classify": 1.91, "op-item-cf": 2.73, "op-bloom-prefilter": 4.96,
-    # r6c batch (SCALING "Drift/diversity/LM/feature/RAG" table)
-    "text-lm-likelihood": 1.25, "plan-feature-store": 1.05,
-    "plan-rag-context": 2.61,
-    # r7b batch (SCALING "Round-7b data-selection/curation" table)
-    "text-dsir-score": 1.95, "sim-semdedup": 1.66,
+    "tpch-q1": 1.03, "tpch-q3": 0.90, "tpch-q5": 1.48, "tpch-q6": 0.24,
+    "pd-groupby": 0.26, "op-groupagg-count": 0.24, "top-k-per-group": 1.00,
+    "asof-join": 0.48, "op-range-join": 0.47, "op-time-rollup": 0.70,
+    "op-gap-fill": 0.52, "op-merge-upsert": 0.37, "dedup-exact": 0.21,
+    "dedup-ngram-jaccard": 2.78, "dedup-minhash-lsh": 1.53,
+    "dedup-simhash-pairs": 3.25, "dedup-embedding-lsh": 2.11,
+    "sim-bruteforce-topk": 0.46, "sim-lsh-topk": 1.07, "sim-ivf-topk": 1.73,
+    "text-quality": 1.04, "text-tfidf-top-terms": 1.43,
+    "op-sessionize": 0.44, "stream-window-agg": 1.00,
+    "stream-stream-join": 2.56, "stream-funnel": 1.99,
+    "plan-alert-report": 0.37, "plan-corpus-train": 8.97,
+    "dedup-passage-exact": 0.96, "plan-multimodal-dedup": 3.29,
+    # round-6 additions (v2 re-measurement)
+    "dedup-prefix-jaccard": 4.15, "dedup-containment": 1.56,
+    "text-bm25-topk": 0.59, "op-pagerank": 3.32,
+    "op-triangle-count": 6.09, "op-graph-bfs": 6.76, "op-skyline": 0.29,
+    # r6b ML-pipeline batch (v2 re-measurement)
+    "op-knn-classify": 1.56, "op-item-cf": 1.93, "op-bloom-prefilter": 4.38,
+    # r6c batch (v2 re-measurement)
+    "text-lm-likelihood": 1.58, "plan-feature-store": 1.33,
+    "plan-rag-context": 2.26,
+    # r7b batch (v2 from first measurement; semdedup is the post-
+    # norm-hoist wall — the flagged 11.2s run predated that fix)
+    "text-dsir-score": 1.36, "sim-semdedup": 5.50,
 }
 
 
@@ -142,12 +153,17 @@ def main() -> None:
     # its warmup, 25 queries earlier). On a long-lived cluster these are
     # one-time costs; per-query deltas vs SCALING.md stay comparable
     # because SCALING's numbers were warm too.
+    from tf_prisma_api_data_ingestion_spark.actions import materialize
+
     warm_sf = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         try:
-            fn(spark, warm_sf).count()
+            # warm with the SAME action as the timed run: a count()-shaped
+            # warmup compiles the PRUNED plan's codegen classes, and the
+            # timed materialize would then pay cold compilation
+            materialize(fn(spark, warm_sf))
         except Exception as ex:  # noqa: BLE001 — warmup is best-effort,
             # but a swallowed failure means the timed run pays cold
             # compilation, so surface it instead of hiding the 3x jump
@@ -164,7 +180,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            materialize(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
             # blocking: a lazily-evicting cache from query N inflates
             # query N+1's persist pressure (measured 13.7s -> 57s on
@@ -176,7 +192,7 @@ def main() -> None:
         ref = SCALING_SF01.get(name) if abs(sf - 0.1) < 1e-9 else None
         if ref and best > 2.0 * ref:
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            materialize(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
             cache.release_all(blocking=True)
         timings[name] = round(best, 3)

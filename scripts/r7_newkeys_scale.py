@@ -9,6 +9,7 @@ import time
 sys.path.insert(0, ".")
 
 from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.actions import materialize  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
@@ -25,6 +26,8 @@ if "--batch2" in sys.argv:
 if "--batch3" in sys.argv:  # r7b data-selection/curation batch
     KEYS = ["text-dsir-score", "text-novelty", "sim-semdedup",
             "sim-silhouette", "text-gopher-rules"]
+if "--batch4" in sys.argv:  # r7b curation composite
+    KEYS = ["plan-curation-report"]
 
 
 def main() -> None:
@@ -32,14 +35,16 @@ def main() -> None:
     for key in KEYS:
         fn = QUERIES[key]
         for label, d in SCALES:
-            fn(spark, "/root/testdata/sf0.001").count()
+            materialize(fn(spark, "/root/testdata/sf0.001"))
             cache.release_all(blocking=True)
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                n = fn(spark, d).count()
+                materialize(fn(spark, d))
                 best = min(best, time.time() - t0)
                 cache.release_all(blocking=True)
+            n = fn(spark, d).count()  # untimed, for the rows label
+            cache.release_all(blocking=True)
             print(f"RES {key} {label} {best:.2f}s rows={n}", flush=True)
     spark.stop()
 

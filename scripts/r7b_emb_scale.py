@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, ".")
 
 from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
+from tf_prisma_api_data_ingestion_spark.actions import materialize  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
@@ -64,14 +65,16 @@ def main() -> None:
     for key in ("sim-semdedup", "sim-silhouette"):
         fn = QUERIES[key]
         for label, d in (("sf0.1", SRC), ("embx10", OUT)):
-            fn(spark, "/root/testdata/sf0.001").count()
+            materialize(fn(spark, "/root/testdata/sf0.001"))
             cache.release_all(blocking=True)
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                cnt = fn(spark, d).count()
+                materialize(fn(spark, d))
                 best = min(best, time.time() - t0)
                 cache.release_all(blocking=True)
+            cnt = fn(spark, d).count()  # untimed, for the rows label
+            cache.release_all(blocking=True)
             print(f"RES {key} {label} {best:.2f}s rows={cnt}", flush=True)
     spark.stop()
 

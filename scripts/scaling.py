@@ -25,6 +25,7 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.session import get_spark
 
     spark = get_spark("scaling")
+    from tf_prisma_api_data_ingestion_spark.actions import materialize
     from tf_prisma_api_data_ingestion_spark import cache, tables
     tables.assert_contract(spark, SFS[0])
     for sf in SFS:
@@ -39,14 +40,14 @@ def main() -> None:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         for sf in SFS:
             try:
-                fn(spark, SFS[0]).count()
+                materialize(fn(spark, SFS[0]))
             except Exception as ex:  # noqa: BLE001 — surface cold-compile risk
                 print(f"# warmup failed for {name}: {ex}", file=sys.stderr)
             cache.release_all(blocking=True)
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                fn(spark, sf).count()
+                materialize(fn(spark, sf))
                 best = min(best, time.time() - t0)
                 # same hygiene as bench.py: a stale cache from query N
                 # inflates query N+1's persist pressure

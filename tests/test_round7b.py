@@ -208,3 +208,70 @@ def test_gopher_mean_word_length_bounds(spark):
                               "doc_id long, text string")
     out = {r["doc_id"]: r["r_mean_len"] for r in gopher_rules(d).collect()}
     assert out == {1: False, 2: False}
+
+
+# ------------------------------------------------------- executed plans
+# Same contract as test_round7's plan pins: a Spark bump or conf drift
+# that silently de-optimizes these shapes fails CI, not a bench.
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_rules_is_pure_map(spark):
+    """The cheapest full-corpus pass must stay scan -> project: any
+    Exchange or Join appearing here is a regression by definition."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_text_gopher_rules,
+    )
+    plan = _plan(q_text_gopher_rules(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_dsir_score_broadcasts_bucket_stats(spark):
+    """The <=4096-row bucket-stats frame must come back as a broadcast
+    join — a sort-merge join here would shuffle the corpus-sized
+    (doc, bucket) frame a second time."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_text_dsir_score,
+    )
+    plan = _plan(q_text_dsir_score(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_and_silhouette_broadcast_centroids(spark):
+    """Centroids are |labels| x dim rows: the per-dimension join must be
+    broadcast, never an exchange of the exploded corpus onto `dim`."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_sim_semdedup,
+        q_sim_silhouette,
+    )
+    for q in (q_sim_semdedup, q_sim_silhouette):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+# ------------------------------------------------------ curation report
+
+def test_curation_report_funnel_invariants(spark):
+    """n_selected <= n_pass_gopher <= n_docs per row, and the doc total
+    matches the corpus."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_curation_report,
+    )
+    from tf_prisma_api_data_ingestion_spark import tables
+    rows = q_plan_curation_report(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_pass_gopher"] <= r["n_docs"]
+        if r["n_selected"] == 0:
+            assert r["tok_selected"] == 0
+    total = sum(r["n_docs"] for r in rows)
+    assert total == tables.load(spark, SF, "documents").count()

@@ -8066,6 +8066,38 @@ FROM r
 """
 
 
+def q_plan_curation_report(spark, sf_dir):
+    """Corpus-intake curation funnel (plans/corpus.curation_report):
+    Gopher gates computed IN the base projection, DSIR importance vs
+    the English subset, threshold selection, per-(source, lang) intake
+    report — the one-page table a curation review reads. The only
+    corpus-sized shuffle is DSIR's own bigram aggregation."""
+    from .plans.corpus import curation_report
+    return curation_report(_t(spark, sf_dir, "documents"))
+
+
+def _sql_curation_report() -> str:
+    return f"""
+WITH goph AS (
+  SELECT g.*, d.source, d.lang
+  FROM ({_sql_gopher()}) g JOIN documents d USING (doc_id)),
+imp AS (SELECT doc_id, imp_ppm FROM ({SQL_TEXT_DSIR_SCORE})),
+j AS (
+  SELECT goph.*,
+         (goph.pass_gopher
+          AND coalesce(imp.imp_ppm, 0) >= 1000000) AS sel
+  FROM goph LEFT JOIN imp USING (doc_id))
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_gopher,
+       CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN sel THEN n_words ELSE 0 END) AS BIGINT)
+         AS tok_selected
+FROM j GROUP BY source, lang
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -8320,6 +8352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-semdedup": q_sim_semdedup,
     "sim-silhouette": q_sim_silhouette,
     "text-gopher-rules": q_text_gopher_rules,
+    "plan-curation-report": q_plan_curation_report,
 }
 
 
@@ -8575,6 +8608,7 @@ ORACLES: dict[str, str] = {
     "sim-semdedup": SQL_SIM_SEMDEDUP,
     "sim-silhouette": SQL_SIM_SILHOUETTE,
     "text-gopher-rules": _sql_gopher(),
+    "plan-curation-report": _sql_curation_report(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -57,12 +57,21 @@ def dsir_importance(docs: DataFrame, target_ids: DataFrame,
     the near-1 ratios hashed bucketing produces).
 
     Scale design: the raw bigram stream aggregates to (doc, bucket)
-    multiplicities FIRST (one shuffle); c_s sums that frame, c_t sums its
-    semi-join against the broadcast target ids, both land in a <=B-row
-    frame that broadcasts back onto the per-doc buckets. Totals ride the
-    same <=B-row frame (no extra pass over the stream). Returns
+    multiplicities FIRST (one shuffle); a SINGLE grouped pass over that
+    frame produces c_s and c_t side by side (the target membership is a
+    broadcast-joined flag, not a second scan), and the corpus totals
+    come from a 1-partition window over the resulting <=B-row frame —
+    so the whole bucket-stats computation is ONE broadcast subtree
+    rooted at the persisted (doc, bucket) frame. That rooting is
+    load-bearing: a first formulation hung c_s, c_t, and the two totals
+    off the frame as four separate broadcast subqueries, and Spark
+    executes broadcast futures CONCURRENTLY — they raced to materialize
+    the persisted frame and each re-ran the tokenize+explode scan
+    (measured 8 full corpus scans, 9x the wall of this shape). Returns
     (doc_id, n_bigrams, imp_ppm) for every doc with >= 1 bigram.
     """
+    from pyspark.sql.window import Window
+
     grams = word_ngrams(F.col(text_col), n=2)
     stream = (docs
               .select(F.col(id_col).alias("doc_id"),
@@ -72,32 +81,33 @@ def dsir_importance(docs: DataFrame, target_ids: DataFrame,
     # one shuffle: per-(doc, bucket) multiplicities; everything else
     # derives from this frame (cardinality <= docs * buckets, typically
     # ~docs * distinct-buckets-touched, far below the raw token stream).
-    # Persisted as a recompute barrier: four consumers (c_s, c_t, the two
-    # totals) would otherwise each re-run the tokenize+explode scan.
+    # Persisted as a recompute barrier: the bucket-stats broadcast and
+    # the scoring probe would otherwise each re-run tokenize+explode.
     dm = tracked_persist(
         stream.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("m")))
-    c_s = dm.groupBy("g").agg(F.sum("m").alias("c_s"))
-    c_t = (dm.join(F.broadcast(target_ids.select(
-                       F.col(id_col).alias("doc_id")).distinct()),
-                   "doc_id", "left_semi")
-             .groupBy("g").agg(F.sum("m").alias("c_t")))
-    # bucket stats + corpus totals in one <=B-row frame; buckets the
-    # target never touched keep c_t = 0 (the +1 smoothing handles them)
-    stats = (c_s.join(c_t, "g", "left")
-                .fillna({"c_t": 0})
-                .crossJoin(F.broadcast(
-                    dm.agg(F.sum("m").cast("decimal(38,0)").alias("n_src"))))
-                .crossJoin(F.broadcast(
-                    dm.join(F.broadcast(target_ids.select(
-                                F.col(id_col).alias("doc_id")).distinct()),
-                            "doc_id", "left_semi")
-                      .agg(F.coalesce(F.sum("m"), F.lit(0))
-                            .cast("decimal(38,0)").alias("n_tgt"))))
-                .withColumn("r", F.expr(
-                    f"(CAST(c_t + 1 AS DECIMAL(38,0)) * (n_src + {buckets})"
-                    f" * 1000000) DIV (CAST(c_s + 1 AS DECIMAL(38,0))"
-                    f" * (n_tgt + {buckets}))"))
-                .select("g", "r"))
+    tids = F.broadcast(
+        target_ids.select(F.col(id_col).alias("doc_id")).distinct()
+                  .withColumn("_t", F.lit(1)))
+    bstats = (dm.join(tids, "doc_id", "left")
+                .groupBy("g")
+                .agg(F.sum("m").alias("c_s"),
+                     F.sum(F.when(F.col("_t").isNotNull(), F.col("m"))
+                            .otherwise(0)).alias("c_t")))
+    # corpus totals via a global window over the <=B-row frame (sum of
+    # per-bucket sums == sum over the stream — no second pass, no
+    # separate broadcast subtree); buckets the target never touched
+    # keep c_t = 0 (the +1 smoothing handles them)
+    w = Window.partitionBy(F.lit(1))
+    stats = (bstats
+             .withColumn("n_src",
+                         F.sum("c_s").over(w).cast("decimal(38,0)"))
+             .withColumn("n_tgt",
+                         F.sum("c_t").over(w).cast("decimal(38,0)"))
+             .withColumn("r", F.expr(
+                 f"(CAST(c_t + 1 AS DECIMAL(38,0)) * (n_src + {buckets})"
+                 f" * 1000000) DIV (CAST(c_s + 1 AS DECIMAL(38,0))"
+                 f" * (n_tgt + {buckets}))"))
+             .select("g", "r"))
     scored = dm.join(F.broadcast(stats), "g")
     return (scored.groupBy("doc_id")
                   .agg(F.sum("m").cast("long").alias("n_bigrams"),

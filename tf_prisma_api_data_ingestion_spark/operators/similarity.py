@@ -704,33 +704,39 @@ def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
                 f"semdedup: cluster {over['cluster']} has {over['count']} "
                 f"vectors (max_cluster_size={max_cluster_size}); use a "
                 "finer quantizer or the in-cluster LSH path")
+    # per-vector micro array AND its norm, computed ONCE per vector —
+    # a first formulation re-derived both norms inside every pair row
+    # (pairs x 3 x dim lambda evaluations, in DECIMAL per element: the
+    # pair stage measured 11.2s at sf0.1). Element math stays in LONG
+    # (micro products <= 1e12/element, 64-dim sums <= ~6e13 — overflow
+    # needs per-component magnitudes ~1e5, far past any embedding);
+    # DECIMAL enters once per pair for the squared threshold products.
+    lzero = F.lit(0).cast("long")
     vq = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * 1000000.0)
-                               .cast("long")).alias("v"))
-    zero = F.lit(0).cast("decimal(38,0)")
+                               .cast("long")).alias("v")).select(
+        "vec_id", "v",
+        F.aggregate(F.transform("v", lambda x: x * x),
+                    lzero, lambda acc, x: acc + x).alias("n2"))
     sides = asg.join(vq, "vec_id")
     a = sides.select(F.col("vec_id").alias("va"), "cluster",
-                     F.col("v").alias("_av"))
+                     F.col("v").alias("_av"), F.col("n2").alias("na2"))
     b = sides.select(F.col("vec_id").alias("vb"),
-                     F.col("cluster").alias("_bc"), F.col("v").alias("_bv"))
+                     F.col("cluster").alias("_bc"),
+                     F.col("v").alias("_bv"), F.col("n2").alias("nb2"))
     dup = (a.join(b, (F.col("cluster") == F.col("_bc"))
                   & (F.col("va") < F.col("vb")))
             .withColumn("dot", F.aggregate(
-                F.zip_with("_av", "_bv",
-                           lambda x, y: x.cast("decimal(38,0)") * y),
-                zero, lambda acc, x: acc + x))
-            .withColumn("na2", F.aggregate(
-                F.transform("_av", lambda x: x.cast("decimal(38,0)") * x),
-                zero, lambda acc, x: acc + x))
-            .withColumn("nb2", F.aggregate(
-                F.transform("_bv", lambda x: x.cast("decimal(38,0)") * x),
-                zero, lambda acc, x: acc + x))
+                F.zip_with("_av", "_bv", lambda x, y: x * y),
+                lzero, lambda acc, x: acc + x))
             .filter((F.col("na2") > 0) & (F.col("nb2") > 0)
                     & (F.col("dot") >= 0)
-                    & (F.col("dot") * F.col("dot") * (tau_den * tau_den)
-                       >= F.col("na2") * F.col("nb2") * (tau_num * tau_num)))
+                    & (F.col("dot").cast("decimal(38,0)") * F.col("dot")
+                       * (tau_den * tau_den)
+                       >= F.col("na2").cast("decimal(38,0)") * F.col("nb2")
+                       * (tau_num * tau_num)))
             .select(F.col("vb").alias("vec_id")).distinct())
     return (asg.join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
                .select("vec_id", "cluster",

@@ -444,7 +444,8 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
 
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
-                 min_words: int = 50, max_words: int = 100000) -> DataFrame:
+                 min_words: int = 50, max_words: int = 100000,
+                 keep: tuple[str, ...] = ()) -> DataFrame:
     """Gopher/MassiveText rule battery (Rae et al. 2021 §A1.1) — the
     boolean quality gates run before any model-based filter: word count
     in [min_words, max_words], mean word length in [3, 10], symbol-to-
@@ -460,6 +461,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     DuckDB twin matches bit-for-bit. Pure per-row map over one scan: no
     shuffle, no join; at 100 TB this is the cheapest full-corpus pass
     there is, which is why production pipelines run it FIRST.
+
+    ``keep`` passes extra columns through the projection — composites
+    that need the flags NEXT TO other document columns use it instead
+    of joining this frame back on doc_id (a pure projection re-joined
+    to its own source is a corpus-sized shuffle for nothing).
     """
     t = tokens(F.col(text_col))
     n = F.size(t)
@@ -488,4 +494,5 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
         r_alpha.alias("r_alpha"), r_stop.alias("r_stop"),
         (r_words & r_mean_len & r_symbol & r_bullet & r_alpha & r_stop)
-        .alias("pass_gopher"))
+        .alias("pass_gopher"),
+        *[F.col(c) for c in keep])

@@ -251,3 +251,39 @@ def mixture_rebalance(df: DataFrame, stratum_col: str,
                     F.expr("CAST(coalesce(_kept, CAST(0 AS DECIMAL(38,0)))"
                            " * 1000000 DIV _tk AS BIGINT)")
                      .alias("realized_micro")))
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """Corpus-intake curation funnel: Gopher rule gates -> DSIR
+    importance vs the English subset -> threshold selection -> one
+    per-(source, lang) report row — the table a data-curation review
+    actually reads (how much of each incoming source survives the cheap
+    gates, and how much of THAT looks like the target domain).
+
+    Selection rule: pass_gopher AND imp_ppm >= 1e6 (importance ratio
+    >= 1: the doc is more target-like than source-average). Documents
+    with no bigrams carry no importance score and are never selected.
+
+    Scale shape: the Gopher flags are computed IN the base projection
+    (gopher_rules(keep=...) — zero extra pass, zero join); the only
+    corpus-sized shuffle is DSIR's own (doc, bucket) aggregation plus
+    the doc_id equi-join of two already-reduced frames; the report agg
+    is map-side-combinable with |sources| x |langs| output rows.
+    """
+    from ..operators.selection import dsir_importance
+    from ..operators.text import gopher_rules
+
+    flags = gopher_rules(docs, keep=("source", "lang"))
+    imp = dsir_importance(docs, docs.filter(F.col("lang") == "en"),
+                          buckets=4096).select("doc_id", "imp_ppm")
+    j = flags.join(imp, "doc_id", "left")
+    sel = (F.col("pass_gopher")
+           & (F.coalesce(F.col("imp_ppm"), F.lit(0)) >= 1000000))
+    return (j.groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+                   .cast("long").alias("n_pass_gopher"),
+                  F.sum(F.when(sel, 1).otherwise(0))
+                   .cast("long").alias("n_selected"),
+                  F.sum(F.when(sel, F.col("n_words")).otherwise(0))
+                   .cast("long").alias("tok_selected")))
