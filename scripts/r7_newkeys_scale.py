@@ -28,6 +28,8 @@ if "--batch3" in sys.argv:  # r7b data-selection/curation batch
             "sim-silhouette", "text-gopher-rules"]
 if "--batch4" in sys.argv:  # r7b curation composite
     KEYS = ["plan-curation-report"]
+if "--batch5" in sys.argv:  # r7b TV distance + lexical+semantic funnel
+    KEYS = ["text-corpus-tv", "plan-semdedup-clean"]
 
 
 def main() -> None:

@@ -275,3 +275,89 @@ def test_curation_report_funnel_invariants(spark):
             assert r["tok_selected"] == 0
     total = sum(r["n_docs"] for r in rows)
     assert total == tables.load(spark, SF, "documents").count()
+
+
+# -------------------------------------------------------- corpus TV
+
+def test_corpus_tv_identical_group_is_zero(spark):
+    """A group whose token distribution IS the corpus distribution has
+    TV = 0 (two identical sources)."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        corpus_tv_distance,
+    )
+    d = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r["tv_ppm"] for r in
+           corpus_tv_distance(d, "source").collect()}
+    assert out == {"s1": 0, "s2": 0}
+
+
+def test_corpus_tv_disjoint_vocab(spark):
+    """Two equal-mass groups with disjoint vocabularies: each group's
+    distance from the 50/50 corpus mix is exactly 0.5 (500000 ppm)."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        corpus_tv_distance,
+    )
+    d = spark.createDataFrame(
+        [(1, "aaa bbb ccc", "s1"), (2, "xxx yyy zzz", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r["tv_ppm"] for r in
+           corpus_tv_distance(d, "source").collect()}
+    assert out == {"s1": 500000, "s2": 500000}
+
+
+def test_corpus_tv_hand_value(spark):
+    """s1 = {a: 2}, s2 = {a: 1, b: 1}; corpus = {a: 3, b: 1}.
+    TV(s1) = 0.5*(|1 - 3/4| + |0 - 1/4|) = 0.25;
+    TV(s2) = 0.5*(|1/2 - 3/4| + |1/2 - 1/4|) = 0.25."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        corpus_tv_distance,
+    )
+    d = spark.createDataFrame(
+        [(1, "a a", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r["tv_ppm"] for r in
+           corpus_tv_distance(d, "source").collect()}
+    assert out == {"s1": 250000, "s2": 250000}
+
+
+# ------------------------------------------------- semdedup-clean funnel
+
+def test_semdedup_clean_funnel_monotone(spark):
+    """n_final <= n_exact <= n_gopher <= n_docs on the real tables, and
+    totals reconcile with the corpus."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_semdedup_clean,
+    )
+    from tf_prisma_api_data_ingestion_spark import tables
+    rows = q_plan_semdedup_clean(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (0 <= r["n_final"] <= r["n_exact"]
+                <= r["n_gopher"] <= r["n_docs"])
+    total = sum(r["n_docs"] for r in rows)
+    assert total == tables.load(spark, SF, "documents").count()
+
+
+def test_semdedup_clean_semantic_stage_runs_on_survivors(spark):
+    """A doc dropped by the gopher gates must not influence the
+    semantic stage: its embedding is excluded before centroids fit.
+    Construct: two semantically-identical docs where one fails gopher —
+    the surviving one must be KEPT (its dup partner never reached the
+    semantic stage)."""
+    from tf_prisma_api_data_ingestion_spark.plans.corpus import (
+        semdedup_clean,
+    )
+    good = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    docs = spark.createDataFrame(
+        [(1, good, "s", "en"), (2, "the cat", "s", "en")],
+        "doc_id long, text string, source string, lang string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    row = semdedup_clean(docs, emb).collect()[0]
+    assert row["n_docs"] == 2
+    assert row["n_gopher"] == 1   # "the cat" fails word count
+    assert row["n_exact"] == 1
+    assert row["n_final"] == 1    # doc 1 kept: its dup never survived

@@ -7925,12 +7925,15 @@ FROM sc
 # centroids in half-up integer micros (the embed_centroids contract),
 # exact HUGEINT squared distances, deterministic argmin (lowest cluster
 # id on ties) — the DuckDB twin of similarity.assign_nearest_centroid.
-_SQL_NEAREST_ASSIGN = """
+# ``src`` may be an earlier CTE of (vec_id, embedding, label) — the
+# semdedup-clean composite quantizes only the survivor subset.
+def _sql_nearest_assign(src: str = "embeddings") -> str:
+    return f"""
 ex AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
               AS HUGEINT) AS xm
-  FROM embeddings),
+  FROM {src}),
 cen AS (
   SELECT label AS cluster, dim,
          CAST(CASE WHEN SUM(xm) >= 0
@@ -7942,7 +7945,7 @@ vq AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
               AS HUGEINT) AS xm
-  FROM embeddings),
+  FROM {src}),
 d2 AS (
   SELECT vq.vec_id, cen.cluster,
          SUM((vq.xm - cen.c) * (vq.xm - cen.c)) AS d2
@@ -7958,18 +7961,13 @@ asg AS (
 """
 
 
-def q_sim_semdedup(spark, sf_dir):
-    """SemDeDup over the embeddings table at cosine >= 17/20
-    (operators/similarity.semdedup): nearest-centroid quantizer, the
-    quadratic pairwise stage confined WITHIN clusters, keep-lowest-id
-    survivors — every comparison exact integer micro arithmetic, so the
-    oracle replays the entire pipeline including the threshold test."""
-    from .operators.similarity import semdedup
-    return semdedup(_t(spark, sf_dir, "embeddings"), 17, 20)
+_SQL_NEAREST_ASSIGN = _sql_nearest_assign()
 
 
-SQL_SIM_SEMDEDUP = f"""
-WITH {_SQL_NEAREST_ASSIGN},
+# assign + the SemDeDup pair/threshold chain, parameterized the same
+# way; ends at ``dup`` (the dropped ids) with ``asg`` still in scope.
+def _sql_semdedup_ctes(src: str = "embeddings") -> str:
+    return f"""{_sql_nearest_assign(src)},
 n2 AS (SELECT vec_id, SUM(xm * xm) AS n2 FROM vq GROUP BY 1),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
@@ -7985,6 +7983,21 @@ dup AS (
               JOIN n2 nb ON nb.vec_id = d.vb
   WHERE na.n2 > 0 AND nb.n2 > 0 AND d.dot >= 0
     AND d.dot * d.dot * 400 >= na.n2 * nb.n2 * 289)
+"""
+
+
+def q_sim_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table at cosine >= 17/20
+    (operators/similarity.semdedup): nearest-centroid quantizer, the
+    quadratic pairwise stage confined WITHIN clusters, keep-lowest-id
+    survivors — every comparison exact integer micro arithmetic, so the
+    oracle replays the entire pipeline including the threshold test."""
+    from .operators.similarity import semdedup
+    return semdedup(_t(spark, sf_dir, "embeddings"), 17, 20)
+
+
+SQL_SIM_SEMDEDUP = f"""
+WITH {_sql_semdedup_ctes()}
 SELECT a.vec_id, a.cluster, (dup.vec_id IS NULL) AS kept
 FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
 """
@@ -8095,6 +8108,86 @@ SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN sel THEN n_words ELSE 0 END) AS BIGINT)
          AS tok_selected
 FROM j GROUP BY source, lang
+"""
+
+
+def q_text_corpus_tv(spark, sf_dir):
+    """Per-source total-variation distance from the whole-corpus hashed
+    token distribution (operators/selection.corpus_tv_distance) — the
+    mixture-drift audit; one stream aggregation, <=4096-row broadcast
+    stats, missing-bucket mass folded in closed form, exact ppm."""
+    from .operators.selection import corpus_tv_distance
+    return corpus_tv_distance(_t(spark, sf_dir, "documents"), "source")
+
+
+SQL_TEXT_CORPUS_TV = """
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS t
+  FROM documents),
+sg AS (
+  SELECT grp, ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS g,
+         COUNT(*) AS m
+  FROM tok GROUP BY 1, 2),
+gtot AS (
+  SELECT g, SUM(m) AS mg, CAST(SUM(SUM(m)) OVER () AS HUGEINT) AS n
+  FROM sg GROUP BY g),
+stot AS (SELECT grp, CAST(SUM(m) AS HUGEINT) AS ns FROM sg GROUP BY grp),
+per AS (
+  SELECT sg.grp, MAX(stot.ns) AS ns, MAX(gtot.n) AS n,
+         CAST(SUM(gtot.mg) AS HUGEINT) AS mgp,
+         SUM(abs(CAST(sg.m AS HUGEINT) * gtot.n
+                 - CAST(gtot.mg AS HUGEINT) * stot.ns)) AS bad
+  FROM sg JOIN gtot ON sg.g = gtot.g JOIN stot ON sg.grp = stot.grp
+  GROUP BY sg.grp)
+SELECT grp AS source, CAST(ns AS BIGINT) AS n_tokens,
+       CAST((2 * (bad + (n - mgp) * ns) * 1000000 + 2 * ns * n)
+            // (4 * ns * n) AS BIGINT) AS tv_ppm
+FROM per
+"""
+
+
+def q_plan_semdedup_clean(spark, sf_dir):
+    """Sequential lexical + semantic cleaning funnel
+    (plans/corpus.semdedup_clean): Gopher gates -> one-pass exact dedup
+    -> SemDeDup fitted on the SURVIVORS' embeddings, reported per
+    (source, lang) as n_docs -> n_gopher -> n_exact -> n_final."""
+    from .plans.corpus import semdedup_clean
+    return semdedup_clean(_t(spark, sf_dir, "documents"),
+                          _t(spark, sf_dir, "embeddings"))
+
+
+def _sql_semdedup_clean() -> str:
+    return f"""
+WITH goph AS (
+  SELECT g.doc_id, g.pass_gopher, d.source, d.lang, d.text
+  FROM ({_sql_gopher()}) g JOIN documents d USING (doc_id)),
+p1 AS (SELECT * FROM goph WHERE pass_gopher),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM p1 GROUP BY md5(text)),
+s1 AS (SELECT p1.doc_id, p1.source, p1.lang
+       FROM p1 JOIN keep1 USING (doc_id)),
+emb_f AS (SELECT e.* FROM embeddings e JOIN s1 ON s1.doc_id = e.vec_id),
+{_sql_semdedup_ctes('emb_f')},
+kept AS (
+  SELECT a.vec_id FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+  WHERE dup.vec_id IS NULL),
+base AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS n_gopher
+  FROM goph GROUP BY 1, 2),
+exd AS (SELECT source, lang, COUNT(*) AS n_exact FROM s1 GROUP BY 1, 2),
+fin AS (
+  SELECT s1.source, s1.lang, COUNT(*) AS n_final
+  FROM s1 JOIN kept ON kept.vec_id = s1.doc_id GROUP BY 1, 2)
+SELECT base.source, base.lang,
+       CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(base.n_gopher AS BIGINT) AS n_gopher,
+       CAST(coalesce(exd.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(fin.n_final, 0) AS BIGINT) AS n_final
+FROM base LEFT JOIN exd USING (source, lang)
+          LEFT JOIN fin USING (source, lang)
 """
 
 
@@ -8353,6 +8446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-silhouette": q_sim_silhouette,
     "text-gopher-rules": q_text_gopher_rules,
     "plan-curation-report": q_plan_curation_report,
+    "text-corpus-tv": q_text_corpus_tv,
+    "plan-semdedup-clean": q_plan_semdedup_clean,
 }
 
 
@@ -8609,6 +8704,8 @@ ORACLES: dict[str, str] = {
     "sim-silhouette": SQL_SIM_SILHOUETTE,
     "text-gopher-rules": _sql_gopher(),
     "plan-curation-report": _sql_curation_report(),
+    "text-corpus-tv": SQL_TEXT_CORPUS_TV,
+    "plan-semdedup-clean": _sql_semdedup_clean(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -1,7 +1,9 @@
 """Data-selection operators for training-data curation (north-star
 extensions, SURVEY.md §7.5): hashed n-gram importance scoring (DSIR,
 Xie et al. 2023, "Data Selection for Language Models via Importance
-Resampling") and n-gram novelty auditing against a reference corpus.
+Resampling"), n-gram novelty auditing against a reference corpus, and
+per-group total-variation distance from the corpus token distribution
+(the mixture-drift audit).
 
 Scale design notes (the point of this module):
 - DSIR reduces per-document scoring to ONE aggregation of the raw bigram
@@ -162,3 +164,66 @@ def ngram_novelty(docs: DataFrame, ref: DataFrame, n: int = 5,
         # half-up ppm in exact integer space: round(1e6 * novel / n)
         F.expr("CAST((2 * novel * 1000000 + n_grams) DIV (2 * n_grams)"
                " AS BIGINT)").alias("novel_ppm"))
+
+
+def corpus_tv_distance(docs: DataFrame, group_col: str = "source",
+                       buckets: int = 4096,
+                       text_col: str = "text") -> DataFrame:
+    """Per-group total-variation distance between the group's hashed
+    token distribution and the whole corpus's — the mixture-drift audit
+    run when a source's character changes between crawls (TV = 0: the
+    group looks exactly like the corpus; TV -> 1e6 ppm: disjoint
+    vocabulary). TV is the log-free two-sample distance (KL needs ln,
+    which has no bit-stable SQL replay — same policy as the BM25/LM/
+    DSIR family), and over hashed buckets it lower-bounds the true
+    token-level TV.
+
+    Exactness: TV = (1/2) sum_g |m_sg/N_s - m_g/N| is evaluated as
+    integers: sum over the group's PRESENT buckets of |m_sg*N - m_g*N_s|
+    plus (N - sum_present m_g) * N_s for the buckets the group never
+    touches (their |0 - m_g/N| mass in closed form — no dense bucket
+    frame is ever built), divided once by 2*N_s*N with half-up ppm
+    rounding, all in DECIMAL(38,0).
+
+    Scale design: ONE aggregation of the token stream into
+    (group, bucket) counts (the only corpus-sized shuffle); bucket
+    totals are a <=B-row broadcast carrying the corpus total as a
+    1-partition window over themselves; group totals are a
+    |groups|-row broadcast. Single broadcast subtree rooted at the
+    persisted counts frame — same shape as dsir_importance, for the
+    same racing-broadcast-futures reason. Returns
+    (group, n_tokens, tv_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    stream = (docs
+              .select(F.col(group_col).alias("grp"),
+                      F.explode(F.filter(
+                          F.split(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+"), lambda t: t != "")).alias("_t"))
+              .select("grp", (md5_hash60(F.col("_t")) % buckets).alias("g")))
+    sg = tracked_persist(
+        stream.groupBy("grp", "g").agg(F.count(F.lit(1)).alias("m")))
+    w = Window.partitionBy(F.lit(1))
+    gtot = F.broadcast(
+        sg.groupBy("g").agg(F.sum("m").alias("mg"))
+          .withColumn("n", F.sum("mg").over(w).cast("decimal(38,0)")))
+    stot = F.broadcast(
+        sg.groupBy("grp").agg(F.sum("m").cast("decimal(38,0)").alias("ns")))
+    per = (sg.join(gtot, "g").join(stot, "grp")
+             .groupBy("grp")
+             .agg(F.max("ns").alias("ns"),
+                  F.max("n").alias("n"),
+                  F.sum("mg").cast("decimal(38,0)").alias("_mgp"),
+                  F.sum(F.abs(F.col("m").cast("decimal(38,0)") * F.col("n")
+                              - F.col("mg").cast("decimal(38,0)")
+                                * F.col("ns"))).alias("_bad")))
+    return (per
+            .withColumn("_tv2", F.col("_bad")
+                        + (F.col("n") - F.col("_mgp")) * F.col("ns"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("ns").cast("long").alias("n_tokens"),
+                    # half-up ppm of _tv2 / (2*ns*n)
+                    F.expr("CAST((2 * _tv2 * 1000000 + 2 * ns * n)"
+                           " DIV (4 * ns * n) AS BIGINT)")
+                     .alias("tv_ppm")))

@@ -287,3 +287,49 @@ def curation_report(docs: DataFrame) -> DataFrame:
                    .cast("long").alias("n_selected"),
                   F.sum(F.when(sel, F.col("n_words")).otherwise(0))
                    .cast("long").alias("tok_selected")))
+
+
+def semdedup_clean(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Sequential lexical + semantic cleaning funnel — the modern
+    curation pipeline shape (rule gates, then exact dedup, then SemDeDup
+    over the survivors' embeddings), reported per (source, lang) so a
+    review sees WHERE each source's volume dies:
+
+        n_docs -> n_gopher (rule gates) -> n_exact (content dedup)
+               -> n_final (semantic dedup)
+
+    Stage composition is genuinely sequential: the exact-dedup window
+    runs only over gopher passers, and the SemDeDup quantizer's
+    centroids are fitted on the SURVIVORS' embeddings (deduping the raw
+    table would let rejected boilerplate pull the centroids).
+
+    Scale shape: gopher flags ride the base projection (zero extra
+    pass); exact dedup is the one-pass window over the content hash;
+    SemDeDup sees only the filtered embedding set (semi-join on the
+    survivor ids); the three report aggregations are all map-side
+    combinable with |sources| x |langs| rows out.
+    """
+    from ..operators.similarity import semdedup
+    from ..operators.text import gopher_rules
+
+    flags = tracked_persist(
+        gopher_rules(docs, keep=("source", "lang", "text")))
+    s1 = tracked_persist(
+        _exact_dedup_min_id(flags.filter(F.col("pass_gopher")))
+        .select("doc_id", "source", "lang"))
+    emb_f = embeddings.join(
+        s1.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    kept = (semdedup(emb_f).filter(F.col("kept"))
+            .select(F.col("vec_id").alias("doc_id")))
+    base = (flags.groupBy("source", "lang")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+                       .cast("long").alias("n_gopher")))
+    ex = (s1.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    fin = (s1.join(kept, "doc_id", "left_semi")
+             .groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_final")))
+    return (base.join(ex, ["source", "lang"], "left")
+                .join(fin, ["source", "lang"], "left")
+                .fillna({"n_exact": 0, "n_final": 0}))
