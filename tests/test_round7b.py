@@ -361,3 +361,75 @@ def test_semdedup_clean_semantic_stage_runs_on_survivors(spark):
     assert row["n_gopher"] == 1   # "the cat" fails word count
     assert row["n_exact"] == 1
     assert row["n_final"] == 1    # doc 1 kept: its dup never survived
+
+
+def test_corpus_tv_and_funnel_plan_shapes(spark):
+    """corpus-tv's bucket/group stats come back as broadcasts (no
+    sort-merge of the corpus-sized counts frame); the funnel never
+    degenerates into a cartesian product."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_plan_semdedup_clean,
+        q_text_corpus_tv,
+    )
+    plan = _plan(q_text_corpus_tv(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan = _plan(q_plan_semdedup_clean(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_r7b_ppm_outputs_bounded(spark):
+    """Property sweep on the real corpus: every ppm this batch emits is
+    inside [0, 1e6] (novelty, TV, silhouette — ratios by construction)."""
+    from tf_prisma_api_data_ingestion_spark.catalog import (
+        q_sim_silhouette,
+        q_text_corpus_tv,
+        q_text_novelty,
+    )
+    for q, col in ((q_text_novelty, "novel_ppm"),
+                   (q_text_corpus_tv, "tv_ppm"),
+                   (q_sim_silhouette, "mean_sil_ppm")):
+        vals = [r[col] for r in q(spark, SF).collect()]
+        assert vals and all(0 <= v <= 1000000 for v in vals), q.__name__
+
+
+def test_semdedup_keeps_at_least_one_per_cluster(spark):
+    """The keep-lowest-id rule can never empty a cluster: its minimum id
+    has no lower-id neighbor."""
+    from tf_prisma_api_data_ingestion_spark.catalog import q_sim_semdedup
+    rows = q_sim_semdedup(spark, SF).collect()
+    clusters = {r["cluster"] for r in rows}
+    kept_clusters = {r["cluster"] for r in rows if r["kept"]}
+    assert clusters == kept_clusters
+
+
+# ---------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_hand_built(spark):
+    """3-row class + 1-row class at k=2: one violating class, one
+    violating row, min_l from the constant-sensitive class."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        k_anonymity_audit,
+    )
+    d = spark.createDataFrame(
+        [("a", "x", 10.0), ("a", "x", 20.0), ("a", "x", 20.0),
+         ("b", "y", 30.0)],
+        "q1 string, q2 string, s double")
+    row = k_anonymity_audit(d, ["q1", "q2"], k=2,
+                            sensitive_col="s").collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_classes"] == 2
+    assert row["min_class_size"] == 1
+    assert row["n_violating_classes"] == 1
+    assert row["n_violating_rows"] == 1
+    assert row["min_l"] == 1    # class b/y has one distinct s
+
+
+def test_k_anonymity_without_sensitive_col(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        k_anonymity_audit,
+    )
+    d = spark.createDataFrame([("a", 1.0)] * 5, "q string, s double")
+    row = k_anonymity_audit(d, ["q"], k=5).collect()[0]
+    assert row["n_violating_classes"] == 0
+    assert "min_l" not in row.asDict()

@@ -8191,6 +8191,35 @@ FROM base LEFT JOIN exd USING (source, lang)
 """
 
 
+def q_op_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit of the customer table under the
+    (nation, market segment) quasi-identifier pair with account balance
+    as the sensitive attribute (operators/stats.k_anonymity_audit) —
+    the privacy release gate; one map-side-combinable aggregation."""
+    from .operators.stats import k_anonymity_audit
+    return k_anonymity_audit(_t(spark, sf_dir, "customer"),
+                             ["c_nationkey", "c_mktsegment"], k=5,
+                             sensitive_col="c_acctbal")
+
+
+SQL_OP_K_ANONYMITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+         COUNT(DISTINCT c_acctbal) AS l
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM cls
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -8448,6 +8477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-curation-report": q_plan_curation_report,
     "text-corpus-tv": q_text_corpus_tv,
     "plan-semdedup-clean": q_plan_semdedup_clean,
+    "op-k-anonymity": q_op_k_anonymity,
 }
 
 
@@ -8706,6 +8736,7 @@ ORACLES: dict[str, str] = {
     "plan-curation-report": _sql_curation_report(),
     "text-corpus-tv": SQL_TEXT_CORPUS_TV,
     "plan-semdedup-clean": _sql_semdedup_clean(),
+    "op-k-anonymity": SQL_OP_K_ANONYMITY,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

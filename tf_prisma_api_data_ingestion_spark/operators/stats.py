@@ -393,3 +393,44 @@ def grouped_linreg2(df: DataFrame, group_col: str, x1_int: Column,
         F.round(b0, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: Sequence[str],
+                      k: int = 5,
+                      sensitive_col: str | None = None) -> DataFrame:
+    """k-anonymity (and optional l-diversity) audit over a set of
+    quasi-identifier columns — the privacy gate run before a tabular
+    extract joins a training corpus: every equivalence class (unique
+    quasi-identifier combination) should contain at least k rows, or the
+    rows in it are re-identifiable by joining public attributes. With
+    ``sensitive_col``, also reports the worst-class l-diversity (min
+    distinct sensitive values per class): a k-anonymous class whose
+    sensitive value is constant still leaks it.
+
+    Returns ONE row: (k, n_rows, n_classes, min_class_size,
+    n_violating_classes, n_violating_rows[, min_l]) — the summary a
+    release checklist consumes; the violating classes themselves are
+    recoverable by re-grouping with HAVING count < k.
+
+    Scale shape: one hash aggregation on the quasi-identifier tuple
+    (map-side combinable; class count is the output cardinality) and a
+    1-row reduce over it. l-diversity adds a distinct-count inside the
+    same first aggregation — no extra pass. Entirely exact integers.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("_l"))
+    cls = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out = [
+        F.lit(k).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+         .cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+         .cast("long").alias("n_violating_rows"),
+    ]
+    if sensitive_col is not None:
+        out.append(F.min("_l").cast("long").alias("min_l"))
+    return cls.agg(*out)
