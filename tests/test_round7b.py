@@ -433,3 +433,30 @@ def test_k_anonymity_without_sensitive_col(spark):
     row = k_anonymity_audit(d, ["q"], k=5).collect()[0]
     assert row["n_violating_classes"] == 0
     assert "min_l" not in row.asDict()
+
+
+# ------------------------------------------------- streaming quality gate
+
+def test_stream_quality_gate_matches_batch(spark):
+    """The streaming drain's per-source tallies equal the batch gopher
+    pass computed on the same files — the stream adds delivery, not
+    different math."""
+    from pyspark.sql import functions as F2
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        gopher_rules,
+    )
+    from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+        streaming_quality_gate,
+    )
+    got = {r["source"]: (r["n_docs"], r["n_pass"]) for r in
+           streaming_quality_gate(
+               spark, SF, query_name="t_quality_gate").collect()}
+    batch = (gopher_rules(tables.load(spark, SF, "documents"),
+                          keep=("source",))
+             .groupBy("source")
+             .agg(F2.count(F2.lit(1)).alias("n"),
+                  F2.sum(F2.when(F2.col("pass_gopher"), 1)
+                          .otherwise(0)).alias("p")))
+    want = {r["source"]: (r["n"], r["p"]) for r in batch.collect()}
+    assert got == want

@@ -8220,6 +8220,28 @@ FROM cls
 """
 
 
+def q_stream_quality_gate(spark, sf_dir):
+    """Streaming corpus-intake gate (streaming/windows.py
+    streaming_quality_gate): Gopher rule battery as a stateless
+    in-stream projection, per-source admission tally in complete mode,
+    availableNow drain — state bounded by |sources|, never by volume.
+    The oracle is the batch twin of the same gates."""
+    from .streaming.windows import streaming_quality_gate
+    return streaming_quality_gate(spark, sf_dir)
+
+
+def _sql_stream_quality_gate() -> str:
+    return f"""
+WITH goph AS (
+  SELECT g.doc_id, g.pass_gopher, d.source
+  FROM ({_sql_gopher()}) g JOIN documents d USING (doc_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass
+FROM goph GROUP BY source
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -8478,6 +8500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-corpus-tv": q_text_corpus_tv,
     "plan-semdedup-clean": q_plan_semdedup_clean,
     "op-k-anonymity": q_op_k_anonymity,
+    "stream-quality-gate": q_stream_quality_gate,
 }
 
 
@@ -8737,6 +8760,7 @@ ORACLES: dict[str, str] = {
     "text-corpus-tv": SQL_TEXT_CORPUS_TV,
     "plan-semdedup-clean": _sql_semdedup_clean(),
     "op-k-anonymity": SQL_OP_K_ANONYMITY,
+    "stream-quality-gate": _sql_stream_quality_gate(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

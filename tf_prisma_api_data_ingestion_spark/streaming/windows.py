@@ -755,3 +755,42 @@ def streaming_drift(spark: SparkSession, sf_dir: str,
     return (j.selectExpr("window_start", "bin", "n_bin",
                          f"{term} AS chi2_term_r")
              .orderBy("window_start", "bin"))
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str,
+                           query_name: str = "stream_quality_gate",
+                           state_partitions: int = DEFAULT_STATE_PARTITIONS) -> DataFrame:
+    """Streaming corpus-intake gate: documents arrive as files, the
+    Gopher rule battery evaluates as a STATELESS per-row projection
+    inside the micro-batch (rule gates have no cross-row state — the
+    same property that makes them the cheapest batch pass makes them
+    free in a stream), and a running per-source admission tally
+    aggregates in complete mode. This is the live version of the
+    curation funnel's first stage: a crawler drops files into a
+    landing prefix and the gate's pass-rate per source updates as they
+    land — a source whose pass-rate collapses mid-crawl is detected
+    while the crawl is still running, not at the next batch rebuild.
+
+    State is bounded by |sources| (the aggregation key), not by
+    document volume — the watermark-free complete-mode agg is safe
+    here for exactly that reason. Drained with availableNow into a
+    memory sink and returned as a finished frame, like every streaming
+    twin in this module. Returns (source, n_docs, n_pass).
+    """
+    from ..operators.text import gopher_rules
+
+    schema = (spark.read.option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir).schema)
+    docs = (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+    agg = (gopher_rules(docs, keep=("source",))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+                 .cast("long").alias("n_pass")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(query_name).select("source", "n_docs", "n_pass")
