@@ -110,9 +110,10 @@ SCALING_SF01 = {
     # r6c batch (v2 re-measurement)
     "text-lm-likelihood": 1.58, "plan-feature-store": 1.33,
     "plan-rag-context": 2.26,
-    # r7b batch (v2 from first measurement; semdedup is the post-
-    # norm-hoist wall — the flagged 11.2s run predated that fix)
-    "text-dsir-score": 1.36, "sim-semdedup": 5.50,
+    # r7b batch (v2; semdedup is the Arrow-matmul pair stage +
+    # vectorized assignment — the 11.2s flagged run was the original
+    # per-pair DECIMAL formulation, see SCALING's r7b note)
+    "text-dsir-score": 1.36, "sim-semdedup": 1.24,
 }
 
 

@@ -30,41 +30,51 @@ from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
 OUT = "/tmp/embx10"
+OUT_SC = "/tmp/embx10sc"   # --scaled-clusters: labels offset per copy
 SRC = "/root/testdata/sf0.1"
 
 
-def build() -> None:
-    os.makedirs(OUT, exist_ok=True)
+def build(out: str = OUT, scale_clusters: bool = False) -> None:
+    os.makedirs(out, exist_ok=True)
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
     ids = t["vec_id"].to_numpy()
     labels = t["label"].to_numpy()
     n = len(ids)
     parts = []
+    n_labels = int(labels.max()) + 1
     for i in range(10):
+        lab = labels + i * n_labels if scale_clusters else labels
         parts.append(pa.table({
             "vec_id": pa.array(ids + i * n, type=t.schema.field("vec_id").type),
             "embedding": pa.array(
                 np.roll(vecs, 7 * i, axis=1).tolist(),
                 type=t.schema.field("embedding").type),
-            "label": pa.array(labels, type=t.schema.field("label").type),
+            "label": pa.array(lab, type=t.schema.field("label").type),
         }))
-    pq.write_table(pa.concat_tables(parts), f"{OUT}/embeddings.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
     # the two keys only read embeddings; link the rest verbatim
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents"):
-        dst = f"{OUT}/{name}.parquet"
+        dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
 
 
 def main() -> None:
-    if not os.path.exists(f"{OUT}/embeddings.parquet"):
-        build()
+    # --scaled-clusters: the PRODUCTION regime — the quantizer's cluster
+    # count scales with the corpus (each copy keeps its own 10 labels),
+    # so cluster SIZE stays fixed and sum(|cluster|^2) grows linearly.
+    # The default (fixed cluster count) is the hostile regime the main
+    # table documents. Measuring both proves the documented dial.
+    scaled = "--scaled-clusters" in sys.argv
+    out, tag = (OUT_SC, "embx10sc") if scaled else (OUT, "embx10")
+    if not os.path.exists(f"{out}/embeddings.parquet"):
+        build(out, scale_clusters=scaled)
     spark = get_spark("r7bemb")
     for key in ("sim-semdedup", "sim-silhouette"):
         fn = QUERIES[key]
-        for label, d in (("sf0.1", SRC), ("embx10", OUT)):
+        for label, d in (("sf0.1", SRC), (tag, out)):
             materialize(fn(spark, "/root/testdata/sf0.001"))
             cache.release_all(blocking=True)
             best = float("inf")

