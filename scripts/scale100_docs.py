@@ -74,6 +74,7 @@ def main() -> None:
     label = "sf1 s" if base == SF1EQ else "sf0.1 s"
 
     from tf_prisma_api_data_ingestion_spark import cache, tables
+    from tf_prisma_api_data_ingestion_spark.actions import materialize
     from tf_prisma_api_data_ingestion_spark.catalog import (
         QUERIES,
         THROUGHPUT_QUERIES,
@@ -96,14 +97,14 @@ def main() -> None:
     def timed(name: str, sf: str) -> float:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
         try:
-            fn(spark, WARM).count()
+            materialize(fn(spark, WARM))
         except Exception as ex:  # noqa: BLE001
             print(f"# warmup failed for {name}: {ex}", file=sys.stderr)
         cache.release_all(blocking=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf).count()
+            materialize(fn(spark, sf))
             best = min(best, time.time() - t0)
             cache.release_all(blocking=True)
             _reclaim()
