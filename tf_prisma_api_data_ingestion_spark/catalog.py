@@ -7926,14 +7926,17 @@ FROM sc
 # exact HUGEINT squared distances, deterministic argmin (lowest cluster
 # id on ties) — the DuckDB twin of similarity.assign_nearest_centroid.
 # ``src`` may be an earlier CTE of (vec_id, embedding, label) — the
-# semdedup-clean composite quantizes only the survivor subset.
-def _sql_nearest_assign(src: str = "embeddings") -> str:
+# semdedup-clean composite quantizes only the survivor subset;
+# ``fit_src`` fits the centroids on a different frame than the one
+# being assigned (the incremental path's frozen quantizer).
+def _sql_nearest_assign(src: str = "embeddings",
+                        fit_src: str | None = None) -> str:
     return f"""
 ex AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
               AS HUGEINT) AS xm
-  FROM {src}),
+  FROM {fit_src or src}),
 cen AS (
   SELECT label AS cluster, dim,
          CAST(CASE WHEN SUM(xm) >= 0
@@ -8220,6 +8223,47 @@ FROM cls
 """
 
 
+def q_sim_semdedup_incr(spark, sf_dir):
+    """Incremental SemDeDup (operators/similarity.semdedup_incremental):
+    admit the vec_id%5==0 batch against the rest as the existing index
+    — quantizer frozen on the index, existing wins all ties, exact
+    integer thresholds; the per-increment twin of the sim-semdedup
+    rebuild."""
+    from .operators.similarity import semdedup_incremental
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup_incremental(e.filter(F.col("vec_id") % 5 != 0),
+                                e.filter(F.col("vec_id") % 5 == 0),
+                                17, 20)
+
+
+def _sql_semdedup_incr() -> str:
+    return f"""
+WITH ex_src AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+{_sql_nearest_assign(src="embeddings", fit_src="ex_src")},
+n2 AS (SELECT vec_id, SUM(xm * xm) AS n2 FROM vq GROUP BY 1),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND b.vec_id % 5 = 0
+   AND (a.vec_id % 5 <> 0 OR a.vec_id < b.vec_id)
+   AND a.vec_id <> b.vec_id),
+dots AS (
+  SELECT p.va, p.vb, SUM(x.xm * y.xm) AS dot
+  FROM pairs p JOIN vq x ON x.vec_id = p.va
+               JOIN vq y ON y.vec_id = p.vb AND y.dim = x.dim
+  GROUP BY 1, 2),
+dup AS (
+  SELECT DISTINCT d.vb AS vec_id
+  FROM dots d JOIN n2 na ON na.vec_id = d.va
+              JOIN n2 nb ON nb.vec_id = d.vb
+  WHERE na.n2 > 0 AND nb.n2 > 0 AND d.dot >= 0
+    AND d.dot * d.dot * 400 >= na.n2 * nb.n2 * 289)
+SELECT a.vec_id, a.cluster, (dup.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+WHERE a.vec_id % 5 = 0
+"""
+
+
 def q_stream_quality_gate(spark, sf_dir):
     """Streaming corpus-intake gate (streaming/windows.py
     streaming_quality_gate): Gopher rule battery as a stateless
@@ -8501,6 +8545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-semdedup-clean": q_plan_semdedup_clean,
     "op-k-anonymity": q_op_k_anonymity,
     "stream-quality-gate": q_stream_quality_gate,
+    "sim-semdedup-incr": q_sim_semdedup_incr,
 }
 
 
@@ -8761,6 +8806,7 @@ ORACLES: dict[str, str] = {
     "plan-semdedup-clean": _sql_semdedup_clean(),
     "op-k-anonymity": SQL_OP_K_ANONYMITY,
     "stream-quality-gate": _sql_stream_quality_gate(),
+    "sim-semdedup-incr": _sql_semdedup_incr(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

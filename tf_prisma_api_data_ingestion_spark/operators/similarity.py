@@ -660,7 +660,7 @@ def _centroid_d2(embeddings: DataFrame, label_col: str,
 
 
 def _assign_pandas(embeddings: DataFrame, label_col: str, id_col: str,
-                   vec_col: str) -> DataFrame:
+                   vec_col: str, fit_on: DataFrame | None = None) -> DataFrame:
     """(vec_id, cluster, a2, b2): nearest-centroid assignment plus the
     second-nearest distance, via ONE driver collect of the centroid
     matrix (K x dim rows — bounded by the QUANTIZER size, never the
@@ -672,11 +672,14 @@ def _assign_pandas(embeddings: DataFrame, label_col: str, id_col: str,
     argmin takes the first minimum, so the lowest cluster id wins exact
     ties (identical to min(struct(d2, cluster))); when two clusters tie
     at the minimum, b2 == a2 by the same partition rule the n x K
-    formulation produces.
+    formulation produces. ``fit_on`` fits the centroids on a DIFFERENT
+    frame than the one being assigned (the incremental path freezes the
+    quantizer on the existing index and assigns only the new batch).
     """
     import numpy as np
 
-    cen_rows = (embed_centroids(embeddings, label_col, vec_col)
+    cen_rows = (embed_centroids(fit_on if fit_on is not None
+                                else embeddings, label_col, vec_col)
                 .select("label", "dim", "mean_micro")
                 .orderBy("label", "dim").collect())
     if not cen_rows:   # empty input: empty output, stable schema
@@ -956,3 +959,80 @@ def cluster_silhouette(embeddings: DataFrame, label_col: str = "label",
                            F.expr("CAST((2 * _S + n) DIV "
                                   "CAST(2 * n AS DECIMAL(38,0)) AS BIGINT)")
                             .alias("mean_sil_ppm")))
+
+
+def semdedup_incremental(existing: DataFrame, new: DataFrame,
+                         tau_num: int = 17, tau_den: int = 20,
+                         label_col: str = "label", id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Incremental SemDeDup: admit a NEW embedding batch against an
+    existing index without re-deduplicating the index — the shape every
+    continuously-growing corpus actually runs (the full semdedup() is
+    the per-release rebuild; this is the per-increment path, the
+    embedding twin of dedup.incremental_dedup).
+
+    Contract: the quantizer is FROZEN on the existing index (centroids
+    fit on ``existing`` only — re-fitting per increment would silently
+    shift every prior assignment); both sides are assigned under it; a
+    new vector is dropped iff cos >= tau against ANY existing vector in
+    its cluster, or against a LOWER-ID new vector in its cluster (the
+    same keep-lowest-id greedy as the rebuild, with the existing index
+    winning all ties by seniority). Existing vectors are never dropped.
+    Same exact integer arithmetic as semdedup — bit-identical to what a
+    rebuild would decide about the new ids given the same clusters.
+
+    Scale shape: per-cluster Arrow groups like the rebuild, but the
+    gram matrix is only (existing_m + new_m) x dim per cluster and the
+    candidate mask touches only columns that are NEW — increments are
+    small, so per-group cost is ~|cluster| x |new-in-cluster| x dim.
+    Returns (vec_id, cluster, kept) for the NEW batch only.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    asg_ex = _assign_pandas(existing, label_col, id_col, vec_col) \
+        .select("vec_id", "cluster").withColumn("is_new", F.lit(False))
+    asg_new = _assign_pandas(new, label_col, id_col, vec_col,
+                             fit_on=existing) \
+        .select("vec_id", "cluster").withColumn("is_new", F.lit(True))
+    asg = tracked_persist(asg_ex.unionByName(asg_new))
+    vq = existing.unionByName(new).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1000000.0)
+                               .cast("long")).alias("v"))
+    sides = asg.join(vq, "vec_id")
+
+    def f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+        # order: existing (by id), then new (by id) — "earlier in this
+        # order" IS the drop rule's quantifier
+        pdf = pdf.sort_values(["is_new", "vec_id"]).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        is_new = pdf["is_new"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.int64)
+        d = x @ x.T
+        n2 = np.einsum("ij,ij->i", x, x)
+        lhs = d.astype(np.float64) ** 2 * float(tau_den * tau_den)
+        rhs = (np.outer(n2, n2).astype(np.float64)
+               * float(tau_num * tau_num))
+        cand = np.triu((d >= 0) & (lhs >= rhs * (1.0 - 1e-9)), k=1)
+        cand[:, ~is_new] = False   # only NEW columns can be dropped
+        nn, dd = tau_num * tau_num, tau_den * tau_den
+        out = set()
+        for i, j in zip(*np.nonzero(cand)):
+            if int(ids[j]) in out:
+                continue
+            dv, a2, b2 = int(d[i, j]), int(n2[i]), int(n2[j])
+            if a2 > 0 and b2 > 0 and dv >= 0 and dv * dv * dd >= a2 * b2 * nn:
+                out.add(int(ids[j]))
+        return pd.DataFrame(
+            {"vec_id": pd.Series(sorted(out), dtype="int64")})
+
+    dup = (sides.select("cluster", "vec_id", "v", "is_new")
+                .groupBy("cluster").applyInPandas(f, "vec_id long")
+                .distinct())
+    return (asg.filter(F.col("is_new"))
+               .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
+               .select("vec_id", "cluster",
+                       F.col("_d").isNull().alias("kept")))
