@@ -556,3 +556,107 @@ def test_semdedup_incremental_agrees_with_rebuild_on_new_ids(spark):
     rows = out.collect()
     assert len(rows) == e.filter(F2.col("vec_id") % 5 == 0).count()
     assert all(r["kept"] in (True, False) for r in rows)
+
+
+# ------------------------------------------- hypothesis property sweeps
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6),
+       st.lists(_DOC, min_size=1, max_size=6))
+def test_novelty_matches_python_sets(spark, probe_texts, ref_texts):
+    """novel_ppm == round_half_up(1e6 * |probe \\ ref| / |probe|) over
+    python-set 2-gram ground truth (independent reimplementation)."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        ngram_novelty,
+    )
+
+    def grams(text):
+        t = text.split()
+        if len(t) < 2:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + 2]) for i in range(len(t) - 1)}
+
+    ref_set = set().union(*(grams(t) for t in ref_texts))
+    probe = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(probe_texts)],
+        "doc_id long, text string, lang string")
+    ref = spark.createDataFrame(
+        [(100 + i, t, "en") for i, t in enumerate(ref_texts)],
+        "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["n_grams"], r["novel_ppm"]) for r in
+           ngram_novelty(probe, ref, n=2).collect()}
+    for i, t in enumerate(probe_texts):
+        g = grams(t)
+        novel = len(g - ref_set)
+        want = (2 * novel * 1000000 + len(g)) // (2 * len(g))
+        assert got[i] == (len(g), want), t
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2", "s3"]), _DOC),
+                min_size=2, max_size=10).filter(
+                    lambda rows: len({g for g, _ in rows}) >= 2))
+def test_corpus_tv_matches_fractions(spark, rows):
+    """tv_ppm == round_half_up(1e6 * TV) against an exact-Fraction
+    python reimplementation over raw tokens (buckets=4096 is far above
+    the 6-word vocabulary, so hashing is injective here w.h.p. — any
+    collision would surface as a mismatch and be a real finding)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        corpus_tv_distance,
+    )
+    d = spark.createDataFrame(
+        [(i, t, g) for i, (g, t) in enumerate(rows)],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r["tv_ppm"] for r in
+           corpus_tv_distance(d, "source").collect()}
+    corpus = Counter(w for _, t in rows for w in t.split())
+    n = sum(corpus.values())
+    by_src: dict[str, Counter] = {}
+    for g, t in rows:
+        by_src.setdefault(g, Counter()).update(t.split())
+    for g, cnt in by_src.items():
+        ns = sum(cnt.values())
+        tv = Fraction(1, 2) * sum(
+            abs(Fraction(cnt.get(w, 0), ns) - Fraction(c, n))
+            for w, c in corpus.items())
+        want = (2 * tv.numerator * 1000000 + tv.denominator) \
+            // (2 * tv.denominator)
+        assert got[g] == want, (g, tv)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2),
+                          st.integers(0, 5)),
+                min_size=1, max_size=25), st.integers(2, 5))
+def test_k_anonymity_matches_python(spark, rows, k):
+    from collections import Counter
+
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        k_anonymity_audit,
+    )
+    d = spark.createDataFrame(
+        [(q1, q2, float(s)) for q1, q2, s in rows],
+        "q1 int, q2 int, s double")
+    got = k_anonymity_audit(d, ["q1", "q2"], k=k,
+                            sensitive_col="s").collect()[0]
+    classes = Counter((q1, q2) for q1, q2, _ in rows)
+    lvals = {}
+    for q1, q2, s in rows:
+        lvals.setdefault((q1, q2), set()).add(s)
+    assert got["n_rows"] == len(rows)
+    assert got["n_classes"] == len(classes)
+    assert got["min_class_size"] == min(classes.values())
+    assert got["n_violating_classes"] == sum(
+        1 for c in classes.values() if c < k)
+    assert got["n_violating_rows"] == sum(
+        c for c in classes.values() if c < k)
+    assert got["min_l"] == min(len(v) for v in lvals.values())
