@@ -660,3 +660,61 @@ def test_k_anonymity_matches_python(spark, rows, k):
     assert got["n_violating_rows"] == sum(
         c for c in classes.values() if c < k)
     assert got["min_l"] == min(len(v) for v in lvals.values())
+
+
+# ------------------------------------------------------------ wma / corr
+
+def test_wma_hand_values(spark):
+    """k=4 taps, weights 8/4/2/1 newest-first; the head rows divide by
+    the weights actually present."""
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        weighted_moving_average,
+    )
+    rows = [("a", i, float(v)) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0])]
+    d = spark.createDataFrame(rows, "k string, t int, value double")
+    out = {r["t"]: r["wma_micro"] for r in
+           weighted_moving_average(d, "k", ["t"], "value", k=4).collect()}
+    # t=0: 100c*8/8 = 100c -> 1_000_000 micro
+    assert out[0] == 1000000
+    # t=1: (200*8 + 100*4)/12 c = 2000/12 c -> round(166.66..c)*1e4
+    assert out[1] == (2 * 2000 * 10000 + 12) // (2 * 12)
+    # t=4 (full window): (500*8+400*4+300*2+200*1)/15 = 6400/15 c
+    assert out[4] == (2 * 6400 * 10000 + 15) // (2 * 15)
+
+
+def test_wma_negative_values_sign_aware(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.timeseries import (
+        weighted_moving_average,
+    )
+    d = spark.createDataFrame([("a", 0, -1.0)], "k string, t int, value double")
+    row = weighted_moving_average(d, "k", ["t"], "value", k=4).collect()[0]
+    assert row["wma_micro"] == -1000000
+
+
+def test_corr_matrix_known_relationships(spark):
+    """y = 2x correlates exactly 1; an orthogonal pattern near 0."""
+    import numpy as np
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        corr_matrix,
+    )
+    rng = np.random.default_rng(7)
+    xs = rng.integers(1, 100, 200)
+    zs = rng.integers(1, 100, 200)
+    rows = [(float(x), float(2 * x), float(z))
+            for x, z in zip(xs.tolist(), zs.tolist())]
+    d = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["corr6"]
+           for r in corr_matrix(d, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0
+    want = float(np.corrcoef(xs, zs)[0, 1])
+    assert abs(out[("x", "z")] - want) < 1e-5
+
+
+def test_corr_matrix_degenerate_null(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        corr_matrix,
+    )
+    d = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+                              "x double, y double")
+    row = corr_matrix(d, ["x", "y"]).collect()[0]
+    assert row["corr6"] is None

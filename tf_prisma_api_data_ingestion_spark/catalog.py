@@ -8286,6 +8286,93 @@ FROM goph GROUP BY source
 """
 
 
+def q_op_wma(spark, sf_dir):
+    """4-tap exponentially-weighted moving average of event values per
+    event type (operators/timeseries.weighted_moving_average): one
+    window scan of lag() taps, exact cents arithmetic, half-up micro
+    output — the finite-window EWMA smoother."""
+    from .operators.timeseries import weighted_moving_average
+    e = _t(spark, sf_dir, "events")
+    return weighted_moving_average(e, "event_type", ["ts", "event_id"],
+                                   "value", k=4)
+
+
+SQL_OP_WMA = """
+WITH t AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+l AS (
+  SELECT event_type, ts, event_id,
+         lag(c, 0) OVER w AS c0, lag(c, 1) OVER w AS c1,
+         lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3
+  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+s AS (
+  SELECT event_type, ts, event_id,
+         coalesce(c0, 0) * 8 + coalesce(c1, 0) * 4
+           + coalesce(c2, 0) * 2 + coalesce(c3, 0) AS n,
+         (CASE WHEN c0 IS NOT NULL THEN 8 ELSE 0 END
+          + CASE WHEN c1 IS NOT NULL THEN 4 ELSE 0 END
+          + CASE WHEN c2 IS NOT NULL THEN 2 ELSE 0 END
+          + CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS d
+  FROM l)
+SELECT event_type, ts, event_id,
+       CAST(CASE WHEN n >= 0 THEN (2 * n * 10000 + d) // (2 * d)
+            ELSE -((2 * -n * 10000 + d) // (2 * d)) END AS BIGINT)
+         AS wma_micro
+FROM s
+"""
+
+
+def q_op_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's quantity /
+    extended price / discount (operators/stats.corr_matrix): every
+    sufficient statistic an exact DECIMAL(38,0) cent sum in ONE scan,
+    a single IEEE sqrt at the edge, C(3,2) upper-triangle rows."""
+    from .operators.stats import corr_matrix
+    return corr_matrix(_t(spark, sf_dir, "lineitem"),
+                       ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+SQL_OP_CORR_MATRIX = """
+WITH c AS (
+  SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS a,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS b,
+         CAST(round(l_discount * 100) AS HUGEINT) AS d
+  FROM lineitem),
+g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(d) AS sd,
+         SUM(a * a) AS qa, SUM(b * b) AS qb, SUM(d * d) AS qd,
+         SUM(a * b) AS xab, SUM(a * d) AS xad, SUM(b * d) AS xbd
+  FROM c),
+p AS (
+  SELECT * FROM (VALUES
+    ('l_quantity', 'l_extendedprice', 1),
+    ('l_quantity', 'l_discount', 2),
+    ('l_extendedprice', 'l_discount', 3)) AS t(col_a, col_b, k))
+SELECT p.col_a, p.col_b, CAST(g.n AS BIGINT) AS n,
+       CASE p.k
+         WHEN 1 THEN CASE WHEN (g.n*g.qa - g.sa*g.sa) > 0
+                           AND (g.n*g.qb - g.sb*g.sb) > 0
+           THEN round(CAST(g.n*g.xab - g.sa*g.sb AS DOUBLE)
+                / sqrt(CAST(g.n*g.qa - g.sa*g.sa AS DOUBLE)
+                       * CAST(g.n*g.qb - g.sb*g.sb AS DOUBLE)), 6) END
+         WHEN 2 THEN CASE WHEN (g.n*g.qa - g.sa*g.sa) > 0
+                           AND (g.n*g.qd - g.sd*g.sd) > 0
+           THEN round(CAST(g.n*g.xad - g.sa*g.sd AS DOUBLE)
+                / sqrt(CAST(g.n*g.qa - g.sa*g.sa AS DOUBLE)
+                       * CAST(g.n*g.qd - g.sd*g.sd AS DOUBLE)), 6) END
+         ELSE CASE WHEN (g.n*g.qb - g.sb*g.sb) > 0
+                    AND (g.n*g.qd - g.sd*g.sd) > 0
+           THEN round(CAST(g.n*g.xbd - g.sb*g.sd AS DOUBLE)
+                / sqrt(CAST(g.n*g.qb - g.sb*g.sb AS DOUBLE)
+                       * CAST(g.n*g.qd - g.sd*g.sd AS DOUBLE)), 6) END
+       END AS corr6
+FROM p, g
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -8546,6 +8633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-k-anonymity": q_op_k_anonymity,
     "stream-quality-gate": q_stream_quality_gate,
     "sim-semdedup-incr": q_sim_semdedup_incr,
+    "op-wma": q_op_wma,
+    "op-corr-matrix": q_op_corr_matrix,
 }
 
 
@@ -8807,6 +8896,8 @@ ORACLES: dict[str, str] = {
     "op-k-anonymity": SQL_OP_K_ANONYMITY,
     "stream-quality-gate": _sql_stream_quality_gate(),
     "sim-semdedup-incr": _sql_semdedup_incr(),
+    "op-wma": SQL_OP_WMA,
+    "op-corr-matrix": SQL_OP_CORR_MATRIX,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -434,3 +434,47 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: Sequence[str],
     if sensitive_col is not None:
         out.append(F.min("_l").cast("long").alias("min_l"))
     return cls.agg(*out)
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations over 2-decimal numeric columns in
+    ONE aggregation pass — the column-profiling companion to
+    grouped_linreg (same exact-sufficient-stats policy: every Σx, Σx²,
+    Σxy accumulates integer cents in DECIMAL(38,0), so the statistics
+    are partition-order independent; the single sqrt at the edge is
+    IEEE-deterministic on identical integers in both engines, and the
+    result rounds to 6dp like linreg's r²). Degenerate pairs (either
+    variance <= 0) yield NULL, not a division blow-up.
+
+    Scale shape: one map-side-combinable global aggregate computing all
+    |cols| + C(|cols|, 2) sums in a single scan — never a pass per
+    pair; output is the upper triangle, C(|cols|, 2) rows via a literal
+    values frame. Returns (col_a, col_b, n, corr6).
+    """
+    cents = {c: _cents(F.col(c)).cast("decimal(38,0)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(cents[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(cents[c] * cents[c]).alias(f"_q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(cents[a] * cents[b]).alias(f"_x_{a}_{b}"))
+    g = df.agg(*aggs)
+    # one explode over the 1-row aggregate: a union-of-selects here
+    # would re-execute the whole scan once PER PAIR
+    entries = []
+    for a, b in pairs:
+        num = F.col("_n") * F.col(f"_x_{a}_{b}") \
+            - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+        va = F.col("_n") * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+        vb = F.col("_n") * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+        corr = F.when((va > 0) & (vb > 0),
+                      F.round(num.cast("double")
+                              / F.sqrt(va.cast("double") * vb.cast("double")),
+                              6))
+        entries.append(F.struct(F.lit(a).alias("col_a"),
+                                F.lit(b).alias("col_b"),
+                                corr.alias("corr6")))
+    return (g.select(F.col("_n").cast("long").alias("n"),
+                     F.explode(F.array(*entries)).alias("_e"))
+             .select("_e.col_a", "_e.col_b", "n", "_e.corr6"))

@@ -186,3 +186,43 @@ def seasonal_anomaly(events: DataFrame, ts_col: str = "ts",
                  .select("day", "hod", "n",
                          F.round("_mean", 6).alias("mean_r"),
                          F.round("_z", 6).alias("z_r")))
+
+
+def weighted_moving_average(df: DataFrame, key_col: str,
+                            order_cols: Sequence[str],
+                            value_col: str, k: int = 4) -> DataFrame:
+    """Per-key exponentially-weighted moving average over the last ``k``
+    observations (weights 2^(k-1)..2^0, newest heaviest) — the finite-
+    window form of EWMA smoothing. True recursive EWMA is inherently
+    sequential per key (each output depends on the previous output);
+    the k-tap form is the same smoother truncated where the geometric
+    weights vanish, and unlike the recursion it is ONE window scan of
+    lag() expressions — whole-stage codegen, state per key = k rows in
+    the window buffer, no Python, no per-key iteration.
+
+    Exactness: values quantize to cents once (round(v*100) — the
+    stats._cents contract), every tap is cents * 2^j in LONG, and the
+    variable-width head (rows with fewer than k predecessors) divides
+    by the sum of the weights ACTUALLY present, half-up sign-aware in
+    exact integer space, emitted at micro precision (x1e6). Returns
+    (key, order cols..., wma_micro).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    num = None
+    den = None
+    for j in range(k):
+        tap = F.lag(cents, j).over(w)
+        wt = 1 << (k - 1 - j)
+        t_num = F.coalesce(tap, F.lit(0)) * wt
+        t_den = F.when(tap.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    out_cols = [F.col(key_col), *[F.col(c) for c in order_cols]]
+    return (df.select(*out_cols, num.alias("_n"), den.alias("_d"))
+              .select(*out_cols,
+                      # half-up of (_n * 1e4) / _d, sign-aware, exact
+                      F.expr("CAST(CASE WHEN _n >= 0 "
+                             "THEN (2 * _n * 10000 + _d) DIV (2 * _d) "
+                             "ELSE -((2 * -_n * 10000 + _d) DIV (2 * _d)) "
+                             "END AS BIGINT)").alias("wma_micro")))
