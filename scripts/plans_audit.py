@@ -86,6 +86,20 @@ AUDIT = (
     ("text-lm-likelihood", "per-(doc,bigram) agg FIRST, then corpus tables derive from the smaller frame; vocab is a 1-row broadcast; scoring join keyed on the bigram"),
     ("plan-feature-store", "all feature frames broadcast back onto customers; lineitem joins the slim (orderkey->custkey) projection; column-pruned scans throughout"),
     ("plan-rag-context", "corpus explode pruned by the broadcast query vocabulary BEFORE the tf shuffle; pairwise Jaccard confined to the per-query top-2k shortlist"),
+    # round-7b data-selection/curation batch
+    ("text-gopher-rules", "pure per-row map over one scan — zero exchanges, zero joins (the cheapest full-corpus pass in the catalog)"),
+    ("text-dsir-score", "ONE (doc,bucket) aggregation of the bigram stream; bucket stats + totals in a SINGLE broadcast subtree (four separate subtrees raced Spark's concurrent broadcast futures into 8 redundant corpus scans)"),
+    ("text-novelty", "DISTINCT 60-bit gram hashes both sides before the compact-key hit join; no string comparisons past the hash"),
+    ("text-corpus-tv", "one token-stream aggregation; <=B-row bucket stats broadcast with the corpus total as a window over themselves; missing-bucket mass in closed form"),
+    ("sim-semdedup", "vectorized mapInPandas assignment against a driver-broadcast centroid matrix (no n x K row frame); pair stage is ONE exact int64 matmul per cluster Arrow group"),
+    ("sim-semdedup-incr", "frozen-quantizer assignment of existing+new; per-cluster gram masks only NEW columns as drop candidates"),
+    ("sim-silhouette", "per-vector (a2, b2) emitted straight from the assignment batch — argmin + partition in C, no n x |labels| frame, no window"),
+    ("plan-curation-report", "gopher flags computed IN the base projection (keep=...); the only corpus-sized shuffle is DSIR's own; report agg map-side-combinable"),
+    ("plan-semdedup-clean", "sequential funnel: flags in-projection, one-pass window exact dedup, SemDeDup semi-joined to survivors only"),
+    ("op-k-anonymity", "one hash aggregation on the quasi-identifier tuple + a 1-row reduce; l-diversity rides the same first aggregation"),
+    ("stream-quality-gate", "stateless per-row rule projection inside the micro-batch; complete-mode agg state bounded by |sources|"),
+    ("op-wma", "one lag-tap window scan per key — single hash exchange, exact cents"),
+    ("op-corr-matrix", "ALL pairwise sufficient statistics in one map-side-combinable global aggregate; explode over the 1-row result (a union-of-selects would rescan per pair)"),
 )
 
 
