@@ -31,10 +31,12 @@ from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
 OUT = "/tmp/embx10"
 OUT_SC = "/tmp/embx10sc"   # --scaled-clusters: labels offset per copy
+OUT_SC100 = "/tmp/embx100sc"  # --x100: 100 copies, scaled clusters
 SRC = "/root/testdata/sf0.1"
 
 
-def build(out: str = OUT, scale_clusters: bool = False) -> None:
+def build(out: str = OUT, scale_clusters: bool = False,
+          copies: int = 10) -> None:
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
@@ -43,7 +45,11 @@ def build(out: str = OUT, scale_clusters: bool = False) -> None:
     n = len(ids)
     parts = []
     n_labels = int(labels.max()) + 1
-    for i in range(10):
+    # NOTE: np.roll has only `dim` distinct rotations, so past 64 copies
+    # some copy PAIRS share geometry — harmless under scaled clusters:
+    # labels are copy-local, so cross-copy vectors never share a cluster
+    # and the per-cluster work is unaffected.
+    for i in range(copies):
         lab = labels + i * n_labels if scale_clusters else labels
         parts.append(pa.table({
             "vec_id": pa.array(ids + i * n, type=t.schema.field("vec_id").type),
@@ -69,8 +75,11 @@ def main() -> None:
     # table documents. Measuring both proves the documented dial.
     scaled = "--scaled-clusters" in sys.argv
     out, tag = (OUT_SC, "embx10sc") if scaled else (OUT, "embx10")
+    copies = 10
+    if "--x100" in sys.argv:   # 100x vectors, production cluster scaling
+        out, tag, scaled, copies = OUT_SC100, "embx100sc", True, 100
     if not os.path.exists(f"{out}/embeddings.parquet"):
-        build(out, scale_clusters=scaled)
+        build(out, scale_clusters=scaled, copies=copies)
     spark = get_spark("r7bemb")
     for key in ("sim-semdedup", "sim-silhouette"):
         fn = QUERIES[key]
