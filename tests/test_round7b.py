@@ -718,3 +718,35 @@ def test_corr_matrix_degenerate_null(spark):
                               "x double, y double")
     row = corr_matrix(d, ["x", "y"]).collect()[0]
     assert row["corr6"] is None
+
+
+# ----------------------------------------------------------- kmeans step
+
+def test_kmeans_step_pulls_centroid_to_members(spark):
+    """A mislabeled point near cluster 0 is re-assigned there; the
+    recomputed centroid is the exact mean of the ASSIGNED members and
+    the abandoned cluster keeps its true members only."""
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        kmeans_step,
+    )
+    d = _emb(spark, [(1, [1.0, 0.0], 0), (2, [0.8, 0.0], 0),
+                     (3, [-1.0, 0.0], 1), (4, [-0.8, 0.0], 1),
+                     (5, [0.9, 0.0], 1)])   # mislabeled, sits in 0
+    out = {(r["cluster"], r["dim"]): r for r in kmeans_step(d).collect()}
+    # cluster 0 absorbs 5: n=3, mean dim0 = (1.0+0.8+0.9)/3 = 0.9
+    assert out[(0, 0)]["n"] == 3
+    assert out[(0, 0)]["mean_micro"] == 900000
+    # cluster 1 keeps its two true members: mean = -0.9
+    assert out[(1, 0)]["n"] == 2
+    assert out[(1, 0)]["mean_micro"] == -900000
+
+
+def test_kmeans_step_total_membership_preserved(spark):
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        kmeans_step,
+    )
+    e = tables.load(spark, SF, "embeddings")
+    out = kmeans_step(e)
+    dim0 = out.filter(F.col("dim") == 0).collect()
+    assert sum(r["n"] for r in dim0) == e.count()

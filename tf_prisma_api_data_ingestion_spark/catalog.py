@@ -8264,6 +8264,40 @@ WHERE a.vec_id % 5 = 0
 """
 
 
+def q_sim_kmeans_step(spark, sf_dir):
+    """One exact-integer Lloyd iteration over the embeddings table
+    (operators/similarity.kmeans_step): vectorized assignment to the
+    per-label centroids, then per-ASSIGNED-cluster centroid recompute —
+    the trainable-quantizer step behind SemDeDup/IVF, oracle-replayed
+    assign + regroup end to end."""
+    from .operators.similarity import kmeans_step
+    return kmeans_step(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_kmeans_step() -> str:
+    return f"""
+WITH {_sql_nearest_assign()},
+rl AS (
+  SELECT asg.cluster AS k, e.embedding
+  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id),
+ex2 AS (
+  SELECT k, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS xm
+  FROM rl),
+a AS (
+  SELECT k, dim, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(xm) AS s, SUM(xm * xm) AS ss
+  FROM ex2 GROUP BY k, dim)
+SELECT k AS cluster, CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((2 * -s + n) // (2 * n)) END AS BIGINT)
+         AS mean_micro,
+       CAST((n * ss - s * s) // (n * n) AS BIGINT) AS var_micro2
+FROM a
+"""
+
+
 def q_stream_quality_gate(spark, sf_dir):
     """Streaming corpus-intake gate (streaming/windows.py
     streaming_quality_gate): Gopher rule battery as a stateless
@@ -8635,6 +8669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-semdedup-incr": q_sim_semdedup_incr,
     "op-wma": q_op_wma,
     "op-corr-matrix": q_op_corr_matrix,
+    "sim-kmeans-step": q_sim_kmeans_step,
 }
 
 
@@ -8898,6 +8933,7 @@ ORACLES: dict[str, str] = {
     "sim-semdedup-incr": _sql_semdedup_incr(),
     "op-wma": SQL_OP_WMA,
     "op-corr-matrix": SQL_OP_CORR_MATRIX,
+    "sim-kmeans-step": _sql_kmeans_step(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

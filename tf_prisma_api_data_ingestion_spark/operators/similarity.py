@@ -1036,3 +1036,37 @@ def semdedup_incremental(existing: DataFrame, new: DataFrame,
                .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
                .select("vec_id", "cluster",
                        F.col("_d").isNull().alias("kept")))
+
+
+def kmeans_step(embeddings: DataFrame, label_col: str = "label",
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration in EXACT integer micro space: assign every
+    vector to its nearest current centroid (the per-label centroids —
+    or, on iteration i>1, the clusters this function emitted last
+    round), then recompute each ASSIGNED cluster's centroid. This makes
+    the coarse quantizer behind SemDeDup / IVF / silhouette trainable:
+    the driver loop re-invokes with the previous step's assignment as
+    the label column — the bounded-iteration external-loop idiom every
+    iterative kernel in this repo uses (PageRank, BFS, CC), and the
+    same centroids-on-the-driver shape as Spark MLlib's KMeans.
+
+    Exactness: assignment is the parity-tested engine above; the
+    recomputed means are half-up integer micros over DECIMAL(38,0)
+    sums (the embed_centroids contract), so a step is bit-reproducible
+    and the DuckDB oracle replays assign + regroup end to end. Clusters
+    that lose every member simply emit no rows (the standard empty-
+    cluster outcome; production re-seeds them).
+
+    Scale shape: one vectorized assignment pass (no n x K frame) + one
+    map-side-combinable (cluster, dim) aggregation — two corpus passes
+    per iteration, |clusters| x dim output. Returns
+    (cluster, dim, n, mean_micro, var_micro2).
+    """
+    asg = (assign_nearest_centroid(embeddings, label_col, id_col, vec_col)
+           .select(F.col("vec_id").alias(id_col), "cluster"))
+    re_labeled = (embeddings.join(asg, id_col)
+                  .select(F.col("cluster").alias("_k"), F.col(vec_col)))
+    out = embed_centroids(re_labeled, "_k", vec_col)
+    return out.select(F.col("label").alias("cluster"), "dim", "n",
+                      "mean_micro", "var_micro2")
