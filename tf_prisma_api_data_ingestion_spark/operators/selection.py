@@ -113,8 +113,15 @@ def dsir_importance(docs: DataFrame, target_ids: DataFrame,
     scored = dm.join(F.broadcast(stats), "g")
     return (scored.groupBy("doc_id")
                   .agg(F.sum("m").cast("long").alias("n_bigrams"),
-                       F.sum((F.col("m") * F.col("r"))
-                             .cast("decimal(38,0)")).alias("_S"))
+                       # m is cast to DECIMAL(38,0) BEFORE the multiply:
+                       # r is a LONG ppm ratio that scales with
+                       # (n_src+B)/(n_tgt+B) for source-rare buckets, so
+                       # the LONG product m*r can wrap int64 silently
+                       # (non-ANSI) at corpus scale while the DuckDB
+                       # twin is HUGEINT throughout
+                       F.sum(F.col("m").cast("decimal(38,0)")
+                             * F.col("r"))
+                        .cast("decimal(38,0)").alias("_S"))
                   .select("doc_id", "n_bigrams",
                           # half-up integer mean in exact space (r >= 0)
                           F.expr("CAST((2 * _S + n_bigrams) DIV "

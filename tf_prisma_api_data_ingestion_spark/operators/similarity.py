@@ -1070,3 +1070,40 @@ def kmeans_step(embeddings: DataFrame, label_col: str = "label",
     out = embed_centroids(re_labeled, "_k", vec_col)
     return out.select(F.col("label").alias("cluster"), "dim", "n",
                       "mean_micro", "var_micro2")
+
+
+def kmeans_train_assign(embeddings: DataFrame, iters: int = 2,
+                        label_col: str = "label", id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Fixed-N-iteration Lloyd TRAINING loop: the driver-looped
+    composition of kmeans_step's assign machinery that actually trains
+    the coarse quantizer behind SemDeDup / IVF (iteration i assigns to
+    the centroids of iteration i-1's clustering; iteration 0 seeds from
+    ``label_col``). Same external-bounded-loop idiom as PageRank / BFS
+    / connected components: a FIXED iteration count, each round
+    localCheckpointing only the (vec_id, cluster) assignment so lineage
+    stays flat while the vector frame itself is re-read (pruned parquet
+    scan) rather than checkpointed.
+
+    Exactness: every round is the parity-tested assignment engine over
+    half-up integer-micro centroids, so the whole trajectory — not just
+    one step — is bit-reproducible and the DuckDB oracle replays the
+    training unrolled round by round. Empty clusters vanish (standard
+    Lloyd outcome); ties go to the lowest cluster id.
+
+    Scale shape per iteration: one K x dim centroid aggregation + one
+    vectorized assignment pass — the MLlib KMeans cost model; the
+    driver holds only K x dim micros per round. Returns the FINAL
+    (vec_id, cluster) assignment; feed it to embed_centroids for the
+    trained centroids or relabel the corpus with it for SemDeDup.
+    """
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("_v"))
+    lbl = embeddings.select(F.col(id_col).alias("vec_id"),
+                            F.col(label_col).alias("_lbl"))
+    for _ in range(iters):
+        cur = base.join(lbl, "vec_id")
+        asg = assign_nearest_centroid(cur, "_lbl", "vec_id", "_v")
+        lbl = (asg.select("vec_id", F.col("cluster").alias("_lbl"))
+                  .localCheckpoint(eager=False))
+    return lbl.select("vec_id", F.col("_lbl").alias("cluster"))

@@ -451,6 +451,12 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     pair; output is the upper triangle, C(|cols|, 2) rows via a literal
     values frame. Returns (col_a, col_b, n, corr6).
     """
+    if len(cols) < 2:
+        # with < 2 columns there are zero pairs; the explode would be
+        # built over an empty NullType array and fail at analysis time
+        # with an opaque field-access error instead of this message
+        raise ValueError("corr_matrix needs >= 2 cols, got "
+                         f"{list(cols)!r}")
     cents = {c: _cents(F.col(c)).cast("decimal(38,0)") for c in cols}
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
     for c in cols:

@@ -445,7 +445,8 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  min_words: int = 50, max_words: int = 100000,
-                 keep: tuple[str, ...] = ()) -> DataFrame:
+                 keep: tuple[str, ...] = (),
+                 id_col: str = "doc_id") -> DataFrame:
     """Gopher/MassiveText rule battery (Rae et al. 2021 §A1.1) — the
     boolean quality gates run before any model-based filter: word count
     in [min_words, max_words], mean word length in [3, 10], symbol-to-
@@ -454,6 +455,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     stop-word hits. Returns one row per doc with each rule as its own
     boolean (the corpus diagnostic: WHICH gate rejects a source matters
     as much as the count) plus the composite pass_gopher.
+
+    Deliberate subset of the full §A1.1 battery: the paper's separate
+    per-line ellipsis test (<= 30% of lines ENDING in '...') is NOT
+    implemented as its own rule here — '...' occurrences are folded
+    into the document-level symbol-to-word ratio instead. Callers
+    citing the paper rule-for-rule should know r_symbol covers both
+    '#' and '...' mass but there is no r_ellipsis_lines column. The
+    paper's "required words" rule (the/be/to/of/and/that/have/with)
+    maps to the module-wide STOPWORDS list via r_stop.
 
     Every ratio test is cross-multiplied into exact integer form
     (3n <= L <= 10n, 10*sym <= n, 10*bul <= 9*lines, 5*alpha >= 4n) —
@@ -489,7 +499,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     r_alpha = (n > 0) & (5 * alpha >= 4 * n)
     r_stop = stop_hits >= 2
     return df.select(
-        "doc_id", n.cast("long").alias("n_words"),
+        F.col(id_col).alias(id_col), n.cast("long").alias("n_words"),
         r_words.alias("r_words"), r_mean_len.alias("r_mean_len"),
         r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
         r_alpha.alias("r_alpha"), r_stop.alias("r_stop"),

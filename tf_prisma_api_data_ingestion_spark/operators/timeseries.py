@@ -204,7 +204,11 @@ def weighted_moving_average(df: DataFrame, key_col: str,
     stats._cents contract), every tap is cents * 2^j in LONG, and the
     variable-width head (rows with fewer than k predecessors) divides
     by the sum of the weights ACTUALLY present, half-up sign-aware in
-    exact integer space, emitted at micro precision (x1e6). Returns
+    exact integer space, emitted at micro precision (x1e6). A row whose
+    value AND all k-1 predecessors are NULL has no weight mass at all
+    (_d = 0) and yields wma_micro = NULL — guarded explicitly, because
+    Spark's non-ANSI DIV returns NULL on /0 while DuckDB's // raises,
+    so an unguarded division diverges between engines. Returns
     (key, order cols..., wma_micro).
     """
     w = Window.partitionBy(key_col).orderBy(*order_cols)
@@ -221,8 +225,10 @@ def weighted_moving_average(df: DataFrame, key_col: str,
     out_cols = [F.col(key_col), *[F.col(c) for c in order_cols]]
     return (df.select(*out_cols, num.alias("_n"), den.alias("_d"))
               .select(*out_cols,
-                      # half-up of (_n * 1e4) / _d, sign-aware, exact
-                      F.expr("CAST(CASE WHEN _n >= 0 "
+                      # half-up of (_n * 1e4) / _d, sign-aware, exact;
+                      # _d = 0 (all taps NULL) => NULL, same in oracle
+                      F.expr("CAST(CASE WHEN _d = 0 THEN NULL "
+                             "WHEN _n >= 0 "
                              "THEN (2 * _n * 10000 + _d) DIV (2 * _d) "
                              "ELSE -((2 * -_n * 10000 + _d) DIV (2 * _d)) "
                              "END AS BIGINT)").alias("wma_micro")))

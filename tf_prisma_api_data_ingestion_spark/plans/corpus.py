@@ -333,3 +333,32 @@ def semdedup_clean(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     return (base.join(ex, ["source", "lang"], "left")
                 .join(fin, ["source", "lang"], "left")
                 .fillna({"n_exact": 0, "n_final": 0}))
+
+
+def kmeans_semdedup(embeddings: DataFrame, iters: int = 2,
+                    tau_num: int = 17, tau_den: int = 20) -> DataFrame:
+    """The full trained-quantizer SemDeDup story, end to end: TRAIN the
+    coarse quantizer with ``iters`` Lloyd rounds (seeded from the label
+    column), RELABEL the corpus with the trained assignment, then run
+    SemDeDup's within-cluster exact-cosine dedup against the TRAINED
+    clustering. Closes the loop the standalone keys leave open —
+    sim-kmeans-step verifies one training round and sim-semdedup
+    dedups against the raw labels; production dedups against a
+    converged quantizer, which tightens clusters and therefore catches
+    near-dups the seed labels split across clusters.
+
+    Scale shape: iters x (centroid agg + assignment pass) for training
+    (K x dim driver state per round), then SemDeDup's sum(|cluster|^2)
+    pair stage — nothing here exceeds the parts' own budgets; the only
+    new frame is the (vec_id, cluster) relabel join. Exact integer
+    throughout, so the oracle replays train + assign + dedup unrolled.
+    Returns (vec_id, cluster, kept).
+    """
+    from ..operators.similarity import kmeans_train_assign, semdedup
+
+    trained = kmeans_train_assign(embeddings, iters=iters)
+    relabeled = (embeddings.drop("label")
+                 .join(trained.select("vec_id",
+                                      F.col("cluster").alias("label")),
+                       "vec_id"))
+    return semdedup(relabeled, tau_num, tau_den)
