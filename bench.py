@@ -13,6 +13,19 @@ pre-v2 SCALING.md tables are internally consistent (pruning is
 scale-independent, so decade RATIOS were honest) but their absolute
 walls under-state agg-final queries. Timings exclude session startup
 and include one warm-up of the parquet footer reads.
+
+Host-variance note (r7 observed): the driver's recorded wall and a
+same-day builder run of this exact script differed by ~17% in AGGREGATE
+(91.86s vs 78.60s, both `flagged: []`, per-query ratios vs SCALING well
+under the 2x guard) — ambient load and JVM warmth, not code. Treat
+cross-run aggregate deltas under ~20% as host noise; the per-query
+`vs_scaling` ratios and the `flagged` list are the regression signal,
+not the total.
+
+Besides the two stdout JSON lines (detail first, tail-safe compact line
+last), every run rewrites bench_detail.json next to this file so the
+full per-query record survives even when the driver's tail capture
+truncates stdout.
 """
 
 from __future__ import annotations
@@ -214,6 +227,13 @@ def main() -> None:
         flagged = sorted(n for n, r in ratios.items() if r > 2.0)
         out["flagged"] = flagged
     print(json.dumps(out), flush=True)
+    # committed artifact: the full detail record, independent of any
+    # stdout truncation in the caller's capture
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
     # Compact headline LAST: the detailed line above is ~4 KB and a
     # truncating tail capture can cut its head off (BENCH_r06 recorded
     # "parsed": null for exactly that reason). This short final line

@@ -100,6 +100,8 @@ AUDIT = (
     ("stream-quality-gate", "stateless per-row rule projection inside the micro-batch; complete-mode agg state bounded by |sources|"),
     ("op-wma", "one lag-tap window scan per key — single hash exchange, exact cents"),
     ("op-corr-matrix", "ALL pairwise sufficient statistics in one map-side-combinable global aggregate; explode over the 1-row result (a union-of-selects would rescan per pair)"),
+    # r8
+    ("plan-kmeans-train", "2 Lloyd rounds (centroid agg + broadcast-centroid assignment each, labels localCheckpointed) feed SemDeDup; pair stage stays per-cluster Arrow matmul"),
 )
 
 

@@ -179,6 +179,29 @@ def test_corr_matrix_too_few_cols_raises(spark):
         corr_matrix(df, [])
 
 
+# ---------------------------------------- broadcast-verify prefix join
+
+def test_prefix_filter_broadcast_verify_is_exact(spark):
+    """verify_broadcast only changes the verify join's physical strategy
+    (broadcast map lookup instead of shuffling full shingle arrays per
+    candidate) — the pair set and jaccard_r values must be identical on
+    both the hashed and string shingle forms."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for hashed in (True, False):
+        base = sorted(
+            tuple(r) for r in prefix_filter_jaccard_pairs(
+                docs, n=3, t_num=1, t_den=5, hashed=hashed).collect())
+        bcast = sorted(
+            tuple(r) for r in prefix_filter_jaccard_pairs(
+                docs, n=3, t_num=1, t_den=5, hashed=hashed,
+                verify_broadcast=True).collect())
+        assert bcast == base and len(base) > 0
+
+
 # ----------------------------------------------------- gopher id_col
 
 def test_gopher_rules_id_col_param(spark):

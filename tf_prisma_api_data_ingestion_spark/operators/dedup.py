@@ -179,7 +179,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id", n: int = 3,
                                 t_num: int = 3, t_den: int = 5,
-                                hashed: bool = False) -> DataFrame:
+                                hashed: bool = False,
+                                verify_broadcast: bool = False) -> DataFrame:
     """Exact Jaccard pairs at threshold ``t_num/t_den`` via PREFIX
     FILTERING (Bayardo et al., WWW'07 / SSJoin): instead of indexing
     every shingle, each document indexes only its first
@@ -213,6 +214,24 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     r7 SSJoin size filter also applies in both forms: J >= t implies
     min(ma,mb) >= t*max(ma,mb), so cross-length candidates die in the
     prefix join itself (t_den*min >= t_num*max, pure integer).
+
+    ``verify_broadcast=True`` (r8) attacks where the wall ACTUALLY is at
+    the audit's top decade. Stage-timed at 500k docs: the candidate
+    self-join is 4s and its distinct 38s, but the VERIFY join was 447s
+    of a 488s truth side — at t = 1/5 the prefix is ~0.8|s| long, so
+    candidates outnumber true pairs ~3000:1 (76.6M candidates for
+    25,600 pairs) and a shuffle-join verify ships BOTH full shingle
+    arrays per candidate row: ~64 GB through one scratch disk — the
+    r7 "spill cliff" was array freight in the verify, not the
+    candidate join (two candidate-join sharding designs measured a
+    wash/worse before stage timing found this). The broadcast form
+    hash-builds the (id -> shingles) map once (~8 bytes x Σ|s|: 250 MB
+    at 500k docs) and streams the candidate pairs through it — zero
+    array shuffle. The flag is a SIZE-GATED dial, not a default: the
+    map grows linearly with the corpus (≈0.5 GB/M docs here), so
+    callers flip it only under a measured corpus bound (the audits use
+    docs <= 2M); past that, keep the shuffle join (linear, spreads
+    across a cluster's disks) or sample (the production audit).
     """
     from pyspark.sql.window import Window
 
@@ -238,16 +257,19 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     size_ok = ((F.lit(t_den) * F.least(F.col("_pma"), F.col("_pmb"))
                 >= F.lit(t_num) * F.greatest(F.col("_pma"),
                                              F.col("_pmb"))))
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"),
+                  F.col("_m").alias("_ma"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"),
+                  F.col("_m").alias("_mb"))
+
     cand = (prefix.select(F.col("_id").alias("doc_a"),
                           F.col("_m").alias("_pma"), "_s")
             .join(prefix.select(F.col("_id").alias("doc_b"),
                                 F.col("_m").alias("_pmb"), "_s"), "_s")
             .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
             .select("doc_a", "doc_b").distinct())
-    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"),
-                  F.col("_m").alias("_ma"))
-    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"),
-                  F.col("_m").alias("_mb"))
+    if verify_broadcast:
+        a, b = F.broadcast(a), F.broadcast(b)
     ver = (cand.join(a, "doc_a").join(b, "doc_b")
            .withColumn("_i", F.size(F.array_intersect("_sa", "_sb"))))
     # integer threshold compare: t_den*i >= t_num*(ma+mb-i) — exact at
