@@ -202,6 +202,61 @@ def test_prefix_filter_broadcast_verify_is_exact(spark):
         assert bcast == base and len(base) > 0
 
 
+# ------------------------------------------------- train/val/test split
+
+def test_train_split_is_stable_under_corpus_growth(spark):
+    """A document's split must depend only on (salt, id) — identical on
+    the full corpus and on any subset, the property that keeps eval
+    docs out of later training sets when the corpus is re-crawled."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        train_val_test_split,
+    )
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    full = {r["doc_id"]: r["split"] for r in
+            train_val_test_split(docs.select("doc_id")).collect()}
+    sub = {r["doc_id"]: r["split"] for r in
+           train_val_test_split(
+               docs.select("doc_id").filter(F.col("doc_id") % 3 == 0)
+           ).collect()}
+    assert sub and all(full[i] == s for i, s in sub.items())
+    # ~80/10/10 in expectation; loose bounds at 50 docs
+    from collections import Counter
+    c = Counter(full.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_train_split_salt_decorrelates(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        train_val_test_split,
+    )
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         train_val_test_split(df, val_ppm=300_000,
+                              test_ppm=300_000).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_val_test_split(df, val_ppm=300_000, test_ppm=300_000,
+                              salt="ablation2").collect()}
+    moved = sum(1 for i in a if a[i] != b[i])
+    assert moved > 100  # independent salts re-deal a large fraction
+
+
+def test_train_split_python_replica(spark):
+    """Pin the bucket arithmetic to an independent hashlib replica."""
+    from tf_prisma_api_data_ingestion_spark.operators.selection import (
+        train_val_test_split,
+    )
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"] for r in
+           train_val_test_split(df).collect()}
+    for i in (0, 1, 7, 123, 499):
+        b = int(hashlib.md5(f"split,{i}".encode()).hexdigest()[:15],
+                16) % 1_000_000
+        want = "test" if b < 100_000 else ("val" if b < 200_000
+                                           else "train")
+        assert got[i] == want
+
+
 # ----------------------------------------------------- gopher id_col
 
 def test_gopher_rules_id_col_param(spark):

@@ -2160,6 +2160,18 @@ SELECT p.col_a, p.col_b, CAST(g.n AS BIGINT) AS n,
 FROM p, g
 """
 
+SQL_OP_TRAIN_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN b < 100000 THEN 'test'
+            WHEN b < 200000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5('split,' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000000 AS b
+      FROM documents)
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -2397,6 +2409,7 @@ ORACLES: dict[str, str] = {
     "op-corr-matrix": SQL_OP_CORR_MATRIX,
     "sim-kmeans-step": _sql_kmeans_step(),
     "plan-kmeans-train": _sql_plan_kmeans_train(),
+    "op-train-split": SQL_OP_TRAIN_SPLIT,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -1879,6 +1879,17 @@ def q_plan_semdedup_clean(spark, sf_dir):
                           _t(spark, sf_dir, "embeddings"))
 
 
+def q_op_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment over the documents table
+    (operators/selection.train_val_test_split): 60-bit md5 identity
+    buckets, 10% test / 10% val ppm thresholds — stable under corpus
+    growth so eval docs can never leak into later training sets; pure
+    map-side projection, exact in ANSI SQL."""
+    from .operators.selection import train_val_test_split
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_val_test_split(d).select("doc_id", "source", "split")
+
+
 def q_op_k_anonymity(spark, sf_dir):
     """k-anonymity + l-diversity audit of the customer table under the
     (nation, market segment) quasi-identifier pair with account balance
@@ -2209,21 +2220,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-kmeans-step": q_sim_kmeans_step,
     # r8: trained-quantizer SemDeDup composite (train -> assign -> dedup)
     "plan-kmeans-train": q_plan_kmeans_train,
+    # r8: deterministic corpus split (train/val/test identity buckets)
+    "op-train-split": q_op_train_split,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r8 spends every slot draining
-# the row debt the r7 VERDICT ordered drained: the round's 1 new key,
+# the row debt the r7 VERDICT ordered drained: the round's 2 new keys,
 # then all 23 keys that have never had a driver row (the r7b batch),
-# then the 26 stalest green rows (all 10 r03 keys + the 16 oldest r04
+# then the 25 stalest green rows (all 10 r03 keys + the 15 oldest r04
 # keys). Everything behind the boundary queues stalest-first so the
 # rotation keeps retiring debt in later rounds; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window.
 _R8_WINDOW = [
     # new this round
     "plan-kmeans-train",
+    "op-train-split",
     # never driver-checked (r7b batch; code for op-wma / op-corr-matrix
     # / text-dsir-score / text-gopher-rules also changed this round)
     "sim-semdedup",
@@ -2260,7 +2274,7 @@ _R8_WINDOW = [
     "multimodal-decode",
     "multimodal-frame-sample",
     "src-backoff",
-    # the 16 oldest r04 rows (QUERIES insertion order = r7's queue)
+    # the 15 oldest r04 rows (QUERIES insertion order = r7's queue)
     "plan-corpus-clean",
     "plan-corpus-clean-v2",
     "plan-corpus-train",
@@ -2276,7 +2290,6 @@ _R8_WINDOW = [
     "stream-upsert",
     "src-stream-alerts",
     "pd-filter-range",
-    "op-derive-ts",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R8_WINDOW} | {

@@ -238,3 +238,36 @@ def corpus_tv_distance(docs: DataFrame, group_col: str = "source",
                     F.expr("CAST((2 * _tv2 * 1000000 + 2 * ns * n)"
                            " DIV (4 * ns * n) AS BIGINT)")
                      .alias("tv_ppm")))
+
+
+def train_val_test_split(df: DataFrame, id_col: str = "doc_id",
+                         val_ppm: int = 100_000, test_ppm: int = 100_000,
+                         salt: str = "split",
+                         out: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by identity hash: each
+    row's 60-bit md5 of (salt, id) lands in a ppm bucket; the first
+    ``test_ppm`` buckets are test, the next ``val_ppm`` are val, the
+    rest train. The property that matters for a training corpus is
+    STABILITY under growth: a document keeps its split forever — across
+    re-crawls, backfills, engine changes, and partitioning — so
+    yesterday's eval documents can never leak into tomorrow's training
+    set (the split-side complement of text.contamination_hits, which
+    guards against leakage from EXTERNAL benchmarks). ``df.randomSplit``
+    has none of these properties (seed- and partitioning-dependent).
+
+    ``salt`` decorrelates independent splits over the same corpus
+    (ablations reusing ids would otherwise share fold boundaries).
+    Proportions hold in expectation within every stratum automatically —
+    md5 is independent of any document attribute, so no per-stratum
+    bookkeeping (or shuffle) is needed: this is a pure map-side
+    projection, the cheapest possible full-corpus pass. Pure integer
+    thresholds (ppm of a fixed 1e6 denominator), exact in ANSI SQL.
+    Returns df + ``out`` (string: train/val/test).
+    """
+    bucket = md5_hash60(
+        F.concat_ws(",", F.lit(salt), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    split = (F.when(bucket < test_ppm, F.lit("test"))
+              .when(bucket < test_ppm + val_ppm, F.lit("val"))
+              .otherwise(F.lit("train")))
+    return df.withColumn(out, split)
