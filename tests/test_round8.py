@@ -202,6 +202,56 @@ def test_prefix_filter_broadcast_verify_is_exact(spark):
         assert bcast == base and len(base) > 0
 
 
+# ------------------------------------------------ kmeans training loop
+
+def test_kmeans_train_one_iter_is_one_assignment(spark):
+    """iters=1 must equal a single assign_nearest_centroid pass — the
+    loop composes the step, it doesn't reinterpret it."""
+    from tf_prisma_api_data_ingestion_spark import tables
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        assign_nearest_centroid,
+        kmeans_train_assign,
+    )
+    e = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    one = {r["vec_id"]: r["cluster"] for r in
+           kmeans_train_assign(e, iters=1).collect()}
+    direct = {r["vec_id"]: r["cluster"] for r in
+              assign_nearest_centroid(e).collect()}
+    assert one == direct and len(one) > 0
+
+
+def test_kmeans_train_reaches_fixed_point_on_separated_data(spark):
+    """Crafted well-separated blobs: one round lands every vector in
+    its geometric cluster and further rounds change nothing (Lloyd
+    fixed point) even from adversarial seed labels."""
+    from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+        kmeans_train_assign,
+    )
+    rows = []
+    for i in range(30):
+        blob = i % 3                       # 3 far-apart blobs
+        base = [0.0, 0.0, 0.0]
+        base[blob] = 10.0
+        jitter = [(i % 5) * 0.01, ((i // 5) % 5) * 0.01, 0.0]
+        vec = [b + j for b, j in zip(base, jitter)]
+        # noisy 3-way seeds: the last 6 vectors start mislabeled (Lloyd
+        # keeps K from the seed labeling, so K must be 3; pure-random
+        # seeds would collapse the centroids onto the simplex center)
+        seed = blob if i < 24 else (blob + 1) % 3
+        rows.append((i, vec, seed))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    two = {r["vec_id"]: r["cluster"] for r in
+           kmeans_train_assign(e, iters=2).collect()}
+    three = {r["vec_id"]: r["cluster"] for r in
+             kmeans_train_assign(e, iters=3).collect()}
+    assert two == three                    # fixed point
+    # geometric purity: same blob -> same cluster, different -> different
+    for i in range(30):
+        assert two[i] == two[i % 3]
+    assert len({two[0], two[1], two[2]}) == 3
+
+
 # ------------------------------------------------- train/val/test split
 
 def test_train_split_is_stable_under_corpus_growth(spark):
