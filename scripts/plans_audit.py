@@ -102,6 +102,8 @@ AUDIT = (
     ("op-corr-matrix", "ALL pairwise sufficient statistics in one map-side-combinable global aggregate; explode over the 1-row result (a union-of-selects would rescan per pair)"),
     # r8
     ("plan-kmeans-train", "2 Lloyd rounds (centroid agg + broadcast-centroid assignment each, labels localCheckpointed) feed SemDeDup; pair stage stays per-cluster Arrow matmul"),
+    ("op-train-split", "pure map-side projection — identity-hash bucket vs ppm literals, zero exchanges"),
+    ("op-bootstrap-ci", "one scan fans each row to B+1 (replica, weight) tuples in the projection; map-side-combinable agg with B+1 groups, order stats on one B-element array"),
 )
 
 

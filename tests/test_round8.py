@@ -202,6 +202,67 @@ def test_prefix_filter_broadcast_verify_is_exact(spark):
         assert bcast == base and len(base) > 0
 
 
+# -------------------------------------------------- poisson bootstrap
+
+def _py_bootstrap(vals, replicas=64, salt="boot"):
+    """Independent replica of poisson_bootstrap_ci on (id, value) pairs."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        POISSON1_CDF_PPM,
+    )
+    cents = {i: round(v * 100) for i, v in vals}
+    mms = []
+    for b in range(replicas):
+        s = n = 0
+        for i, _ in vals:
+            bkt = int(hashlib.md5(
+                f"{salt},{b},{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+            w = sum(1 for t in POISSON1_CDF_PPM if bkt >= t)
+            s += w * cents[i]
+            n += w
+        if n:
+            mms.append((2 * s * 10000 + n) // (2 * n) if s >= 0
+                       else -((2 * -s * 10000 + n) // (2 * n)))
+        else:
+            mms.append(None)
+    ms = sorted(m for m in mms if m is not None)
+    lo = ms[int(0.025 * replicas)]          # list index = 1-based - 1
+    hi = ms[-(-975 * replicas // 1000) - 1]
+    base_s = sum(cents.values())
+    base_n = len(cents)
+    mean = (2 * base_s * 10000 + base_n) // (2 * base_n)
+    return mean, lo, hi
+
+
+def test_bootstrap_ci_matches_python_replica(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+    vals = [(i, float(10 + (i * 37) % 50) + 0.25) for i in range(200)]
+    df = spark.createDataFrame(vals, "rid long, v double")
+    row = poisson_bootstrap_ci(df, "v", "rid").collect()[0]
+    mean, lo, hi = _py_bootstrap(vals)
+    assert (row["mean_micro"], row["ci_lo_micro"], row["ci_hi_micro"]) \
+        == (mean, lo, hi)
+    assert row["n_rows"] == 200 and row["n_replicas"] == 64
+    assert lo <= mean <= hi
+
+
+def test_bootstrap_ci_narrows_with_sample_size(spark):
+    """10x the rows from the same distribution -> a tighter interval
+    (the statistical sanity the exactness test can't see)."""
+    from tf_prisma_api_data_ingestion_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+    small = spark.createDataFrame(
+        [(i, float((i * 13) % 100)) for i in range(100)], "rid long, v double")
+    big = spark.createDataFrame(
+        [(i, float((i * 13) % 100)) for i in range(1000)], "rid long, v double")
+    rs = poisson_bootstrap_ci(small, "v", "rid").collect()[0]
+    rb = poisson_bootstrap_ci(big, "v", "rid").collect()[0]
+    assert (rb["ci_hi_micro"] - rb["ci_lo_micro"]) \
+        < (rs["ci_hi_micro"] - rs["ci_lo_micro"])
+
+
 # ------------------------------------------------ kmeans training loop
 
 def test_kmeans_train_one_iter_is_one_assignment(spark):

@@ -2160,6 +2160,48 @@ SELECT p.col_a, p.col_b, CAST(g.n AS BIGINT) AS n,
 FROM p, g
 """
 
+def _sql_op_bootstrap_ci(replicas: int = 64) -> str:
+    from .operators.stats import POISSON1_CDF_PPM
+    wsum = " + ".join(f"(CASE WHEN bkt >= {t} THEN 1 ELSE 0 END)"
+                      for t in POISSON1_CDF_PPM)
+    lo_i = int(0.025 * replicas) + 1
+    hi_i = -(-975 * replicas // 1000)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS id,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS c
+  FROM orders),
+rep AS (
+  SELECT t.b AS _b, c,
+         ('0x' || substr(md5('boot,' || CAST(t.b AS VARCHAR) || ',' ||
+                              CAST(id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bkt
+  FROM base, unnest(range(-1, {replicas})) t(b)),
+wrep AS (
+  SELECT _b, c,
+         CASE WHEN _b = -1 THEN CAST(1 AS HUGEINT)
+              ELSE CAST({wsum} AS HUGEINT) END AS w
+  FROM rep),
+agg AS (
+  SELECT _b, SUM(w * c) AS s, SUM(w) AS n, COUNT(*) AS rows_
+  FROM wrep GROUP BY _b),
+per AS (
+  SELECT _b, rows_,
+         CASE WHEN n = 0 THEN NULL
+              WHEN s >= 0 THEN CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT)
+              ELSE CAST(-((2 * -s * 10000 + n) // (2 * n)) AS BIGINT)
+         END AS mm
+  FROM agg),
+o AS (SELECT list(mm ORDER BY mm) AS ms FROM per WHERE _b >= 0)
+SELECT (SELECT rows_ FROM per WHERE _b = -1) AS n_rows,
+       (SELECT mm FROM per WHERE _b = -1) AS mean_micro,
+       ms[{lo_i}] AS ci_lo_micro,
+       ms[{hi_i}] AS ci_hi_micro,
+       CAST({replicas} AS BIGINT) AS n_replicas
+FROM o
+"""
+
+
 SQL_OP_TRAIN_SPLIT = """
 SELECT doc_id, source,
        CASE WHEN b < 100000 THEN 'test'
@@ -2410,6 +2452,7 @@ ORACLES: dict[str, str] = {
     "sim-kmeans-step": _sql_kmeans_step(),
     "plan-kmeans-train": _sql_plan_kmeans_train(),
     "op-train-split": SQL_OP_TRAIN_SPLIT,
+    "op-bootstrap-ci": _sql_op_bootstrap_ci(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

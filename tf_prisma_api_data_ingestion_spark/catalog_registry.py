@@ -1879,6 +1879,17 @@ def q_plan_semdedup_clean(spark, sf_dir):
                           _t(spark, sf_dir, "embeddings"))
 
 
+def q_op_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap CI for mean order value via the deterministic
+    Poisson bootstrap (operators/stats.poisson_bootstrap_ci): 64
+    replicas dealt from md5 ppm buckets against the literal Poisson(1)
+    CDF table, exact-integer replica means, order-statistic bounds —
+    one scan, no RNG, replayed bit-for-bit by the oracle."""
+    from .operators.stats import poisson_bootstrap_ci
+    return poisson_bootstrap_ci(_t(spark, sf_dir, "orders"),
+                                "o_totalprice", "o_orderkey")
+
+
 def q_op_train_split(spark, sf_dir):
     """Deterministic train/val/test assignment over the documents table
     (operators/selection.train_val_test_split): 60-bit md5 identity
@@ -2222,15 +2233,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-kmeans-train": q_plan_kmeans_train,
     # r8: deterministic corpus split (train/val/test identity buckets)
     "op-train-split": q_op_train_split,
+    # r8: deterministic Poisson-bootstrap CI (hash-dealt resamples)
+    "op-bootstrap-ci": q_op_bootstrap_ci,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r8 spends every slot draining
-# the row debt the r7 VERDICT ordered drained: the round's 2 new keys,
+# the row debt the r7 VERDICT ordered drained: the round's 3 new keys,
 # then all 23 keys that have never had a driver row (the r7b batch),
-# then the 25 stalest green rows (all 10 r03 keys + the 15 oldest r04
+# then the 24 stalest green rows (all 10 r03 keys + the 14 oldest r04
 # keys). Everything behind the boundary queues stalest-first so the
 # rotation keeps retiring debt in later rounds; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window.
@@ -2238,6 +2251,7 @@ _R8_WINDOW = [
     # new this round
     "plan-kmeans-train",
     "op-train-split",
+    "op-bootstrap-ci",
     # never driver-checked (r7b batch; code for op-wma / op-corr-matrix
     # / text-dsir-score / text-gopher-rules also changed this round)
     "sim-semdedup",
@@ -2274,7 +2288,7 @@ _R8_WINDOW = [
     "multimodal-decode",
     "multimodal-frame-sample",
     "src-backoff",
-    # the 15 oldest r04 rows (QUERIES insertion order = r7's queue)
+    # the 14 oldest r04 rows (QUERIES insertion order = r7's queue)
     "plan-corpus-clean",
     "plan-corpus-clean-v2",
     "plan-corpus-train",
@@ -2289,7 +2303,6 @@ _R8_WINDOW = [
     "stream-static-join",
     "stream-upsert",
     "src-stream-alerts",
-    "pd-filter-range",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R8_WINDOW} | {

@@ -484,3 +484,87 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return (g.select(F.col("_n").cast("long").alias("n"),
                      F.explode(F.array(*entries)).alias("_e"))
              .select("_e.col_a", "_e.col_b", "n", "_e.corr6"))
+
+
+# Poisson(1) CDF at k = 0..8 in exact ppm — the shared literal table
+# behind poisson_bootstrap_ci (weight = how many thresholds the row's
+# md5 ppm bucket clears; k >= 9 truncates at ~1e-6 total mass). Baked
+# as integers so the Spark expression and the DuckDB twin compare the
+# SAME constants — no per-engine exp()/factorial float boundary.
+POISSON1_CDF_PPM = (367879, 735759, 919699, 981012, 996340,
+                    999406, 999917, 999990, 999999)
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                         replicas: int = 64,
+                         salt: str = "boot") -> DataFrame:
+    """Bootstrap confidence interval for the mean of a 2-decimal metric
+    via the DETERMINISTIC Poisson bootstrap — the resampling scheme that
+    actually works on a shuffle engine: classical bootstrap needs a
+    global multinomial draw (one shared counter per resample, a driver
+    bottleneck), while the Poisson approximation gives every row an
+    independent Poisson(1) replication count per replica, exact in
+    expectation and standard practice for massive datasets precisely
+    because it is embarrassingly parallel.
+
+    Determinism contract: row r's weight in replica b is read off the
+    md5 ppm bucket of (salt, b, id) against the literal Poisson(1) CDF
+    table above — reruns, retries, partitionings, and ENGINES all deal
+    identical resamples, so the DuckDB twin replays the whole
+    procedure bit-for-bit (no RNG state anywhere). ``salt``
+    decorrelates independent bootstrap runs, same contract as
+    selection.train_val_test_split.
+
+    Exactness: values quantize once to cents (stats._cents); each
+    replica mean is the half-up integer micro ratio of DECIMAL(38,0)
+    sums; the CI bounds are ORDER STATISTICS of the replica means
+    (indices floor(0.025B)+1 / ceil(0.975B) of the sorted array, the
+    conventional percentile bootstrap) — no float quantile
+    interpolation to diverge between engines.
+
+    Scale shape: ONE scan — each row fans out to ``replicas`` + 1
+    lightweight (replica, weight, cents) tuples IN the projection
+    (replica -1 is the identity weight-1 pass for the point estimate),
+    feeding a map-side-combinable aggregation with ``replicas`` + 1
+    output groups; the order-statistic step sorts a B-element array on
+    one row. No shuffle wider than B+1 groups, no driver loop, no RNG.
+    Returns one row: (n_rows, mean_micro, ci_lo_micro, ci_hi_micro,
+    n_replicas).
+    """
+    cents = _cents(F.col(value_col)).cast("decimal(38,0)")
+    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
+        ",", F.lit(salt), F.col("_b").cast("string"),
+        F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long")
+        % 1_000_000)
+    w = F.lit(0)
+    for t in POISSON1_CDF_PPM:
+        w = w + F.when(F.col("_bkt") >= t, 1).otherwise(0)
+    rep = (df.select(cents.alias("_c"), F.col(id_col).alias(id_col),
+                     F.explode(F.sequence(
+                         F.lit(-1), F.lit(replicas - 1))).alias("_b"))
+             .withColumn("_bkt", bucket)
+             .withColumn("_w", F.when(F.col("_b") == -1, F.lit(1))
+                               .otherwise(w).cast("decimal(38,0)")))
+    agg = (rep.groupBy("_b")
+              .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"),
+                   F.sum("_w").alias("_n"),
+                   F.count(F.lit(1)).cast("long").alias("_rows")))
+    mean_micro = F.expr(
+        "CASE WHEN _n = 0 THEN NULL ELSE CAST(CASE WHEN _s >= 0 "
+        "THEN (2 * _s * 10000 + _n) DIV (2 * _n) "
+        "ELSE -((2 * -_s * 10000 + _n) DIV (2 * _n)) END AS BIGINT) END")
+    per = agg.select("_b", mean_micro.alias("_mm"), "_rows")
+    lo_i = int(0.025 * replicas) + 1          # 1-based order statistics
+    hi_i = -(-975 * replicas // 1000)         # ceil(0.975 * B)
+    return (per.groupBy()
+               .agg(F.max(F.when(F.col("_b") == -1, F.col("_rows")))
+                     .alias("n_rows"),
+                    F.max(F.when(F.col("_b") == -1, F.col("_mm")))
+                     .alias("mean_micro"),
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_b") >= 0, F.col("_mm"))))
+                     .alias("_ms"))
+               .select("n_rows", "mean_micro",
+                       F.element_at("_ms", lo_i).alias("ci_lo_micro"),
+                       F.element_at("_ms", hi_i).alias("ci_hi_micro"),
+                       F.lit(replicas).cast("long").alias("n_replicas")))
