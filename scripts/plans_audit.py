@@ -104,6 +104,7 @@ AUDIT = (
     ("plan-kmeans-train", "2 Lloyd rounds (centroid agg + broadcast-centroid assignment each, labels localCheckpointed) feed SemDeDup; pair stage stays per-cluster Arrow matmul"),
     ("op-train-split", "pure map-side projection — identity-hash bucket vs ppm literals, zero exchanges"),
     ("op-bootstrap-ci", "one scan fans each row to B+1 (replica, weight) tuples in the projection; map-side-combinable agg with B+1 groups, order stats on one B-element array"),
+    ("text-contamination-coverage", "benchmark gram bank broadcast; only MATCHED positions become interval rows; island merge shuffles matched docs only"),
 )
 
 

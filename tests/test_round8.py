@@ -202,6 +202,37 @@ def test_prefix_filter_broadcast_verify_is_exact(spark):
         assert bcast == base and len(base) > 0
 
 
+# ------------------------------------------- token-coverage contamination
+
+def test_contamination_coverage_hand_built(spark):
+    """Binary-vs-coverage distinction on crafted docs: a verbatim copy
+    scores 1e6 ppm; a long doc quoting ONE benchmark 5-gram trips the
+    binary test but stays far under the 80% coverage bar; overlapping
+    matched windows count their UNION, not their sum."""
+    from tf_prisma_api_data_ingestion_spark.operators.text import (
+        contamination_coverage,
+    )
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    novel = " ".join(f"w{k}" for k in range(45))
+    rows = [
+        (100, bench),                       # id % 100 == 0 -> the bank
+        (1, bench),                         # verbatim copy
+        (2, "alpha beta gamma delta epsilon " + novel),  # one quote
+        (3, novel),                         # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination_coverage(df).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1: 8 tokens, 4 overlapping matched windows -> union covers all 8
+    assert got[1]["covered_tokens"] == 8
+    assert got[1]["coverage_ppm"] == 1_000_000 and got[1]["contaminated"]
+    # doc 2: exactly the one 5-token window out of 50 tokens
+    assert got[2]["covered_tokens"] == 5 and got[2]["n_tokens"] == 50
+    assert got[2]["coverage_ppm"] == 100_000
+    assert not got[2]["contaminated"]
+    assert got[3]["covered_tokens"] == 0 and not got[3]["contaminated"]
+
+
 # -------------------------------------------------- poisson bootstrap
 
 def _py_bootstrap(vals, replicas=64, salt="boot"):

@@ -2202,6 +2202,47 @@ FROM o
 """
 
 
+def _sql_text_contamination_coverage(n: int = 5,
+                                     flag_ppm: int = 800_000) -> str:
+    from .catalog_oracles import _SQL_WS_TOKENS, _sql_ngrams
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+g AS ({_sql_ngrams(n, distinct=False)}),
+corpus AS (
+  SELECT g.doc_id, len(t.t) AS m, unnest(g.grams) AS gr,
+         generate_subscripts(g.grams, 1) - 1 AS p
+  FROM g JOIN t ON t.doc_id = g.doc_id
+  WHERE g.doc_id % 100 <> 0),
+bank AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 100 = 0),
+iv AS (SELECT DISTINCT c.doc_id, c.p AS s, least(c.p + {n - 1}, c.m - 1) AS e
+       FROM corpus c JOIN bank b ON c.gr = b.gr),
+w AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+cov AS (SELECT doc_id, SUM(mx - mn + 1) AS covered
+        FROM (SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+              FROM isl GROUP BY 1, 2) GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+         FROM t WHERE doc_id % 100 <> 0)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN b.n_tokens > 0
+                 THEN COALESCE(c.covered, 0) * 1000000 // b.n_tokens
+                 ELSE 0 END AS BIGINT) AS coverage_ppm,
+       (CASE WHEN b.n_tokens > 0
+             THEN COALESCE(c.covered, 0) * 1000000 // b.n_tokens
+             ELSE 0 END) >= {flag_ppm} AS contaminated
+FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+"""
+
+
 SQL_OP_TRAIN_SPLIT = """
 SELECT doc_id, source,
        CASE WHEN b < 100000 THEN 'test'
@@ -2453,6 +2494,7 @@ ORACLES: dict[str, str] = {
     "plan-kmeans-train": _sql_plan_kmeans_train(),
     "op-train-split": SQL_OP_TRAIN_SPLIT,
     "op-bootstrap-ci": _sql_op_bootstrap_ci(),
+    "text-contamination-coverage": _sql_text_contamination_coverage(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -1879,6 +1879,15 @@ def q_plan_semdedup_clean(spark, sf_dir):
                           _t(spark, sf_dir, "embeddings"))
 
 
+def q_text_contamination_coverage(spark, sf_dir):
+    """Token-coverage decontamination at the 80% bar
+    (operators/text.contamination_coverage): matched benchmark 5-gram
+    windows merged gap-and-islands per doc, exact integer ppm coverage
+    — the Llama-2-style refinement of the binary collision test."""
+    from .operators.text import contamination_coverage
+    return contamination_coverage(_t(spark, sf_dir, "documents"))
+
+
 def q_op_bootstrap_ci(spark, sf_dir):
     """95% bootstrap CI for mean order value via the deterministic
     Poisson bootstrap (operators/stats.poisson_bootstrap_ci): 64
@@ -2235,15 +2244,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-train-split": q_op_train_split,
     # r8: deterministic Poisson-bootstrap CI (hash-dealt resamples)
     "op-bootstrap-ci": q_op_bootstrap_ci,
+    # r8: token-coverage decontamination (union of matched windows)
+    "text-contamination-coverage": q_text_contamination_coverage,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r8 spends every slot draining
-# the row debt the r7 VERDICT ordered drained: the round's 3 new keys,
+# the row debt the r7 VERDICT ordered drained: the round's 4 new keys,
 # then all 23 keys that have never had a driver row (the r7b batch),
-# then the 24 stalest green rows (all 10 r03 keys + the 14 oldest r04
+# then the 23 stalest green rows (all 10 r03 keys + the 13 oldest r04
 # keys). Everything behind the boundary queues stalest-first so the
 # rotation keeps retiring debt in later rounds; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window.
@@ -2252,6 +2263,7 @@ _R8_WINDOW = [
     "plan-kmeans-train",
     "op-train-split",
     "op-bootstrap-ci",
+    "text-contamination-coverage",
     # never driver-checked (r7b batch; code for op-wma / op-corr-matrix
     # / text-dsir-score / text-gopher-rules also changed this round)
     "sim-semdedup",
@@ -2288,7 +2300,7 @@ _R8_WINDOW = [
     "multimodal-decode",
     "multimodal-frame-sample",
     "src-backoff",
-    # the 14 oldest r04 rows (QUERIES insertion order = r7's queue)
+    # the 13 oldest r04 rows (QUERIES insertion order = r7's queue)
     "plan-corpus-clean",
     "plan-corpus-clean-v2",
     "plan-corpus-train",
@@ -2302,7 +2314,6 @@ _R8_WINDOW = [
     "stream-sink-parquet",
     "stream-static-join",
     "stream-upsert",
-    "src-stream-alerts",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R8_WINDOW} | {

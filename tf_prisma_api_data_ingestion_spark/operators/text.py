@@ -200,6 +200,65 @@ def contamination_hits(df: DataFrame, text_col: str = "text",
             .withColumn("contaminated", F.col("n_hits") > 0))
 
 
+def contamination_coverage(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 5,
+                           bench_mod: int = 100,
+                           flag_ppm: int = 800_000) -> DataFrame:
+    """Token-COVERAGE decontamination — the Llama-2-style refinement of
+    ``contamination_hits``' binary collision test: a matched benchmark
+    n-gram at token position p covers tokens [p, p+n-1]; the score is
+    the ppm fraction of the document's tokens lying under the UNION of
+    matched windows, and the flag fires at ``flag_ppm`` (default 80% —
+    the published heavy-contamination bar). The distinction matters in
+    practice: a long document quoting one benchmark sentence trips the
+    binary test but scores low coverage; an eval question paraphrased
+    end-to-end scores high coverage with few distinct-gram hits.
+
+    The union-of-windows step is the classic gap-and-islands merge over
+    variable intervals (reuses timeseries.merge_intervals verbatim —
+    matched windows overlap heavily in contaminated runs, so summing
+    window lengths would overcount). All arithmetic is exact integer
+    (positions, island lengths, ppm DIV), replayed bit-for-bit by the
+    DuckDB twin.
+
+    Scale shape: the benchmark bank is eval-suite-sized -> broadcast;
+    matched-interval rows are sparse (only colliding positions); the
+    island merge shuffles ONLY matched docs' intervals on id. Returns
+    (id, n_tokens, covered_tokens, coverage_ppm, contaminated) for
+    every non-benchmark document.
+    """
+    from .timeseries import merge_intervals
+
+    toks = tokens(F.col(text_col))
+    grams = word_ngrams(F.col(text_col), n)   # positional, non-distinct
+    is_bench = F.col(id_col) % bench_mod == 0
+    base = df.select(F.col(id_col), F.size(toks).alias("_m"),
+                     grams.alias("_gs"))
+    corpus = (base.filter(~is_bench)
+              .select(id_col, "_m", F.posexplode("_gs").alias("_p", "_g")))
+    bank = (base.filter(is_bench)
+            .select(F.explode("_gs").alias("_g")).distinct())
+    iv = (corpus.join(F.broadcast(bank), "_g")
+          .select(F.col(id_col), F.col("_p").alias("_s"),
+                  F.least(F.col("_p") + n - 1, F.col("_m") - 1).alias("_e"))
+          .distinct())
+    islands = merge_intervals(iv, id_col, "_s", "_e", tiebreak="_e")
+    cov = (islands.groupBy(id_col)
+           .agg(F.sum(F.col("island_end") - F.col("island_start") + 1)
+                 .cast("long").alias("_cov")))
+    ppm = F.expr("CASE WHEN n_tokens > 0 THEN covered_tokens * 1000000"
+                 " DIV n_tokens ELSE 0 END")
+    return (df.filter(~is_bench)
+            .select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+            .join(cov, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("_cov", F.lit(0)).cast("long")
+                     .alias("covered_tokens"))
+            .withColumn("coverage_ppm", ppm.cast("long"))
+            .withColumn("contaminated",
+                        F.col("coverage_ppm") >= F.lit(flag_ppm)))
+
+
 def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
                    id_col: str = "doc_id",
                    shard_col: str = "source") -> DataFrame:
