@@ -105,6 +105,7 @@ AUDIT = (
     ("op-train-split", "pure map-side projection — identity-hash bucket vs ppm literals, zero exchanges"),
     ("op-bootstrap-ci", "one scan fans each row to B+1 (replica, weight) tuples in the projection; map-side-combinable agg with B+1 groups, order stats on one B-element array"),
     ("text-contamination-coverage", "benchmark gram bank broadcast; only MATCHED positions become interval rows; island merge shuffles matched docs only"),
+    ("text-c4-rules", "pure per-row line battery over one scan — zero exchanges, the same run-it-FIRST profile as gopher"),
 )
 
 

@@ -202,6 +202,31 @@ def test_prefix_filter_broadcast_verify_is_exact(spark):
         assert bcast == base and len(base) > 0
 
 
+# --------------------------------------------------------- c4 rules
+
+def test_c4_rules_hand_built(spark):
+    from tf_prisma_api_data_ingestion_spark.operators.text import c4_rules
+    good = ("The quick brown fox jumps over the dog.\n"
+            "A second proper sentence sits right here!\n"
+            "And a third one finishes the page?")
+    rows = [
+        (1, good),                                        # passes all
+        (2, good + "\nsee our javascript widget here."),  # js line dropped
+        (3, "Lorem Ipsum dolor sit amet. More words here. And more."),
+        (4, "def f(x) { return x }"),                     # code brace
+        (5, "short line\nno punct here\ntiny"),           # no kept lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    assert got[1]["pass_c4"] and got[1]["n_kept_lines"] == 3
+    # the javascript line is excluded from kept lines but the doc passes
+    assert got[2]["n_lines"] == 4 and got[2]["n_kept_lines"] == 3
+    assert got[2]["pass_c4"]
+    assert not got[3]["r_no_lorem"] and not got[3]["pass_c4"]
+    assert not got[4]["r_no_brace"] and not got[4]["pass_c4"]
+    assert got[5]["n_kept_lines"] == 0 and not got[5]["pass_c4"]
+
+
 # ------------------------------------------- token-coverage contamination
 
 def test_contamination_coverage_hand_built(spark):

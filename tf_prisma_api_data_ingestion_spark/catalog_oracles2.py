@@ -2243,6 +2243,34 @@ FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
 """
 
 
+SQL_TEXT_C4_RULES = """
+WITH l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(str_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM documents),
+f AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         len(list_filter(lines, x ->
+               regexp_matches(x, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(x), 'javascript'))) AS n_kept,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sent
+  FROM l)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept_lines,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       n_sent >= 3 AS r_sentences,
+       NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+       NOT contains(text, '{') AS r_no_brace,
+       (n_sent >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{') AND n_kept >= 1) AS pass_c4
+FROM f
+"""
+
+
 SQL_OP_TRAIN_SPLIT = """
 SELECT doc_id, source,
        CASE WHEN b < 100000 THEN 'test'
@@ -2495,6 +2523,7 @@ ORACLES: dict[str, str] = {
     "op-train-split": SQL_OP_TRAIN_SPLIT,
     "op-bootstrap-ci": _sql_op_bootstrap_ci(),
     "text-contamination-coverage": _sql_text_contamination_coverage(),
+    "text-c4-rules": SQL_TEXT_C4_RULES,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -1879,6 +1879,15 @@ def q_plan_semdedup_clean(spark, sf_dir):
                           _t(spark, sf_dir, "embeddings"))
 
 
+def q_text_c4_rules(spark, sf_dir):
+    """C4 line-oriented cleaning battery (operators/text.c4_rules):
+    terminal-punctuation / min-words / javascript line gates plus the
+    sentence-count, lorem-ipsum, and code-brace document gates — the
+    boilerplate-pruning complement to text-gopher-rules, pure map-side."""
+    from .operators.text import c4_rules
+    return c4_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_text_contamination_coverage(spark, sf_dir):
     """Token-coverage decontamination at the 80% bar
     (operators/text.contamination_coverage): matched benchmark 5-gram
@@ -2246,15 +2255,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bootstrap-ci": q_op_bootstrap_ci,
     # r8: token-coverage decontamination (union of matched windows)
     "text-contamination-coverage": q_text_contamination_coverage,
+    # r8: C4 line-oriented cleaning battery
+    "text-c4-rules": q_text_c4_rules,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r8 spends every slot draining
-# the row debt the r7 VERDICT ordered drained: the round's 4 new keys,
+# the row debt the r7 VERDICT ordered drained: the round's 5 new keys,
 # then all 23 keys that have never had a driver row (the r7b batch),
-# then the 23 stalest green rows (all 10 r03 keys + the 13 oldest r04
+# then the 22 stalest green rows (all 10 r03 keys + the 12 oldest r04
 # keys). Everything behind the boundary queues stalest-first so the
 # rotation keeps retiring debt in later rounds; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window.
@@ -2264,6 +2275,7 @@ _R8_WINDOW = [
     "op-train-split",
     "op-bootstrap-ci",
     "text-contamination-coverage",
+    "text-c4-rules",
     # never driver-checked (r7b batch; code for op-wma / op-corr-matrix
     # / text-dsir-score / text-gopher-rules also changed this round)
     "sim-semdedup",
@@ -2300,7 +2312,7 @@ _R8_WINDOW = [
     "multimodal-decode",
     "multimodal-frame-sample",
     "src-backoff",
-    # the 13 oldest r04 rows (QUERIES insertion order = r7's queue)
+    # the 12 oldest r04 rows (QUERIES insertion order = r7's queue)
     "plan-corpus-clean",
     "plan-corpus-clean-v2",
     "plan-corpus-train",
@@ -2313,7 +2325,6 @@ _R8_WINDOW = [
     "stream-dedup",
     "stream-sink-parquet",
     "stream-static-join",
-    "stream-upsert",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R8_WINDOW} | {

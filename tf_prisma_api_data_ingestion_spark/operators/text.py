@@ -200,6 +200,61 @@ def contamination_hits(df: DataFrame, text_col: str = "text",
             .withColumn("contaminated", F.col("n_hits") > 0))
 
 
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             min_sentences: int = 3,
+             min_line_words: int = 5) -> DataFrame:
+    """C4 cleaning-rule battery (Raffel et al. 2020 §2.2) — the
+    line-oriented companion to ``gopher_rules``' document-level gates
+    (production pipelines run both: C4 prunes boilerplate LINES, Gopher
+    rejects whole documents). Implemented subset, stated exactly:
+
+    - a line is KEPT iff it is non-empty after trim, ends in terminal
+      punctuation (. ! ? or "), has >= ``min_line_words`` whitespace
+      words, and does not contain "javascript" (case-insensitive);
+    - the document passes iff it has >= ``min_sentences`` sentence
+      terminators ([.!?]) in the raw text, contains neither
+      "lorem ipsum" (case-insensitive) nor a curly brace (the code
+      marker), and keeps >= 1 line.
+
+    Omitted from the paper's battery, deliberately: the bad-words
+    blocklist (corpus-policy-specific; hang it off a broadcast join
+    like contamination_hits' bank) and the exact three-sentence-span
+    dedup (covered structurally by passage_exact_dedup). Regexes stay
+    inside the Java/RE2 common dialect, counts are exact integers, so
+    the DuckDB twin replays every flag bit-for-bit.
+
+    Scale shape: pure per-row map over one scan — zero shuffles, the
+    same cheapest-full-pass profile as gopher_rules; run it FIRST.
+    Returns (id, n_lines, n_kept_lines, n_sentences, r_sentences,
+    r_no_lorem, r_no_brace, pass_c4).
+    """
+    low = F.lower(F.col(text_col))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    kept = F.size(F.filter(lines, lambda x: (
+        F.trim(x).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"),
+                           lambda t: t != "")) >= min_line_words)
+        & ~F.lower(x).contains("javascript"))))
+    n_sentences = F.size(F.regexp_extract_all(F.col(text_col),
+                                              F.lit(r"[.!?]"), 0))
+    r_sentences = n_sentences >= min_sentences
+    r_no_lorem = ~low.contains("lorem ipsum")
+    r_no_brace = ~F.col(text_col).contains("{")
+    return df.select(
+        F.col(id_col).alias(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        kept.cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        r_sentences.alias("r_sentences"),
+        r_no_lorem.alias("r_no_lorem"),
+        r_no_brace.alias("r_no_brace"),
+        (r_sentences & r_no_lorem & r_no_brace
+         & (kept >= 1)).alias("pass_c4"))
+
+
 def contamination_coverage(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 5,
                            bench_mod: int = 100,
