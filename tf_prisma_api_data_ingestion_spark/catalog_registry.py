@@ -1562,8 +1562,12 @@ def q_dedup_minhash_recall_sampled(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(
         F.expr("CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 15),"
                " 16, 10) AS BIGINT) % 5 = 0"))
+    # same r8 verify-broadcast dial as the full audit, gated on the
+    # STRATUM size (the frame the verify map is built over)
     truth = cache.tracked_persist(dedup.prefix_filter_jaccard_pairs(
-        d, n=3, t_num=1, t_den=5, hashed=True).select("doc_a", "doc_b"))
+        d, n=3, t_num=1, t_den=5, hashed=True,
+        verify_broadcast=d.count() <= 2_000_000
+    ).select("doc_a", "doc_b"))
     lsh = cache.tracked_persist(
         dedup.minhash_lsh_pairs_md5(d, n=3, threshold=0.2)
         .select("doc_a", "doc_b"))
