@@ -1,0 +1,260 @@
+"""Round-9 batch: hand-built semantics tests for the new operators —
+exact-substring dedup boundary/overlap cases (Lee et al. 2022), the BPE
+greedy-merge fold vs the paper's left-to-right scan (including the
+overlapping-candidate runs the position-based oracle replays), the
+learned quality classifier's separation + exact-integer contract, and
+the C4 bad-words gate bit."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# ------------------------------------------------------ dedup-substring
+
+W = "w"  # filler token
+
+
+def _words(n, tag=""):
+    return " ".join(f"{tag}t{i}" for i in range(n))
+
+
+class TestSubstringDup:
+    def test_shared_run_exact_boundary(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            substring_dup_coverage)
+        shared = _words(5, "s")  # 5 shared tokens
+        a = f"{_words(10, 'a')} {shared}"
+        b = f"{_words(10, 'b')} {shared}"
+        # min_len=5: the shared 5-token run recurs -> exactly 5 tokens
+        # covered in each doc, one span each
+        out = {r["doc_id"]: r for r in substring_dup_coverage(
+            _docs(spark, [a, b]), min_len=5).collect()}
+        assert out[0]["dup_tokens"] == 5 and out[1]["dup_tokens"] == 5
+        assert out[0]["n_spans"] == 1 and out[1]["n_spans"] == 1
+        # min_len=6: the shared run is one token too short -> nothing
+        out6 = substring_dup_coverage(_docs(spark, [a, b]), min_len=6)
+        assert out6.agg(F.sum("dup_tokens")).collect()[0][0] == 0
+
+    def test_long_shared_run_full_union(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            substring_dup_coverage)
+        # a 9-token shared run with min_len=5 produces 5 overlapping
+        # windows whose UNION is all 9 tokens (sum of window lengths
+        # would be 25 — the merge must not overcount)
+        shared = _words(9, "s")
+        a, b = f"{_words(3, 'a')} {shared}", f"{shared} {_words(3, 'b')}"
+        out = {r["doc_id"]: r for r in substring_dup_coverage(
+            _docs(spark, [a, b]), min_len=5).collect()}
+        assert out[0]["dup_tokens"] == 9 and out[0]["n_spans"] == 1
+        assert out[1]["dup_tokens"] == 9 and out[1]["n_spans"] == 1
+
+    def test_within_doc_repeat_counts(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            substring_dup_coverage)
+        # the duplicated substring occurs twice in the SAME document:
+        # both occurrences are covered (the paper dedups self-repeats)
+        run = _words(5, "r")
+        doc = f"{run} {_words(7, 'x')} {run}"
+        out = substring_dup_coverage(_docs(spark, [doc]),
+                                     min_len=5).collect()[0]
+        assert out["dup_tokens"] == 10 and out["n_spans"] == 2
+        assert out["n_tokens"] == 17
+        assert out["dup_ppm"] == 10 * 1_000_000 // 17
+        assert out["dup_heavy"]  # 588k ppm >= 500k
+
+    def test_short_doc_zero_windows(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            substring_dup_coverage)
+        out = substring_dup_coverage(
+            _docs(spark, ["a b c", "a b c"]), min_len=5).collect()
+        # both docs identical but shorter than min_len: NO duplicated
+        # substring of >= 5 tokens exists; rows still emitted with zeros
+        assert all(r["dup_tokens"] == 0 and r["n_spans"] == 0 for r in out)
+        assert all(r["n_tokens"] == 3 for r in out)
+
+    def test_disjoint_spans_merge_only_overlaps(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            substring_dup_coverage)
+        r1, r2 = _words(5, "p"), _words(5, "q")
+        a = f"{r1} {_words(6, 'x')} {r2}"
+        b = f"{r1} {_words(6, 'y')} {r2}"
+        out = {r["doc_id"]: r for r in substring_dup_coverage(
+            _docs(spark, [a, b]), min_len=5).collect()}
+        assert out[0]["dup_tokens"] == 10 and out[0]["n_spans"] == 2
+
+
+# --------------------------------------------------------------- BPE
+
+
+def _vocab(spark, rows):
+    return spark.createDataFrame(
+        rows, "word string, freq long, syms array<string>")
+
+
+def _elect(spark, l, r):
+    return spark.createDataFrame(
+        [(l, r, 1)], "left_sym string, right_sym string, pair_count long")
+
+
+def _py_greedy(syms, a, b):
+    """Reference left-to-right non-overlapping merge scan."""
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+class TestBpe:
+    @pytest.mark.parametrize("syms,a,b", [
+        (["x", "x", "x"], "x", "x"),            # odd run: greedy takes 1st
+        (["x", "x", "x", "x"], "x", "x"),       # even run: both pairs
+        (["a", "b", "a", "b"], "a", "b"),       # disjoint candidates
+        (["a", "a", "b"], "a", "b"),            # candidate mid-word
+        (["a", "b", "b"], "a", "b"),            # merged tail must not chain
+        (["q", "a", "b", "a", "b", "q"], "a", "b"),
+        (["a"], "a", "b"),                      # single symbol, no pair
+        (["b", "a"], "a", "b"),                 # reversed pair, no match
+    ])
+    def test_fold_equals_greedy_scan(self, spark, syms, a, b):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_apply_merge)
+        out = bpe_apply_merge(_vocab(spark, [("w", 1, syms)]),
+                              _elect(spark, a, b)).collect()[0]["syms"]
+        assert out == _py_greedy(syms, a, b)
+
+    def test_pair_counts_weighted(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_pair_counts)
+        v = _vocab(spark, [("ab", 3, ["a", "b", "</w>"]),
+                           ("aab", 2, ["a", "a", "b", "</w>"])])
+        got = {(r["left_sym"], r["right_sym"]): r["pair_count"]
+               for r in bpe_pair_counts(v).collect()}
+        assert got == {("a", "b"): 5, ("b", "</w>"): 5, ("a", "a"): 2}
+
+    def test_elect_tiebreak_pinned(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_elect)
+        pc = spark.createDataFrame(
+            [("b", "c", 5), ("a", "z", 5), ("a", "b", 5), ("z", "a", 9)],
+            "left_sym string, right_sym string, pair_count long")
+        top = bpe_elect(pc).collect()[0]
+        assert (top["left_sym"], top["right_sym"]) == ("z", "a")
+        top2 = bpe_elect(pc.filter("pair_count = 5")).collect()[0]
+        # ties: left ASC then right ASC
+        assert (top2["left_sym"], top2["right_sym"]) == ("a", "b")
+
+    def test_train_classic_example(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_train)
+        # Sennrich-style toy corpus: 'low' x5, 'lowest' x2 -> the first
+        # merges must build up 'low' pieces ('l','o')->'lo' then
+        # ('lo','w')->'low' (7 occurrences each, beating everything).
+        corpus = _docs(spark, ["low " * 5 + "lowest " * 2])
+        merges = bpe_train(corpus, n_merges=2).collect()
+        got = [(m["merge_rank"], m["left_sym"], m["right_sym"],
+                m["pair_count"]) for m in merges]
+        assert got[0] == (1, "l", "o", 7)
+        assert got[1] == (2, "lo", "w", 7)
+
+
+# --------------------------------------------- learned quality classifier
+
+
+class TestQualityClassifier:
+    def test_separates_seeded_corpus(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            hashed_linear_score)
+
+        def bucket(tok, buckets=64):
+            import hashlib
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % buckets
+
+        good_w = {bucket(t): 500 for t in ("alpha", "beta", "gamma")}
+        bad_w = {bucket(t): -500 for t in ("junkx", "junky")}
+        weights = {b: 0 for b in range(64)} | good_w | bad_w
+        docs = _docs(spark, ["alpha beta gamma alpha",
+                             "junkx junky junkx junky",
+                             "alpha junkx"])
+        out = {r["doc_id"]: r for r in hashed_linear_score(
+            docs, weights).collect()}
+        assert out[0]["pass_quality"] and out[0]["score_mean_micros"] == 500
+        assert not out[1]["pass_quality"]
+        assert out[1]["score_mean_micros"] == -500
+        assert out[2]["score_sum_micros"] == 0  # +500 -500
+
+    def test_halfup_mean_and_bias(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            hashed_linear_score)
+        import hashlib
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+        # 3 tokens, sum = 100 -> mean = round(100/3) = 33 (half up);
+        # sum = -100 -> mean = -33 (half AWAY from zero)
+        w = {bucket("tok"): 100, bucket("neg"): -100}
+        docs = _docs(spark, ["tok x y", "neg x y"])
+        out = {r["doc_id"]: r for r in hashed_linear_score(
+            docs, w).collect()}
+        assert out[0]["score_mean_micros"] == 33
+        assert out[1]["score_mean_micros"] == -33
+        # bias shifts the sum before the mean
+        out_b = hashed_linear_score(docs.filter("doc_id = 0"), w,
+                                    bias_micros=200).collect()[0]
+        assert out_b["score_sum_micros"] == 300
+        assert out_b["score_mean_micros"] == 100
+
+    def test_empty_doc_contract(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            hashed_linear_score)
+        out = hashed_linear_score(_docs(spark, ["   "]), {0: 7},
+                                  bias_micros=42).collect()[0]
+        assert out["n_tokens"] == 0
+        assert out["score_sum_micros"] == 42
+        assert out["score_mean_micros"] == 42  # mean of nothing = bias
+
+
+# ------------------------------------------------------ C4 bad-words
+
+
+class TestC4Badwords:
+    TEXT_OK = "This line has plenty of words and ends well.\nAnd so on it goes. Until. Done."
+    TEXT_BAD = "This line has plenty of spam words and ends well.\nAnd so on it goes. Until. Done."
+
+    def test_gate_bit(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import c4_rules
+        out = {r["doc_id"]: r for r in c4_rules(
+            _docs(spark, [self.TEXT_OK, self.TEXT_BAD]),
+            badwords=("spam",)).collect()}
+        assert out[0]["r_no_badwords"] and out[0]["pass_c4"]
+        assert not out[1]["r_no_badwords"] and not out[1]["pass_c4"]
+
+    def test_token_level_not_substring(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import c4_rules
+        # 'spamming' contains 'spam' as a substring but is a different
+        # TOKEN -> must pass (C4 blocks words, not substrings)
+        out = c4_rules(_docs(
+            spark, [self.TEXT_OK.replace("plenty", "spamming")]),
+            badwords=("spam",)).collect()[0]
+        assert out["r_no_badwords"]
+
+    def test_none_keeps_r8_shape(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import c4_rules
+        out = c4_rules(_docs(spark, [self.TEXT_OK]))
+        assert "r_no_badwords" not in out.columns
+        assert out.columns[-1] == "pass_c4"

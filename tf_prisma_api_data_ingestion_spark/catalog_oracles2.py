@@ -2283,6 +2283,203 @@ FROM (SELECT doc_id, source,
 """
 
 
+
+
+def _sql_dedup_substring(min_len: int = 25, flag_ppm: int = 500_000) -> str:
+    """DuckDB twin of dedup.substring_dup_coverage: stride-1 md5'd
+    token windows, recurring-hash filter, per-doc gap-and-islands merge
+    (same island SQL as the contamination-coverage twin)."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    L = min_len
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {L}
+              THEN list_transform(range(1, len(t) - {L} + 2),
+                     i -> md5(array_to_string(list_slice(t, i, i + {L} - 1),
+                                              ' ')))
+              ELSE []::VARCHAR[] END AS hl
+  FROM t),
+occ AS (SELECT doc_id, unnest(hl) AS h,
+               generate_subscripts(hl, 1) - 1 AS p
+        FROM hs),
+dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+iv AS (SELECT o.doc_id, o.p AS s, o.p + {L} - 1 AS e
+       FROM occ o JOIN dup d USING (h)),
+w AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+cov AS (SELECT doc_id, SUM(mx - mn + 1) AS covered, COUNT(*) AS spans
+        FROM (SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+              FROM isl GROUP BY 1, 2) GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM t)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN b.n_tokens > 0
+                 THEN COALESCE(c.covered, 0) * 1000000 // b.n_tokens
+                 ELSE 0 END AS BIGINT) AS dup_ppm,
+       CAST(COALESCE(c.spans, 0) AS BIGINT) AS n_spans,
+       (CASE WHEN b.n_tokens > 0
+             THEN COALESCE(c.covered, 0) * 1000000 // b.n_tokens
+             ELSE 0 END) >= {flag_ppm} AS dup_heavy
+FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+"""
+
+
+def _sql_bpe_round(k: int) -> str:
+    """One unrolled BPE training round k (reads v{k-1}, emits p{k}
+    pair counts, e{k} elected 1-row winner, v{k} merged vocab). The
+    greedy left-to-right fold is replayed position-wise: candidate
+    positions, runs of consecutive candidates (i - row_number), odd
+    in-run ranks win, winner positions merge and absorb position i+1."""
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT v.syms[u.i] AS l, v.syms[u.i + 1] AS r, SUM(v.freq) AS c
+  FROM v{k - 1} v, unnest(range(1, len(v.syms))) u(i)
+  GROUP BY 1, 2),
+e{k} AS MATERIALIZED (SELECT l, r, c FROM p{k}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+s{k} AS MATERIALIZED (SELECT word, freq, unnest(syms) AS sym,
+                generate_subscripts(syms, 1) AS i
+         FROM v{k - 1}),
+c{k} AS MATERIALIZED (
+  SELECT a.word, a.i
+  FROM s{k} a
+  JOIN s{k} b ON b.word = a.word AND b.i = a.i + 1
+  CROSS JOIN e{k} e
+  WHERE a.sym = e.l AND b.sym = e.r),
+tk{k} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i,
+           row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rr
+    FROM (SELECT word, i,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i)
+                   AS grp
+          FROM c{k}))
+  WHERE rr % 2 = 1),
+v{k} AS MATERIALIZED (
+  SELECT word, any_value(freq) AS freq, list(osym ORDER BY i) AS syms
+  FROM (
+    SELECT s.word, s.freq, s.i,
+           CASE WHEN tt.i IS NOT NULL THEN e.l || e.r ELSE s.sym END
+             AS osym
+    FROM s{k} s
+    CROSS JOIN e{k} e
+    LEFT JOIN tk{k} tt ON tt.word = s.word AND tt.i = s.i
+    LEFT JOIN tk{k} dd ON dd.word = s.word AND dd.i = s.i - 1
+    WHERE dd.i IS NULL)
+  GROUP BY word)"""
+
+
+_SQL_BPE_V0 = """
+v0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+  FROM (SELECT unnest(t) AS word FROM t)
+  GROUP BY word)"""
+
+
+def _sql_op_bpe_merge_step() -> str:
+    from .catalog_oracles import _SQL_WS_TOKENS
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},{_sql_bpe_round(1)}
+SELECT v.word, v.freq,
+       CAST(len(v.syms) AS BIGINT) AS n_syms,
+       array_to_string(v.syms, ' ') AS syms,
+       e.l AS left_sym, e.r AS right_sym,
+       CAST(e.c AS BIGINT) AS pair_count
+FROM v1 v CROSS JOIN e1 e
+"""
+
+
+def _sql_plan_bpe_train(n_merges: int = 8) -> str:
+    from .catalog_oracles import _SQL_WS_TOKENS
+    rounds = ",".join(_sql_bpe_round(k) for k in range(1, n_merges + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM e{k}"
+        for k in range(1, n_merges + 1))
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},{rounds}
+{union}
+"""
+
+
+def _sql_text_quality_classifier(buckets: int = 64, bias_micros: int = 0,
+                                 threshold_micros: int = 0) -> str:
+    from .catalog_oracles import _SQL_WS_TOKENS
+    from .operators.selection import QUALITY_WEIGHTS_DEMO
+    vals = ", ".join(f"({b}, {w})"
+                     for b, w in sorted(QUALITY_WEIGHTS_DEMO.items()))
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+w(bkt, wt) AS (VALUES {vals}),
+tok AS (SELECT doc_id,
+               ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % {buckets}
+                 AS bkt
+        FROM t),
+sc AS (SELECT tok.doc_id, SUM(COALESCE(w.wt, 0)) AS s
+       FROM tok LEFT JOIN w ON w.bkt = tok.bkt GROUP BY tok.doc_id),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM t),
+j AS (SELECT b.doc_id, b.n,
+             CAST(COALESCE(sc.s, 0) + {bias_micros} AS BIGINT) AS s
+      FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id),
+m AS (SELECT doc_id, n, s,
+             CAST(CASE WHEN n = 0 THEN s
+                       WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * -s + n) // (2 * n)) END AS BIGINT) AS mm
+      FROM j)
+SELECT doc_id, n AS n_tokens, s AS score_sum_micros,
+       mm AS score_mean_micros,
+       mm >= {threshold_micros} AS pass_quality
+FROM m
+"""
+
+
+def _sql_text_c4_badwords() -> str:
+    from .catalog_registry import C4_BADWORDS
+    bw = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+    return f"""
+WITH l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(str_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         NOT list_has_any(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> ''), [{bw}]) AS r_no_badwords
+  FROM documents),
+f AS (
+  SELECT doc_id, text, r_no_badwords, len(lines) AS n_lines,
+         len(list_filter(lines, x ->
+               regexp_matches(x, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(x), 'javascript'))) AS n_kept,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sent
+  FROM l)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept_lines,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       n_sent >= 3 AS r_sentences,
+       NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+       NOT contains(text, '{{') AS r_no_brace,
+       r_no_badwords,
+       (n_sent >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{') AND n_kept >= 1
+        AND r_no_badwords) AS pass_c4
+FROM f
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -2524,6 +2721,11 @@ ORACLES: dict[str, str] = {
     "op-bootstrap-ci": _sql_op_bootstrap_ci(),
     "text-contamination-coverage": _sql_text_contamination_coverage(),
     "text-c4-rules": SQL_TEXT_C4_RULES,
+    "dedup-substring": _sql_dedup_substring(),
+    "op-bpe-merge-step": _sql_op_bpe_merge_step(),
+    "plan-bpe-train": _sql_plan_bpe_train(),
+    "text-quality-classifier": _sql_text_quality_classifier(),
+    "text-c4-badwords": _sql_text_c4_badwords(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

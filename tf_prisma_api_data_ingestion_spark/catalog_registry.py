@@ -1988,6 +1988,73 @@ def q_op_corr_matrix(spark, sf_dir):
                        ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring duplicate coverage, Lee et al. 2022
+    (operators/dedup.substring_dup_coverage): every 25-token window at
+    stride 1 is md5'd, windows whose hash recurs anywhere in the corpus
+    mark their tokens, and per-doc maximal duplicated spans merge
+    gap-and-islands — EXACT for "token inside a duplicated substring of
+    >= 25 tokens", the published pre-MinHash pass. Two shuffles: one
+    uniform hash groupBy, one island merge over matched docs only."""
+    from .operators.dedup import substring_dup_coverage
+    return substring_dup_coverage(_t(spark, sf_dir, "documents"))
+
+
+def q_op_bpe_merge_step(spark, sf_dir):
+    """One BPE training round over the documents word vocab
+    (operators/bpe.bpe_merge_step): adjacent-pair counts weighted by
+    word frequency, argmax election under the pinned (count DESC, left
+    ASC, right ASC) tie-break, greedy left-to-right merge applied as a
+    higher-order fold — corpus touched once for the word count, the
+    round itself is vocab-sized. Returns the post-merge symbol table
+    with the elected pair attached."""
+    from .operators.bpe import bpe_init_vocab, bpe_merge_step
+    v = bpe_init_vocab(_t(spark, sf_dir, "documents"))
+    return bpe_merge_step(v).select(
+        "word", "freq",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.concat_ws(" ", "syms").alias("syms"),
+        "left_sym", "right_sym", "pair_count")
+
+
+def q_plan_bpe_train(spark, sf_dir):
+    """8-round BPE tokenizer training (operators/bpe.bpe_train): the
+    driver-looped merge-election chain (same external-bounded-loop
+    idiom as plan-kmeans-train), vocab state localCheckpointed per
+    round, corpus scanned exactly once. Returns the learned merge table
+    (merge_rank, left_sym, right_sym, pair_count); the oracle replays
+    all 8 rounds unrolled."""
+    from .operators.bpe import bpe_train
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def q_text_quality_classifier(spark, sf_dir):
+    """Learned linear quality-classifier inference
+    (operators/selection.hashed_linear_score): hashed-unigram features
+    into 64 buckets, the shared QUALITY_WEIGHTS_DEMO literal weight
+    map riding inside the plan, exact-integer micro scores with a
+    half-away-from-zero mean — zero shuffles, the GPT-3/CCNet quality
+    filter shape."""
+    from .operators.selection import QUALITY_WEIGHTS_DEMO, hashed_linear_score
+    return hashed_linear_score(_t(spark, sf_dir, "documents"),
+                               QUALITY_WEIGHTS_DEMO)
+
+
+# Policy blocklist for the text-c4-badwords key — shared verbatim with
+# the DuckDB oracle. Tiny by construction (C4's real list is ~400
+# entries): it rides into the plan as an array literal.
+C4_BADWORDS: tuple[str, ...] = ("slow", "spam", "lorem")
+
+
+def q_text_c4_badwords(spark, sf_dir):
+    """C4 battery with the paper's bad-words blocklist enabled
+    (operators/text.c4_rules badwords=...): token-level match against
+    the C4_BADWORDS policy list adds the r_no_badwords gate bit —
+    still a pure map-side pass, the list is an array literal."""
+    from .operators.text import c4_rules
+    return c4_rules(_t(spark, sf_dir, "documents"), badwords=C4_BADWORDS)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2261,78 +2328,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-contamination-coverage": q_text_contamination_coverage,
     # r8: C4 line-oriented cleaning battery
     "text-c4-rules": q_text_c4_rules,
+    # r9: exact-substring dedup (Lee et al. 2022), stride-1 windows
+    "dedup-substring": q_dedup_substring,
+    # r9: BPE tokenizer training — one round + the 8-round plan
+    "op-bpe-merge-step": q_op_bpe_merge_step,
+    "plan-bpe-train": q_plan_bpe_train,
+    # r9: learned linear quality classifier (hashed-unigram features)
+    "text-quality-classifier": q_text_quality_classifier,
+    # r9: C4 battery with the bad-words blocklist gate enabled
+    "text-c4-badwords": q_text_c4_badwords,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
-# round's driver-verification contract. r8 spends every slot draining
-# the row debt the r7 VERDICT ordered drained: the round's 5 new keys,
-# then all 23 keys that have never had a driver row (the r7b batch),
-# then the 22 stalest green rows (all 10 r03 keys + the 12 oldest r04
-# keys). Everything behind the boundary queues stalest-first so the
-# rotation keeps retiring debt in later rounds; scripts/selfcheck.py
-# re-verifies the FULL catalog locally regardless of the window.
-_R8_WINDOW = [
+# round's driver-verification contract. r9 executes the r8 VERDICT's #1
+# item: after the round's 5 new keys, every remaining slot goes to the
+# stalest driver rows — all 35 keys whose newest row is r4 (the r04
+# batch: sources/sinks, pushdown ops, plan entry points, the tpch q4+
+# block) and the 10 oldest r5 rows — leaving no catalog key's newest
+# driver evidence older than r5. Everything behind the boundary queues
+# stalest-first so the rotation keeps retiring debt in later rounds;
+# scripts/selfcheck.py re-verifies the FULL catalog locally regardless
+# of the window.
+_R9_WINDOW = [
     # new this round
-    "plan-kmeans-train",
-    "op-train-split",
-    "op-bootstrap-ci",
-    "text-contamination-coverage",
-    "text-c4-rules",
-    # never driver-checked (r7b batch; code for op-wma / op-corr-matrix
-    # / text-dsir-score / text-gopher-rules also changed this round)
-    "sim-semdedup",
-    "sim-semdedup-incr",
-    "sim-kmeans-step",
-    "sim-silhouette",
-    "sim-embed-centroids",
-    "text-dsir-score",
-    "text-novelty",
-    "text-gopher-rules",
-    "text-corpus-tv",
-    "text-vocab-coverage",
-    "op-k-anonymity",
-    "op-corr-matrix",
-    "op-wma",
-    "op-linreg2-group",
-    "op-cohens-kappa",
-    "op-ndcg-retrieval",
-    "op-mrr-retrieval",
-    "op-rrf-fusion",
-    "plan-curation-report",
-    "plan-semdedup-clean",
-    "plan-corpus-mix",
-    "plan-hybrid-retrieval",
-    "stream-quality-gate",
-    # the 10 keys whose newest driver row is r03
-    "text-top-tokens",
-    "text-pii-redact",
-    "text-repetition",
-    "text-contamination",
-    "text-pack-sequences",
-    "text-tfidf-top-terms",
-    "text-temperature-sample",
-    "multimodal-decode",
-    "multimodal-frame-sample",
-    "src-backoff",
-    # the 12 oldest r04 rows (QUERIES insertion order = r7's queue)
-    "plan-corpus-clean",
-    "plan-corpus-clean-v2",
-    "plan-corpus-train",
-    "plan-alert-report",
-    "stream-window-agg",
-    "stream-sliding-window",
-    "stream-session-window",
-    "stream-stateful-totals",
-    "stream-stream-join",
-    "stream-dedup",
-    "stream-sink-parquet",
-    "stream-static-join",
+    "dedup-substring",
+    "op-bpe-merge-step",
+    "plan-bpe-train",
+    "text-quality-classifier",
+    "text-c4-badwords",
+    # the 35 keys whose newest driver row is r04
+    "pd-filter-range",
+    "op-derive-ts",
+    "op-sessionize",
+    "sketch-quantile",
+    "op-range-join",
+    "op-time-rollup",
+    "stream-upsert",
+    "src-stream-alerts",
+    "plan-inventory-report",
+    "plan-e2e-alert",
+    "src-login",
+    "src-get-json",
+    "src-paginated-post",
+    "sink-csv",
+    "sink-partition",
+    "op-max-concurrency",
+    "op-window-range-frame",
+    "op-incremental-agg",
+    "sketch-cms-topk",
+    "op-math-functions",
+    "op-date-functions",
+    "op-null-functions",
+    "sql-subqueries",
+    "op-profile",
+    "op-corrupt-capture",
+    "op-zorder-layout",
+    "op-schema-evolution",
+    "op-compact-files",
+    "tpch-q4",
+    "tpch-q7",
+    "tpch-q10",
+    "tpch-q14",
+    "tpch-q15",
+    "tpch-q17",
+    "tpch-q18",
+    # the 10 oldest r05 rows (CORRECTNESS_r05 order = r4's queue)
+    "pd-filter-eq",
+    "pd-filter-in",
+    "pd-sort",
+    "pd-limit-page",
+    "pd-groupby",
+    "op-groupagg-count",
+    "op-project-rename",
+    "op-fillna",
+    "op-salted-join",
+    "tpch-q1",
 ]
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R8_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)}
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R9_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /

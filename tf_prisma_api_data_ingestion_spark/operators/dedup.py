@@ -967,3 +967,73 @@ def simhash_md5_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("doc_a", "doc_b", "hamming"))
+
+
+def substring_dup_coverage(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", min_len: int = 25,
+                           flag_ppm: int = 500_000) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at
+    token granularity: a token is DUPLICATED iff it lies inside some
+    substring of >= ``min_len`` tokens that occurs more than once in
+    the corpus (any document, including a second occurrence in the
+    same one). The suffix-array pass of the paper is inherently
+    single-machine; the distributed moral equivalent used here is the
+    stride-1 windowed-hash formulation, and it is EXACT for the
+    per-token predicate above, not an approximation: a token inside a
+    duplicated substring of length M >= L is inside one of its L-token
+    windows, each of which recurs wherever the substring does; and any
+    duplicated L-window is itself a duplicated substring of length L.
+
+    Pipeline: md5 every ``min_len``-token window at stride 1
+    (higher-order functions, one codegen'd scan), count occurrences
+    per hash (one uniformly-distributed shuffle — md5 keys cannot
+    skew), keep windows whose hash count > 1, merge each document's
+    duplicated windows into maximal islands (``merge_intervals``),
+    report per-doc coverage in exact-integer ppm.
+
+    Scale shape: windows are ~tokens-per-doc rows each (linear); the
+    hash groupBy partial-aggregates map-side; only DUPLICATED windows
+    reach the island merge, so the second shuffle carries the
+    duplicated fraction only. At 100 TB this is the same profile as
+    the passage-hash inventory, plus one interval merge over matched
+    docs. Returns (id, n_tokens, dup_tokens, dup_ppm, n_spans,
+    dup_heavy) for every document, zeros when nothing matched.
+    """
+    from .timeseries import merge_intervals
+
+    ws = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(ws) >= min_len,
+        F.sequence(F.lit(1), F.size(ws) - (min_len - 1), F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, min_len))))
+    occ = df.select(F.col(id_col),
+                    F.posexplode(hashes).alias("_p0", "_h"))
+    dup = (occ.groupBy("_h")
+              .agg(F.count(F.lit(1)).alias("_c"))
+              .filter(F.col("_c") > 1)
+              .select("_h"))
+    iv = (occ.join(dup, "_h")
+             .select(F.col(id_col), F.col("_p0").alias("_s"),
+                     (F.col("_p0") + (min_len - 1)).alias("_e")))
+    islands = merge_intervals(iv, id_col, "_s", "_e", tiebreak="_e")
+    cov = islands.groupBy(id_col).agg(
+        F.sum(F.col("island_end") - F.col("island_start") + 1)
+         .cast("long").alias("_cov"),
+        F.count(F.lit(1)).cast("long").alias("_spans"))
+    ppm = F.expr("CASE WHEN n_tokens > 0 THEN dup_tokens * 1000000"
+                 " DIV n_tokens ELSE 0 END")
+    return (df.select(F.col(id_col),
+                      F.size(ws).cast("long").alias("n_tokens"))
+              .join(cov, id_col, "left")
+              .select(id_col, "n_tokens",
+                      F.coalesce("_cov", F.lit(0)).cast("long")
+                       .alias("dup_tokens"),
+                      F.coalesce("_spans", F.lit(0)).cast("long")
+                       .alias("n_spans"))
+              .withColumn("dup_ppm", ppm.cast("long"))
+              .withColumn("dup_heavy", F.col("dup_ppm") >= F.lit(flag_ppm))
+              .select(id_col, "n_tokens", "dup_tokens", "dup_ppm",
+                      "n_spans", "dup_heavy"))

@@ -271,3 +271,70 @@ def train_val_test_split(df: DataFrame, id_col: str = "doc_id",
               .when(bucket < test_ppm + val_ppm, F.lit("val"))
               .otherwise(F.lit("train")))
     return df.withColumn(out, split)
+
+
+# Demo weight vector for the catalog's quality-classifier key: a
+# deterministic, seedless pseudo-random map (Knuth multiplicative hash
+# of the bucket id into [-1000, 1000] micros) shared VERBATIM with the
+# DuckDB oracle so both engines score from the same literal table. A
+# production run passes real learned weights instead.
+QUALITY_WEIGHTS_DEMO: dict[int, int] = {
+    b: ((b * 2654435761) % 2001) - 1000 for b in range(64)
+}
+
+
+def hashed_linear_score(df: DataFrame, weights: dict[int, int],
+                        buckets: int = 64, bias_micros: int = 0,
+                        threshold_micros: int = 0, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Learned quality-classifier INFERENCE over hashed unigram features
+    — the linear-model quality filter of the GPT-3 / CCNet pipelines
+    (Brown et al. 2020 Appendix A; the logistic-regression-over-hashed-
+    ngrams shape), the trained complement of the heuristic Gopher/C4
+    gates and of DSIR's importance ratios. Training happens offline;
+    what a 100 TB pipeline runs is exactly this: score every document
+    with a fixed weight vector and keep what clears the bar.
+
+    Formulation (log-free, exact): token t activates feature bucket
+    ``md5_hash60(t) % buckets``; the document score is
+
+        S = bias + sum over token OCCURRENCES of w[bucket(t)]
+
+    in integer micros, and the mean score is the half-away-from-zero
+    integer division S' = round(S / n_tokens) evaluated with the
+    sign-split DIV both engines share. ``pass_quality`` fires at
+    ``threshold_micros`` on the MEAN (length-invariant, like the
+    sigmoid-threshold in the published filters).
+
+    Scale shape: the weight vector rides into the plan as a LITERAL MAP
+    (vocab-hashing means it is buckets-sized, not vocabulary-sized), so
+    scoring is a pure map-side pass over one scan — zero shuffles, no
+    broadcast, no UDF; the same cheapest-full-pass profile as
+    gopher_rules/c4_rules. Missing buckets weigh 0 via try_element_at.
+    Returns (id, n_tokens, score_sum_micros, score_mean_micros,
+    pass_quality).
+    """
+    from .dedup import md5_hash60
+    from .text import tokens
+
+    wmap = F.create_map(
+        *[F.lit(x) for b in sorted(weights) for x in (b, weights[b])])
+    toks = tokens(F.col(text_col))
+    per_tok = F.transform(
+        toks, lambda t: F.coalesce(
+            F.try_element_at(wmap, (md5_hash60(t) % buckets).cast("int")),
+            F.lit(0)))
+    s = (F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, x: a + x)
+         + F.lit(int(bias_micros)))
+    n = F.size(toks).cast("long")
+    mean = F.when(F.col("_n") > 0, F.expr(
+        "CASE WHEN _s >= 0 THEN (2 * _s + _n) DIV (2 * _n) "
+        "ELSE -((2 * -_s + _n) DIV (2 * _n)) END")).otherwise(F.col("_s"))
+    return (df.select(F.col(id_col), n.alias("_n"), s.alias("_s"))
+              .withColumn("_mean", mean.cast("long"))
+              .select(F.col(id_col),
+                      F.col("_n").alias("n_tokens"),
+                      F.col("_s").alias("score_sum_micros"),
+                      F.col("_mean").alias("score_mean_micros"),
+                      (F.col("_mean") >= F.lit(int(threshold_micros)))
+                      .alias("pass_quality")))

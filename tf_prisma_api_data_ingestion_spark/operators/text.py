@@ -203,7 +203,8 @@ def contamination_hits(df: DataFrame, text_col: str = "text",
 def c4_rules(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id",
              min_sentences: int = 3,
-             min_line_words: int = 5) -> DataFrame:
+             min_line_words: int = 5,
+             badwords: tuple[str, ...] | None = None) -> DataFrame:
     """C4 cleaning-rule battery (Raffel et al. 2020 §2.2) — the
     line-oriented companion to ``gopher_rules``' document-level gates
     (production pipelines run both: C4 prunes boilerplate LINES, Gopher
@@ -217,17 +218,22 @@ def c4_rules(df: DataFrame, text_col: str = "text",
       "lorem ipsum" (case-insensitive) nor a curly brace (the code
       marker), and keeps >= 1 line.
 
-    Omitted from the paper's battery, deliberately: the bad-words
-    blocklist (corpus-policy-specific; hang it off a broadcast join
-    like contamination_hits' bank) and the exact three-sentence-span
-    dedup (covered structurally by passage_exact_dedup). Regexes stay
+    The paper's bad-words blocklist is the ``badwords`` parameter
+    (corpus-policy-specific, so it is an input, not a constant): when
+    given, a document additionally fails if ANY whitespace token equals
+    a listed word (token-level match, as C4 drops pages "containing any
+    word on the blocklist"; the list is policy-sized, so it rides into
+    the plan as an array literal — still zero shuffles). ``None`` keeps
+    the r8 battery byte-identical. Still omitted, deliberately: the
+    exact three-sentence-span dedup (covered structurally by
+    passage_exact_dedup and dedup.substring_dup_coverage). Regexes stay
     inside the Java/RE2 common dialect, counts are exact integers, so
     the DuckDB twin replays every flag bit-for-bit.
 
     Scale shape: pure per-row map over one scan — zero shuffles, the
     same cheapest-full-pass profile as gopher_rules; run it FIRST.
     Returns (id, n_lines, n_kept_lines, n_sentences, r_sentences,
-    r_no_lorem, r_no_brace, pass_c4).
+    r_no_lorem, r_no_brace[, r_no_badwords], pass_c4).
     """
     low = F.lower(F.col(text_col))
     lines = F.filter(F.split(F.col(text_col), "\n"),
@@ -243,7 +249,7 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     r_sentences = n_sentences >= min_sentences
     r_no_lorem = ~low.contains("lorem ipsum")
     r_no_brace = ~F.col(text_col).contains("{")
-    return df.select(
+    cols = [
         F.col(id_col).alias(id_col),
         n_lines.cast("long").alias("n_lines"),
         kept.cast("long").alias("n_kept_lines"),
@@ -251,8 +257,14 @@ def c4_rules(df: DataFrame, text_col: str = "text",
         r_sentences.alias("r_sentences"),
         r_no_lorem.alias("r_no_lorem"),
         r_no_brace.alias("r_no_brace"),
-        (r_sentences & r_no_lorem & r_no_brace
-         & (kept >= 1)).alias("pass_c4"))
+    ]
+    gate = r_sentences & r_no_lorem & r_no_brace & (kept >= 1)
+    if badwords is not None:
+        bw = F.array(*[F.lit(w) for w in badwords])
+        r_no_badwords = ~F.arrays_overlap(tokens(F.col(text_col)), bw)
+        cols.append(r_no_badwords.alias("r_no_badwords"))
+        gate = gate & r_no_badwords
+    return df.select(*cols, gate.alias("pass_c4"))
 
 
 def contamination_coverage(df: DataFrame, text_col: str = "text",
