@@ -1,7 +1,11 @@
-"""r9 one-off: decade rows for the round's new keys on the documents
-axis (x1 = sf0.1 5k docs, x10 = sf1eq 50k, x100 = sf10docs 500k).
-Protocol: warm at sf0.001, min-of-2 per decade, single pass at the top
-(v2 protocol, full materialization)."""
+"""r9 one-off: re-measure the FULL dedup-minhash-recall audit after the
+signature min-before-conv hoist (dedup.py minhash_lsh_pairs_md5: the
+base-16 parse now runs once per (doc, seed) instead of once per
+(doc, seed, shingle); bit-identical signatures, measured 1.6x faster
+on the signature stage, which the r8 reading identified as the
+dominant LSH-side term at 500k docs).
+Protocol identical to scripts/r8_audit_scale.py: warm at sf0.001,
+min-of-2 at sf0.1 / sf1eq, single pass at sf10docs."""
 
 from __future__ import annotations
 
@@ -11,32 +15,29 @@ import time
 sys.path.insert(0, ".")
 
 from tf_prisma_api_data_ingestion_spark import cache  # noqa: E402
-from tf_prisma_api_data_ingestion_spark.actions import materialize  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.catalog import QUERIES  # noqa: E402
 from tf_prisma_api_data_ingestion_spark.session import get_spark  # noqa: E402
 
-KEYS = ("dedup-substring", "op-bpe-merge-step", "plan-bpe-train",
-        "text-quality-classifier", "text-c4-badwords",
-        "text-span-dedup", "op-probe-step", "plan-quality-train")
 SCALES = [("sf0.1", "/root/testdata/sf0.1", 2),
           ("sf1eq", "/tmp/sf1eq", 2),
           ("sf10docs", "/tmp/sf10docs", 1)]
+KEYS = ("dedup-minhash-recall", "dedup-minhash-recall-sampled")
 
 
 def main() -> None:
-    spark = get_spark("r9newkeys")
+    spark = get_spark("r9scale")
     for key in KEYS:
         fn = QUERIES[key]
         for label, d, passes in SCALES:
-            materialize(fn(spark, "/root/testdata/sf0.001"))
+            fn(spark, "/root/testdata/sf0.001").count()
             cache.release_all(blocking=True)
             best = float("inf")
             for _ in range(passes):
                 t0 = time.time()
-                materialize(fn(spark, d))
+                rows = fn(spark, d).collect()
                 best = min(best, time.time() - t0)
                 cache.release_all(blocking=True)
-            print(f"RES {key} {label} {best:.2f}s", flush=True)
+            print(f"RES {key} {label} {best:.2f}s {rows}", flush=True)
     spark.stop()
 
 

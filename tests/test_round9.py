@@ -258,3 +258,131 @@ class TestC4Badwords:
         out = c4_rules(_docs(spark, [self.TEXT_OK]))
         assert "r_no_badwords" not in out.columns
         assert out.columns[-1] == "pass_c4"
+
+
+# ------------------------------------------------- C4 span-exact dedup
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, sentences array<string>")
+
+
+class TestSpanExactDedup:
+    def _run(self, spark, rows, span=3):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            span_exact_dedup)
+        return {r["doc_id"]: r.asDict()
+                for r in span_exact_dedup(_sdocs(spark, rows),
+                                          span=span).collect()}
+
+    def test_keep_first_cross_doc(self, spark):
+        # doc 1 holds the first occurrence of span(a,b,c) -> keeper;
+        # doc 2's copy at pos 1 is removed (3 sentences, all covered)
+        out = self._run(spark, [
+            (1, ["a", "b", "c", "d", "e"]),
+            (2, ["a", "b", "c", "q"]),
+        ])
+        assert out[1]["n_dup_spans"] == 0
+        assert out[1]["removed_sentences"] == 0
+        assert out[1]["kept_ppm"] == 1_000_000
+        assert out[2]["n_dup_spans"] == 1
+        assert out[2]["removed_sentences"] == 3
+        assert out[2]["kept_ppm"] == 250_000  # 1 of 4 kept
+
+    def test_same_doc_repeat(self, spark):
+        # the span repeats INSIDE one doc: pos 1 is keeper, pos 4 removed
+        out = self._run(spark, [(7, ["a", "b", "c", "a", "b", "c"])])
+        assert out[7]["n_spans"] == 4
+        assert out[7]["n_dup_spans"] == 1
+        assert out[7]["removed_sentences"] == 3  # positions 4..6
+
+    def test_overlapping_removals_merge(self, spark):
+        # doc 2 duplicates doc 1's spans at positions 1 AND 2 ->
+        # intervals [1,3] and [2,4] merge to one island of 4 sentences
+        out = self._run(spark, [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b", "c", "d", "z", "z2", "z3"]),
+        ])
+        assert out[2]["n_dup_spans"] == 2
+        assert out[2]["removed_sentences"] == 4
+        assert out[1]["removed_sentences"] == 0
+
+    def test_short_and_empty_docs(self, spark):
+        out = self._run(spark, [(1, ["a", "b"]), (2, [])])
+        for d in (1, 2):
+            assert out[d]["n_spans"] == 0
+            assert out[d]["n_dup_spans"] == 0
+            assert out[d]["kept_ppm"] == 1_000_000
+
+    def test_tie_is_position_then_doc(self, spark):
+        # same span at (doc 5, pos 2) and (doc 6, pos 1): doc 5 has the
+        # smaller doc_id -> keeper is (5, 2); doc 6 pos 1 removed
+        out = self._run(spark, [
+            (5, ["x", "a", "b", "c"]),
+            (6, ["a", "b", "c", "y"]),
+        ])
+        assert out[5]["removed_sentences"] == 0
+        assert out[6]["removed_sentences"] == 3
+
+
+# -------------------------------------------- linear quality probe GD
+
+
+class TestLinearProbe:
+    def _corpus(self, spark):
+        good = [(i, "signal alpha beta gamma delta", 1) for i in range(20)]
+        bad = [(100 + i, "noise omega psi chi phi", 0) for i in range(20)]
+        return spark.createDataFrame(
+            good + bad, "doc_id long, text string, label int")
+
+    def test_one_step_matches_hand_math(self, spark):
+        # one doc, one token, w0=0: p=0, r=-1e6, grad = divhalf(-1e6*1,1)
+        # = -1e6; w1[b] = 0 - divhalf(lr * -1e6, 1e6 * 1) = +lr
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            md5_hash60)
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            linear_probe_step, probe_features)
+        d = spark.createDataFrame([(1, "hello", 1)],
+                                  "doc_id long, text string, label int")
+        feat = probe_features(d, buckets=8)
+        w = {r["bucket"]: r["w_micros"]
+             for r in linear_probe_step(feat, {b: 0 for b in range(8)},
+                                        buckets=8,
+                                        lr_ppm=250_000).collect()}
+        b = d.select((md5_hash60(F.lit("hello")) % 8).cast("int")
+                     .alias("b")).collect()[0]["b"]
+        assert w[b] == 250_000
+        assert all(v == 0 for k, v in w.items() if k != b)
+
+    def test_training_separates_seeded_corpus(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            hashed_linear_score, linear_probe_train)
+        c = self._corpus(spark)
+        w = linear_probe_train(c, rounds=3, buckets=32)
+        sc = hashed_linear_score(c, w, buckets=32)
+        m = {r["label"]: r["mx"] for r in
+             (sc.join(c.select("doc_id", "label"), "doc_id")
+              .groupBy("label")
+              .agg(F.max("score_mean_micros").alias("mx"))).collect()}
+        assert m[1] > m[0]  # positives score strictly higher
+
+    def test_training_is_deterministic(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            linear_probe_train)
+        c = self._corpus(spark)
+        assert (linear_probe_train(c, rounds=2, buckets=16)
+                == linear_probe_train(c, rounds=2, buckets=16))
+
+    def test_weights_feed_inference_unchanged(self, spark):
+        # the feature hashing in training and inference is the SAME
+        # function: a weight learned for a token's bucket moves that
+        # token's inference score by exactly cnt * w / n
+        from tf_prisma_api_data_ingestion_spark.operators.selection import (
+            hashed_linear_score, linear_probe_train)
+        d = spark.createDataFrame([(1, "zork zork", 1)],
+                                  "doc_id long, text string, label int")
+        w = linear_probe_train(d, rounds=1, buckets=8, lr_ppm=500_000)
+        out = hashed_linear_score(d, w, buckets=8).collect()[0]
+        # one bucket holds both occurrences: S = 2w, mean = w
+        assert out["score_sum_micros"] == 2 * max(w.values())
+        assert out["score_mean_micros"] == max(w.values())

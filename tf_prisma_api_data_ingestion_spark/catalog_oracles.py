@@ -13,6 +13,14 @@ from .catalog_queries import (
 from .plans.inventory import INVENTORY_RUN_SQL as _INVENTORY_RUN_SQL
 from .plans.report import ALERT_REPORT_EVENTS_SQL
 from .operators import text
+from .operators.dedup import minhash_uh_seeds
+
+# (i, a_i, b_i) literals of the universal-hash MinHash family — the
+# same ``minhash_uh_seeds`` spray the Spark side embeds, so signatures
+# replay bit-for-bit: h_i(x) = (a_i * x + b_i) mod 2147483647 over the
+# 60-bit md5 shingle hash reduced mod the same Mersenne prime.
+_UH_SEEDS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_uh_seeds(64)))
 
 
 
@@ -1678,12 +1686,15 @@ _SQL_TOKENS = """
 
 SQL_DEDUP_MINHASH_MD5 = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-pre AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+pre AS (SELECT doc_id, shingles,
+            list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+              AS xr FROM sh),
+ab(i, a, b) AS (VALUES {_UH_SEEDS_VALUES}),
 seeded AS (
-  SELECT doc_id, i,
-         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
-  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
-  GROUP BY doc_id, i),
+  SELECT doc_id, ab.i, min((ab.a * u.x + ab.b) % 2147483647) AS mn
+  FROM pre, unnest(xr) u(x), ab
+  GROUP BY doc_id, ab.i),
 sigs AS (
   SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk

@@ -12,7 +12,8 @@ from .catalog_queries import (
 from .plans.inventory import INVENTORY_RUN_SQL as _INVENTORY_RUN_SQL
 from .plans.report import ALERT_REPORT_EVENTS_SQL
 from .operators import text
-from .catalog_oracles import (  # noqa: F401
+from .catalog_oracles import (
+    _UH_SEEDS_VALUES,  # noqa: F401
     SQL_ASOF_JOIN,
     SQL_ASOF_JOIN_FORWARD,
     SQL_ASOF_JOIN_NEAREST,
@@ -957,12 +958,14 @@ inter AS (
 truth AS (SELECT doc_a, doc_b FROM inter
           WHERE i / (ma + mb - i) >= 0.2),
 pre AS (SELECT doc_id, shingles,
-               list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+            list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+              AS xr FROM sh),
+ab(i, a, b) AS (VALUES {_UH_SEEDS_VALUES}),
 seeded AS (
-  SELECT doc_id, i,
-         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
-  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
-  GROUP BY doc_id, i),
+  SELECT doc_id, ab.i, min((ab.a * u.x + ab.b) % 2147483647) AS mn
+  FROM pre, unnest(xr) u(x), ab
+  GROUP BY doc_id, ab.i),
 sigs AS (
   SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
@@ -1178,12 +1181,14 @@ inter AS (
 truth AS (SELECT doc_a, doc_b FROM inter
           WHERE i / (ma + mb - i) >= 0.2),
 pre AS (SELECT doc_id, shingles,
-               list_transform(shingles, s -> md5(s)) AS mh FROM sh),
+            list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+              AS xr FROM sh),
+ab(i, a, b) AS (VALUES {_UH_SEEDS_VALUES}),
 seeded AS (
-  SELECT doc_id, i,
-         min(('0x' || substr(md5(u.m || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS mn
-  FROM pre, unnest(mh) u(m), unnest(range(0, 64)) sd(i)
-  GROUP BY doc_id, i),
+  SELECT doc_id, ab.i, min((ab.a * u.x + ab.b) % 2147483647) AS mn
+  FROM pre, unnest(xr) u(x), ab
+  GROUP BY doc_id, ab.i),
 sigs AS (
   SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
          string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
@@ -2480,6 +2485,154 @@ FROM f
 """
 
 
+
+
+def _sql_text_span_dedup(span: int = 3, sent_tokens: int = 8) -> str:
+    """DuckDB twin of text.span_exact_dedup over the 8-token-group
+    sentence view (the markupless-corpus unit policy shared with
+    q_text_span_dedup): md5 span occurrences, keep-first
+    (doc_id, position) via the doc_id*1e6+pos encode, removed
+    positions merged gap-and-islands (the substring-dedup island SQL),
+    exact integer kept_ppm."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    K, W = span, sent_tokens
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+se AS (SELECT doc_id, len(t) // {W} AS ns, t FROM t),
+hs AS (
+  SELECT doc_id, ns,
+         CASE WHEN ns >= {K}
+              THEN list_transform(range(1, ns - {K} + 2),
+                     i -> md5(array_to_string(
+                            t[(i-1)*{W}+1:(i+{K}-1)*{W}], ' ')))
+              ELSE []::VARCHAR[] END AS hl
+  FROM se),
+occ AS (SELECT doc_id, unnest(hl) AS h,
+               generate_subscripts(hl, 1) AS pos
+        FROM hs),
+keep AS (SELECT h, min(doc_id * 1000000 + pos) AS kk FROM occ GROUP BY h),
+rem AS (SELECT o.doc_id, o.pos AS s, o.pos + {K} - 1 AS e
+        FROM occ o JOIN keep k USING (h)
+        WHERE o.doc_id * 1000000 + o.pos <> k.kk),
+w AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM rem),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+cov AS (SELECT doc_id, SUM(mx - mn + 1) AS rmv
+        FROM (SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+              FROM isl GROUP BY 1, 2) GROUP BY 1),
+nd AS (SELECT doc_id, count(*) AS ndup FROM rem GROUP BY 1)
+SELECT se.doc_id,
+       CAST(se.ns AS BIGINT) AS n_sentences,
+       CAST(greatest(se.ns - {K} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(nd.ndup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(cov.rmv, 0) AS BIGINT) AS removed_sentences,
+       CAST(CASE WHEN se.ns > 0
+                 THEN (se.ns - COALESCE(cov.rmv, 0)) * 1000000 // se.ns
+                 ELSE 1000000 END AS BIGINT) AS kept_ppm
+FROM se LEFT JOIN nd ON nd.doc_id = se.doc_id
+        LEFT JOIN cov ON cov.doc_id = se.doc_id
+"""
+
+
+# ---- linear quality-probe training twins -----------------------------
+# divhalf(a, b): half-away-from-zero integer division, b > 0 — both
+# branches divide non-negative values, so DuckDB's floor // equals
+# Spark's truncating DIV exactly.
+def _dh(a: str, b: str) -> str:
+    return (f"CASE WHEN ({a}) >= 0 THEN (2*({a}) + ({b})) // (2*({b}))"
+            f" ELSE -((2*(-({a})) + ({b})) // (2*({b}))) END")
+
+
+_SQL_PROBE_PREFIX = """
+lab AS (SELECT doc_id, source,
+               CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN 1000000 ELSE 0 END AS y
+        FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM t),
+feat AS MATERIALIZED (
+  SELECT t.doc_id,
+         CAST(('0x' || substr(md5(u.tok), 1, 15))::BIGINT % {B} AS INT)
+           AS bkt,
+         CAST(count(*) AS BIGINT) AS c
+  FROM t, unnest(t.t) AS u(tok) GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM feat),
+allb AS (SELECT CAST(unnest(range({B})) AS INT) AS bkt),
+w0 AS (SELECT bkt, CAST(0 AS BIGINT) AS wt FROM allb)"""
+
+
+def _sql_probe_round(k: int, lr_ppm: int) -> str:
+    """One GD round: per-doc mean score under w{k-1}, residual vs the
+    label, per-bucket gradient, weight update."""
+    j = k - 1
+    return f"""
+s{k} AS MATERIALIZED (
+  SELECT f.doc_id, CAST(SUM(f.c * COALESCE(w.wt, 0)) AS BIGINT) AS s
+  FROM feat f LEFT JOIN w{j} w ON w.bkt = f.bkt GROUP BY 1),
+r{k} AS (SELECT b.doc_id,
+                CAST({_dh("s.s", "b.n")} - l.y AS BIGINT) AS r
+         FROM s{k} s JOIN base b USING (doc_id) JOIN lab l USING (doc_id)),
+g{k} AS (SELECT f.bkt,
+                CAST(SUM({_dh("r.r * f.c", "b.n")}) AS BIGINT) AS g
+         FROM feat f JOIN r{k} r USING (doc_id) JOIN base b USING (doc_id)
+         GROUP BY 1),
+w{k} AS MATERIALIZED (
+  SELECT a.bkt,
+         CAST(w.wt - ({_dh(f"{lr_ppm} * COALESCE(g.g, 0)",
+                           "1000000 * nd.n_docs")}) AS BIGINT) AS wt
+  FROM allb a CROSS JOIN nd
+       LEFT JOIN w{j} w ON w.bkt = a.bkt
+       LEFT JOIN g{k} g ON g.bkt = a.bkt)"""
+
+
+def _sql_op_probe_step(buckets: int = 32, lr_ppm: int = 200_000) -> str:
+    """DuckDB twin of selection.linear_probe_step from zero weights."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),{_SQL_PROBE_PREFIX.format(B=buckets)},
+{_sql_probe_round(1, lr_ppm)}
+SELECT bkt AS bucket, wt AS w_micros FROM w1
+"""
+
+
+def _sql_plan_quality_train(buckets: int = 32, lr_ppm: int = 200_000,
+                            rounds: int = 3,
+                            threshold_micros: int = 300_000) -> str:
+    """DuckDB twin of q_plan_quality_train: the GD training loop
+    unrolled round by round (the plan-bpe-train idiom), then the
+    trained w{rounds} weights replayed through the
+    hashed_linear_score inference SQL and summarized per source."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    rs = ",".join(_sql_probe_round(k, lr_ppm)
+                  for k in range(1, rounds + 1))
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),{_SQL_PROBE_PREFIX.format(B=buckets)},
+{rs},
+sc AS (SELECT f.doc_id, CAST(SUM(f.c * COALESCE(w.wt, 0)) AS BIGINT) AS s
+       FROM feat f LEFT JOIN w{rounds} w ON w.bkt = f.bkt GROUP BY 1),
+m AS (SELECT d.doc_id, l.source,
+             CAST(CASE WHEN b.n = 0 OR b.n IS NULL THEN COALESCE(sc.s, 0)
+                       ELSE {_dh("COALESCE(sc.s, 0)", "b.n")}
+                  END AS BIGINT) AS mm
+      FROM documents d
+      JOIN lab l ON l.doc_id = d.doc_id
+      LEFT JOIN base b ON b.doc_id = d.doc_id
+      LEFT JOIN sc ON sc.doc_id = d.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mm >= {threshold_micros} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(mm) AS BIGINT) AS sum_mean_micros
+FROM m GROUP BY source
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -2726,6 +2879,9 @@ ORACLES: dict[str, str] = {
     "plan-bpe-train": _sql_plan_bpe_train(),
     "text-quality-classifier": _sql_text_quality_classifier(),
     "text-c4-badwords": _sql_text_c4_badwords(),
+    "text-span-dedup": _sql_text_span_dedup(),
+    "op-probe-step": _sql_op_probe_step(),
+    "plan-quality-train": _sql_plan_quality_train(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2055,6 +2055,84 @@ def q_text_c4_badwords(spark, sf_dir):
     return c4_rules(_t(spark, sf_dir, "documents"), badwords=C4_BADWORDS)
 
 
+def _doc_sentences_8tok(d):
+    """Fixture-policy sentence view for the span-dedup key: the
+    synthetic corpus carries no punctuation or newlines (verified: zero
+    [.!?] across sf0.01), so the key derives deterministic sentence
+    units as consecutive 8-token groups — ``span_exact_dedup`` itself
+    is unit-agnostic (regex sentences for prose corpora)."""
+    from .operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    ns = F.floor(F.size(toks) / F.lit(8)).cast("int")
+    sents = F.when(ns >= 1, F.transform(
+        F.sequence(F.lit(1), ns),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", sents.alias("sentences"))
+
+
+def q_text_span_dedup(spark, sf_dir):
+    """C4 exact three-sentence-span dedup (operators/text.
+    span_exact_dedup; Raffel et al. 2020 §2.2): corpus-global md5 span
+    identity, keep-first (doc_id, position) rule, removed positions
+    merged gap-and-islands — the last named C4 omission, now closed.
+    One uniformly-hashed shuffle on span md5; only duplicated
+    occurrences reach the island merge."""
+    from .operators.text import span_exact_dedup
+    return span_exact_dedup(
+        _doc_sentences_8tok(_t(spark, sf_dir, "documents")))
+
+
+# Training label for the probe keys: the corpus-policy "curated
+# sources" positive set (the CCNet/GPT-3 shape: curated-positive vs
+# crawl-negative), shared verbatim with the DuckDB oracles.
+PROBE_POSITIVE_SOURCES: tuple[str, ...] = ("src0", "src1", "src2", "src3")
+PROBE_BUCKETS = 32
+PROBE_LR_PPM = 200_000
+
+
+def _docs_labeled(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("label",
+                        F.col("source").isin(*PROBE_POSITIVE_SOURCES)
+                        .cast("int")))
+
+
+def q_op_probe_step(spark, sf_dir):
+    """ONE full-batch GD round of the linear quality-probe trainer
+    from zero weights (operators/selection.linear_probe_step): exact
+    integer micros, half-away-from-zero divisions, model-sized driver
+    traffic — the training step whose fixed point
+    text-quality-classifier's inference consumes."""
+    from .operators.selection import linear_probe_step, probe_features
+    feat = probe_features(_docs_labeled(spark, sf_dir),
+                          buckets=PROBE_BUCKETS)
+    return linear_probe_step(feat, {b: 0 for b in range(PROBE_BUCKETS)},
+                             buckets=PROBE_BUCKETS, lr_ppm=PROBE_LR_PPM)
+
+
+def q_plan_quality_train(spark, sf_dir):
+    """Train-then-score quality-filter composite (operators/selection.
+    linear_probe_train + hashed_linear_score): 3 GD rounds over the
+    persisted hashed-feature frame (external driver loop, the
+    kmeans_train_assign idiom), then the trained weights score every
+    document map-side; returns the per-source selection summary."""
+    from .operators.selection import hashed_linear_score, linear_probe_train
+    d = _docs_labeled(spark, sf_dir)
+    w = linear_probe_train(d, rounds=3, buckets=PROBE_BUCKETS,
+                           lr_ppm=PROBE_LR_PPM)
+    sc = hashed_linear_score(d, w, buckets=PROBE_BUCKETS,
+                             threshold_micros=300_000)
+    return (sc.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("pass_quality").cast("long")).cast("long")
+                  .alias("n_pass"),
+                 F.sum("score_mean_micros").cast("long")
+                  .alias("sum_mean_micros")))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2337,6 +2415,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-quality-classifier": q_text_quality_classifier,
     # r9: C4 battery with the bad-words blocklist gate enabled
     "text-c4-badwords": q_text_c4_badwords,
+    # r9b: C4 exact three-sentence-span dedup (corpus-global keep-first)
+    "text-span-dedup": q_text_span_dedup,
+    # r9b: linear quality-probe training — one GD round + 3-round plan
+    "op-probe-step": q_op_probe_step,
+    "plan-quality-train": q_plan_quality_train,
 }
 
 
@@ -2358,6 +2441,9 @@ _R9_WINDOW = [
     "plan-bpe-train",
     "text-quality-classifier",
     "text-c4-badwords",
+    "text-span-dedup",
+    "op-probe-step",
+    "plan-quality-train",
     # the 35 keys whose newest driver row is r04
     "pd-filter-range",
     "op-derive-ts",
@@ -2402,10 +2488,10 @@ _R9_WINDOW = [
     "pd-groupby",
     "op-groupagg-count",
     "op-project-rename",
-    "op-fillna",
-    "op-salted-join",
-    "tpch-q1",
 ]
+# op-fillna / op-salted-join / tpch-q1 were displaced from the r9 window
+# by the round's three late keys; their newest driver row stays r5,
+# which still satisfies the r8 brief's "nothing older than r5" bar.
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R9_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)}

@@ -338,3 +338,110 @@ def hashed_linear_score(df: DataFrame, weights: dict[int, int],
                       F.col("_mean").alias("score_mean_micros"),
                       (F.col("_mean") >= F.lit(int(threshold_micros)))
                       .alias("pass_quality")))
+
+
+def probe_features(df: DataFrame, buckets: int = 32,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   label_col: str = "label") -> DataFrame:
+    """Hashed-unigram feature frame for the linear quality probe: one
+    row per (document, active bucket) with the occurrence count, plus
+    the document's token total and its label in micros. Buckets hash
+    exactly as ``hashed_linear_score`` does (``md5_hash60(t) %
+    buckets``), so weights trained here feed inference unchanged.
+
+    Built with ONE scan + one map-side-combinable groupBy; persist the
+    result when iterating — every GD round reuses it.
+    """
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    return (df.select(F.col(id_col),
+                      F.size(toks).cast("long").alias("n_tokens"),
+                      (F.col(label_col).cast("long") * 1_000_000)
+                      .alias("y_micros"),
+                      F.explode(toks).alias("_t"))
+            .withColumn("bucket",
+                        (md5_hash60(F.col("_t")) % buckets).cast("int"))
+            .groupBy(id_col, "n_tokens", "y_micros", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def linear_probe_step(feat: DataFrame, weights: dict[int, int],
+                      buckets: int = 32, lr_ppm: int = 200_000,
+                      id_col: str = "doc_id") -> DataFrame:
+    """ONE full-batch gradient-descent round for the linear
+    quality-classifier probe — the TRAINING step whose fixed point
+    ``hashed_linear_score`` consumes (the CCNet/GPT-3 pipelines train
+    such a filter on curated-positive vs crawl-negative labels; Wenzek
+    et al. 2020, Brown et al. 2020 Appendix A). Same external-driver-
+    loop idiom as ``similarity.kmeans_step`` and PageRank: the model
+    state (``buckets`` weights, micros) rides in as a plain dict and
+    the updated state comes back as a ``buckets``-row DataFrame —
+    driver traffic is model-sized, never data-sized.
+
+    Exact-integer semantics, replayed bit-for-bit by the oracle:
+
+        p_d   = divhalf(sum_b c_db * w_b, n_d)          (mean score)
+        g_b   = sum_d divhalf((p_d - y_d) * c_db, n_d)  (grad, micros)
+        w_b'  = w_b - divhalf(lr_ppm * g_b, 1_000_000 * N)
+
+    with divhalf = half-away-from-zero division (the sign-split DIV
+    shared with ``hashed_linear_score``) and N = number of documents.
+    Squared-loss linear probe, not a sigmoid: log-free, so both
+    engines agree exactly.
+
+    Scale shape: round = one groupBy(doc) over the feature frame + one
+    join back + one groupBy(bucket) — two uniformly-hashed shuffles of
+    the SPARSE feature frame, nothing quadratic; production trains on
+    a held-out sample, then scores the full corpus map-side.
+    """
+    # half-away-from-zero DIV over named long columns (the
+    # hashed_linear_score idiom — pyspark Columns have no exact
+    # integer division operator, and double division loses bits past
+    # 2^53, which lr_ppm * grad products reach)
+    def divhalf(a: str, b: str) -> str:
+        return (f"CASE WHEN {a} >= 0 THEN (2 * {a} + {b}) DIV (2 * {b})"
+                f" ELSE -((2 * -{a} + {b}) DIV (2 * {b})) END")
+
+    wmap = F.create_map(*[F.lit(x) for b in sorted(weights)
+                          for x in (b, int(weights[b]))])
+    wcol = F.coalesce(F.try_element_at(wmap, F.col("bucket")), F.lit(0))
+    doc = (feat.withColumn("_wc", (F.col("cnt") * wcol).cast("long"))
+           .groupBy(id_col, "n_tokens", "y_micros")
+           .agg(F.sum("_wc").cast("long").alias("_s"))
+           .withColumn("_r", F.expr(divhalf("_s", "n_tokens"))
+                       - F.col("y_micros"))
+           .select(id_col, "_r"))
+    n_docs = feat.select(id_col).distinct().count()
+    grad = (feat.join(doc, id_col)
+            .withColumn("_rc", (F.col("_r") * F.col("cnt")).cast("long"))
+            .withColumn("_g", F.expr(divhalf("_rc", "n_tokens")))
+            .groupBy("bucket").agg(F.sum("_g").cast("long").alias("_gs")))
+    spark = feat.sparkSession
+    allb = spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    return (allb.join(grad, "bucket", "left")
+            .withColumn("_lg", F.lit(int(lr_ppm))
+                        * F.coalesce("_gs", F.lit(0)))
+            .withColumn("_nd", F.lit(1_000_000 * int(n_docs)))
+            .select("bucket",
+                    (wcol - F.expr(divhalf("_lg", "_nd")))
+                    .cast("long").alias("w_micros")))
+
+
+def linear_probe_train(df: DataFrame, rounds: int = 3, buckets: int = 32,
+                       lr_ppm: int = 200_000, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       label_col: str = "label") -> dict[int, int]:
+    """N GD rounds of ``linear_probe_step`` from zero weights; returns
+    the trained weight dict for ``hashed_linear_score``. The feature
+    frame is built ONCE and persisted across rounds (the
+    ``kmeans_train_assign`` pattern); per-round driver traffic is the
+    ``buckets``-row weight table."""
+    feat = tracked_persist(probe_features(df, buckets, id_col,
+                                          text_col, label_col))
+    w = {b: 0 for b in range(buckets)}
+    for _ in range(rounds):
+        rows = linear_probe_step(feat, w, buckets, lr_ppm,
+                                 id_col).collect()
+        w = {r["bucket"]: r["w_micros"] for r in rows}
+    return w

@@ -632,3 +632,75 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         (r_words & r_mean_len & r_symbol & r_bullet & r_alpha & r_stop)
         .alias("pass_gopher"),
         *[F.col(c) for c in keep])
+
+
+def span_exact_dedup(df: DataFrame, sent_col: str = "sentences",
+                     id_col: str = "doc_id", span: int = 3) -> DataFrame:
+    """C4 exact span deduplication (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set") — the corpus-GLOBAL companion to the
+    per-document line gates in ``c4_rules`` and the last named C4
+    omission in its docstring. Input is a document frame carrying a
+    pre-split ``sent_col: array<string>`` (sentence segmentation is
+    corpus-policy: regex sentences for prose, line or fixed-token
+    units for markupless corpora), so the dedup semantics stay exact
+    while the unit definition remains a caller choice.
+
+    Occurrence identity is md5 of the ``span`` consecutive sentences
+    joined by single spaces; the KEEPER of a recurring span is the
+    occurrence with the smallest (doc_id, position), totalized by the
+    integer encode doc_id * 1_000_000 + position (positions are
+    1-based and bounded by 1M sentences/document — stated contract).
+    Every non-keeper occurrence marks its ``span`` sentence positions
+    for removal; overlapping marks merge gap-and-islands
+    (``timeseries.merge_intervals``, the contamination-coverage
+    idiom), so removed-sentence counts never double-count.
+
+    Scale shape: one codegen'd scan builds all span hashes with
+    higher-order functions; ONE uniformly-distributed shuffle groups
+    occurrences by md5 (map-side-combinable min + count — a
+    boilerplate span repeated 1M times still reduces to one row); only
+    DUPLICATED occurrences (sparse in healthy corpora) flow into the
+    per-doc island merge. No self-join, no all-pairs anything.
+
+    Returns (id, n_sentences, n_spans, n_dup_spans, removed_sentences,
+    kept_ppm) for every input document; kept_ppm = ppm of sentences
+    surviving removal (1_000_000 for sentence-free docs).
+    """
+    from .timeseries import merge_intervals
+
+    arr = F.col(sent_col)
+    hashes = F.when(
+        F.size(arr) >= span,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - span + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, span))))
+    ).otherwise(F.array().cast("array<string>"))
+    base = (df.select(F.col(id_col), F.size(arr).alias("_ns"),
+                      hashes.alias("_hl")))
+    occ = (base.select(id_col, F.posexplode("_hl").alias("_p0", "_h"))
+           .select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
+           .withColumn("_enc", F.col(id_col) * 1_000_000 + F.col("_pos")))
+    keep = occ.groupBy("_h").agg(F.min("_enc").alias("_kk"))
+    removed = (occ.join(keep, "_h")
+               .filter(F.col("_enc") != F.col("_kk"))
+               .select(id_col, F.col("_pos").alias("_s"),
+                       (F.col("_pos") + span - 1).alias("_e")))
+    ndup = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nd"))
+    islands = merge_intervals(removed, id_col, "_s", "_e", tiebreak="_e")
+    rm = (islands.groupBy(id_col)
+          .agg(F.sum(F.col("island_end") - F.col("island_start") + 1)
+                .alias("_rm")))
+    kept_ppm = F.expr(
+        "CASE WHEN n_sentences > 0 THEN (n_sentences - removed_sentences)"
+        " * 1000000 DIV n_sentences ELSE 1000000 END")
+    return (base.select(F.col(id_col),
+                        F.col("_ns").cast("long").alias("n_sentences"),
+                        F.greatest(F.col("_ns") - span + 1, F.lit(0))
+                         .cast("long").alias("n_spans"))
+            .join(ndup, id_col, "left").join(rm, id_col, "left")
+            .select(id_col, "n_sentences", "n_spans",
+                    F.coalesce("_nd", F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce("_rm", F.lit(0)).cast("long")
+                     .alias("removed_sentences"))
+            .withColumn("kept_ppm", kept_ppm.cast("long")))
