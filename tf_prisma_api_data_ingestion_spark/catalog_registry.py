@@ -2060,15 +2060,25 @@ def _doc_sentences_8tok(d):
     synthetic corpus carries no punctuation or newlines (verified: zero
     [.!?] across sf0.01), so the key derives deterministic sentence
     units as consecutive 8-token groups — ``span_exact_dedup`` itself
-    is unit-agnostic (regex sentences for prose corpora)."""
-    from .operators.text import tokens
+    is unit-agnostic (regex sentences for prose corpora).
 
-    toks = tokens(F.col("text"))
-    ns = F.floor(F.size(toks) / F.lit(8)).cast("int")
-    sents = F.when(ns >= 1, F.transform(
-        F.sequence(F.lit(1), ns),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)))
-    ).otherwise(F.array().cast("array<string>"))
+    Built with ONE regex pass: a sentinel replaces every 8th token gap
+    and the string splits on it. A transform-over-sequence slicing the
+    token array re-inlines the whole tokenize expression into the
+    lambda (CollapseProject) and re-tokenizes per SENTENCE — measured
+    16.5s vs 0.9s on 5k docs, the same Catalyst trap word_shingles'
+    docstring records. The trailing sub-8-token fragment is dropped
+    (sentence count = floor(n_tokens / 8), matching the oracle)."""
+    from .operators.text import tokens
+    from .parallel import fan_out
+
+    d = fan_out(d)  # single-file fixtures must not serialize the scan
+    joined = F.array_join(tokens(F.col("text")), " ")
+    chunked = F.regexp_replace(joined,
+                               r"((?:\S+ ){7}\S+) ", "$1\u0001")
+    sents = F.filter(
+        F.split(chunked, "\u0001"),
+        lambda x: F.size(F.split(x, " ")) == 8)
     return d.select("doc_id", sents.alias("sentences"))
 
 

@@ -1037,13 +1037,20 @@ def substring_dup_coverage(df: DataFrame, text_col: str = "text",
     """
     from .timeseries import merge_intervals
 
+    # r9: windows via min_len shifted slices + arrays_zip (the
+    # word_shingles formulation) — a transform-over-sequence lambda
+    # slicing the token array re-inlines the tokenize regex per WINDOW
+    # (CollapseProject), turning the stride-1 scan quadratic-ish; the
+    # zip lambda touches only its own variable. fan_out first: the
+    # hashing is CPU-bound and must not serialize on a 1-split scan.
+    df = fan_out(df)
     ws = tokens(F.col(text_col))
-    starts = F.when(
-        F.size(ws) >= min_len,
-        F.sequence(F.lit(1), F.size(ws) - (min_len - 1), F.lit(1)),
-    ).otherwise(F.array().cast("array<int>"))
+    k = F.greatest(F.size(ws) - (min_len - 1), F.lit(0))
+    parts = [F.slice(ws, i + 1, k) for i in range(min_len)]
     hashes = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, min_len))))
+        F.arrays_zip(*parts),
+        lambda x: F.md5(F.concat_ws(
+            " ", *[x[str(i)] for i in range(min_len)])))
     occ = df.select(F.col(id_col),
                     F.posexplode(hashes).alias("_p0", "_h"))
     dup = (occ.groupBy("_h")

@@ -350,10 +350,14 @@ def probe_features(df: DataFrame, buckets: int = 32,
     buckets``), so weights trained here feed inference unchanged.
 
     Built with ONE scan + one map-side-combinable groupBy; persist the
-    result when iterating — every GD round reuses it.
+    result when iterating — every GD round reuses it. ``fan_out``
+    spreads single-split inputs before the tokenize+explode (the
+    map-heavy stage must parallelize regardless of file layout).
     """
+    from ..parallel import fan_out
     from .text import tokens
 
+    df = fan_out(df)
     toks = tokens(F.col(text_col))
     return (df.select(F.col(id_col),
                       F.size(toks).cast("long").alias("n_tokens"),
