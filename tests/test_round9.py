@@ -386,3 +386,97 @@ class TestLinearProbe:
         # one bucket holds both occurrences: S = 2w, mean = w
         assert out["score_sum_micros"] == 2 * max(w.values())
         assert out["score_mean_micros"] == max(w.values())
+
+
+# ------------------------------------------------------ winnowing
+
+
+def _winnow_mirror(text, k, w):
+    """Pure-python reimplementation of the operator's spec."""
+    import hashlib
+    P = 2_147_483_647
+    toks = text.lower().split()
+    if len(toks) >= k:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    elif toks:
+        grams = [" ".join(toks)]
+    else:
+        grams = []
+    hm = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P
+          for g in grams]
+    enc = [h * 2_147_483_648 + (P - (i + 1)) for i, h in enumerate(hm)]
+    sel = {min(enc[max(0, p - w + 1):p + 1]) for p in range(w - 1, len(enc))}
+    return grams, sel
+
+
+class TestWinnowing:
+    def _run(self, spark, texts, k=5, w=4):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            winnow_fingerprints)
+        return {r["doc_id"]: r.asDict() for r in winnow_fingerprints(
+            _docs(spark, texts), k=k, w=w).collect()}
+
+    def test_matches_python_mirror(self, spark):
+        text = "the quick brown fox jumps over the lazy dog the quick brown fox again"
+        grams, sel = _winnow_mirror(text, 3, 4)
+        out = self._run(spark, [text], k=3, w=4)[0]
+        assert out["n_grams"] == len(grams)
+        assert out["n_fingerprints"] == len(sel)
+        assert out["fp_checksum"] == sum(sel) % 2_305_843_009_213_693_951
+
+    def test_shared_substring_shares_a_fingerprint(self, spark):
+        # Schleimer et al. guarantee: a shared run of >= w + k - 1
+        # tokens yields a shared selected HASH (positions differ, so
+        # compare the decoded hash side of the selections)
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 4+3-1
+        a = "x1 x2 x3 " + shared + " y1 y2"
+        b = "z1 " + shared + " w1 w2 w3 w4"
+        _, sa = _winnow_mirror(a, 3, 4)
+        _, sb = _winnow_mirror(b, 3, 4)
+        ha = {e // 2_147_483_648 for e in sa}
+        hb = {e // 2_147_483_648 for e in sb}
+        assert ha & hb
+        out = self._run(spark, [a, b], k=3, w=4)
+        assert out[0]["n_fingerprints"] == len(sa)
+        assert out[1]["n_fingerprints"] == len(sb)
+
+    def test_density_and_short_docs(self, spark):
+        out = self._run(spark, ["a b c", ""], k=5, w=4)
+        # 3 tokens < k -> one gram, zero full windows, zero fingerprints
+        assert out[0]["n_grams"] == 1 and out[0]["n_fingerprints"] == 0
+        assert out[1]["n_grams"] == 0 and out[1]["fp_checksum"] == 0
+
+
+# ------------------------------------------------------ CCNet buckets
+
+
+class TestCCNetBuckets:
+    def test_tercile_contract(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            ccnet_buckets)
+        # 6 docs, one source; model fit separates repetitive (high
+        # bigram likelihood) from shuffled text
+        rows = [(i, "rep rep rep rep rep" if i < 2
+                 else f"uni{i}a uni{i}b uni{i}c uni{i}d", "s0")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = ccnet_buckets(df).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["ccnet_bucket"], []).append(r["lm_ppm_r"])
+        assert sorted(len(v) for v in by_bucket.values()) == [2, 2, 2]
+        assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+        assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+        # the repetitive docs fit the corpus LM best -> head
+        heads = {r["doc_id"] for r in out if r["ccnet_bucket"] == "head"}
+        assert heads == {0, 1}
+
+    def test_groups_bucket_independently(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            ccnet_buckets)
+        rows = [(i, f"tok{i} tok{i} tok{i}", f"s{i % 2}") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = ccnet_buckets(df).collect()
+        for src in ("s0", "s1"):
+            counts = [r["ccnet_bucket"] for r in out if r["source"] == src]
+            assert sorted(set(counts)) == ["head", "middle", "tail"]

@@ -2633,6 +2633,70 @@ FROM m GROUP BY source
 """
 
 
+
+
+SQL_TEXT_CCNET_BUCKETS = f"""
+WITH lm AS ({SQL_TEXT_LM_LIKELIHOOD.strip().rstrip()}
+)
+SELECT lm.doc_id, d.source, lm.n_bigrams, lm.lm_ppm_r,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY lm.lm_ppm_r DESC, lm.doc_id ASC)]
+         AS ccnet_bucket
+FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+"""
+
+
+def _sql_text_winnow(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of text.winnow_fingerprints: the identical framed
+    window min over the packed (hash asc, position desc) key."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                     i -> array_to_string(list_slice(t, i, i + {k} - 1), ' '))
+              WHEN len(t) >= 1
+              THEN [array_to_string(t, ' ')]
+              ELSE []::VARCHAR[] END AS gl
+  FROM t),
+occ AS (
+  SELECT doc_id, generate_subscripts(gl, 1) AS p,
+         ('0x' || substr(md5(unnest(gl)), 1, 15))::BIGINT % 2147483647
+           AS hm
+  FROM grams),
+enc AS (
+  SELECT doc_id, p, hm * 2147483648 + (2147483647 - p) AS e
+  FROM occ),
+sel AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, p,
+           min(e) OVER (PARTITION BY doc_id ORDER BY p ASC
+                        ROWS BETWEEN {w} - 1 PRECEDING AND CURRENT ROW)
+             AS s
+    FROM enc) WHERE p >= {w}),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp,
+               CAST(SUM(CAST(s AS HUGEINT)) % 2305843009213693951
+                    AS BIGINT) AS ck
+        FROM sel GROUP BY 1),
+base AS (SELECT doc_id,
+                CAST(CASE WHEN len(t) >= {k} THEN len(t) - {k} + 1
+                          WHEN len(t) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+                  AS n_grams
+         FROM t)
+SELECT b.doc_id, b.n_grams,
+       CAST(greatest(b.n_grams - {w} + 1, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.nfp, 0) AS BIGINT) AS n_fingerprints,
+       CAST(COALESCE(a.ck, 0) AS BIGINT) AS fp_checksum,
+       CAST(CASE WHEN b.n_grams - {w} + 1 > 0
+                 THEN COALESCE(a.nfp, 0) * 1000000 // (b.n_grams - {w} + 1)
+                 ELSE 0 END AS BIGINT) AS density_ppm
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -2882,6 +2946,8 @@ ORACLES: dict[str, str] = {
     "text-span-dedup": _sql_text_span_dedup(),
     "op-probe-step": _sql_op_probe_step(),
     "plan-quality-train": _sql_plan_quality_train(),
+    "text-ccnet-buckets": SQL_TEXT_CCNET_BUCKETS,
+    "text-winnow-fingerprints": _sql_text_winnow(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

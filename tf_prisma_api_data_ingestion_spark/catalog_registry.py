@@ -2143,6 +2143,26 @@ def q_plan_quality_train(spark, sf_dir):
                   .alias("sum_mean_micros")))
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per source
+    (operators/text.ccnet_buckets; Wenzek et al. 2020): corpus-trained
+    bigram-LM fit, ANSI ntile(3) over (fit DESC, doc_id) — the
+    published keep-head / judge-middle / drop-tail split, exactly
+    replayed by the oracle."""
+    from .operators.text import ccnet_buckets
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/text.winnow_fingerprints;
+    Schleimer et al. 2003, the MOSS algorithm): 5-gram hashes, 4-wide
+    window min with the rightmost tie-break packed into one int64 key,
+    distinct selections digested order-free — density and checksum
+    per document."""
+    from .operators.text import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2430,6 +2450,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9b: linear quality-probe training — one GD round + 3-round plan
     "op-probe-step": q_op_probe_step,
     "plan-quality-train": q_plan_quality_train,
+    # r9c: CCNet perplexity terciles + winnowing fingerprints
+    "text-ccnet-buckets": q_text_ccnet_buckets,
+    "text-winnow-fingerprints": q_text_winnow,
 }
 
 
@@ -2454,6 +2477,8 @@ _R9_WINDOW = [
     "text-span-dedup",
     "op-probe-step",
     "plan-quality-train",
+    "text-ccnet-buckets",
+    "text-winnow-fingerprints",
     # the 35 keys whose newest driver row is r04
     "pd-filter-range",
     "op-derive-ts",
@@ -2496,12 +2521,11 @@ _R9_WINDOW = [
     "pd-sort",
     "pd-limit-page",
     "pd-groupby",
-    "op-groupagg-count",
-    "op-project-rename",
 ]
-# op-fillna / op-salted-join / tpch-q1 were displaced from the r9 window
-# by the round's three late keys; their newest driver row stays r5,
-# which still satisfies the r8 brief's "nothing older than r5" bar.
+# op-fillna / op-salted-join / tpch-q1 / op-project-rename /
+# op-groupagg-count were displaced from the r9 window by the round's
+# five late keys; their newest driver row stays r5, which still
+# satisfies the r8 brief's "nothing older than r5" bar.
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R9_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)}

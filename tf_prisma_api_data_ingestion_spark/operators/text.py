@@ -704,3 +704,108 @@ def span_exact_dedup(df: DataFrame, sent_col: str = "sentences",
                     F.coalesce("_rm", F.lit(0)).cast("long")
                      .alias("removed_sentences"))
             .withColumn("kept_ppm", kept_ppm.cast("long")))
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  group_col: str = "source") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020:
+    documents sorted by language-model fit per shard and split into
+    terciles; "head" trains, "tail" is dropped, "middle" is judgement).
+    The LM is the corpus-trained add-one bigram model of
+    ``lm_likelihood`` (its mean-likelihood ppm is rank-equivalent to
+    perplexity with the opposite sign, so head = HIGHEST lm_ppm_r);
+    buckets are ANSI ntile(3) over (fit DESC, id ASC) per ``group_col``
+    — the deterministic tie-break makes the split replay exactly in
+    the oracle, and ntile's earlier-buckets-larger convention is part
+    of the published-contract both engines share.
+
+    Scale shape: lm_likelihood's aggregation shuffles dominate; the
+    bucketing adds ONE per-group window sort (CCNet shards by
+    language, so group sizes bound the sort — same posture). Returns
+    (id, group, n_bigrams, lm_ppm_r, ccnet_bucket) for every doc with
+    >= 1 bigram.
+    """
+    from pyspark.sql.window import Window
+
+    scored = lm_likelihood(df, id_col=id_col, text_col=text_col)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("lm_ppm_r").desc(), F.col("doc_id").asc()))
+    lab = F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                               F.lit("tail")), F.ntile(3).over(w))
+    return (scored.join(df.select(F.col(id_col).alias("doc_id"),
+                                  F.col(group_col)), "doc_id")
+            .select("doc_id", group_col, "n_bigrams", "lm_ppm_r",
+                    lab.alias("ccnet_bucket")))
+
+
+# Mersenne 2^31-1 — the same cross-engine modulus the universal-hash
+# MinHash family uses (dedup._UH_PRIME); winnowing reduces its gram
+# hashes below 2^31 so the (hash, position) selection key packs into
+# one signed int64.
+_WINNOW_P = 2_147_483_647
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every ``k``-gram, slide a ``w``-wide
+    window over the hash sequence, and in each window select the
+    MINIMUM hash, breaking ties by RIGHTMOST position; the distinct
+    selections are the fingerprint set, with guaranteed density
+    2/(w+1) and the guarantee that any shared substring of length
+    >= w + k - 1 contributes a shared fingerprint.
+
+    The rightmost-min tie-break is encoded arithmetically so one
+    window MIN does the whole selection: with hm = 60-bit gram hash
+    reduced mod 2^31-1 and 1-based position p,
+
+        enc = hm * 2^31 + (2^31 - 1 - p)
+
+    orders by (hash asc, position desc) — min(enc) over the window IS
+    the paper's robust-winnowing pick (positions are bounded by 2^31
+    gram slots per document: stated contract). Exactly replayable:
+    both engines run the identical framed window min.
+
+    Scale shape: one posexplode of the gram stream, ONE per-doc window
+    (partitioned — no global sort), distinct + aggregate; linear in
+    tokens. Returns (id, n_grams, n_windows, n_fingerprints,
+    density_ppm, fp_checksum) where fp_checksum = SUM of selected enc
+    values mod 2^61-1 (exact DECIMAL(38,0) sum reduced to int64 at the
+    edge) — an order-free exact digest of the whole fingerprint set.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_hash60
+
+    grams = word_ngrams(F.col(text_col), k)
+    occ = (df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "_g"))
+           .select(id_col, (F.col("_p0") + 1).alias("_p"),
+                   (md5_hash60(F.col("_g")) % _WINNOW_P).alias("_hm")))
+    enc = (F.col("_hm") * F.lit(2_147_483_648)
+           + (F.lit(2_147_483_647) - F.col("_p")))
+    win = (Window.partitionBy(id_col).orderBy(F.col("_p").asc())
+           .rowsBetween(-(w - 1), 0))
+    sel = (occ.withColumn("_enc", enc)
+           .withColumn("_sel", F.min("_enc").over(win))
+           .filter(F.col("_p") >= w)            # full windows only
+           .select(id_col, "_sel").distinct())
+    agg = (sel.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("_nfp"),
+                F.sum(F.col("_sel").cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").alias("_ck")))
+    base = df.select(F.col(id_col),
+                     F.size(grams).cast("long").alias("n_grams"))
+    return (base.join(agg, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.greatest(F.col("n_grams") - (w - 1), F.lit(0))
+                     .cast("long").alias("n_windows"),
+                    F.coalesce("_nfp", F.lit(0)).cast("long")
+                     .alias("n_fingerprints"),
+                    F.expr("CAST(COALESCE(_ck, 0) % 2305843009213693951"
+                           " AS BIGINT)").alias("fp_checksum"))
+            .withColumn("density_ppm", F.expr(
+                "CASE WHEN n_windows > 0 THEN n_fingerprints * 1000000"
+                " DIV n_windows ELSE 0 END").cast("long")))
