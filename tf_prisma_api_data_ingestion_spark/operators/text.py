@@ -778,8 +778,10 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql.window import Window
 
+    from ..parallel import fan_out
     from .dedup import md5_hash60
 
+    df = fan_out(df)  # gram hashing is CPU-bound; spread 1-split scans
     grams = word_ngrams(F.col(text_col), k)
     occ = (df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "_g"))
            .select(id_col, (F.col("_p0") + 1).alias("_p"),
