@@ -106,6 +106,15 @@ AUDIT = (
     ("op-bootstrap-ci", "one scan fans each row to B+1 (replica, weight) tuples in the projection; map-side-combinable agg with B+1 groups, order stats on one B-element array"),
     ("text-contamination-coverage", "benchmark gram bank broadcast; only MATCHED positions become interval rows; island merge shuffles matched docs only"),
     ("text-c4-rules", "pure per-row line battery over one scan — zero exchanges, the same run-it-FIRST profile as gopher"),
+    # r9
+    ("dedup-substring", "stride-1 window hashes via shifted-slices+arrays_zip in ONE codegen projection; one uniformly-hashed shuffle on the window md5; only recurring windows reach the island merge"),
+    ("dedup-minhash-md5", "universal-hash signatures (int64 mul-add-mod in codegen, no per-seed md5); single posexplode band self-join; exact verify on candidates only"),
+    ("op-bpe-merge-step", "pair counting is one map-side-combinable agg over the symbol stream; argmax election is a 1-row reduce"),
+    ("text-quality-classifier", "literal weight MAP in the plan — pure map-side scoring pass, zero exchanges, zero joins"),
+    ("text-span-dedup", "sentence view is ONE sentinel-regex pass (no per-element re-tokenize); one shuffle groups span occurrences by md5 (map-side-combinable keeper min); only duplicated occurrences reach the island merge"),
+    ("op-probe-step", "persisted sparse feature frame; each GD round = one doc-keyed agg + one join-back + one bucket-keyed agg, all uniformly hashed; weights travel as literals"),
+    ("text-ccnet-buckets", "lm_likelihood's aggregation subtree unchanged; the tercile split adds ONE per-source window sort over the scored frame"),
+    ("text-winnow-fingerprints", "gram hashing in the scan projection; ONE per-doc framed window min does the rightmost-tie-break selection; distinct + agg are doc-keyed"),
 )
 
 
