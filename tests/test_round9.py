@@ -480,3 +480,44 @@ class TestCCNetBuckets:
         for src in ("s0", "s1"):
             counts = [r["ccnet_bucket"] for r in out if r["source"] == src]
             assert sorted(set(counts)) == ["head", "middle", "tail"]
+
+
+# ------------------------------------------------------ B-Cubed eval
+
+
+class TestBCubed:
+    def _ev(self, spark, pred, truth):
+        from tf_prisma_api_data_ingestion_spark.operators.ml import (
+            bcubed_eval)
+        p = spark.createDataFrame(pred, "doc_id long, cluster_id long")
+        t = spark.createDataFrame(truth, "doc_id long, cluster_id long")
+        return bcubed_eval(p, t).collect()[0].asDict()
+
+    def test_hand_values(self, spark):
+        # pred merges truth {1,2} and {3}: P = (2/3+2/3+1/3+1)/4,
+        # R = 1 exactly, F1 = 2PR/(P+R) = 0.8
+        out = self._ev(spark,
+                       [(1, 1), (2, 1), (3, 1), (4, 4)],
+                       [(1, 1), (2, 1), (3, 3), (4, 4)])
+        assert out["bcubed_precision_ppm"] == 666667  # half-up of 2/3
+        assert out["bcubed_recall_ppm"] == 1_000_000
+        assert out["bcubed_f1_ppm"] == 800_000
+        assert (out["n_pred_clusters"], out["n_truth_clusters"]) == (2, 3)
+
+    def test_identity_is_perfect(self, spark):
+        c = [(i, i % 3) for i in range(9)]
+        out = self._ev(spark, c, c)
+        assert out["bcubed_precision_ppm"] == 1_000_000
+        assert out["bcubed_recall_ppm"] == 1_000_000
+        assert out["bcubed_f1_ppm"] == 1_000_000
+
+    def test_overmerge_hits_precision_oversplit_hits_recall(self, spark):
+        truth = [(1, 1), (2, 1), (3, 3), (4, 3)]
+        allone = [(i, 1) for i in (1, 2, 3, 4)]
+        singls = [(i, i) for i in (1, 2, 3, 4)]
+        merged = self._ev(spark, allone, truth)
+        split = self._ev(spark, singls, truth)
+        assert merged["bcubed_recall_ppm"] == 1_000_000
+        assert merged["bcubed_precision_ppm"] == 500_000
+        assert split["bcubed_precision_ppm"] == 1_000_000
+        assert split["bcubed_recall_ppm"] == 500_000

@@ -2697,6 +2697,91 @@ FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
 
+
+
+SQL_OP_BCUBED_EVAL = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+inv AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+tpairs AS (SELECT doc_a, doc_b FROM inter
+           WHERE i / (ma + mb - i) >= 0.2),
+tedges AS (SELECT doc_a AS src, doc_b AS dst FROM tpairs
+           UNION SELECT doc_b, doc_a FROM tpairs),
+treach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM tedges e JOIN treach r ON e.src = r.n),
+tclus AS (SELECT n AS doc_id, min(m) AS tc FROM treach GROUP BY n),
+pre AS (SELECT doc_id, shingles,
+            list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+              AS xr FROM sh),
+ab(i, a, b) AS (VALUES {_UH_SEEDS_VALUES}),
+seeded AS (
+  SELECT doc_id, ab.i, min((ab.a * u.x + ab.b) % 2147483647) AS mn
+  FROM pre, unnest(xr) u(x), ab
+  GROUP BY doc_id, ab.i),
+sigs AS (
+  SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
+  FROM seeded GROUP BY doc_id, i // {_MINHASH_RPB}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+pverified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         len(sa.shingles) AS ma, len(sb.shingles) AS mb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b),
+ppairs AS (SELECT doc_a, doc_b FROM pverified
+           WHERE i / (ma + mb - i) >= 0.2),
+pedges AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+           UNION SELECT doc_b, doc_a FROM ppairs),
+preach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM pedges e JOIN preach r ON e.src = r.n),
+pclus AS (SELECT n AS doc_id, min(m) AS pc FROM preach GROUP BY n),
+j AS (SELECT p.doc_id, p.pc, t.tc
+      FROM pclus p JOIN tclus t USING (doc_id)),
+pt AS (SELECT pc, tc, CAST(count(*) AS HUGEINT) AS n_pt
+       FROM j GROUP BY 1, 2),
+psz AS (SELECT pc, SUM(n_pt) AS n_p FROM pt GROUP BY 1),
+tsz AS (SELECT tc, SUM(n_pt) AS n_t FROM pt GROUP BY 1),
+terms AS (
+  SELECT pt.n_pt, pt.pc, pt.tc,
+         (2 * (pt.n_pt * pt.n_pt * 1000000000000) + p.n_p)
+           // (2 * p.n_p) AS pterm,
+         (2 * (pt.n_pt * pt.n_pt * 1000000000000) + t.n_t)
+           // (2 * t.n_t) AS rterm
+  FROM pt JOIN psz p USING (pc) JOIN tsz t USING (tc)),
+agg AS (SELECT SUM(n_pt) AS n,
+               CAST(COUNT(DISTINCT pc) AS BIGINT) AS n_pred_clusters,
+               CAST(COUNT(DISTINCT tc) AS BIGINT) AS n_truth_clusters,
+               SUM(pterm) AS ps, SUM(rterm) AS rs
+        FROM terms),
+ppm AS (SELECT n, n_pred_clusters, n_truth_clusters,
+               CAST((2 * ps + n * 1000000) // (2 * n * 1000000)
+                    AS BIGINT) AS p_ppm,
+               CAST((2 * rs + n * 1000000) // (2 * n * 1000000)
+                    AS BIGINT) AS r_ppm
+        FROM agg)
+SELECT CAST(n AS BIGINT) AS n_elements, n_pred_clusters, n_truth_clusters,
+       p_ppm AS bcubed_precision_ppm, r_ppm AS bcubed_recall_ppm,
+       CAST(CASE WHEN p_ppm + r_ppm = 0 THEN 0
+                 ELSE (2 * (2 * CAST(p_ppm AS HUGEINT) * r_ppm)
+                       + (p_ppm + r_ppm)) // (2 * (p_ppm + r_ppm))
+            END AS BIGINT) AS bcubed_f1_ppm
+FROM ppm
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -2948,6 +3033,7 @@ ORACLES: dict[str, str] = {
     "plan-quality-train": _sql_plan_quality_train(),
     "text-ccnet-buckets": SQL_TEXT_CCNET_BUCKETS,
     "text-winnow-fingerprints": _sql_text_winnow(),
+    "op-bcubed-eval": SQL_OP_BCUBED_EVAL,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

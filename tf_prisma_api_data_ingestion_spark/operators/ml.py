@@ -936,3 +936,69 @@ def rrf_fusion(df: DataFrame, query_col: str, item_col: str,
                       .cast("long").alias("rank_b"),
                      F.col("_s").alias("rrf_micro"),
                      F.col("fused_rank").cast("long").alias("fused_rank")))
+
+
+def bcubed_eval(pred: DataFrame, truth: DataFrame,
+                id_col: str = "doc_id",
+                cluster_col: str = "cluster_id") -> DataFrame:
+    """B-Cubed clustering evaluation (Bagga & Baldwin 1998; the Amigó
+    et al. 2009 survey's recommended extrinsic metric): element-level
+    precision/recall of a PREDICTED clustering against a TRUTH
+    clustering — the standard scorecard for an entity-resolution or
+    dedup pipeline (e.g. MinHash clusters vs exact-Jaccard clusters).
+
+    Per element e: P(e) = |pred(e) ∩ truth(e)| / |pred(e)|, R(e) the
+    same over |truth(e)|; scores are the element averages. Exactly:
+    sum over (pred, truth) cluster intersections of n_pt²/n_p, which
+    this computes in pinned integer space — per-intersection terms as
+    half-up pico-scaled divisions in DECIMAL(38,0) (n_pt² * 1e12
+    overflows int64 at corpus scale), the final mean and F1 as half-up
+    ppm divisions. Both engines replay every rounding.
+
+    Scale shape: ONE equi-join of the two (id, cluster) frames, then
+    three map-side-combinable aggregations (intersections, pred sizes,
+    truth sizes) and two broadcast-sized joins back onto the
+    intersection frame (<= min(|pred clusters|, N) rows per side,
+    stats-driven). No quadratic term: B³ never enumerates element
+    PAIRS, exactly why it scales where pairwise Rand-style metrics
+    don't. Returns ONE row: (n_elements, n_pred_clusters,
+    n_truth_clusters, bcubed_precision_ppm, bcubed_recall_ppm,
+    bcubed_f1_ppm).
+    """
+    def dh(a: str, b: str) -> str:
+        # half-up integral division, operands non-negative
+        return f"(2 * ({a}) + ({b})) DIV (2 * ({b}))"
+
+    j = (pred.select(F.col(id_col).alias("_id"),
+                     F.col(cluster_col).alias("_pc"))
+         .join(truth.select(F.col(id_col).alias("_id"),
+                            F.col(cluster_col).alias("_tc")), "_id"))
+    pt = j.groupBy("_pc", "_tc").agg(F.count(F.lit(1)).alias("n_pt"))
+    psz = pt.groupBy("_pc").agg(F.sum("n_pt").alias("n_p"))
+    tsz = pt.groupBy("_tc").agg(F.sum("n_pt").alias("n_t"))
+    terms = (pt.join(psz, "_pc").join(tsz, "_tc")
+             .withColumn("_sq", (F.col("n_pt").cast("decimal(38,0)")
+                                 * F.col("n_pt")) * F.lit(1_000_000_000_000))
+             .withColumn("_pterm", F.expr(dh("_sq", "CAST(n_p AS DECIMAL(38,0))")))
+             .withColumn("_rterm", F.expr(dh("_sq", "CAST(n_t AS DECIMAL(38,0))"))))
+    agg = terms.agg(
+        F.sum("n_pt").cast("decimal(38,0)").alias("_n"),
+        F.countDistinct("_pc").cast("long").alias("n_pred_clusters"),
+        F.countDistinct("_tc").cast("long").alias("n_truth_clusters"),
+        F.sum("_pterm").cast("decimal(38,0)").alias("_ps"),
+        F.sum("_rterm").cast("decimal(38,0)").alias("_rs"))
+    scored = (agg
+              .withColumn("bcubed_precision_ppm", F.expr(
+                  f"CAST({dh('_ps', '_n * 1000000')} AS BIGINT)"))
+              .withColumn("bcubed_recall_ppm", F.expr(
+                  f"CAST({dh('_rs', '_n * 1000000')} AS BIGINT)")))
+    f1 = F.expr(
+        "CASE WHEN bcubed_precision_ppm + bcubed_recall_ppm = 0 THEN 0 "
+        "ELSE (2 * (2 * bcubed_precision_ppm * bcubed_recall_ppm) "
+        "+ (bcubed_precision_ppm + bcubed_recall_ppm)) "
+        "DIV (2 * (bcubed_precision_ppm + bcubed_recall_ppm)) END")
+    return scored.select(
+        F.col("_n").cast("long").alias("n_elements"),
+        "n_pred_clusters", "n_truth_clusters",
+        "bcubed_precision_ppm", "bcubed_recall_ppm",
+        f1.cast("long").alias("bcubed_f1_ppm"))
