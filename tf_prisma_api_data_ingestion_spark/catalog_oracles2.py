@@ -2756,9 +2756,9 @@ psz AS (SELECT pc, SUM(n_pt) AS n_p FROM pt GROUP BY 1),
 tsz AS (SELECT tc, SUM(n_pt) AS n_t FROM pt GROUP BY 1),
 terms AS (
   SELECT pt.n_pt, pt.pc, pt.tc,
-         (2 * (pt.n_pt * pt.n_pt * 1000000000000) + p.n_p)
+         (2 * (pt.n_pt * pt.n_pt * 1000000) + p.n_p)
            // (2 * p.n_p) AS pterm,
-         (2 * (pt.n_pt * pt.n_pt * 1000000000000) + t.n_t)
+         (2 * (pt.n_pt * pt.n_pt * 1000000) + t.n_t)
            // (2 * t.n_t) AS rterm
   FROM pt JOIN psz p USING (pc) JOIN tsz t USING (tc)),
 agg AS (SELECT SUM(n_pt) AS n,
@@ -2767,10 +2767,8 @@ agg AS (SELECT SUM(n_pt) AS n,
                SUM(pterm) AS ps, SUM(rterm) AS rs
         FROM terms),
 ppm AS (SELECT n, n_pred_clusters, n_truth_clusters,
-               CAST((2 * ps + n * 1000000) // (2 * n * 1000000)
-                    AS BIGINT) AS p_ppm,
-               CAST((2 * rs + n * 1000000) // (2 * n * 1000000)
-                    AS BIGINT) AS r_ppm
+               CAST((2 * ps + n) // (2 * n) AS BIGINT) AS p_ppm,
+               CAST((2 * rs + n) // (2 * n) AS BIGINT) AS r_ppm
         FROM agg)
 SELECT CAST(n AS BIGINT) AS n_elements, n_pred_clusters, n_truth_clusters,
        p_ppm AS bcubed_precision_ppm, r_ppm AS bcubed_recall_ppm,

@@ -950,10 +950,16 @@ def bcubed_eval(pred: DataFrame, truth: DataFrame,
     Per element e: P(e) = |pred(e) ∩ truth(e)| / |pred(e)|, R(e) the
     same over |truth(e)|; scores are the element averages. Exactly:
     sum over (pred, truth) cluster intersections of n_pt²/n_p, which
-    this computes in pinned integer space — per-intersection terms as
-    half-up pico-scaled divisions in DECIMAL(38,0) (n_pt² * 1e12
-    overflows int64 at corpus scale), the final mean and F1 as half-up
-    ppm divisions. Both engines replay every rounding.
+    this computes in pinned integer space — the per-intersection
+    square in DECIMAL(38,0) (n_pt² alone overflows int64 past ~3e9
+    shared elements), the half-up division at MICRO scale (Spark's
+    DIV returns a LONG whatever its operands, so the term must fit
+    int64: micro terms are bounded by n_pt * 1e6, safe to 9e12-element
+    intersections, and cost at most 0.5 ppm of defined rounding in the
+    final mean), term sums re-widened to DECIMAL(38,0) BEFORE the sum
+    (the 100M-element scale test caught the long-sum overflow), and
+    the final mean and F1 as half-up ppm divisions. Both engines
+    replay every rounding.
 
     Scale shape: ONE equi-join of the two (id, cluster) frames, then
     three map-side-combinable aggregations (intersections, pred sizes,
@@ -978,20 +984,20 @@ def bcubed_eval(pred: DataFrame, truth: DataFrame,
     tsz = pt.groupBy("_tc").agg(F.sum("n_pt").alias("n_t"))
     terms = (pt.join(psz, "_pc").join(tsz, "_tc")
              .withColumn("_sq", (F.col("n_pt").cast("decimal(38,0)")
-                                 * F.col("n_pt")) * F.lit(1_000_000_000_000))
+                                 * F.col("n_pt")) * F.lit(1_000_000))
              .withColumn("_pterm", F.expr(dh("_sq", "CAST(n_p AS DECIMAL(38,0))")))
              .withColumn("_rterm", F.expr(dh("_sq", "CAST(n_t AS DECIMAL(38,0))"))))
     agg = terms.agg(
         F.sum("n_pt").cast("decimal(38,0)").alias("_n"),
         F.countDistinct("_pc").cast("long").alias("n_pred_clusters"),
         F.countDistinct("_tc").cast("long").alias("n_truth_clusters"),
-        F.sum("_pterm").cast("decimal(38,0)").alias("_ps"),
-        F.sum("_rterm").cast("decimal(38,0)").alias("_rs"))
+        F.sum(F.col("_pterm").cast("decimal(38,0)")).alias("_ps"),
+        F.sum(F.col("_rterm").cast("decimal(38,0)")).alias("_rs"))
     scored = (agg
               .withColumn("bcubed_precision_ppm", F.expr(
-                  f"CAST({dh('_ps', '_n * 1000000')} AS BIGINT)"))
+                  f"CAST({dh('_ps', '_n')} AS BIGINT)"))
               .withColumn("bcubed_recall_ppm", F.expr(
-                  f"CAST({dh('_rs', '_n * 1000000')} AS BIGINT)")))
+                  f"CAST({dh('_rs', '_n')} AS BIGINT)")))
     f1 = F.expr(
         "CASE WHEN bcubed_precision_ppm + bcubed_recall_ppm = 0 THEN 0 "
         "ELSE (2 * (2 * bcubed_precision_ppm * bcubed_recall_ppm) "
