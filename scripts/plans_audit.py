@@ -115,6 +115,8 @@ AUDIT = (
     ("op-probe-step", "persisted sparse feature frame; each GD round = one doc-keyed agg + one join-back + one bucket-keyed agg, all uniformly hashed; weights travel as literals"),
     ("text-ccnet-buckets", "lm_likelihood's aggregation subtree unchanged; the tercile split adds ONE per-source window sort over the scored frame"),
     ("text-winnow-fingerprints", "gram hashing in the scan projection; ONE per-doc framed window min does the rightmost-tie-break selection; distinct + agg are doc-keyed"),
+    ("op-bcubed-eval", "one equi-join of the two (id, cluster) frames + three map-side-combinable aggs; no pairwise enumeration anywhere"),
+    ("text-stupid-backoff", "five count tables from ONE reference-stratum gram pass; scoring = five LEFT hash equi-joins of the positional stream, no windows, no UDFs"),
 )
 
 

@@ -521,3 +521,42 @@ class TestBCubed:
         assert merged["bcubed_precision_ppm"] == 500_000
         assert split["bcubed_precision_ppm"] == 1_000_000
         assert split["bcubed_recall_ppm"] == 500_000
+
+
+# ------------------------------------------------ stupid backoff LM
+
+
+class TestStupidBackoff:
+    def test_all_levels_hand_math(self, spark):
+        # ref doc (id 0 = the % 100 == 0 stratum): "a b c a b d"
+        # scored doc: exercises every backoff level
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            stupid_backoff_score)
+        d = spark.createDataFrame(
+            [(0, "a b c a b d"), (1, "a b c x b d q q")],
+            "doc_id long, text string")
+        out = stupid_backoff_score(d).collect()
+        assert len(out) == 1
+        r = out[0].asDict()
+        # (a,b,c): c3=1/c2ctx=2 -> 500000; (x,b,d): bigram (b,d)=1,
+        # c1ctx(b)=2 -> 2*1e6/10 = 200000; (c,x,b): unigram b=2, N=6
+        # -> 8e6/150 = 53333 (half-up); three OOV-chain positions -> 0
+        assert r["n_positions"] == 6
+        assert (r["backoff_l3"], r["backoff_l2"],
+                r["backoff_l1"], r["backoff_l0"]) == (1, 1, 1, 3)
+        assert r["sb_ppm"] == 125556  # half-up of 753333/6
+
+    def test_ref_stratum_excluded_and_alpha_chain_monotone(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            stupid_backoff_score)
+        d = spark.createDataFrame(
+            [(0, "u v w u v w"), (100, "p q r"), (1, "u v w"), (2, "z v w")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in stupid_backoff_score(d).collect()}
+        assert set(out) == {1, 2}           # refs 0 and 100 not scored
+        # doc 1 hits the trigram level; doc 2 backs off on (z,v,w) ->
+        # bigram (v,w): alpha discounts it below the direct trigram hit
+        assert out[1]["backoff_l3"] == 1
+        assert out[2]["backoff_l2"] == 1
+        assert out[1]["sb_ppm"] > out[2]["sb_ppm"]

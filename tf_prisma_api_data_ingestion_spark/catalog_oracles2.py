@@ -2780,6 +2780,66 @@ FROM ppm
 """
 
 
+
+
+def _sql_text_stupid_backoff(ref_mod: int = 100) -> str:
+    """DuckDB twin of text.stupid_backoff_score: reference-stratum
+    count tables, the exact rational backoff chain (alpha = 2/5), and
+    every half-up division replayed."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+tri AS (
+  SELECT t.doc_id, (t.doc_id % {ref_mod}) = 0 AS ref,
+         t.t[u.i] AS w1, t.t[u.i + 1] AS w2, t.t[u.i + 2] AS w3
+  FROM t CROSS JOIN LATERAL unnest(range(1, greatest(len(t.t) - 2, 0) + 1))
+           AS u(i)),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE ref GROUP BY 1, 2, 3),
+c2ctx AS (SELECT w1, w2, SUM(c3) AS c2ctx FROM c3 GROUP BY 1, 2),
+c2 AS (SELECT w2, w3, count(*) AS c2 FROM tri WHERE ref GROUP BY 1, 2),
+c1ctx AS (SELECT w2, SUM(c2) AS c1ctx FROM c2 GROUP BY 1),
+toks AS (SELECT unnest(t.t) AS w3 FROM t WHERE (t.doc_id % {ref_mod}) = 0),
+c1 AS (SELECT w3, count(*) AS c1 FROM toks GROUP BY 1),
+ntot AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN c3.c3 IS NOT NULL
+              THEN (2 * (c3.c3 * 1000000) + c2ctx.c2ctx)
+                   // (2 * c2ctx.c2ctx)
+              WHEN c2.c2 IS NOT NULL
+              THEN (2 * (2 * c2.c2 * 1000000) + 5 * c1ctx.c1ctx)
+                   // (2 * 5 * c1ctx.c1ctx)
+              WHEN c1.c1 IS NOT NULL
+              THEN (2 * (4 * c1.c1 * 1000000) + 25 * ntot.n)
+                   // (2 * 25 * ntot.n)
+              ELSE 0 END AS term,
+         CASE WHEN c3.c3 IS NOT NULL THEN 3
+              WHEN c2.c2 IS NOT NULL THEN 2
+              WHEN c1.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+  FROM tri s
+  LEFT JOIN c3 ON c3.w1 = s.w1 AND c3.w2 = s.w2 AND c3.w3 = s.w3
+  LEFT JOIN c2ctx ON c2ctx.w1 = s.w1 AND c2ctx.w2 = s.w2
+  LEFT JOIN c2 ON c2.w2 = s.w2 AND c2.w3 = s.w3
+  LEFT JOIN c1ctx ON c1ctx.w2 = s.w2
+  LEFT JOIN c1 ON c1.w3 = s.w3
+  CROSS JOIN ntot
+  WHERE NOT s.ref)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST((2 * SUM(term) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS sb_ppm,
+       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS backoff_l3,
+       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS backoff_l2,
+       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS backoff_l1,
+       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS backoff_l0
+FROM scored GROUP BY doc_id
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3032,6 +3092,7 @@ ORACLES: dict[str, str] = {
     "text-ccnet-buckets": SQL_TEXT_CCNET_BUCKETS,
     "text-winnow-fingerprints": _sql_text_winnow(),
     "op-bcubed-eval": SQL_OP_BCUBED_EVAL,
+    "text-stupid-backoff": _sql_text_stupid_backoff(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2182,6 +2182,18 @@ def q_op_bcubed_eval(spark, sf_dir):
     return bcubed_eval(pred, truth)
 
 
+def q_text_stupid_backoff(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (operators/text.
+    stupid_backoff_score; Brants et al. 2007 — the smoothing built FOR
+    trillion-token corpora): counts from the doc_id %% 100 == 0
+    reference stratum, every other document scored through the exact
+    rational backoff chain (alpha = 2/5), per-position backoff levels
+    surfaced. All five count tables from one gram pass; scoring is
+    five LEFT equi-joins of the positional stream."""
+    from .operators.text import stupid_backoff_score
+    return stupid_backoff_score(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2474,6 +2486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-winnow-fingerprints": q_text_winnow,
     # r9c: B-Cubed dedup-clustering scorecard
     "op-bcubed-eval": q_op_bcubed_eval,
+    # r9c: stupid-backoff trigram LM scoring (reference-stratum counts)
+    "text-stupid-backoff": q_text_stupid_backoff,
 }
 
 
@@ -2501,6 +2515,7 @@ _R9_WINDOW = [
     "text-ccnet-buckets",
     "text-winnow-fingerprints",
     "op-bcubed-eval",
+    "text-stupid-backoff",
     # the 35 keys whose newest driver row is r04
     "pd-filter-range",
     "op-derive-ts",
@@ -2541,7 +2556,6 @@ _R9_WINDOW = [
     "pd-filter-eq",
     "pd-filter-in",
     "pd-sort",
-    "pd-limit-page",
 ]
 # op-fillna / op-salted-join / tpch-q1 / op-project-rename /
 # op-groupagg-count / pd-groupby were displaced from the r9 window by

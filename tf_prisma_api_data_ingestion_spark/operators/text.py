@@ -811,3 +811,95 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .withColumn("density_ppm", F.expr(
                 "CASE WHEN n_windows > 0 THEN n_fingerprints * 1000000"
                 " DIV n_windows ELSE 0 END").cast("long")))
+
+
+def stupid_backoff_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         ref_mod: int = 100) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the smoothing introduced
+    FOR trillion-token corpora, where Kneser-Ney's normalization pass
+    is the bottleneck): score(w3 | w1 w2) =
+
+        c3/c2ctx                 if the trigram was seen
+        a * c2/c1ctx             else if the bigram (w2 w3) was seen
+        a^2 * c1/N               else if w3 was seen
+        0                        else (OOV)
+
+    with a = 0.4 = 2/5 EXACTLY, so every term is a rational and the
+    whole score replays in integer arithmetic: term_ppm is the half-up
+    division of (5*c3*1e6, 5*c2ctx) / (2*c2*1e6, 5*c1ctx) /
+    (4*c1*1e6, 25*N), and the document score is the half-up mean over
+    its trigram positions. Counts come from the REFERENCE stratum
+    (doc_id % ref_mod == 0, the corpus's held-in model side — the same
+    convention as contamination_hits), scored docs are the rest:
+    cross-corpus scoring is what makes the backoff chain actually
+    fire, unlike a degenerate self-trained trigram model where every
+    observed trigram has c3 >= 1.
+
+    Scale shape: ONE gram pass builds all five count tables
+    (trigram, both bigram orientations' needs, unigram, total) from
+    the reference stratum via map-side-combinable groupBys; scoring is
+    five LEFT equi-joins of the positional trigram stream on compact
+    gram-string keys — linear, uniformly hashed, no UDFs, no windows.
+    Returns (id, n_positions, sb_ppm, backoff_l3/l2/l1/l0 counts) for
+    every non-reference doc with >= 1 trigram position.
+    """
+    from ..parallel import fan_out
+
+    df = fan_out(df)
+    is_ref = F.col(id_col) % ref_mod == 0
+    t = tokens(F.col(text_col))
+    k = F.greatest(F.size(t) - F.lit(2), F.lit(0))
+    tri = F.arrays_zip(F.slice(t, 1, k), F.slice(t, 2, k), F.slice(t, 3, k))
+    stream = (df.select(F.col(id_col), is_ref.alias("_ref"),
+                        F.explode(tri).alias("_g"))
+              .select(id_col, "_ref",
+                      F.col("_g")["0"].alias("w1"),
+                      F.col("_g")["1"].alias("w2"),
+                      F.col("_g")["2"].alias("w3")))
+    ref = stream.filter("_ref")
+    c3 = ref.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx"))
+    c2 = ref.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c2"))
+    c1ctx = c2.groupBy("w2").agg(F.sum("c2").alias("c1ctx"))
+    # unigram counts over ALL reference tokens (not just trigram slots)
+    toks_ref = (df.filter(is_ref)
+                .select(F.explode(tokens(F.col(text_col))).alias("w3")))
+    c1 = toks_ref.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
+    n_tot = toks_ref.count()
+    # half-up integral division of non-negative longs
+    def dh(a: str, b: str) -> str:
+        return f"(2 * ({a}) + ({b})) DIV (2 * ({b}))"
+
+    term = F.expr(
+        "CASE WHEN c3 IS NOT NULL THEN "
+        + dh("c3 * 1000000", "c2ctx")
+        + " WHEN c2 IS NOT NULL THEN "
+        + dh("2 * c2 * 1000000", "5 * c1ctx")
+        + " WHEN c1 IS NOT NULL THEN "
+        + dh("4 * c1 * 1000000", f"25 * {int(n_tot)}")
+        + " ELSE 0 END")
+    level = (F.when(F.col("c3").isNotNull(), F.lit(3))
+             .when(F.col("c2").isNotNull(), F.lit(2))
+             .when(F.col("c1").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+    scored = (stream.filter(~F.col("_ref"))
+              .join(c3, ["w1", "w2", "w3"], "left")
+              .join(c2ctx, ["w1", "w2"], "left")
+              .join(c2, ["w2", "w3"], "left")
+              .join(c1ctx, ["w2"], "left")
+              .join(c1, ["w3"], "left")
+              .withColumn("_t", term.cast("long"))
+              .withColumn("_l", level))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_positions"),
+                 F.sum("_t").cast("long").alias("_s"),
+                 F.sum((F.col("_l") == 3).cast("long")).alias("backoff_l3"),
+                 F.sum((F.col("_l") == 2).cast("long")).alias("backoff_l2"),
+                 F.sum((F.col("_l") == 1).cast("long")).alias("backoff_l1"),
+                 F.sum((F.col("_l") == 0).cast("long")).alias("backoff_l0"))
+            .withColumn("sb_ppm", F.expr(
+                "CAST((2 * _s + n_positions) DIV (2 * n_positions)"
+                " AS BIGINT)"))
+            .select(id_col, "n_positions", "sb_ppm", "backoff_l3",
+                    "backoff_l2", "backoff_l1", "backoff_l0"))
