@@ -2840,6 +2840,21 @@ FROM scored GROUP BY doc_id
 """
 
 
+
+
+def _sql_plan_filter_agreement() -> str:
+    """DuckDB twin of q_plan_filter_agreement: the three filter
+    oracles verbatim as subqueries, joined on doc_id, cross-tabbed."""
+    return f"""
+SELECT g.pass_gopher, c.pass_c4, q.pass_quality,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_sql_gopher()}) g
+JOIN ({SQL_TEXT_C4_RULES}) c ON c.doc_id = g.doc_id
+JOIN ({_sql_text_quality_classifier()}) q ON q.doc_id = g.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3093,6 +3108,7 @@ ORACLES: dict[str, str] = {
     "text-winnow-fingerprints": _sql_text_winnow(),
     "op-bcubed-eval": SQL_OP_BCUBED_EVAL,
     "text-stupid-backoff": _sql_text_stupid_backoff(),
+    "plan-filter-agreement": _sql_plan_filter_agreement(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

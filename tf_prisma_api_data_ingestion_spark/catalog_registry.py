@@ -2194,6 +2194,28 @@ def q_text_stupid_backoff(spark, sf_dir):
     return stupid_backoff_score(_t(spark, sf_dir, "documents"))
 
 
+def q_plan_filter_agreement(spark, sf_dir):
+    """Quality-filter agreement audit — the filter-ablation cross-tab a
+    curation pipeline runs before picking its gate (the FineWeb/Dolma
+    practice: compare heuristic batteries against the learned filter
+    BEFORE spending a pretraining run on either): every document is
+    scored by the Gopher battery, the C4 battery, and the learned
+    hashed-unigram classifier, and the output is the 2x2x2 agreement
+    table with counts. Three one-pass map-side operators joined on
+    doc_id + one 8-group aggregation; at 100 TB each leg is the same
+    cheapest-full-scan profile its own key already documents."""
+    from .operators.selection import QUALITY_WEIGHTS_DEMO, hashed_linear_score
+    from .operators.text import c4_rules, gopher_rules
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_rules(d).select("doc_id", "pass_gopher")
+    c = c4_rules(d).select("doc_id", "pass_c4")
+    q = (hashed_linear_score(d, QUALITY_WEIGHTS_DEMO)
+         .select("doc_id", "pass_quality"))
+    return (g.join(c, "doc_id").join(q, "doc_id")
+            .groupBy("pass_gopher", "pass_c4", "pass_quality")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2488,6 +2510,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bcubed-eval": q_op_bcubed_eval,
     # r9c: stupid-backoff trigram LM scoring (reference-stratum counts)
     "text-stupid-backoff": q_text_stupid_backoff,
+    # r9c: quality-filter agreement cross-tab (gopher x c4 x learned)
+    "plan-filter-agreement": q_plan_filter_agreement,
 }
 
 
@@ -2516,6 +2540,7 @@ _R9_WINDOW = [
     "text-winnow-fingerprints",
     "op-bcubed-eval",
     "text-stupid-backoff",
+    "plan-filter-agreement",
     # the 35 keys whose newest driver row is r04
     "pd-filter-range",
     "op-derive-ts",
@@ -2555,7 +2580,6 @@ _R9_WINDOW = [
     # the 10 oldest r05 rows (CORRECTNESS_r05 order = r4's queue)
     "pd-filter-eq",
     "pd-filter-in",
-    "pd-sort",
 ]
 # op-fillna / op-salted-join / tpch-q1 / op-project-rename /
 # op-groupagg-count / pd-groupby were displaced from the r9 window by
