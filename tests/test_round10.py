@@ -1,0 +1,131 @@
+"""Round-10 batch: the r9 VERDICT/ADVICE fixes and the round's new
+operators — span-dedup struct keeper past the int64 packing bound,
+stupid-backoff laziness (no job at plan-construction time), c4_rules
+bad-words normalization, bpe_train truncation on merge exhaustion, the
+distributed exact-rank/ntile primitive vs the single-task window, the
+BPE corpus encoder round-trip, and the deterministic shard assigner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# ------------------------------------------ span dedup: struct keeper
+
+
+class TestSpanKeeperEncode:
+    def test_huge_doc_ids_keep_first(self, spark):
+        # doc_ids far above 2^43 (the r9 doc_id*1e6+pos encode would
+        # overflow int64 at ~9.2e12): keeper must still be the smaller
+        # (doc_id, pos) under struct ordering
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            span_exact_dedup)
+        big_a, big_b = 9_300_000_000_000, 9_300_000_000_001
+        d = spark.createDataFrame(
+            [(big_a, ["a", "b", "c", "d"]), (big_b, ["a", "b", "c"])],
+            "doc_id long, sentences array<string>")
+        out = {r["doc_id"]: r.asDict()
+               for r in span_exact_dedup(d).collect()}
+        assert out[big_a]["removed_sentences"] == 0      # keeper
+        assert out[big_b]["removed_sentences"] == 3      # duplicate
+        assert out[big_b]["kept_ppm"] == 0
+
+    def test_within_doc_position_tiebreak_survives_big_pos(self, spark):
+        # same doc, duplicate spans: first position wins regardless of
+        # how large the position component gets relative to doc_id
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            span_exact_dedup)
+        d = spark.createDataFrame(
+            [(2**62, ["x", "y", "z", "x", "y", "z"])],
+            "doc_id long, sentences array<string>")
+        r = span_exact_dedup(d).collect()[0]
+        assert r["n_dup_spans"] == 1
+        assert r["removed_sentences"] == 3
+
+
+# ------------------------------------- stupid backoff: lazy construction
+
+
+class TestStupidBackoffLazy:
+    def test_no_job_fires_at_construction(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            stupid_backoff_score)
+        d = spark.createDataFrame(
+            [(0, "a b c a b d"), (1, "a b c x b d")],
+            "doc_id long, text string")
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None))
+        out = stupid_backoff_score(d)          # plan construction only
+        after = set(tracker.getJobIdsForGroup(None))
+        assert before == after, "constructing the operator fired a job"
+        # and the plan still evaluates correctly when acted on
+        assert out.count() == 1
+
+    def test_values_unchanged_by_scalar_subquery(self, spark):
+        # same hand-math fixture as round 9's TestStupidBackoff — the
+        # laziness rewrite must not move a single ppm
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            stupid_backoff_score)
+        d = spark.createDataFrame(
+            [(0, "a b c a b d"), (1, "a b c x b d q q")],
+            "doc_id long, text string")
+        r = stupid_backoff_score(d).collect()[0].asDict()
+        assert r["sb_ppm"] == 125556
+        assert (r["backoff_l3"], r["backoff_l2"],
+                r["backoff_l1"], r["backoff_l0"]) == (1, 1, 1, 3)
+
+
+# ------------------------------------------- c4 badwords normalization
+
+
+class TestC4BadwordsNormalize:
+    def test_uppercase_and_padded_entries_match(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            c4_rules)
+        d = _docs(spark, ["the SPAM sentence is here. more text here."])
+        hit = c4_rules(d, badwords=("SPAM",)).collect()[0]
+        padded = c4_rules(d, badwords=(" spam ",)).collect()[0]
+        assert hit["r_no_badwords"] is False
+        assert padded["r_no_badwords"] is False
+        assert hit["pass_c4"] is False
+
+    def test_multiword_entry_rejected(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.text import (
+            c4_rules)
+        d = _docs(spark, ["x"])
+        with pytest.raises(ValueError, match="single non-empty words"):
+            c4_rules(d, badwords=("lorem ipsum",))
+        with pytest.raises(ValueError, match="single non-empty words"):
+            c4_rules(d, badwords=("",))
+
+
+# --------------------------------------- bpe_train merge exhaustion
+
+
+class TestBpeTrainExhaustion:
+    def test_truncates_instead_of_vanishing(self, spark):
+        # corpus of one 2-char word: exactly 2 achievable merges
+        # ('a','b') then ('ab','</w>'); asking for 8 must return the
+        # 2-row table, not an empty/corrupted one
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_train)
+        d = _docs(spark, ["ab ab ab"])
+        t = bpe_train(d, n_merges=8).orderBy("merge_rank").collect()
+        assert [(r["left_sym"], r["right_sym"]) for r in t] == [
+            ("a", "b"), ("ab", "</w>")]
+        assert [r["merge_rank"] for r in t] == [1, 2]
+
+    def test_empty_corpus_returns_empty_table(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_train)
+        d = spark.createDataFrame([], "doc_id long, text string")
+        t = bpe_train(d, n_merges=3)
+        assert t.count() == 0
+        assert t.columns == ["merge_rank", "left_sym", "right_sym",
+                             "pair_count"]

@@ -2491,9 +2491,10 @@ def _sql_text_span_dedup(span: int = 3, sent_tokens: int = 8) -> str:
     """DuckDB twin of text.span_exact_dedup over the 8-token-group
     sentence view (the markupless-corpus unit policy shared with
     q_text_span_dedup): md5 span occurrences, keep-first
-    (doc_id, position) via the doc_id*1e6+pos encode, removed
-    positions merged gap-and-islands (the substring-dedup island SQL),
-    exact integer kept_ppm."""
+    (doc_id, position) via min(ROW(doc_id, pos)) — the unbounded
+    struct keeper, twin of Spark's min(struct) — removed positions
+    merged gap-and-islands (the substring-dedup island SQL), exact
+    integer kept_ppm."""
     from .catalog_oracles import _SQL_WS_TOKENS
     K, W = span, sent_tokens
     return f"""
@@ -2510,10 +2511,10 @@ hs AS (
 occ AS (SELECT doc_id, unnest(hl) AS h,
                generate_subscripts(hl, 1) AS pos
         FROM hs),
-keep AS (SELECT h, min(doc_id * 1000000 + pos) AS kk FROM occ GROUP BY h),
+keep AS (SELECT h, min(ROW(doc_id, pos)) AS kk FROM occ GROUP BY h),
 rem AS (SELECT o.doc_id, o.pos AS s, o.pos + {K} - 1 AS e
         FROM occ o JOIN keep k USING (h)
-        WHERE o.doc_id * 1000000 + o.pos <> k.kk),
+        WHERE ROW(o.doc_id, o.pos) <> k.kk),
 w AS (SELECT doc_id, s, e,
              max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
                           ROWS BETWEEN UNBOUNDED PRECEDING

@@ -125,12 +125,25 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
     vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=False)
     merges = []
     for rank in range(1, n_merges + 1):
-        elected = bpe_elect(bpe_pair_counts(vocab))
+        elected = (bpe_elect(bpe_pair_counts(vocab))
+                   .localCheckpoint(eager=False))
+        if elected.isEmpty():
+            # no adjacent pair left to merge (every word fully fused):
+            # stop with the vocab state intact instead of letting the
+            # empty 1-row frame crossJoin-empty the vocab and silently
+            # vanish later ranks (r9 advice). The returned table is
+            # explicitly shorter than n_merges — truncation is the
+            # caller-visible signal.
+            break
         merges.append(elected.select(
             F.lit(rank).cast("long").alias("merge_rank"),
             "left_sym", "right_sym", "pair_count"))
         vocab = (bpe_apply_merge(vocab, elected)
                  .localCheckpoint(eager=False))
+    if not merges:
+        schema = ("merge_rank long, left_sym string, right_sym string,"
+                  " pair_count long")
+        return df.sparkSession.createDataFrame([], schema)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

@@ -223,8 +223,15 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     given, a document additionally fails if ANY whitespace token equals
     a listed word (token-level match, as C4 drops pages "containing any
     word on the blocklist"; the list is policy-sized, so it rides into
-    the plan as an array literal — still zero shuffles). ``None`` keeps
-    the r8 battery byte-identical. Still omitted, deliberately: the
+    the plan as an array literal — still zero shuffles). Entries are
+    normalized (lower + strip) before comparison, because the tokens
+    they match against are lowercased — an unnormalized uppercase
+    entry could never match and would silently weaken the gate (r9
+    advice); multi-word or whitespace-containing entries are rejected
+    with ``ValueError`` since a single whitespace token can never
+    equal a phrase (C4's list is single words — phrase policies belong
+    in the n-gram contamination ops). ``None`` keeps the r8 battery
+    byte-identical. Still omitted, deliberately: the
     exact three-sentence-span dedup (covered structurally by
     passage_exact_dedup and dedup.substring_dup_coverage). Regexes stay
     inside the Java/RE2 common dialect, counts are exact integers, so
@@ -260,7 +267,15 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     ]
     gate = r_sentences & r_no_lorem & r_no_brace & (kept >= 1)
     if badwords is not None:
-        bw = F.array(*[F.lit(w) for w in badwords])
+        norm = []
+        for w in badwords:
+            w = w.strip().lower()
+            if not w or any(ch.isspace() for ch in w):
+                raise ValueError(
+                    f"c4_rules badwords must be single non-empty words "
+                    f"(token-level match); got {w!r}")
+            norm.append(w)
+        bw = F.array(*[F.lit(w) for w in norm])
         r_no_badwords = ~F.arrays_overlap(tokens(F.col(text_col)), bw)
         cols.append(r_no_badwords.alias("r_no_badwords"))
         gate = gate & r_no_badwords
@@ -648,9 +663,12 @@ def span_exact_dedup(df: DataFrame, sent_col: str = "sentences",
 
     Occurrence identity is md5 of the ``span`` consecutive sentences
     joined by single spaces; the KEEPER of a recurring span is the
-    occurrence with the smallest (doc_id, position), totalized by the
-    integer encode doc_id * 1_000_000 + position (positions are
-    1-based and bounded by 1M sentences/document — stated contract).
+    occurrence with the smallest (doc_id, position) under the native
+    struct ordering — ``min(struct(doc_id, pos))``, replayed by
+    DuckDB's ``min(ROW(doc_id, pos))`` — so there is no packing bound
+    on either component and non-numeric ids order lexicographically
+    (the r9 ``doc_id * 1e6 + pos`` encode silently mis-elected past
+    1M sentences/doc or doc_id ~9.2e12; judged r9, fixed r10).
     Every non-keeper occurrence marks its ``span`` sentence positions
     for removal; overlapping marks merge gap-and-islands
     (``timeseries.merge_intervals``, the contamination-coverage
@@ -679,10 +697,11 @@ def span_exact_dedup(df: DataFrame, sent_col: str = "sentences",
                       hashes.alias("_hl")))
     occ = (base.select(id_col, F.posexplode("_hl").alias("_p0", "_h"))
            .select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h")
-           .withColumn("_enc", F.col(id_col) * 1_000_000 + F.col("_pos")))
-    keep = occ.groupBy("_h").agg(F.min("_enc").alias("_kk"))
+           .withColumn("_k", F.struct(F.col(id_col).alias("d"),
+                                      F.col("_pos").alias("p"))))
+    keep = occ.groupBy("_h").agg(F.min("_k").alias("_kk"))
     removed = (occ.join(keep, "_h")
-               .filter(F.col("_enc") != F.col("_kk"))
+               .filter(F.col("_k") != F.col("_kk"))
                .select(id_col, F.col("_pos").alias("_s"),
                        (F.col("_pos") + span - 1).alias("_e")))
     ndup = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nd"))
@@ -841,7 +860,10 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
     (trigram, both bigram orientations' needs, unigram, total) from
     the reference stratum via map-side-combinable groupBys; scoring is
     five LEFT equi-joins of the positional trigram stream on compact
-    gram-string keys — linear, uniformly hashed, no UDFs, no windows.
+    gram-string keys plus a broadcast 1-row crossJoin carrying the
+    corpus total N (a lazy scalar subquery — no job fires until the
+    result is acted on) — linear, uniformly hashed, no UDFs, no
+    windows.
     Returns (id, n_positions, sb_ppm, backoff_l3/l2/l1/l0 counts) for
     every non-reference doc with >= 1 trigram position.
     """
@@ -867,7 +889,10 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
     toks_ref = (df.filter(is_ref)
                 .select(F.explode(tokens(F.col(text_col))).alias("w3")))
     c1 = toks_ref.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
-    n_tot = toks_ref.count()
+    # N rides in as a broadcast 1-row scalar subquery (the repo idiom),
+    # NOT an eager .count() literal: constructing this operator fires
+    # no Spark job, and the whole chain stays one lazy plan (r9 nit).
+    n_tot = toks_ref.agg(F.count(F.lit(1)).alias("_ntot"))
     # half-up integral division of non-negative longs
     def dh(a: str, b: str) -> str:
         return f"(2 * ({a}) + ({b})) DIV (2 * ({b}))"
@@ -878,7 +903,7 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
         + " WHEN c2 IS NOT NULL THEN "
         + dh("2 * c2 * 1000000", "5 * c1ctx")
         + " WHEN c1 IS NOT NULL THEN "
-        + dh("4 * c1 * 1000000", f"25 * {int(n_tot)}")
+        + dh("4 * c1 * 1000000", "25 * _ntot")
         + " ELSE 0 END")
     level = (F.when(F.col("c3").isNotNull(), F.lit(3))
              .when(F.col("c2").isNotNull(), F.lit(2))
@@ -889,6 +914,7 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
               .join(c2, ["w2", "w3"], "left")
               .join(c1ctx, ["w2"], "left")
               .join(c1, ["w3"], "left")
+              .crossJoin(F.broadcast(n_tot))
               .withColumn("_t", term.cast("long"))
               .withColumn("_l", level))
     return (scored.groupBy(id_col)
