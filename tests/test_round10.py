@@ -129,3 +129,84 @@ class TestBpeTrainExhaustion:
         assert t.count() == 0
         assert t.columns == ["merge_rank", "left_sym", "right_sym",
                              "pair_count"]
+
+
+# ------------------------------------- distributed exact rank / ntile
+
+
+class TestExactRank:
+    def _check_ntile(self, spark, rows, k, group_cols=(), desc=False):
+        from pyspark.sql.window import Window
+        from tf_prisma_api_data_ingestion_spark.operators.rank import (
+            exact_ntile)
+        d = spark.createDataFrame(rows, "id long, v long, g string")
+        got = exact_ntile(d, k, "v", desc=desc, tiebreak=["id"],
+                          group_cols=list(group_cols), out="nt")
+        order = [F.col("v").desc() if desc else F.col("v").asc(),
+                 F.col("id").asc()]
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        want = d.withColumn("nt2", F.ntile(k).over(w))
+        bad = (got.join(want, ["id", "v", "g"])
+               .filter("nt <> nt2").count())
+        assert bad == 0
+
+    def test_matches_window_ntile_uniform(self, spark):
+        import random
+        rng = random.Random(10)
+        rows = [(i, rng.randint(0, 500), f"s{i % 4}") for i in range(3000)]
+        self._check_ntile(spark, rows, 3, group_cols=["g"], desc=True)
+        self._check_ntile(spark, rows, 10)
+
+    def test_matches_window_ntile_skewed_group(self, spark):
+        # one group holds ~90% of rows — the case the single-task
+        # window plan dies on at scale
+        import random
+        rng = random.Random(11)
+        rows = [(i, rng.randint(0, 50),          # heavy ties too
+                 "big" if i % 10 else f"s{i % 3}") for i in range(2000)]
+        self._check_ntile(spark, rows, 3, group_cols=["g"])
+
+    def test_matches_window_ntile_heavy_ties_and_constant(self, spark):
+        rows = [(i, 7, "g0") for i in range(100)]  # constant key
+        self._check_ntile(spark, rows, 4, group_cols=["g"])
+        self._check_ntile(spark, rows, 4, desc=True)
+
+    def test_small_groups_n_lt_k(self, spark):
+        rows = [(i, i * 3 % 11, f"s{i}") for i in range(6)]  # groups of 1
+        self._check_ntile(spark, rows, 5, group_cols=["g"])
+        self._check_ntile(spark, rows, 9)  # n=6 < k=9 global
+
+    def test_rank_is_permutation(self, spark):
+        import random
+        from tf_prisma_api_data_ingestion_spark.operators.rank import (
+            exact_global_rank)
+        rng = random.Random(12)
+        rows = [(i, rng.randint(0, 30), f"s{i % 3}") for i in range(900)]
+        d = spark.createDataFrame(rows, "id long, v long, g string")
+        r = exact_global_rank(d, "v", desc=True, tiebreak=["id"],
+                              group_cols=["g"], out="rk",
+                              total_col="n")
+        chk = (r.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.min("rk").alias("lo"), F.max("rk").alias("hi"),
+                    F.countDistinct("rk").alias("dc"),
+                    F.max("n").alias("n"))
+               .collect())
+        for row in chk:
+            assert row["lo"] == 1 and row["hi"] == row["c"]
+            assert row["dc"] == row["c"] and row["n"] == row["c"]
+
+    def test_no_single_task_group_sort_in_plan(self, spark):
+        # the corpus-side Window must partition by the bucket column,
+        # never by the group alone (the r9 weak plan) or by nothing
+        from tf_prisma_api_data_ingestion_spark.operators.rank import (
+            exact_ntile)
+        d = spark.createDataFrame(
+            [(i, i % 97, "g") for i in range(500)],
+            "id long, v long, g string")
+        plan = (exact_ntile(d, 3, "v", tiebreak=["id"], group_cols=["g"])
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        for m in re.finditer(r"Window \[row_number\(\).*?windowspecdefinition\(([^)]*)\)",
+                             plan):
+            assert "_rk_b" in m.group(1), plan

@@ -1,0 +1,160 @@
+"""Distributed exact ranking — the scalable replacement for the
+single-task global/per-group window sort (north-star extension; no
+reference analog).
+
+``ntile`` / ``row_number`` over ``Window.partitionBy(group)`` (or an
+UNPARTITIONED window) hash-partitions by the group key, so one task
+sorts an entire group — at 100 TB, where one language stratum can be
+half the corpus, that task IS the job (the r9 VERDICT's two `weak`
+plans: text-ccnet-buckets, op-equidepth-histogram). The classic
+two-pass rewrite here keeps every task bounded by a RANGE BUCKET, not
+a group:
+
+1. BOUNDARIES: B-1 approximate quantiles of the sort key are computed
+   once (`percentile_approx`, one cheap sketch scan) and frozen into
+   the plan as an array LITERAL. This replaces ``repartitionByRange``
+   deliberately: Spark's range partitioner re-samples per execution
+   with RDD-id-derived seeds, so the two passes below could see
+   DIFFERENT partition boundaries when their subtrees are not
+   exchange-reused — a literal boundary table makes every
+   recomputation (second pass, AQE replan, task retry) assign the
+   identical bucket. Boundary quality only affects balance, never
+   correctness.
+2. map-side bucket assignment from the literal boundaries (ties at a
+   boundary go to the lower bucket — deterministic);
+3. a LOCAL ``row_number`` window partitioned by (bucket, group) sorts
+   one bucket's slice of one group per task — bounded by ~corpus/B
+   even when one group is the whole corpus;
+4. per-(bucket, group) row counts aggregate map-side into a tiny frame
+   (B x #groups rows); cumulative offsets per group over bucket index
+   are computed on that tiny frame and broadcast back;
+5. global rank = local rank + preceding-buckets offset.
+
+Total cost: one sketch scan + two bounded corpus passes (each one
+hash exchange) + a broadcast join — vs one exchange into ONE unbounded
+task for the naive window. The full order must be TOTAL (a unique
+``tiebreak`` is required): equal sort keys never straddle buckets (tie
+rule above), and the tiebreak orders them within one task.
+
+The boundary sketch is an EAGER driver action at operator-construction
+time, by design: the boundary table parameterizes the partitioner, so
+it must be frozen before the plan exists — the same sample
+``repartitionByRange`` takes implicitly, done explicitly so it is
+taken exactly once (driver traffic: B-1 numbers).
+
+``exact_ntile`` reproduces ANSI ``ntile(k)`` bit-for-bit from the
+exact rank: with n group rows, q = n div k and rem = n mod k, the
+first rem buckets take q+1 rows — bucket(rank) is a two-branch integer
+expression, verified against Spark's own ntile across group sizes
+(including n < k) in tests/test_round10.py and against DuckDB's ntile
+by the text-ccnet-buckets / op-equidepth-histogram oracles, which keep
+running plain single-window ntile SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _order_exprs(key_col: str, desc: bool,
+                 tiebreak: Sequence[str]) -> list[Column]:
+    head = F.col(key_col).desc() if desc else F.col(key_col).asc()
+    return [head] + [F.col(t).asc() for t in tiebreak]
+
+
+def range_boundaries(df: DataFrame, key_col: str,
+                     buckets: int, accuracy: int = 10_000) -> list:
+    """B-1 approximate quantile cutpoints of a non-null numeric
+    ``key_col``, deduplicated and sorted — the literal boundary table
+    for ``exact_global_rank``. One sketch scan; driver traffic is
+    ``buckets - 1`` numbers."""
+    if buckets < 2:
+        return []
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.select(F.percentile_approx(
+        F.col(key_col), F.array(*[F.lit(p) for p in probs]),
+        F.lit(accuracy)).alias("_b")).first()
+    vals = row["_b"] if row is not None else None
+    return sorted(set(v for v in (vals or []) if v is not None))
+
+
+def exact_global_rank(df: DataFrame, key_col: str, *,
+                      desc: bool = False,
+                      tiebreak: Sequence[str],
+                      group_cols: Sequence[str] = (),
+                      out: str = "rank",
+                      total_col: str | None = None,
+                      buckets: int | None = None) -> DataFrame:
+    """Exact 1-based row_number per ``group_cols`` under the TOTAL
+    order (``key_col`` asc/desc, then ``tiebreak`` asc), computed with
+    bounded tasks as described in the module docstring. ``key_col``
+    must be non-null numeric (it feeds the quantile sketch); the
+    boundary count defaults to the session's shuffle-partition
+    setting. ``total_col`` additionally attaches the per-group row
+    count, read off the same tiny counts frame — no extra corpus pass
+    (ntile and percentile assignment need it)."""
+    gcols = list(group_cols)
+    order_by = _order_exprs(key_col, desc, tiebreak)
+    spark = df.sparkSession
+    nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bnds = range_boundaries(df, key_col, nb)
+    if bnds:
+        arr = F.array(*[F.lit(b) for b in bnds])
+        k = F.col(key_col)
+        # bucket index increases ALONG the sort direction; key == b
+        # lands in the lower bucket either way (deterministic ties)
+        bucket = (F.size(F.filter(arr, lambda b: k <= b)) if desc
+                  else F.size(F.filter(arr, lambda b: b < k)))
+    else:
+        bucket = F.lit(0)
+    d = df.withColumn("_rk_b", bucket)
+    w_local = Window.partitionBy("_rk_b", *gcols).orderBy(*order_by)
+    ranked = d.withColumn("_rk_lr", F.row_number().over(w_local))
+    counts = (d.groupBy("_rk_b", *gcols)
+              .agg(F.count(F.lit(1)).alias("_rk_c")))
+    w_off = (Window.partitionBy(*gcols).orderBy(F.col("_rk_b").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = Window.partitionBy(*gcols)
+    offsets = (counts
+               .withColumn("_rk_off",
+                           F.coalesce(F.sum("_rk_c").over(w_off),
+                                      F.lit(0)))
+               .withColumn("_rk_n", F.sum("_rk_c").over(w_tot)))
+    joined = ranked.join(
+        F.broadcast(offsets.select("_rk_b", *gcols, "_rk_off", "_rk_n")),
+        ["_rk_b", *gcols])
+    joined = joined.withColumn(
+        out, (F.col("_rk_lr") + F.col("_rk_off")).cast("long"))
+    if total_col is not None:
+        joined = joined.withColumn(total_col, F.col("_rk_n").cast("long"))
+    return joined.drop("_rk_b", "_rk_lr", "_rk_off", "_rk_n")
+
+
+def exact_ntile(df: DataFrame, k: int, key_col: str, *,
+                desc: bool = False,
+                tiebreak: Sequence[str],
+                group_cols: Sequence[str] = (),
+                out: str = "bucket",
+                buckets: int | None = None) -> DataFrame:
+    """ANSI ``ntile(k)`` per group under a total order, bit-identical
+    to the window function but never sorting a whole group in one
+    task. With n rows, q = n div k, rem = n mod k: ranks up to
+    (q+1)*rem land in the first rem (larger) buckets, the rest in
+    q-sized buckets; n < k degenerates to bucket = rank, which the
+    first branch covers (rem = n, q = 0)."""
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    ranked = exact_global_rank(df, key_col, desc=desc, tiebreak=tiebreak,
+                               group_cols=group_cols, out="_nt_r",
+                               total_col="_nt_n", buckets=buckets)
+    bucket = F.expr(
+        f"CASE WHEN _nt_r <= ((_nt_n DIV {k}) + 1) * (_nt_n % {k}) "
+        f"THEN (_nt_r + (_nt_n DIV {k})) DIV ((_nt_n DIV {k}) + 1) "
+        f"ELSE (_nt_n % {k}) + ((_nt_r - (_nt_n % {k}) * ((_nt_n DIV {k})"
+        f" + 1)) + (_nt_n DIV {k}) - 1) DIV (_nt_n DIV {k}) END")
+    return (ranked.withColumn(out, bucket.cast("long"))
+            .drop("_nt_r", "_nt_n"))
