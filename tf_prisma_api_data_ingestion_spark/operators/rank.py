@@ -102,13 +102,24 @@ def exact_global_rank(df: DataFrame, key_col: str, *,
     spark = df.sparkSession
     nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     bnds = range_boundaries(df, key_col, nb)
-    if bnds:
-        arr = F.array(*[F.lit(b) for b in bnds])
-        k = F.col(key_col)
-        # bucket index increases ALONG the sort direction; key == b
-        # lands in the lower bucket either way (deterministic ties)
-        bucket = (F.size(F.filter(arr, lambda b: k <= b)) if desc
-                  else F.size(F.filter(arr, lambda b: b < k)))
+    # The bucket index increases ALONG the sort direction; key == b
+    # lands in the lower bucket either way (deterministic ties). Built
+    # as a first-match CASE chain over the sorted literals, NOT a
+    # higher-order filter(array, lambda): a HOF's `references` set
+    # hides the key column, so InferFiltersFromConstraints pushes the
+    # join's alias constraint to the OFFSETS side as a filter
+    # referencing a left-subtree attribute — an unbindable plan
+    # (observed: `!Filter (size(filter(...v...)) <=> _rk_b)` under the
+    # all-columns write path). Plain comparisons keep the references
+    # honest and the inferred cross-side filter is correctly dropped.
+    k = F.col(key_col)
+    conds = ([(k > b) for b in reversed(bnds)] if desc
+             else [(k <= b) for b in bnds])
+    if conds:
+        chain = F.when(conds[0], F.lit(0))
+        for i, c in enumerate(conds[1:], start=1):
+            chain = chain.when(c, F.lit(i))
+        bucket = chain.otherwise(F.lit(len(bnds)))
     else:
         bucket = F.lit(0)
     d = df.withColumn("_rk_b", bucket)
