@@ -113,10 +113,14 @@ AUDIT = (
     ("text-quality-classifier", "literal weight MAP in the plan — pure map-side scoring pass, zero exchanges, zero joins"),
     ("text-span-dedup", "sentence view is ONE sentinel-regex pass (no per-element re-tokenize); one shuffle groups span occurrences by md5 (map-side-combinable keeper min); only duplicated occurrences reach the island merge"),
     ("op-probe-step", "persisted sparse feature frame; each GD round = one doc-keyed agg + one join-back + one bucket-keyed agg, all uniformly hashed; weights travel as literals"),
-    ("text-ccnet-buckets", "lm_likelihood's aggregation subtree unchanged; the tercile split adds ONE per-source window sort over the scored frame"),
+    ("text-ccnet-buckets", "lm_likelihood's aggregation subtree unchanged; tercile assignment is the distributed exact rank — literal quantile boundaries in the projection, windows keyed (bucket, source) so no task sorts a whole stratum, offsets broadcast (r10: replaces the r9 single-task-per-source ntile)"),
     ("text-winnow-fingerprints", "gram hashing in the scan projection; ONE per-doc framed window min does the rightmost-tie-break selection; distinct + agg are doc-keyed"),
     ("op-bcubed-eval", "one equi-join of the two (id, cluster) frames + three map-side-combinable aggs; no pairwise enumeration anywhere"),
-    ("text-stupid-backoff", "five count tables from ONE reference-stratum gram pass; scoring = five LEFT hash equi-joins of the positional stream, no windows, no UDFs"),
+    ("text-stupid-backoff", "five count tables from ONE reference-stratum gram pass; scoring = five LEFT hash equi-joins of the positional stream, no windows, no UDFs; corpus total N rides as a broadcast 1-row scalar (r10: no eager count at construction)"),
+    # r10
+    ("op-equidepth-histogram", "exact ntile via the distributed rank: boundary CASE chain in the scan projection, windows keyed by range bucket (no unpartitioned global sort — r10 replaces the r6-r9 single-task window), tiny offsets broadcast"),
+    ("op-bpe-encode", "corpus tokenized ONCE into (doc, word) counts; all merge folds stack in one codegen projection over the distinct-word frame; one hash join on the compact word key + one doc agg"),
+    ("op-shard-assign", "pack windows stay per-source; bin rollup map-side-combinable; shard election is the distributed exact rank over the md5 key (bounded windows + broadcast offsets), never one global sort task"),
 )
 
 

@@ -210,3 +210,134 @@ class TestExactRank:
         for m in re.finditer(r"Window \[row_number\(\).*?windowspecdefinition\(([^)]*)\)",
                              plan):
             assert "_rk_b" in m.group(1), plan
+
+
+# --------------------------------------------------- BPE corpus encoder
+
+
+def _py_bpe_apply(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == pair[0]
+                and syms[i + 1] == pair[1]):
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_bpe_train(words, n_merges):
+    """Independent pure-Python BPE (Sennrich et al. 2016 alg. 1) with
+    the repo's pinned tie-break (count DESC, left ASC, right ASC)."""
+    from collections import Counter
+    freq = Counter(words)
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {w: _py_bpe_apply(s, best) for w, s in vocab.items()}
+    return merges, vocab
+
+
+class TestBpeEncoder:
+    CORPUS = ["the table is a table", "a small table scan",
+              "scan the batch batch", "a a the table"]
+
+    def test_round_trip_trained_table_reproduces_training_vocab(self, spark):
+        # encode-with-trained-table must reproduce the training fold's
+        # final segmentation — checked against an independent python
+        # BPE on the same corpus (train AND apply paths)
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_apply_merges, bpe_init_vocab, bpe_train)
+        d = _docs(spark, self.CORPUS)
+        table = bpe_train(d, n_merges=6)
+        words = " ".join(self.CORPUS).split()
+        py_merges, py_vocab = _py_bpe_train(words, 6)
+        got_merges = [(r["left_sym"], r["right_sym"])
+                      for r in table.orderBy("merge_rank").collect()]
+        assert got_merges == py_merges
+        seg = bpe_apply_merges(bpe_init_vocab(d), table)
+        got = {r["word"]: tuple(r["syms"]) for r in seg.collect()}
+        assert got == py_vocab
+
+    def test_encode_doc_level_hand_math(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode)
+        d = _docs(spark, ["ab ab", "a b"])
+        out = {r["doc_id"]: r.asDict()
+               for r in bpe_encode(d, [("a", "b")]).collect()}
+        # "ab" -> [ab, </w>] = 2 pieces; "a"/"b" unmerged -> 2 each
+        assert out[0]["n_words"] == 2 and out[0]["n_pieces"] == 4
+        assert out[1]["n_words"] == 2 and out[1]["n_pieces"] == 4
+        assert out[0]["ppw_ppm"] == 2_000_000
+
+    def test_encode_accepts_pairs_or_dataframe(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode, bpe_train)
+        d = _docs(spark, self.CORPUS)
+        table = bpe_train(d, n_merges=4)
+        pairs = [(r["left_sym"], r["right_sym"])
+                 for r in table.orderBy("merge_rank").collect()]
+        a = {(r["doc_id"], r["n_pieces"])
+             for r in bpe_encode(d, table).collect()}
+        b = {(r["doc_id"], r["n_pieces"])
+             for r in bpe_encode(d, pairs).collect()}
+        assert a == b
+
+
+# ------------------------------------------- deterministic shard assign
+
+
+class TestShardAssign:
+    def _bins(self, spark, n=103):
+        return spark.createDataFrame(
+            [(f"s{i % 7}", i, i % 13 + 1) for i in range(n)],
+            "source string, bin_id long, n_docs long")
+
+    def test_balanced_within_one(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.rank import (
+            shard_assign)
+        out = shard_assign(self._bins(spark), 8, ["source", "bin_id"])
+        sizes = [r["c"] for r in out.groupBy("shard_id")
+                 .agg(F.count(F.lit(1)).alias("c")).collect()]
+        assert len(sizes) == 8
+        assert max(sizes) - min(sizes) <= 1
+        ids = {r["shard_id"] for r in out.select("shard_id").collect()}
+        assert ids == set(range(8))
+
+    def test_deterministic_across_runs(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.rank import (
+            shard_assign)
+        runs = []
+        for _ in range(2):
+            out = shard_assign(self._bins(spark), 5,
+                               ["source", "bin_id"])
+            runs.append({(r["source"], r["bin_id"]): r["shard_id"]
+                         for r in out.collect()})
+        assert runs[0] == runs[1]
+
+    def test_writer_reproducible_membership(self, spark, tmp_path):
+        import pyarrow.dataset as ds
+        from tf_prisma_api_data_ingestion_spark.sinks import (
+            write_training_shards)
+        reads = []
+        for sub in ("a", "b"):
+            p = str(tmp_path / sub)
+            write_training_shards(self._bins(spark), p, 4,
+                                  ("source", "bin_id"))
+            t = ds.dataset(p, partitioning="hive").to_table()
+            reads.append({(s, b): sh for s, b, sh in zip(
+                t.column("source").to_pylist(),
+                t.column("bin_id").to_pylist(),
+                [int(x) for x in t.column("shard_id").to_pylist()])})
+        assert reads[0] == reads[1]
+        assert len(reads[0]) == 103

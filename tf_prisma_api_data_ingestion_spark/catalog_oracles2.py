@@ -2339,19 +2339,14 @@ FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
 """
 
 
-def _sql_bpe_round(k: int) -> str:
-    """One unrolled BPE training round k (reads v{k-1}, emits p{k}
-    pair counts, e{k} elected 1-row winner, v{k} merged vocab). The
-    greedy left-to-right fold is replayed position-wise: candidate
+def _sql_bpe_apply_body(k: int) -> str:
+    """The apply half of one unrolled BPE round: given e{k} (a 1-row
+    (l, r) pair from election OR a literal), merge v{k-1} into v{k}.
+    The greedy left-to-right fold is replayed position-wise: candidate
     positions, runs of consecutive candidates (i - row_number), odd
-    in-run ranks win, winner positions merge and absorb position i+1."""
+    in-run ranks win, winner positions merge and absorb position
+    i+1. Shared by the training twins and the encode twin."""
     return f"""
-p{k} AS MATERIALIZED (
-  SELECT v.syms[u.i] AS l, v.syms[u.i + 1] AS r, SUM(v.freq) AS c
-  FROM v{k - 1} v, unnest(range(1, len(v.syms))) u(i)
-  GROUP BY 1, 2),
-e{k} AS MATERIALIZED (SELECT l, r, c FROM p{k}
-         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 s{k} AS MATERIALIZED (SELECT word, freq, unnest(syms) AS sym,
                 generate_subscripts(syms, 1) AS i
          FROM v{k - 1}),
@@ -2382,6 +2377,33 @@ v{k} AS MATERIALIZED (
     LEFT JOIN tk{k} dd ON dd.word = s.word AND dd.i = s.i - 1
     WHERE dd.i IS NULL)
   GROUP BY word)"""
+
+
+def _sql_bpe_round(k: int) -> str:
+    """One unrolled BPE TRAINING round k: pair counts p{k} over
+    v{k-1}, 1-row election e{k} under the pinned tie-break, then the
+    shared apply body merges into v{k}."""
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT v.syms[u.i] AS l, v.syms[u.i + 1] AS r, SUM(v.freq) AS c
+  FROM v{k - 1} v, unnest(range(1, len(v.syms))) u(i)
+  GROUP BY 1, 2),
+e{k} AS MATERIALIZED (SELECT l, r, c FROM p{k}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),{_sql_bpe_apply_body(k)}"""
+
+
+def _sql_sq(s: str) -> str:
+    """Single-quote a SQL string literal (doubles embedded quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_bpe_apply_round(k: int, left: str, right: str) -> str:
+    """One unrolled BPE ENCODE round k: e{k} is the LITERAL learned
+    pair (no election), then the shared apply body merges v{k-1} into
+    v{k} — the replay of bpe.bpe_apply_merges' rank-k fold."""
+    return f"""
+e{k} AS (SELECT {_sql_sq(left)} AS l, {_sql_sq(right)} AS r),\
+{_sql_bpe_apply_body(k)}"""
 
 
 _SQL_BPE_V0 = """
@@ -2415,6 +2437,82 @@ def _sql_plan_bpe_train(n_merges: int = 8) -> str:
     return f"""
 WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},{rounds}
 {union}
+"""
+
+
+def _sql_op_bpe_encode(merges) -> str:
+    """DuckDB twin of bpe.bpe_encode with a literal merge table: the
+    distinct-word vocab is segmented by the unrolled apply rounds
+    (each the same position-based greedy replay the training twin
+    uses, with the pair as a VALUES literal), then per-doc totals come
+    from the (doc, word) counts joined on the segmentation."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    rounds = ",".join(_sql_bpe_apply_round(k, a, b)
+                      for k, (a, b) in enumerate(merges, start=1))
+    R = len(merges)
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+wcc AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(t) AS word FROM t)
+  GROUP BY 1, 2),
+v0 AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq,
+         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+  FROM (SELECT DISTINCT word FROM wcc)),{rounds},
+seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM v{R})
+SELECT w.doc_id,
+       CAST(SUM(w.c) AS BIGINT) AS n_words,
+       CAST(SUM(w.c * s.np) AS BIGINT) AS n_pieces,
+       CAST((2 * SUM(w.c * s.np) * 1000000 + SUM(w.c))
+            // (2 * SUM(w.c)) AS BIGINT) AS ppw_ppm
+FROM wcc w JOIN seg s USING (word)
+GROUP BY w.doc_id
+"""
+
+
+def _sql_op_bpe_encode_registered() -> str:
+    """The op-bpe-encode oracle with the shared literal merge table
+    (catalog_registry.BPE_DEMO_MERGES — the C4_BADWORDS sharing
+    pattern)."""
+    from .catalog_registry import BPE_DEMO_MERGES
+    return _sql_op_bpe_encode(BPE_DEMO_MERGES)
+
+
+def _sql_op_shard_assign(n_shards: int = 8, budget: int = 512) -> str:
+    """DuckDB twin of rank.shard_assign over the packed-sequence bins:
+    pack_sequences' running-sum layout aggregated to one row per
+    (source, bin), then md5-order round-robin — row_number over
+    (md5-hash of the key, then the key) modulo n_shards. The oracle's
+    window is single-task; the Spark side runs the distributed exact
+    rank, which must agree bit-for-bit."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM t),
+bins AS (
+  SELECT source, CAST(before // {budget} AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM c GROUP BY 1, 2),
+h AS (
+  SELECT *, ('0x' || substr(md5(source || chr(31)
+                                || CAST(bin_id AS VARCHAR)), 1, 15))::BIGINT
+              AS hh
+  FROM bins),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY hh, source, bin_id) AS rk
+  FROM h)
+SELECT source, bin_id, n_docs, n_tokens,
+       CAST((rk - 1) % {n_shards} AS BIGINT) AS shard_id
+FROM r
 """
 
 
@@ -3110,6 +3208,8 @@ ORACLES: dict[str, str] = {
     "op-bcubed-eval": SQL_OP_BCUBED_EVAL,
     "text-stupid-backoff": _sql_text_stupid_backoff(),
     "plan-filter-agreement": _sql_plan_filter_agreement(),
+    "op-bpe-encode": _sql_op_bpe_encode_registered(),
+    "op-shard-assign": _sql_op_shard_assign(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -32,7 +32,7 @@ tests in tests/test_round9.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -80,20 +80,18 @@ def bpe_elect(pair_counts: DataFrame) -> DataFrame:
             .limit(1))
 
 
-def bpe_apply_merge(vocab: DataFrame, elected: DataFrame) -> DataFrame:
-    """Apply one elected merge to every vocab word: greedy left-to-right
-    non-overlapping replacement of adjacent (left, right) with the
-    concatenated symbol, as a single ``aggregate`` fold over the symbol
-    array (map-side; the 1-row winner is broadcast).
+def merge_fold(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping replacement of adjacent
+    (``a``, ``b``) with the concatenated symbol, as a single
+    ``aggregate`` fold over the symbol array — pure map-side, no UDF.
 
     The fold IS the greedy scan: a freshly merged symbol becomes the
-    accumulator's tail as ``left||right``, which can never equal
-    ``left`` again (right is non-empty), so overlapping candidates —
-    e.g. 'x x x' under ('x','x') -> ['xx','x'] — resolve exactly as
-    the paper's left-to-right pass does."""
-    a, b = F.col("left_sym"), F.col("right_sym")
-    merged = F.aggregate(
-        F.col("syms"),
+    accumulator's tail as ``a||b``, which can never equal ``a`` again
+    (``b`` is non-empty), so overlapping candidates — e.g. 'x x x'
+    under ('x','x') -> ['xx','x'] — resolve exactly as the paper's
+    left-to-right pass does."""
+    return F.aggregate(
+        syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
@@ -101,6 +99,13 @@ def bpe_apply_merge(vocab: DataFrame, elected: DataFrame) -> DataFrame:
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
                      F.array(F.concat(a, b))),
         ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_apply_merge(vocab: DataFrame, elected: DataFrame) -> DataFrame:
+    """Apply one elected merge to every vocab word (``merge_fold`` with
+    the broadcast 1-row winner's pair columns)."""
+    merged = merge_fold(F.col("syms"), F.col("left_sym"),
+                        F.col("right_sym"))
     return (vocab.crossJoin(F.broadcast(elected))
                  .select("word", "freq", merged.alias("syms")))
 
@@ -148,3 +153,68 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_apply_merges(words: DataFrame, merges,
+                     syms_col: str = "syms") -> DataFrame:
+    """Apply a LEARNED merge table to a word frame's symbol arrays, in
+    rank order — the encoder half of BPE (Sennrich et al. 2016 §3:
+    "we apply the learned operations" greedily in learned order).
+
+    ``merges`` is either the DataFrame ``bpe_train`` returns
+    (collected here sorted by merge_rank — the model-sized driver
+    traffic every trained-artifact consumer in this repo pays: probe
+    weights, k-means centroids) or an already-driver-side sequence of
+    (left, right) pairs. Each merge is one literal ``merge_fold``
+    projection; R merges chain R folds, all map-side, zero shuffles.
+    The chain rides inside one codegen'd projection, which is the
+    right shape for the demo-scale tables trained here; a
+    production-vocabulary table (tens of thousands of ranks) would
+    switch the inner loop to an Arrow-batched mapInPandas — the
+    documented escape hatch, same contract."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    else:
+        pairs = [(str(a), str(b)) for a, b in merges]
+    out = words
+    for a, b in pairs:
+        out = out.withColumn(
+            syms_col, merge_fold(F.col(syms_col), F.lit(a), F.lit(b)))
+    return out
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Encode a corpus with a learned BPE merge table — the real
+    token-counting basis that replaces the ``bpe_ish_piece_count``
+    heuristic proxy (the consumer of ``bpe_train``'s artifact).
+
+    Scale shape: the corpus is tokenized ONCE into per-(doc, word)
+    counts (one map-side-combinable shuffle); the merge chain runs
+    over the DISTINCT-WORD frame only (Zipf: segmentation work is
+    vocab-sized, not corpus-sized — the same reason bpe_train's
+    rounds are cheap); per-doc totals come from one hash join on the
+    compact word key plus one aggregation. No UDFs, no windows.
+
+    Returns (id, n_words, n_pieces, ppw_ppm) per document with >= 1
+    token, where ppw_ppm is half-up pieces-per-word in ppm.
+    """
+    wc = (df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy(id_col, "word")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    seg = (wc.select("word").distinct()
+           .withColumn("syms",
+                       F.concat(chars, F.array(F.lit(END_MARK)))))
+    seg = bpe_apply_merges(seg, merges).select(
+        "word", F.size("syms").alias("_np"))
+    return (wc.join(seg, "word")
+            .groupBy(id_col)
+            .agg(F.sum("_c").cast("long").alias("n_words"),
+                 F.sum(F.col("_c") * F.col("_np")).cast("long")
+                  .alias("n_pieces"))
+            .withColumn("ppw_ppm", F.expr(
+                "(2 * n_pieces * 1000000 + n_words) DIV (2 * n_words)")
+                .cast("long")))

@@ -169,3 +169,34 @@ def exact_ntile(df: DataFrame, k: int, key_col: str, *,
         f" + 1)) + (_nt_n DIV {k}) - 1) DIV (_nt_n DIV {k}) END")
     return (ranked.withColumn(out, bucket.cast("long"))
             .drop("_nt_r", "_nt_n"))
+
+
+def shard_assign(df: DataFrame, n_shards: int,
+                 key_cols: Sequence[str],
+                 out: str = "shard_id") -> DataFrame:
+    """Deterministic, perfectly balanced assignment of rows (packed
+    training sequences, typically) to ``n_shards`` output shards by
+    md5-order round-robin: rows are ranked under (md5_hash60 of the
+    key, then the key itself — the hash-order election primitive
+    op-sample-hash uses) via ``exact_global_rank``, and
+    shard = (rank - 1) % n_shards.
+
+    Hash-ORDER round-robin rather than plain hash %% N: shard sizes
+    differ by at most one row by construction (%% N is only balanced
+    in expectation — at billions of sequences the spread still costs
+    straggler time on the widest shard), while the md5 ordering keeps
+    the assignment independent of scan order and reproducible run to
+    run — same corpus, byte-identical shard membership (the property
+    the training-shard writer's test pins). ``key_cols`` must uniquely
+    identify rows (they break md5 ties, keeping the order total)."""
+    from .dedup import md5_hash60  # deferred: dedup imports siblings
+
+    key = md5_hash60(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    d = df.withColumn("_sh_h", key)
+    ranked = exact_global_rank(d, "_sh_h", tiebreak=key_cols,
+                               out="_sh_r")
+    return (ranked
+            .withColumn(out, ((F.col("_sh_r") - 1) % n_shards)
+                        .cast("long"))
+            .drop("_sh_h", "_sh_r"))

@@ -109,6 +109,24 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str | None = None,
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_cols: tuple[str, ...],
+                          fmt: str = "parquet") -> None:
+    """The corpus pipeline's LAST stage: write packed training
+    sequences into ``n_shards`` Hive partitions ``shard_id=K`` with a
+    deterministic, perfectly balanced membership
+    (``rank.shard_assign``: md5-order round-robin — same corpus in,
+    byte-identical shard membership out, sizes within one row of each
+    other; the reproducibility test in tests/test_round10.py pins
+    both). Partition count at write time is bounded by the shuffle
+    already inside shard_assign; readers get one prunable directory
+    per shard."""
+    from .operators.rank import shard_assign
+
+    out = shard_assign(df, n_shards, list(key_cols))
+    out.write.mode("overwrite").partitionBy("shard_id").format(fmt).save(path)
+
+
 def reference_date_folder(run_date: date) -> str:
     """Byte-parity shim for the reference's month-name output layout
     (lambda.py:26-30): ``{year}/{MonthName}/{day}-{MonthName}-{year}/``,
