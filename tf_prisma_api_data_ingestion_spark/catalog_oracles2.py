@@ -3146,6 +3146,40 @@ def _sql_text_wordpiece_encode_registered() -> str:
     return _sql_text_wordpiece_encode(WORDPIECE_DEMO_VOCAB, 12, "[UNK]")
 
 
+def _sql_plan_corpus_datasheet() -> str:
+    """DuckDB twin of q_plan_corpus_datasheet: the bpe-encode, gopher,
+    and c4 oracles verbatim as subqueries plus the exact-dedup keeper
+    rule, joined on doc_id and rolled up per (source, lang)."""
+    return f"""
+WITH enc AS MATERIALIZED ({_sql_op_bpe_encode_registered()}),
+g AS MATERIALIZED ({_sql_gopher()}),
+c AS MATERIALIZED ({SQL_TEXT_C4_RULES}),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+         FROM documents GROUP BY 1)
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(e.n_words, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(e.n_pieces, 0)) AS BIGINT) AS n_pieces,
+       CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_gopher,
+       CAST(SUM(CASE WHEN c.pass_c4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_c4,
+       CAST(SUM(CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs,
+       CAST(CASE WHEN SUM(COALESCE(e.n_words, 0)) > 0 THEN
+              (2 * SUM(COALESCE(e.n_pieces, 0)) * 1000000
+               + SUM(COALESCE(e.n_words, 0)))
+              // (2 * SUM(COALESCE(e.n_words, 0)))
+            ELSE 0 END AS BIGINT) AS ppw_ppm
+FROM documents d
+LEFT JOIN enc e ON e.doc_id = d.doc_id
+JOIN g ON g.doc_id = d.doc_id
+JOIN c ON c.doc_id = d.doc_id
+JOIN keep k ON k.h = md5(d.text)
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3405,6 +3439,7 @@ ORACLES: dict[str, str] = {
     "text-unigram-segment": _sql_text_unigram_segment_registered(),
     "op-unigram-estep": _sql_op_unigram_estep_registered(),
     "text-wordpiece-encode": _sql_text_wordpiece_encode_registered(),
+    "plan-corpus-datasheet": _sql_plan_corpus_datasheet(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2339,6 +2339,58 @@ def q_text_wordpiece_encode(spark, sf_dir):
                             WORDPIECE_DEMO_VOCAB, max_word_len=12)
 
 
+def q_plan_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
+    the per-source quality tables every pretraining-data release
+    publishes): one row per (source, lang) with document and token
+    volume, BPE tokenizer fertility (pieces-per-word ppm via
+    bpe_encode under BPE_DEMO_MERGES), Gopher and C4 gate pass
+    counts, and exact-duplicate counts (non-keeper docs under the
+    corpus-GLOBAL md5 content hash, keeper = min doc_id — a dup group
+    spanning sources charges each source its own members).
+
+    Composes already-verified components — bpe_encode, gopher_rules,
+    c4_rules, the exact_dedup hash-keeper rule — through doc_id equi-
+    joins and one final groupBy: the aggregate report stage after
+    plan-filter-agreement's cross-tab. All four branches are one scan
+    each (the filters map-side), join keys are the compact doc_id, and
+    the output is groups-sized."""
+    from .operators.bpe import bpe_encode
+    from .operators.text import c4_rules, gopher_rules
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(d, BPE_DEMO_MERGES).select(
+        "doc_id", "n_words", "n_pieces")
+    g = gopher_rules(d).select("doc_id", "pass_gopher")
+    c = c4_rules(d).select("doc_id", "pass_c4")
+    keep = (d.groupBy(F.md5("text").alias("_h"))
+             .agg(F.min("doc_id").alias("_keeper")))
+    dup = (d.select("doc_id", F.md5("text").alias("_h"))
+            .join(keep, "_h")
+            .select("doc_id",
+                    (F.col("doc_id") != F.col("_keeper")).alias("_dup")))
+    ppw = F.expr("CASE WHEN n_tokens > 0 THEN"
+                 " (2 * n_pieces * 1000000 + n_tokens)"
+                 " DIV (2 * n_tokens) ELSE 0 END")
+    return (d.select("doc_id", "source", "lang")
+             .join(enc, "doc_id", "left")
+             .join(g, "doc_id")
+             .join(c, "doc_id")
+             .join(dup, "doc_id")
+             .groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum(F.coalesce("n_words", F.lit(0))).cast("long")
+                   .alias("n_tokens"),
+                  F.sum(F.coalesce("n_pieces", F.lit(0))).cast("long")
+                   .alias("n_pieces"),
+                  F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+                   .cast("long").alias("n_pass_gopher"),
+                  F.sum(F.when(F.col("pass_c4"), 1).otherwise(0))
+                   .cast("long").alias("n_pass_c4"),
+                  F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                   .cast("long").alias("n_dup_docs"))
+             .withColumn("ppw_ppm", ppw.cast("long")))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2644,6 +2696,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-unigram-estep": q_op_unigram_estep,
     # r10b: WordPiece greedy longest-match-first encode (BERT)
     "text-wordpiece-encode": q_text_wordpiece_encode,
+    # r10b: per-(source, lang) corpus datasheet release report
+    "plan-corpus-datasheet": q_plan_corpus_datasheet,
 }
 
 
@@ -2651,12 +2705,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r10 follows the r9 VERDICT's
 # #1 item with one precedence rule every past round also applied: NEW
-# keys get driver rows first. The round added 5 keys (op-bpe-encode,
-# op-shard-assign, then the subword-tokenizer trio), so 5 + 45 of the
-# 48 r5-stale keys fill the 50 slots; the 3 displaced r5 keys
-# (pd-sort, pd-limit-page, op-project-rename — the simplest
-# relational ops, each with heavy pytest + full-selfcheck evidence)
-# queue first for r11. The catalog now holds 253 keys. Everything
+# keys get driver rows first. The round added 6 keys (op-bpe-encode,
+# op-shard-assign, the subword-tokenizer trio, the corpus datasheet),
+# so 6 + 44 of the 48 r5-stale keys fill the 50 slots; the 4
+# displaced r5 keys (pd-sort, pd-limit-page, op-project-rename,
+# op-window-percent — the simplest relational/window ops, each with
+# heavy pytest + full-selfcheck evidence) queue first for r11. The
+# catalog now holds 254 keys. Everything
 # behind the boundary queues stalest-first; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window. Note
 # the two keys whose PLANS changed this round (text-ccnet-buckets,
@@ -2670,6 +2725,7 @@ _R10_WINDOW = [
     "text-unigram-segment",
     "op-unigram-estep",
     "text-wordpiece-encode",
+    "plan-corpus-datasheet",
     # all 48 keys whose newest driver row is r05
     "asof-join",
     "asof-join-forward",
@@ -2701,7 +2757,6 @@ _R10_WINDOW = [
     "op-table-diff",
     "op-variant-json",
     "op-window-lag-lead",
-    "op-window-percent",
     "op-winsorized-mean",
     "pd-groupby",
     "plan-multimodal-dedup",
