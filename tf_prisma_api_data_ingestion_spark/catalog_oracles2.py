@@ -3146,6 +3146,40 @@ def _sql_text_wordpiece_encode_registered() -> str:
     return _sql_text_wordpiece_encode(WORDPIECE_DEMO_VOCAB, 12, "[UNK]")
 
 
+SQL_OP_VOCAB_GROWTH = """
+WITH b AS MATERIALIZED (
+  SELECT doc_id, text,
+         ntile(10) OVER (
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT, doc_id) AS bucket
+  FROM documents),
+w AS MATERIALIZED (
+  SELECT bucket, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS word
+  FROM b),
+tok AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM w GROUP BY 1),
+doc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1),
+nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_words
+       FROM (SELECT word, min(bucket) AS bucket FROM w GROUP BY 1)
+       GROUP BY 1)
+SELECT d.bucket, d.n_docs,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words,
+       CAST(SUM(COALESCE(t.n_tokens, 0)) OVER (
+          ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(COALESCE(n.new_words, 0)) OVER (
+          ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_words
+FROM doc d
+LEFT JOIN tok t ON t.bucket = d.bucket
+LEFT JOIN nw n ON n.bucket = d.bucket
+"""
+
+
 def _sql_plan_corpus_datasheet() -> str:
     """DuckDB twin of q_plan_corpus_datasheet: the bpe-encode, gopher,
     and c4 oracles verbatim as subqueries plus the exact-dedup keeper
@@ -3440,6 +3474,7 @@ ORACLES: dict[str, str] = {
     "op-unigram-estep": _sql_op_unigram_estep_registered(),
     "text-wordpiece-encode": _sql_text_wordpiece_encode_registered(),
     "plan-corpus-datasheet": _sql_plan_corpus_datasheet(),
+    "op-vocab-growth": SQL_OP_VOCAB_GROWTH,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

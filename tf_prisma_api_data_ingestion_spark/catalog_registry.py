@@ -2391,6 +2391,18 @@ def q_plan_corpus_datasheet(spark, sf_dir):
              .withColumn("ppw_ppm", ppw.cast("long")))
 
 
+def q_op_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (operators/text.vocab_growth; Heaps'
+    law V = K*N^beta, the statistic that sizes a tokenizer vocab):
+    10 md5-ordered document deciles via the distributed exact ntile
+    (rank.exact_ntile — no whole-corpus single-task sort), per-decile
+    token volume and first-occurrence new-word counts, cumulative
+    sums over the 10-row aggregate frame. Raw exact integers; the
+    log-log fit is a driver/notebook concern."""
+    from .operators.text import vocab_growth
+    return vocab_growth(_t(spark, sf_dir, "documents"), k=10)
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2698,6 +2710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-wordpiece-encode": q_text_wordpiece_encode,
     # r10b: per-(source, lang) corpus datasheet release report
     "plan-corpus-datasheet": q_plan_corpus_datasheet,
+    # r10b: Heaps-law vocabulary growth over md5-ordered deciles
+    "op-vocab-growth": q_op_vocab_growth,
 }
 
 
@@ -2705,13 +2719,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r10 follows the r9 VERDICT's
 # #1 item with one precedence rule every past round also applied: NEW
-# keys get driver rows first. The round added 6 keys (op-bpe-encode,
-# op-shard-assign, the subword-tokenizer trio, the corpus datasheet),
-# so 6 + 44 of the 48 r5-stale keys fill the 50 slots; the 4
-# displaced r5 keys (pd-sort, pd-limit-page, op-project-rename,
-# op-window-percent — the simplest relational/window ops, each with
-# heavy pytest + full-selfcheck evidence) queue first for r11. The
-# catalog now holds 254 keys. Everything
+# keys get driver rows first. The round added 7 keys (op-bpe-encode,
+# op-shard-assign, the subword-tokenizer trio, the corpus datasheet,
+# the Heaps-law vocab-growth curve), so 7 + 43 of the 48 r5-stale
+# keys fill the 50 slots; the 5 displaced r5 keys (pd-sort,
+# pd-limit-page, op-project-rename, op-window-percent, op-string-agg
+# — the simplest relational/window ops, each with heavy pytest +
+# full-selfcheck evidence) queue first for r11. The catalog now holds
+# 255 keys. Everything
 # behind the boundary queues stalest-first; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window. Note
 # the two keys whose PLANS changed this round (text-ccnet-buckets,
@@ -2726,6 +2741,7 @@ _R10_WINDOW = [
     "op-unigram-estep",
     "text-wordpiece-encode",
     "plan-corpus-datasheet",
+    "op-vocab-growth",
     # all 48 keys whose newest driver row is r05
     "asof-join",
     "asof-join-forward",
@@ -2752,7 +2768,6 @@ _R10_WINDOW = [
     "op-salted-join",
     "op-scd2",
     "op-stratified-sample",
-    "op-string-agg",
     "op-table-checksum",
     "op-table-diff",
     "op-variant-json",

@@ -130,7 +130,7 @@ def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
     w = F.col(word_col)
     best = viterbi_best(w, pairs, unk_score)
     long_w = (F.length(w) > max_word_len) | (F.length(w) == 0)
-    return words.select(
+    out = words.select(
         "*",
         F.when(long_w, F.array(F.lit(unk)))
          .otherwise(best["ps"]).alias("pieces"),
@@ -138,6 +138,16 @@ def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
          .otherwise(-best["nnp"]).alias("n_pieces"),
         F.when(long_w, F.lit(unk_score).cast("long"))
          .otherwise(best["s"]).alias("score_micro"))
+    # Hard materialization boundary: without it, a downstream Generate
+    # (unigram_estep's explode of `pieces`) collapses onto this
+    # projection and re-evaluates the WHOLE Viterbi fold per emitted
+    # element — measured 20.9s vs 0.7s over a 31-word vocab at sf0.1,
+    # x12/decade as the vocabulary grows (the CollapseProject trap
+    # dedup.substring_dup_coverage documents, in Generate form). A
+    # repartition() does NOT barrier it (measured: the collapse
+    # crosses RepartitionByExpression); localCheckpoint does, and the
+    # frame is vocab-sized — the bpe_train lineage-flattening idiom.
+    return out.localCheckpoint(eager=False)
 
 
 def _word_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -324,13 +334,16 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
     fin = F.aggregate(F.sequence(F.lit(1), F.lit(max_word_len)), init,
                       step)
     bad = fin["fail"] | (n > max_word_len) | (n == 0) | (fin["pos"] < n)
-    return words.select(
+    out = words.select(
         "*",
         F.when(bad, F.array(F.lit(unk))).otherwise(fin["ps"])
          .alias("pieces"),
         F.when(bad, F.lit(1).cast("long"))
          .otherwise(F.size(fin["ps"]).cast("long")).alias("n_pieces"),
         bad.alias("is_unk"))
+    # same Generate-collapse barrier as unigram_viterbi's (an explode
+    # of `pieces` must not re-run the greedy fold per element)
+    return out.localCheckpoint(eager=False)
 
 
 def wordpiece_encode(df: DataFrame, vocab, text_col: str = "text",

@@ -936,3 +936,55 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
                 " AS BIGINT)"))
             .select(id_col, "n_positions", "sb_ppm", "backoff_l3",
                     "backoff_l2", "backoff_l1", "backoff_l0"))
+
+
+def vocab_growth(df: DataFrame, k: int = 10, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, the statistic that sizes a
+    tokenizer vocabulary): the corpus is dealt into ``k`` equal
+    md5-ordered document buckets and each bucket reports its token
+    volume and NEW distinct words (first occurrence by bucket), plus
+    cumulative sums — the (cum_tokens, cum_words) points a Heaps
+    V = K * N^beta fit consumes, kept as raw exact integers so both
+    engines agree bit-for-bit (the fit's logs are a driver/notebook
+    concern, the repo's float-stays-on-the-driver rule).
+
+    The md5 deal (not scan order) makes the curve reproducible and
+    shuffle-proof; buckets come from rank.exact_ntile, so no task ever
+    sorts the whole corpus (the r10 primitive). First occurrences are
+    one min-aggregate per word — no corpus-global window. The
+    cumulative window runs over the k-row aggregate frame only (the
+    broadcast-offsets idiom).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_hash60
+    from .rank import exact_ntile
+
+    d = df.withColumn("_vg_h",
+                      md5_hash60(F.col(id_col).cast("string")))
+    b = exact_ntile(d, k, "_vg_h", tiebreak=[id_col], out="bucket")
+    words = b.select("bucket",
+                     F.explode(tokens(F.col(text_col))).alias("word"))
+    tok_b = (words.groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("_nt")))
+    doc_b = (b.groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    new_b = (words.groupBy("word")
+             .agg(F.min("bucket").alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("_nw")))
+    tiny = (doc_b.join(tok_b, "bucket", "left")
+            .join(new_b, "bucket", "left")
+            .select("bucket", "n_docs",
+                    F.coalesce("_nt", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("_nw", F.lit(0)).cast("long")
+                     .alias("new_words")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (tiny
+            .withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w).cast("long"))
+            .withColumn("cum_words",
+                        F.sum("new_words").over(w).cast("long")))
