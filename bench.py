@@ -90,6 +90,14 @@ HEADLINE = (
     # are overhead-bound at sf0.1 — SCALING "Round-7b" table)
     "text-dsir-score",        # DSIR hashed-bigram importance scoring
     "sim-semdedup",           # within-cluster semantic dedup
+    # r10 tokenizer-family + release-layer representatives (SCALING
+    # "Round-10b" table; op-unigram-estep / text-wordpiece-encode share
+    # the same vocab-sized profile as the two below)
+    "op-bpe-encode",          # learned-merge-table corpus encoding
+    "op-shard-assign",        # exact-rank md5-order shard round-robin
+    "text-unigram-segment",   # unigram-LM Viterbi corpus encoding
+    "plan-corpus-datasheet",  # per-(source, lang) release report
+    "op-vocab-growth",        # Heaps-law curve over exact-ntile deciles
 )
 
 # Same-day sf0.1 reference walls, re-measured under protocol v2 (noop
@@ -127,6 +135,10 @@ SCALING_SF01 = {
     # vectorized assignment — the 11.2s flagged run was the original
     # per-pair DECIMAL formulation, see SCALING's r7b note)
     "text-dsir-score": 1.36, "sim-semdedup": 1.24,
+    # r10 additions (min-of-2/3 same-day walls, v2 protocol)
+    "op-bpe-encode": 1.09, "op-shard-assign": 1.34,
+    "text-unigram-segment": 1.48, "plan-corpus-datasheet": 1.54,
+    "op-vocab-growth": 1.69,
 }
 
 
