@@ -121,6 +121,12 @@ AUDIT = (
     ("op-equidepth-histogram", "exact ntile via the distributed rank: boundary CASE chain in the scan projection, windows keyed by range bucket (no unpartitioned global sort — r10 replaces the r6-r9 single-task window), tiny offsets broadcast"),
     ("op-bpe-encode", "corpus tokenized ONCE into (doc, word) counts; all merge folds stack in one codegen projection over the distinct-word frame; one hash join on the compact word key + one doc agg"),
     ("op-shard-assign", "pack windows stay per-source; bin rollup map-side-combinable; shard election is the distributed exact rank over the md5 key (bounded windows + broadcast offsets), never one global sort task"),
+    # r10b
+    ("text-unigram-segment", "corpus tokenized ONCE into (doc, word) counts; the Viterbi fold is one codegen projection over the distinct-word frame ending in a vocab-sized localCheckpoint barrier; one hash join on the compact word key + one doc agg"),
+    ("op-unigram-estep", "one corpus word-frequency agg; the piece explode reads the CHECKPOINTED vocab-sized segmentation (the fold is never re-evaluated per emitted element — the Generate-collapse fix in SCALING's r10b table); OOV remap is a literal-map projection; zero-fill join is vocab-sized"),
+    ("text-wordpiece-encode", "same three-stage shape as the BPE/unigram encoders; greedy longest-match runs as descending literal-map probes inside one fold projection with the same checkpoint barrier before the word-key join"),
+    ("plan-corpus-datasheet", "four one-scan branches (bpe encode, gopher flags, c4 flags, md5 keeper min) joined on the compact doc_id; the final (source, lang) rollup is map-side-combinable"),
+    ("op-vocab-growth", "md5 decile deal via the distributed exact ntile (boundary CASE chain, bounded windows, broadcast offsets); first occurrences are ONE min-per-word agg; the cumulative window sees 10 aggregate rows, never the corpus"),
 )
 
 
