@@ -2806,6 +2806,23 @@ def q_sim_pq_topk(spark, sf_dir):
     return similarity.pq_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+def q_plan_unigram_train(spark, sf_dir):
+    """2-round hard-EM unigram-LM training (operators/subword.
+    unigram_em_train) seeded from UNIGRAM_DEMO_PIECES; returns the
+    learned (piece, score_micro) table. Lives here rather than in the
+    oracle gate BY DESIGN: the inter-round M-step quantizes
+    ln(count/total) on the DRIVER (the repo's float-stays-on-the-
+    driver rule), so a DuckDB replay would have to reproduce Python's
+    libm — the pytest mirror (tests/test_subword.py
+    test_em_matches_python_mirror) shares the literal tables instead,
+    and the E-step itself IS oracle-gated (op-unigram-estep)."""
+    from .operators.subword import unigram_em_train
+    pairs = unigram_em_train(_t(spark, sf_dir, "documents"),
+                             UNIGRAM_DEMO_PIECES, n_rounds=2,
+                             max_word_len=12)
+    return spark.createDataFrame(pairs, "piece string, score_micro long")
+
+
 THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-minhash-lsh": q_dedup_minhash_lsh,
     "sim-pq-topk": q_sim_pq_topk,
@@ -2815,4 +2832,5 @@ THROUGHPUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-lsh-topk-xx": q_sim_lsh_topk_xx,
     "sketch-hll-distinct": q_sketch_hll_distinct,
     "sketch-gk-quantile": q_sketch_quantile_gk,
+    "plan-unigram-train": q_plan_unigram_train,
 }
