@@ -1,0 +1,78 @@
+"""Round-10b tail: the classifier calibration table and the
+embedding-space MAD outlier audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+    q_op_score_calibration)
+from tf_prisma_api_data_ingestion_spark.operators.similarity import (
+    embedding_outliers)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestScoreCalibration:
+    @pytest.fixture(scope="class")
+    def cal(self, spark):
+        return sorted(q_op_score_calibration(spark, SF).collect(),
+                      key=lambda r: r["decile"])
+
+    def test_deciles_partition_the_corpus(self, spark, cal):
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        assert [r["decile"] for r in cal] == list(range(1, 11))
+        assert sum(r["n_docs"] for r in cal) == d.count()
+        # ANSI ntile balance: sizes differ by at most one
+        sizes = [r["n_docs"] for r in cal]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_rate_is_half_up_ppm(self, cal):
+        for r in cal:
+            num = 2 * r["n_pass_gopher"] * 1_000_000 + r["n_docs"]
+            assert r["gopher_rate_ppm"] == num // (2 * r["n_docs"])
+            assert 0 <= r["n_pass_gopher"] <= r["n_docs"]
+
+    def test_score_mass_monotone_in_decile(self, cal):
+        # deciles are ordered BY score, so per-doc mean score must be
+        # non-decreasing across deciles (the ranking invariant; the
+        # gopher agreement curve is the free variable being measured)
+        means = [r["sum_score_micro"] / r["n_docs"] for r in cal]
+        assert all(a <= b for a, b in zip(means, means[1:]))
+
+
+class TestEmbeddingOutliers:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_hand_built_outlier(self, spark):
+        # cluster 0: nine near-origin vectors + one far point; the far
+        # point's |d2 - median| exceeds 3*MAD
+        rows = [(i, [0.001 * i, 0.0], 0) for i in range(9)]
+        rows.append((9, [5.0, 5.0], 0))
+        out = embedding_outliers(self._emb(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n"] == 10
+        assert r["n_outliers"] == 1
+
+    def test_tight_cluster_has_no_outliers(self, spark):
+        rows = [(i, [1.0, 1.0], 1) for i in range(8)]
+        r = embedding_outliers(self._emb(spark, rows)).collect()[0]
+        # identical vectors: d2 = 0 for all, MAD = 0, |d - med| = 0
+        # which is NOT > 3*0
+        assert r["n_outliers"] == 0 and r["median_d2"] == 0.0
+
+    def test_geometric_assignment_crosses_labels(self, spark):
+        # a vector LABELED 1 but sitting at label-0's centroid is
+        # assigned to cluster 0 (the audit's whole point)
+        rows = ([(i, [0.0, 0.0], 0) for i in range(4)]
+                + [(10 + i, [10.0, 10.0], 1) for i in range(4)]
+                + [(99, [0.0, 0.0], 1)])
+        out = {r["cluster"]: r
+               for r in embedding_outliers(self._emb(spark, rows))
+               .collect()}
+        assert out[0]["n"] == 5  # the mislabeled vector counts in 0
+        assert out[1]["n"] == 4

@@ -3180,6 +3180,50 @@ LEFT JOIN nw n ON n.bucket = d.bucket
 """
 
 
+def _sql_op_score_calibration() -> str:
+    """DuckDB twin of q_op_score_calibration: the classifier and
+    gopher oracles verbatim, ANSI ntile(10) over (score, doc_id)
+    replaying the distributed exact rank, half-up ppm agreement."""
+    return f"""
+WITH s AS MATERIALIZED ({_sql_text_quality_classifier()}),
+g AS MATERIALIZED ({_sql_gopher()}),
+dec AS (
+  SELECT s.doc_id, s.score_mean_micros, g.pass_gopher,
+         ntile(10) OVER (ORDER BY s.score_mean_micros, s.doc_id)
+           AS decile
+  FROM s JOIN g ON g.doc_id = s.doc_id)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_mean_micros) AS BIGINT) AS sum_score_micro,
+       CAST(SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_gopher,
+       CAST((2 * SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) * 1000000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS gopher_rate_ppm
+FROM dec
+GROUP BY 1
+"""
+
+
+SQL_SIM_EMBEDDING_OUTLIERS = f"""
+WITH {_SQL_NEAREST_ASSIGN},
+med AS (
+  SELECT cluster, quantile_cont(a2, 0.5) AS m FROM asg GROUP BY 1),
+dev AS (
+  SELECT asg.cluster, abs(asg.a2 - med.m) AS d, med.m
+  FROM asg JOIN med USING (cluster)),
+mad AS (
+  SELECT cluster, quantile_cont(d, 0.5) AS md, min(m) AS m2
+  FROM dev GROUP BY 1)
+SELECT dev.cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(min(mad.m2) AS DOUBLE) AS median_d2,
+       CAST(min(mad.md) AS DOUBLE) AS mad_d2
+FROM dev JOIN mad USING (cluster)
+GROUP BY 1
+"""
+
+
 def _sql_plan_corpus_datasheet() -> str:
     """DuckDB twin of q_plan_corpus_datasheet: the bpe-encode, gopher,
     and c4 oracles verbatim as subqueries plus the exact-dedup keeper
@@ -3475,6 +3519,8 @@ ORACLES: dict[str, str] = {
     "text-wordpiece-encode": _sql_text_wordpiece_encode_registered(),
     "plan-corpus-datasheet": _sql_plan_corpus_datasheet(),
     "op-vocab-growth": SQL_OP_VOCAB_GROWTH,
+    "op-score-calibration": _sql_op_score_calibration(),
+    "sim-embedding-outliers": SQL_SIM_EMBEDDING_OUTLIERS,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2403,6 +2403,49 @@ def q_op_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"), k=10)
 
 
+def q_op_score_calibration(spark, sf_dir):
+    """Quality-classifier calibration table (the reliability-diagram
+    bins a filter ablation reads before trusting a learned gate):
+    documents ranked into 10 score deciles by the learned classifier's
+    mean-score micros (rank.exact_ntile — no single-task global sort),
+    each decile reporting its size, score mass, and agreement rate
+    with the Gopher rule battery as the behavioral reference, in
+    half-up ppm. A flat rate across deciles means the classifier adds
+    nothing over the rules; a rising curve is the calibration signal.
+    Composes two verified components (hashed_linear_score,
+    gopher_rules) plus the r10 exact-rank primitive."""
+    from .operators.rank import exact_ntile
+    from .operators.selection import (QUALITY_WEIGHTS_DEMO,
+                                      hashed_linear_score)
+    from .operators.text import gopher_rules
+    d = _t(spark, sf_dir, "documents")
+    s = hashed_linear_score(d, QUALITY_WEIGHTS_DEMO).select(
+        "doc_id", "score_mean_micros")
+    g = gopher_rules(d).select("doc_id", "pass_gopher")
+    dec = exact_ntile(s.join(g, "doc_id"), 10, "score_mean_micros",
+                      tiebreak=["doc_id"], out="decile")
+    return (dec.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("score_mean_micros").cast("long")
+                  .alias("sum_score_micro"),
+                 F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+                  .cast("long").alias("n_pass_gopher"))
+            .withColumn("gopher_rate_ppm", F.expr(
+                "(2 * n_pass_gopher * 1000000 + n_docs)"
+                " DIV (2 * n_docs)").cast("long")))
+
+
+def q_sim_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier audit (operators/similarity.
+    embedding_outliers): per-cluster median/MAD of the exact integer
+    squared distance to the geometrically-assigned centroid, plus the
+    |d2 - median| > 3*MAD member count — the hygiene pass run before
+    SemDeDup/ANN trusts the embedding column."""
+    from .operators.similarity import embedding_outliers
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2712,6 +2755,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-corpus-datasheet": q_plan_corpus_datasheet,
     # r10b: Heaps-law vocabulary growth over md5-ordered deciles
     "op-vocab-growth": q_op_vocab_growth,
+    # r10b: classifier calibration deciles + embedding outlier audit
+    "op-score-calibration": q_op_score_calibration,
+    "sim-embedding-outliers": q_sim_embedding_outliers,
 }
 
 
@@ -2719,14 +2765,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r10 follows the r9 VERDICT's
 # #1 item with one precedence rule every past round also applied: NEW
-# keys get driver rows first. The round added 7 keys (op-bpe-encode,
-# op-shard-assign, the subword-tokenizer trio, the corpus datasheet,
-# the Heaps-law vocab-growth curve), so 7 + 43 of the 48 r5-stale
-# keys fill the 50 slots; the 5 displaced r5 keys (pd-sort,
-# pd-limit-page, op-project-rename, op-window-percent, op-string-agg
-# — the simplest relational/window ops, each with heavy pytest +
-# full-selfcheck evidence) queue first for r11. The catalog now holds
-# 255 keys. Everything
+# keys get driver rows first. The round added 9 oracle-gated keys
+# (op-bpe-encode, op-shard-assign, the subword-tokenizer trio, the
+# corpus datasheet, the Heaps-law vocab-growth curve, the classifier
+# calibration deciles, the embedding outlier audit), so 9 + 41 of the
+# 48 r5-stale keys fill the 50 slots; the 7 displaced r5 keys
+# (pd-sort, pd-limit-page, op-project-rename, op-window-percent,
+# op-string-agg, op-winsorized-mean, op-table-checksum — the simplest
+# relational/window/agg ops, each with heavy pytest + TWO full
+# 255-key local gates this round) queue first for r11. The catalog
+# now holds 257 keys. Everything
 # behind the boundary queues stalest-first; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window. Note
 # the two keys whose PLANS changed this round (text-ccnet-buckets,
@@ -2742,6 +2790,8 @@ _R10_WINDOW = [
     "text-wordpiece-encode",
     "plan-corpus-datasheet",
     "op-vocab-growth",
+    "op-score-calibration",
+    "sim-embedding-outliers",
     # all 48 keys whose newest driver row is r05
     "asof-join",
     "asof-join-forward",
@@ -2768,11 +2818,9 @@ _R10_WINDOW = [
     "op-salted-join",
     "op-scd2",
     "op-stratified-sample",
-    "op-table-checksum",
     "op-table-diff",
     "op-variant-json",
     "op-window-lag-lead",
-    "op-winsorized-mean",
     "pd-groupby",
     "plan-multimodal-dedup",
     "plan-stream-report",

@@ -1107,3 +1107,46 @@ def kmeans_train_assign(embeddings: DataFrame, iters: int = 2,
         lbl = (asg.select("vec_id", F.col("cluster").alias("_lbl"))
                   .localCheckpoint(eager=False))
     return lbl.select("vec_id", F.col("_lbl").alias("cluster"))
+
+
+def embedding_outliers(embeddings: DataFrame, k: float = 3.0,
+                       label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Robust embedding-space outlier summary per cluster: vectors are
+    geometrically assigned to their nearest per-label centroid
+    (assign_nearest_centroid — exact integer micro² distances), then
+    each cluster reports median squared distance, MAD, and the count
+    of members with |d² − median| > k·MAD — the curation hygiene pass
+    that surfaces mislabeled or corrupt embeddings BEFORE they poison
+    SemDeDup clusters or ANN inverted lists.
+
+    Same exactness argument as stats.mad_outliers: distances are
+    exact integers, both medians are dyadic-rational interpolations of
+    integers (< 2^53), so the flag comparison is bit-stable across
+    engines and partitionings. Plan shape: the assignment scan, then
+    two exact-percentile aggregations with tiny per-cluster frames
+    broadcast back — the documented exact-median trade-off
+    (percentile_approx is the 100 TB swap-in if clusters are huge).
+    Returns (cluster, n, n_outliers, median_d2, mad_d2).
+    """
+    asg = assign_nearest_centroid(embeddings, label_col=label_col,
+                                  id_col=id_col, vec_col=vec_col)
+    med = asg.groupBy("cluster").agg(
+        F.percentile("d2_own", F.lit(0.5)).alias("_m"))
+    dev = (asg.join(F.broadcast(med), "cluster")
+              .withColumn("_d", F.abs(F.col("d2_own") - F.col("_m"))))
+    mad = dev.groupBy("cluster").agg(
+        F.percentile("_d", F.lit(0.5)).alias("_md"),
+        F.first("_m").alias("_m2"))
+    flagged = (dev.join(F.broadcast(mad.select("cluster", "_md")),
+                        "cluster")
+               .groupBy("cluster")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(F.when(F.col("_d") > F.lit(k) * F.col("_md"),
+                                 1).otherwise(0)).cast("long")
+                     .alias("n_outliers")))
+    return (flagged.join(F.broadcast(mad), "cluster")
+            .select("cluster", "n", "n_outliers",
+                    F.col("_m2").cast("double").alias("median_d2"),
+                    F.col("_md").cast("double").alias("mad_d2")))
