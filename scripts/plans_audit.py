@@ -127,6 +127,8 @@ AUDIT = (
     ("text-wordpiece-encode", "same three-stage shape as the BPE/unigram encoders; greedy longest-match runs as descending literal-map probes inside one fold projection with the same checkpoint barrier before the word-key join"),
     ("plan-corpus-datasheet", "four one-scan branches (bpe encode, gopher flags, c4 flags, md5 keeper min) joined on the compact doc_id; the final (source, lang) rollup is map-side-combinable"),
     ("op-vocab-growth", "md5 decile deal via the distributed exact ntile (boundary CASE chain, bounded windows, broadcast offsets); first occurrences are ONE min-per-word agg; the cumulative window sees 10 aggregate rows, never the corpus"),
+    ("op-score-calibration", "classifier and gopher flags are two map-side scan branches joined on doc_id; decile assignment is the distributed exact rank (bounded windows + broadcast offsets); final agg sees 10 groups"),
+    ("sim-embedding-outliers", "one Arrow mapInPandas assignment against the driver-broadcast centroid matrix; two exact-percentile aggs with tiny per-cluster frames broadcast back — the fact frame never shuffles twice on the same key"),
 )
 
 
