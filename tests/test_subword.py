@@ -285,3 +285,26 @@ class TestScaleShape:
                                                .executedPlan().toString()
         assert "Window" not in plan2
         assert "PythonUDF" not in plan2
+
+
+class TestInputGuards:
+    def test_empty_piece_table_raises(self, spark):
+        with pytest.raises(ValueError, match="empty"):
+            unigram_viterbi(_words(spark, ["a"]), [])
+
+    def test_duplicate_piece_raises(self, spark):
+        with pytest.raises(ValueError, match="duplicate"):
+            unigram_viterbi(_words(spark, ["a"]),
+                            [("a", -1), ("a", -2)])
+
+    def test_empty_string_piece_raises(self, spark):
+        with pytest.raises(ValueError, match="empty-string"):
+            unigram_viterbi(_words(spark, ["a"]), [("", -1)])
+
+    def test_wordpiece_duplicate_vocab_raises(self, spark):
+        with pytest.raises(ValueError, match="duplicate-free"):
+            wordpiece_segment(_words(spark, ["a"]), ["a", "a"])
+
+    def test_wordpiece_stemless_vocab_raises(self, spark):
+        with pytest.raises(ValueError, match="stem"):
+            wordpiece_segment(_words(spark, ["a"]), ["##"])

@@ -56,8 +56,21 @@ def _piece_pairs(pieces) -> list[tuple[str, int]]:
     already-driver-side sequence of pairs."""
     if isinstance(pieces, DataFrame):
         rows = pieces.select("piece", "score_micro").collect()
-        return [(r["piece"], int(r["score_micro"])) for r in rows]
-    return [(str(p), int(s)) for p, s in pieces]
+        pairs = [(r["piece"], int(r["score_micro"])) for r in rows]
+    else:
+        pairs = [(str(p), int(s)) for p, s in pieces]
+    if not pairs:
+        raise ValueError("piece table is empty")
+    seen = set()
+    for piece, _ in pairs:
+        if not piece:
+            raise ValueError("empty-string piece in table")
+        if piece in seen:
+            # a duplicate would also crash create_map under ANSI
+            # DUPLICATE_MAP_KEY — fail with the cause, not the symptom
+            raise ValueError(f"duplicate piece in table: {piece!r}")
+        seen.add(piece)
+    return pairs
 
 
 def _lit_map(pairs: list[tuple[str, int]]) -> Column:
@@ -294,9 +307,15 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
     published WordPiece INFERENCE rule (the training side is BPE-like
     likelihood election; bpe_train covers that family)."""
     vlist = [str(v) for v in vocab]
+    if len(set(vlist)) != len(vlist) or not vlist:
+        raise ValueError("WordPiece vocab must be non-empty and "
+                         "duplicate-free")
     vmap = _lit_map([(v, 1) for v in vlist])
     K = max(len(v) - len(WP_CONT) if v.startswith(WP_CONT) else len(v)
             for v in vlist)
+    if K < 1:
+        raise ValueError("WordPiece vocab has no piece with a "
+                         "non-empty stem")
     w = F.col(word_col)
     n = F.length(w)
     init = F.struct(
