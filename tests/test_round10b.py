@@ -76,3 +76,42 @@ class TestEmbeddingOutliers:
                .collect()}
         assert out[0]["n"] == 5  # the mislabeled vector counts in 0
         assert out[1]["n"] == 4
+
+
+class TestStreamTokenMeter:
+    def test_stream_equals_batch_encoder(self, spark):
+        # the in-stream per-occurrence segmentation must total exactly
+        # what the batch distinct-word encoder reports
+        from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+            BPE_DEMO_MERGES)
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode)
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_token_meter)
+        got = {r["source"]: r for r in streaming_token_meter(
+            spark, SF, BPE_DEMO_MERGES,
+            query_name="stm_test").collect()}
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        enc = (bpe_encode(d, BPE_DEMO_MERGES)
+               .join(d.select("doc_id", "source"), "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_words").alias("w"),
+                    F.sum("n_pieces").alias("p")))
+        for r in enc.collect():
+            g = got[r["source"]]
+            assert (g["n_docs"], g["n_words"], g["n_pieces"]) == \
+                (r["n"], r["w"], r["p"])
+
+    def test_projection_is_stateless_per_row(self, spark):
+        # hand case: the fold chain applies in rank order per word
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            token_meter_projection)
+        df = spark.createDataFrame([("table tab qq",)], "text string")
+        m = df.select(token_meter_projection(
+            F.col("text"), [("t", "a"), ("ta", "b")]).alias("m")) \
+            .collect()[0]["m"]
+        # 'table' -> t a b l e </w> -> ta b l e </w> -> tab l e </w> = 4
+        # 'tab'   -> t a b </w> -> ta b </w> -> tab </w>            = 2
+        # 'qq'    -> q q </w>                                       = 3
+        assert (m["n_words"], m["n_pieces"]) == (3, 9)

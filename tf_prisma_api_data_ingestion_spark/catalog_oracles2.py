@@ -3180,6 +3180,21 @@ LEFT JOIN nw n ON n.bucket = d.bucket
 """
 
 
+def _sql_stream_token_meter() -> str:
+    """DuckDB twin of q_stream_token_meter — the BATCH equivalence:
+    the op-bpe-encode oracle's per-doc totals rolled up per source
+    (left join keeps zero-token docs in n_docs)."""
+    return f"""
+WITH enc AS MATERIALIZED ({_sql_op_bpe_encode_registered()})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(e.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(e.n_pieces, 0)) AS BIGINT) AS n_pieces
+FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 def _sql_op_score_calibration() -> str:
     """DuckDB twin of q_op_score_calibration: the classifier and
     gopher oracles verbatim, ANSI ntile(10) over (score, doc_id)
@@ -3521,6 +3536,7 @@ ORACLES: dict[str, str] = {
     "op-vocab-growth": SQL_OP_VOCAB_GROWTH,
     "op-score-calibration": _sql_op_score_calibration(),
     "sim-embedding-outliers": SQL_SIM_EMBEDDING_OUTLIERS,
+    "stream-token-meter": _sql_stream_token_meter(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

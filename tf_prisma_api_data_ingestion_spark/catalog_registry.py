@@ -2403,6 +2403,20 @@ def q_op_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"), k=10)
 
 
+def q_stream_token_meter(spark, sf_dir):
+    """Streaming per-source BPE token metering (streaming/windows.
+    streaming_token_meter under BPE_DEMO_MERGES): live token-budget
+    accounting while a crawl lands — the tokenizer as a stateless
+    per-row merge-fold projection, state bounded by |sources|. The
+    oracle is the batch twin: the op-bpe-encode oracle's per-doc
+    totals rolled up per source (per-occurrence in-stream segmentation
+    and per-distinct-word batch segmentation are the same function of
+    the data, so the totals agree bit-for-bit)."""
+    from .streaming.windows import streaming_token_meter
+    return streaming_token_meter(spark, sf_dir, BPE_DEMO_MERGES,
+                                 query_name=f"stm_{abs(hash(sf_dir))}")
+
+
 def q_op_score_calibration(spark, sf_dir):
     """Quality-classifier calibration table (the reliability-diagram
     bins a filter ablation reads before trusting a learned gate):
@@ -2758,6 +2772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10b: classifier calibration deciles + embedding outlier audit
     "op-score-calibration": q_op_score_calibration,
     "sim-embedding-outliers": q_sim_embedding_outliers,
+    # r10b: streaming per-source BPE token metering (batch-twin oracle)
+    "stream-token-meter": q_stream_token_meter,
 }
 
 
@@ -2765,16 +2781,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # checks exactly the first 50 entries, so the window below IS the
 # round's driver-verification contract. r10 follows the r9 VERDICT's
 # #1 item with one precedence rule every past round also applied: NEW
-# keys get driver rows first. The round added 9 oracle-gated keys
+# keys get driver rows first. The round added 10 oracle-gated keys
 # (op-bpe-encode, op-shard-assign, the subword-tokenizer trio, the
 # corpus datasheet, the Heaps-law vocab-growth curve, the classifier
-# calibration deciles, the embedding outlier audit), so 9 + 41 of the
-# 48 r5-stale keys fill the 50 slots; the 7 displaced r5 keys
-# (pd-sort, pd-limit-page, op-project-rename, op-window-percent,
-# op-string-agg, op-winsorized-mean, op-table-checksum — the simplest
-# relational/window/agg ops, each with heavy pytest + TWO full
-# 255-key local gates this round) queue first for r11. The catalog
-# now holds 257 keys. Everything
+# calibration deciles, the embedding outlier audit, the streaming
+# token meter), so 10 + 40 of the 48 r5-stale keys fill the 50
+# slots; the 8 displaced r5 keys (pd-sort, pd-limit-page,
+# op-project-rename, op-window-percent, op-string-agg,
+# op-winsorized-mean, op-table-checksum, op-histogram — the simplest
+# relational/window/agg ops, each with heavy pytest + full local
+# gates this round) queue first for r11. The catalog now holds 258
+# keys. Everything
 # behind the boundary queues stalest-first; scripts/selfcheck.py
 # re-verifies the FULL catalog locally regardless of the window. Note
 # the two keys whose PLANS changed this round (text-ccnet-buckets,
@@ -2792,6 +2809,7 @@ _R10_WINDOW = [
     "op-vocab-growth",
     "op-score-calibration",
     "sim-embedding-outliers",
+    "stream-token-meter",
     # all 48 keys whose newest driver row is r05
     "asof-join",
     "asof-join-forward",
@@ -2809,7 +2827,6 @@ _R10_WINDOW = [
     "op-fuzzy-join",
     "op-gap-fill",
     "op-groupagg-count",
-    "op-histogram",
     "op-interval-merge",
     "op-linreg-group",
     "op-merge-upsert",

@@ -794,3 +794,67 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str,
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
     return spark.table(query_name).select("source", "n_docs", "n_pass")
+
+
+def token_meter_projection(text_col, merges):
+    """Per-document (n_words, n_pieces) under a learned BPE merge
+    table as ONE stateless projection — no distinct-word frame, no
+    join: each word in the whitespace token array is segmented by the
+    full merge-fold chain inline (bpe.merge_fold per rank, the lambda
+    touching only its own variable). This pays segmentation per token
+    OCCURRENCE where the batch encoder (bpe.bpe_encode) amortizes it
+    per DISTINCT word via Zipf — the deliberate trade that makes the
+    expression streaming-safe (zero cross-row state). Returns a
+    struct column (n_words, n_pieces)."""
+    from ..operators.bpe import END_MARK, merge_fold
+    from ..operators.text import tokens
+
+    pairs = [(str(a), str(b)) for a, b in merges]
+
+    def pieces_of(word):
+        syms = F.concat(F.regexp_extract_all(word, F.lit("."), 0),
+                        F.array(F.lit(END_MARK)))
+        for a, b in pairs:
+            syms = merge_fold(syms, F.lit(a), F.lit(b))
+        return F.size(syms).cast("long")
+
+    ws = tokens(text_col)
+    n_pieces = F.aggregate(
+        F.transform(ws, pieces_of),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.struct(F.size(ws).cast("long").alias("n_words"),
+                    n_pieces.alias("n_pieces"))
+
+
+def streaming_token_meter(spark: SparkSession, sf_dir: str, merges,
+                          query_name: str = "stream_token_meter",
+                          state_partitions: int = DEFAULT_STATE_PARTITIONS
+                          ) -> DataFrame:
+    """Streaming per-source token metering: documents land as files
+    and each source's running document/word/BPE-piece totals update
+    per micro-batch — the live token-budget accounting an ingest
+    pipeline runs while a crawl is still in flight (is source X about
+    to blow the corpus token budget? is its pieces-per-word fertility
+    drifting?). The tokenizer runs as token_meter_projection's
+    stateless per-row expression; the only state is the per-source
+    complete-mode aggregate, bounded by |sources| exactly like
+    streaming_quality_gate. Drained with availableNow into a memory
+    sink, like every streaming twin in this module. Returns
+    (source, n_docs, n_words, n_pieces)."""
+    schema = (spark.read.option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir).schema)
+    docs = (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+    m = token_meter_projection(F.col("text"), merges)
+    agg = (docs.select("source", m.alias("_m"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_m.n_words").cast("long").alias("n_words"),
+                F.sum("_m.n_pieces").cast("long").alias("n_pieces")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(query_name).select("source", "n_docs",
+                                          "n_words", "n_pieces")
