@@ -129,6 +129,7 @@ AUDIT = (
     ("op-vocab-growth", "md5 decile deal via the distributed exact ntile (boundary CASE chain, bounded windows, broadcast offsets); first occurrences are ONE min-per-word agg; the cumulative window sees 10 aggregate rows, never the corpus"),
     ("op-score-calibration", "classifier and gopher flags are two map-side scan branches joined on doc_id; decile assignment is the distributed exact rank (bounded windows + broadcast offsets); final agg sees 10 groups"),
     ("sim-embedding-outliers", "one Arrow mapInPandas assignment against the driver-broadcast centroid matrix; two exact-percentile aggs with tiny per-cluster frames broadcast back — the fact frame never shuffles twice on the same key"),
+    ("stream-token-meter", "the BPE merge-fold chain as a stateless per-row projection inside the micro-batch; complete-mode agg state bounded by |sources| — no distinct-word frame, no stream-side join"),
 )
 
 
