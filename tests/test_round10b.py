@@ -115,3 +115,17 @@ class TestStreamTokenMeter:
         # 'tab'   -> t a b </w> -> ta b </w> -> tab </w>            = 2
         # 'qq'    -> q q </w>                                       = 3
         assert (m["n_words"], m["n_pieces"]) == (3, 9)
+
+    def test_null_text_meters_as_zero(self, spark):
+        # r10 advice: size(NULL array) is -1 under non-ANSI settings —
+        # a NULL-text document must contribute (0, 0), matching the
+        # batch-twin oracle's COALESCE-to-0 semantics
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            token_meter_projection)
+        df = spark.createDataFrame([(None,), ("tab",)], "text string")
+        rows = df.select(token_meter_projection(
+            F.col("text"), [("t", "a")]).alias("m")).collect()
+        got = sorted((r["m"]["n_words"], r["m"]["n_pieces"])
+                     for r in rows)
+        # 'tab' -> t a b </w> -> ta b </w> = 3 pieces
+        assert got == [(0, 0), (1, 3)]

@@ -308,3 +308,17 @@ class TestInputGuards:
     def test_wordpiece_stemless_vocab_raises(self, spark):
         with pytest.raises(ValueError, match="stem"):
             wordpiece_segment(_words(spark, ["a"]), ["##"])
+
+    def test_wordpiece_single_stemless_entry_raises(self, spark):
+        # r10 advice: a lone '##' beside valid pieces must be rejected
+        # per-entry, not only when ALL pieces are stemless
+        with pytest.raises(ValueError, match="stem"):
+            wordpiece_segment(_words(spark, ["a"]), ["a", "##"])
+
+    def test_unk_label_in_piece_table_raises(self, spark):
+        # r10 advice: a literal '<unk>' piece would duplicate
+        # unigram_estep's zero-fill unk row — identically in the
+        # oracle, so the differential gate can't catch it
+        with pytest.raises(ValueError, match="unk"):
+            unigram_viterbi(_words(spark, ["a"]),
+                            [("a", -1), ("<unk>", -2)])

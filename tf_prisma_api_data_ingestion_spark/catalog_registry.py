@@ -6,6 +6,7 @@ tf_prisma_api_data_ingestion_spark.catalog.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from collections.abc import Callable
@@ -2413,8 +2414,11 @@ def q_stream_token_meter(spark, sf_dir):
     and per-distinct-word batch segmentation are the same function of
     the data, so the totals agree bit-for-bit)."""
     from .streaming.windows import streaming_token_meter
+    # stable digest, not Python's salted hash(): the memory-sink view
+    # name must be deterministic across processes (PYTHONHASHSEED)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return streaming_token_meter(spark, sf_dir, BPE_DEMO_MERGES,
-                                 query_name=f"stm_{abs(hash(sf_dir))}")
+                                 query_name=f"stm_{tag}")
 
 
 def q_op_score_calibration(spark, sf_dir):

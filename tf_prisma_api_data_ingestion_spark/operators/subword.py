@@ -49,11 +49,16 @@ UNK = "<unk>"
 _CAND_T = "array<struct<s:bigint,nnp:bigint,nbp:bigint,ps:array<string>>>"
 
 
-def _piece_pairs(pieces) -> list[tuple[str, int]]:
+def _piece_pairs(pieces, unk: str | None = None) -> list[tuple[str, int]]:
     """Normalize a piece table to a driver-side [(piece, score_micro)]
     list: either a DataFrame with (piece, score_micro) columns
     (collected here — model-sized, the trained-artifact idiom) or an
-    already-driver-side sequence of pairs."""
+    already-driver-side sequence of pairs. ``unk`` is the caller's
+    fallback label: a piece EQUAL to it is rejected, because
+    ``unigram_estep``'s zero-fill vocab appends the unk row itself —
+    a literal '<unk>' piece would emit duplicate rows and double-join
+    the pooled unk count, identically in the DuckDB oracle (r10
+    advice: the differential gate cannot catch it)."""
     if isinstance(pieces, DataFrame):
         rows = pieces.select("piece", "score_micro").collect()
         pairs = [(r["piece"], int(r["score_micro"])) for r in rows]
@@ -65,6 +70,10 @@ def _piece_pairs(pieces) -> list[tuple[str, int]]:
     for piece, _ in pairs:
         if not piece:
             raise ValueError("empty-string piece in table")
+        if unk is not None and piece == unk:
+            raise ValueError(
+                f"piece table contains the unk label {unk!r}; unk is "
+                "the fallback, not a piece")
         if piece in seen:
             # a duplicate would also crash create_map under ANSI
             # DUPLICATE_MAP_KEY — fail with the cause, not the symptom
@@ -139,7 +148,7 @@ def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
     longer than ``max_word_len`` become a single ``unk`` piece at
     ``unk_score`` (the WordPiece very-long-word rule, adopted so the
     DP depth — and the oracle's unrolled rounds — stay bounded)."""
-    pairs = _piece_pairs(pieces)
+    pairs = _piece_pairs(pieces, unk=unk)
     w = F.col(word_col)
     best = viterbi_best(w, pairs, unk_score)
     long_w = (F.length(w) > max_word_len) | (F.length(w) == 0)
@@ -200,7 +209,7 @@ def unigram_estep(df: DataFrame, pieces, text_col: str = "text",
     ``unk`` row, zero-filled — a stable, model-sized frame whose
     collect is the M-step's input. The corpus contributes one word
     count (map-side combinable); everything after is vocab-sized."""
-    pairs = _piece_pairs(pieces)
+    pairs = _piece_pairs(pieces, unk=unk)
     spark = df.sparkSession
     member = _lit_map([(p, 1) for p, _ in pairs])
     freq = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
@@ -258,7 +267,7 @@ def unigram_em_train(df: DataFrame, init_pieces, n_rounds: int = 2,
     final [(piece, score_micro)] list, ready for unigram_encode.
     ``unk`` is excluded from the learned table (it is the fallback,
     not a piece)."""
-    pairs = _piece_pairs(init_pieces)
+    pairs = _piece_pairs(init_pieces, unk=unk)
     freq = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
               .groupBy("word")
               .agg(F.count(F.lit(1)).cast("long").alias("_f"))
@@ -310,12 +319,18 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
     if len(set(vlist)) != len(vlist) or not vlist:
         raise ValueError("WordPiece vocab must be non-empty and "
                          "duplicate-free")
+    for v in vlist:
+        # per-entry stem validation (r10 advice): a stemless piece —
+        # '' or the bare '##' continuation prefix — can never match
+        # any position (every probe consumes >= 1 stem char), so it
+        # is a vocab bug; reject it rather than carry it silently
+        stem = v[len(WP_CONT):] if v.startswith(WP_CONT) else v
+        if not stem:
+            raise ValueError(
+                f"WordPiece vocab piece {v!r} has an empty stem")
     vmap = _lit_map([(v, 1) for v in vlist])
     K = max(len(v) - len(WP_CONT) if v.startswith(WP_CONT) else len(v)
             for v in vlist)
-    if K < 1:
-        raise ValueError("WordPiece vocab has no piece with a "
-                         "non-empty stem")
     w = F.col(word_col)
     n = F.length(w)
     init = F.struct(

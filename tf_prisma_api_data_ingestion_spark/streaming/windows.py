@@ -818,7 +818,10 @@ def token_meter_projection(text_col, merges):
             syms = merge_fold(syms, F.lit(a), F.lit(b))
         return F.size(syms).cast("long")
 
-    ws = tokens(text_col)
+    # NULL text must meter as 0 tokens, not size(NULL) = -1 (non-ANSI
+    # size semantics) — the batch-twin oracle COALESCEs missing docs
+    # to 0, so a NULL row would silently skew the differential
+    ws = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     n_pieces = F.aggregate(
         F.transform(ws, pieces_of),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
