@@ -2783,82 +2783,81 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
-# round's driver-verification contract. r10 follows the r9 VERDICT's
-# #1 item with one precedence rule every past round also applied: NEW
-# keys get driver rows first. The round added 10 oracle-gated keys
-# (op-bpe-encode, op-shard-assign, the subword-tokenizer trio, the
-# corpus datasheet, the Heaps-law vocab-growth curve, the classifier
-# calibration deciles, the embedding outlier audit, the streaming
-# token meter), so 10 + 40 of the 48 r5-stale keys fill the 50
-# slots; the 8 displaced r5 keys (pd-sort, pd-limit-page,
-# op-project-rename, op-window-percent, op-string-agg,
-# op-winsorized-mean, op-table-checksum, op-histogram — the simplest
-# relational/window/agg ops, each with heavy pytest + full local
-# gates this round) queue first for r11. The catalog now holds 258
-# keys. Everything
-# behind the boundary queues stalest-first; scripts/selfcheck.py
-# re-verifies the FULL catalog locally regardless of the window. Note
-# the two keys whose PLANS changed this round (text-ccnet-buckets,
-# op-equidepth-histogram) have r9/r6 driver rows and unchanged
-# oracles; they are re-proven by the full selfcheck and queue for
-# driver rotation with their r-tier.
-_R10_WINDOW = [
-    # new this round
-    "op-bpe-encode",
-    "op-shard-assign",
-    "text-unigram-segment",
-    "op-unigram-estep",
-    "text-wordpiece-encode",
-    "plan-corpus-datasheet",
-    "op-vocab-growth",
-    "op-score-calibration",
-    "sim-embedding-outliers",
-    "stream-token-meter",
-    # all 48 keys whose newest driver row is r05
-    "asof-join",
-    "asof-join-forward",
-    "asof-join-nearest",
-    "dedup-keep-best",
-    "dedup-passage-exact",
-    "dedup-passage-pairs",
-    "multimodal-embed",
-    "multimodal-resize",
-    "op-cumulative-distinct",
-    "op-expectations",
-    "op-fillna",
-    "op-funnel",
-    "op-fuzzy-canonicalize",
-    "op-fuzzy-join",
-    "op-gap-fill",
-    "op-groupagg-count",
-    "op-interval-merge",
-    "op-linreg-group",
-    "op-merge-upsert",
-    "op-outlier-mad",
-    "op-retention",
-    "op-salted-join",
-    "op-scd2",
-    "op-stratified-sample",
-    "op-table-diff",
-    "op-variant-json",
-    "op-window-lag-lead",
-    "pd-groupby",
-    "plan-multimodal-dedup",
-    "plan-stream-report",
-    "sketch-kmv-distinct",
-    "sketch-kmv-union",
-    "stream-funnel",
-    "text-bigram-counts",
-    "text-bigram-lift",
-    "top-k-per-group",
-    "tpch-q1",
-    "tpch-q3",
-    "tpch-q5",
-    "tpch-q6",
+# round's driver-verification contract. r11 executes the r10
+# VERDICT's #1 item exactly: the 8 keys displaced to r5 staleness
+# (pd-sort, pd-limit-page, op-project-rename, op-window-percent,
+# op-string-agg, op-winsorized-mean, op-table-checksum, op-histogram)
+# + the two keys whose PLANS were rewritten onto the exact-rank
+# primitive in r10 without a driver row for the NEW plan
+# (text-ccnet-buckets, op-equidepth-histogram) + this round's new
+# keys (new-keys-first, the standing precedence) + the stalest r6-
+# tier keys filling the remaining slots. After this round no catalog
+# key's newest driver row is older than r6; the r6 keys deferred to
+# r12 are the 11 TPC-H queries plus op-skyline and op-benford — the
+# most specification-pinned, pytest-heavy entries in that tier.
+# scripts/selfcheck.py re-verifies the FULL catalog locally
+# regardless of the window.
+_R11_WINDOW = [
+    # 4 additional r6-tier keys (these slots rotate to the round's
+    # new keys once they land; until then the window is pure backlog)
+    "op-skyline",
+    "op-benford",
+    "tpch-q2",
+    "tpch-q8",
+    # the 8 keys whose newest driver row is r05
+    "op-histogram",
+    "op-project-rename",
+    "op-string-agg",
+    "op-table-checksum",
+    "op-window-percent",
+    "op-winsorized-mean",
+    "pd-limit-page",
+    "pd-sort",
+    # the two r10 plan rewrites (exact-rank ntile) — driver rows for
+    # the NEW plans
+    "text-ccnet-buckets",
+    "op-equidepth-histogram",
+    # 36 of the 49 remaining r6-tier keys, stalest tier first
+    "dedup-containment",
+    "dedup-minhash-recall",
+    "dedup-prefix-jaccard",
+    "op-anomaly-seasonal",
+    "op-auc",
+    "op-bloom-prefilter",
+    "op-chi2-terms",
+    "op-cramers-v",
+    "op-drift-bins",
+    "op-drift-ks",
+    "op-gini-diversity",
+    "op-graph-bfs",
+    "op-group-cap",
+    "op-item-cf",
+    "op-key-profile",
+    "op-knn-classify",
+    "op-markov-eval",
+    "op-markov-transitions",
+    "op-negative-sample",
+    "op-pagerank",
+    "op-target-encode",
+    "op-te-calibration",
+    "op-triangle-count",
+    "op-weighted-sample",
+    "op-welch-ttest",
+    "plan-feature-store",
+    "plan-leakproof-split",
+    "plan-rag-context",
+    "plan-session-features",
+    "sim-lsh-recall",
+    "sim-multiprobe-topk",
+    "sim-quantize-int8",
+    "stream-drift",
+    "stream-trending-topk",
+    "text-bm25-topk",
+    "text-lm-likelihood",
 ]
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R10_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)}
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
