@@ -3537,6 +3537,12 @@ ORACLES: dict[str, str] = {
     "op-score-calibration": _sql_op_score_calibration(),
     "sim-embedding-outliers": SQL_SIM_EMBEDDING_OUTLIERS,
     "stream-token-meter": _sql_stream_token_meter(),
+    # r11 Arrow tokenizer engines: the *-arrow keys are the SAME
+    # computation on the mapInPandas engine, so they run the SAME
+    # oracles — the driver gate is the cross-engine bit-identity proof
+    "op-bpe-encode-arrow": _sql_op_bpe_encode_registered(),
+    "text-unigram-segment-arrow": _sql_text_unigram_segment_registered(),
+    "text-wordpiece-encode-arrow": _sql_text_wordpiece_encode_registered(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2340,6 +2340,52 @@ def q_text_wordpiece_encode(spark, sf_dir):
                             WORDPIECE_DEMO_VOCAB, max_word_len=12)
 
 
+# --- Arrow tokenizer engines (r11): the production-vocabulary path.
+# Each *-arrow key forces engine='arrow' (operators/tokenizer_arrow's
+# mapInPandas kernels, model in the closure instead of the plan) and
+# runs the SAME DuckDB oracle as its fold twin — the driver gate IS
+# the bit-identity proof between the two engines at corpus scale.
+# At real model sizes the auto dial picks this path on its own
+# (bpe.FOLD_MAX_MERGES / subword.FOLD_MAX_PIECES).
+
+def q_op_bpe_encode_arrow(spark, sf_dir):
+    """BPE corpus encoder on the Arrow engine (tokenizer_arrow.
+    bpe_apply_merges_arrow via bpe_encode(engine='arrow')): the
+    rank-ordered greedy merge passes as a per-word Python kernel over
+    Arrow batches of the DISTINCT-WORD frame — one MapInPandas node
+    regardless of merge-table size, where the fold twin
+    (op-bpe-encode) stacks one projection per rank. Same oracle,
+    same hashes."""
+    from .operators.bpe import bpe_encode
+    return bpe_encode(_t(spark, sf_dir, "documents"), BPE_DEMO_MERGES,
+                      engine="arrow")
+
+
+def q_text_unigram_segment_arrow(spark, sf_dir):
+    """Unigram-LM corpus encoding on the Arrow engine
+    (tokenizer_arrow.unigram_viterbi_arrow via
+    unigram_encode(engine='arrow')): the exact int64 Viterbi max-sum
+    DP with the pinned (score, pieces, final-piece) tie-break as a
+    per-word Python kernel, piece table in the closure dict. Same
+    oracle as text-unigram-segment."""
+    from .operators.subword import unigram_encode
+    return unigram_encode(_t(spark, sf_dir, "documents"),
+                          UNIGRAM_DEMO_PIECES, max_word_len=12,
+                          engine="arrow")
+
+
+def q_text_wordpiece_encode_arrow(spark, sf_dir):
+    """WordPiece corpus encoding on the Arrow engine
+    (tokenizer_arrow.wordpiece_segment_arrow via
+    wordpiece_encode(engine='arrow')): greedy longest-match-first
+    with the pos-0 '##' guard as a per-word Python kernel, vocab in
+    the closure set. Same oracle as text-wordpiece-encode."""
+    from .operators.subword import wordpiece_encode
+    return wordpiece_encode(_t(spark, sf_dir, "documents"),
+                            WORDPIECE_DEMO_VOCAB, max_word_len=12,
+                            engine="arrow")
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2778,6 +2824,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim-embedding-outliers": q_sim_embedding_outliers,
     # r10b: streaming per-source BPE token metering (batch-twin oracle)
     "stream-token-meter": q_stream_token_meter,
+    # r11: Arrow tokenizer engines (production-vocabulary path) —
+    # driver-gated bit-identity against the fold twins' oracles
+    "op-bpe-encode-arrow": q_op_bpe_encode_arrow,
+    "text-unigram-segment-arrow": q_text_unigram_segment_arrow,
+    "text-wordpiece-encode-arrow": q_text_wordpiece_encode_arrow,
 }
 
 
@@ -2798,12 +2849,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # scripts/selfcheck.py re-verifies the FULL catalog locally
 # regardless of the window.
 _R11_WINDOW = [
-    # 4 additional r6-tier keys (these slots rotate to the round's
-    # new keys once they land; until then the window is pure backlog)
+    # new this round: the Arrow tokenizer engines (production-
+    # vocabulary path) — same oracles as their fold twins, so the
+    # driver rows double as cross-engine bit-identity proofs
+    "op-bpe-encode-arrow",
+    "text-unigram-segment-arrow",
+    "text-wordpiece-encode-arrow",
+    # one more r6-tier key fills the remaining slot (rotates to
+    # op-bpe-batch-elect when it lands)
     "op-skyline",
-    "op-benford",
-    "tpch-q2",
-    "tpch-q8",
     # the 8 keys whose newest driver row is r05
     "op-histogram",
     "op-project-rename",

@@ -155,28 +155,56 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
     return out
 
 
+# Above this many merge ranks the fold engine's PLAN (R stacked
+# aggregate projections) stops being the right shape — analysis and
+# codegen cost grow with the model — and the Arrow engine takes over.
+# At or below it, the fold keeps the zero-Python, oracle-replayable
+# plan. Both engines are bit-identical (tests/test_tokenizer_arrow.py).
+FOLD_MAX_MERGES = 64
+
+
+def merge_pairs(merges) -> list[tuple[str, str]]:
+    """Normalize a merge table to a driver-side rank-ordered pair
+    list: either the DataFrame ``bpe_train`` returns (collected here
+    sorted by merge_rank — the model-sized driver traffic every
+    trained-artifact consumer in this repo pays: probe weights,
+    k-means centroids) or an already-driver-side sequence."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        return [(r["left_sym"], r["right_sym"]) for r in rows]
+    return [(str(a), str(b)) for a, b in merges]
+
+
 def bpe_apply_merges(words: DataFrame, merges,
-                     syms_col: str = "syms") -> DataFrame:
+                     syms_col: str = "syms", engine: str = "auto",
+                     fold_max_merges: int = FOLD_MAX_MERGES
+                     ) -> DataFrame:
     """Apply a LEARNED merge table to a word frame's symbol arrays, in
     rank order — the encoder half of BPE (Sennrich et al. 2016 §3:
     "we apply the learned operations" greedily in learned order).
 
-    ``merges`` is either the DataFrame ``bpe_train`` returns
-    (collected here sorted by merge_rank — the model-sized driver
-    traffic every trained-artifact consumer in this repo pays: probe
-    weights, k-means centroids) or an already-driver-side sequence of
-    (left, right) pairs. Each merge is one literal ``merge_fold``
-    projection; R merges chain R folds, all map-side, zero shuffles.
-    The chain rides inside one codegen'd projection, which is the
-    right shape for the demo-scale tables trained here; a
-    production-vocabulary table (tens of thousands of ranks) would
-    switch the inner loop to an Arrow-batched mapInPandas — the
-    documented escape hatch, same contract."""
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("merge_rank").collect()
-        pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
-    else:
-        pairs = [(str(a), str(b)) for a, b in merges]
+    Two bit-identical engines behind a model-size dial (the
+    auto_planes / dedup_clusters_auto idiom):
+
+    - ``fold`` (at or below ``fold_max_merges`` ranks): each merge is
+      one literal ``merge_fold`` projection; R merges chain R folds
+      inside one codegen'd projection — all map-side, zero shuffles,
+      zero Python, replayable in the DuckDB oracle. The PLAN grows
+      with the model, which is fine only while the model is small.
+    - ``arrow`` (above): one Arrow-batched ``mapInPandas`` whose
+      closure carries the merge table as a dict
+      (tokenizer_arrow.bpe_apply_merges_arrow) — the plan is one
+      ArrowEvalPython node regardless of vocabulary size; the
+      production path for real 30k-rank tables.
+    """
+    pairs = merge_pairs(merges)
+    if engine == "auto":
+        engine = "fold" if len(pairs) <= fold_max_merges else "arrow"
+    if engine == "arrow":
+        from .tokenizer_arrow import bpe_apply_merges_arrow
+        return bpe_apply_merges_arrow(words, pairs, syms_col=syms_col)
+    if engine != "fold":
+        raise ValueError(f"unknown engine {engine!r}")
     out = words
     for a, b in pairs:
         out = out.withColumn(
@@ -185,7 +213,7 @@ def bpe_apply_merges(words: DataFrame, merges,
 
 
 def bpe_encode(df: DataFrame, merges, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", engine: str = "auto") -> DataFrame:
     """Encode a corpus with a learned BPE merge table — the real
     token-counting basis that replaces the ``bpe_ish_piece_count``
     heuristic proxy (the consumer of ``bpe_train``'s artifact).
@@ -208,7 +236,7 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     seg = (wc.select("word").distinct()
            .withColumn("syms",
                        F.concat(chars, F.array(F.lit(END_MARK)))))
-    seg = bpe_apply_merges(seg, merges).select(
+    seg = bpe_apply_merges(seg, merges, engine=engine).select(
         "word", F.size("syms").alias("_np"))
     return (wc.join(seg, "word")
             .groupBy(id_col)

@@ -46,6 +46,15 @@ from .text import tokens
 
 UNK = "<unk>"
 
+# Above this many vocabulary entries the fold engine's literal
+# create_map (and the Viterbi fold's K probes against it) stops being
+# the right plan shape — the PLAN grows with the model — and the
+# Arrow-batched mapInPandas engine (operators/tokenizer_arrow) takes
+# over. Both engines are bit-identical; tests/test_tokenizer_arrow.py
+# pins the equivalence and the *-arrow catalog keys run the same
+# DuckDB oracles as their fold twins.
+FOLD_MAX_PIECES = 512
+
 _CAND_T = "array<struct<s:bigint,nnp:bigint,nbp:bigint,ps:array<string>>>"
 
 
@@ -142,13 +151,33 @@ def viterbi_best(word: Column, pairs: list[tuple[str, int]],
 
 def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
                     max_word_len: int = 24, unk: str = UNK,
-                    unk_score: int = -100_000_000) -> DataFrame:
+                    unk_score: int = -100_000_000,
+                    engine: str = "auto",
+                    fold_max_pieces: int = FOLD_MAX_PIECES) -> DataFrame:
     """Segment a distinct-word frame with the unigram-LM Viterbi
     decode. Adds (pieces array<string>, n_pieces, score_micro); words
     longer than ``max_word_len`` become a single ``unk`` piece at
     ``unk_score`` (the WordPiece very-long-word rule, adopted so the
-    DP depth — and the oracle's unrolled rounds — stay bounded)."""
+    DP depth — and the oracle's unrolled rounds — stay bounded).
+
+    Two bit-identical engines behind a model-size dial: ``fold`` (at
+    or below ``fold_max_pieces`` pieces) embeds the piece table as a
+    literal map inside one codegen'd Viterbi fold — zero Python,
+    oracle-replayable; ``arrow`` (above) runs the same exact int64 DP
+    in an Arrow-batched mapInPandas whose closure carries the table
+    as a dict (tokenizer_arrow.unigram_viterbi_arrow) — the plan no
+    longer grows with the vocabulary, the production path for real
+    30k-piece models."""
     pairs = _piece_pairs(pieces, unk=unk)
+    if engine == "auto":
+        engine = "fold" if len(pairs) <= fold_max_pieces else "arrow"
+    if engine == "arrow":
+        from .tokenizer_arrow import unigram_viterbi_arrow
+        return unigram_viterbi_arrow(
+            words, pairs, word_col=word_col, max_word_len=max_word_len,
+            unk=unk, unk_score=unk_score)
+    if engine != "fold":
+        raise ValueError(f"unknown engine {engine!r}")
     w = F.col(word_col)
     best = viterbi_best(w, pairs, unk_score)
     long_w = (F.length(w) > max_word_len) | (F.length(w) == 0)
@@ -181,7 +210,8 @@ def _word_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def unigram_encode(df: DataFrame, pieces, text_col: str = "text",
                    id_col: str = "doc_id", max_word_len: int = 24,
-                   unk_score: int = -100_000_000) -> DataFrame:
+                   unk_score: int = -100_000_000,
+                   engine: str = "auto") -> DataFrame:
     """Encode a corpus with a unigram-LM piece table — per document
     (id, n_words, n_pieces, score_micro), where score_micro is the
     corpus-exact total Viterbi log-likelihood in micro-nats. The
@@ -189,7 +219,7 @@ def unigram_encode(df: DataFrame, pieces, text_col: str = "text",
     wc = _word_counts(df, text_col, id_col)
     seg = unigram_viterbi(
         wc.select("word").distinct(), pieces,
-        max_word_len=max_word_len, unk_score=unk_score,
+        max_word_len=max_word_len, unk_score=unk_score, engine=engine,
     ).select("word", "n_pieces", "score_micro")
     return (wc.join(seg, "word")
             .groupBy(id_col)
@@ -202,7 +232,8 @@ def unigram_encode(df: DataFrame, pieces, text_col: str = "text",
 
 def unigram_estep(df: DataFrame, pieces, text_col: str = "text",
                   max_word_len: int = 24, unk: str = UNK,
-                  unk_score: int = -100_000_000) -> DataFrame:
+                  unk_score: int = -100_000_000,
+                  engine: str = "auto") -> DataFrame:
     """Hard-EM E-step (Viterbi-EM, the standard hard variant of Kudo
     2018 §3.2's EM): corpus piece counts under the CURRENT model's
     best segmentations. Returns one row per vocabulary piece plus the
@@ -216,7 +247,7 @@ def unigram_estep(df: DataFrame, pieces, text_col: str = "text",
               .groupBy("word")
               .agg(F.count(F.lit(1)).cast("long").alias("_f")))
     seg = unigram_viterbi(freq, pairs, max_word_len=max_word_len,
-                          unk=unk, unk_score=unk_score)
+                          unk=unk, unk_score=unk_score, engine=engine)
     # an emitted piece outside the vocabulary is exactly the length-1
     # unk_score fallback edge — it counts under the unk label (Kudo
     # 2018's character-coverage residual), not as a phantom piece
@@ -301,6 +332,8 @@ WP_CONT = "##"
 
 def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
                       unk: str = WP_UNK, max_word_len: int = 24,
+                      engine: str = "auto",
+                      fold_max_pieces: int = FOLD_MAX_PIECES,
                       ) -> DataFrame:
     """Greedy longest-match-first WordPiece segmentation of a
     distinct-word frame. ``vocab`` is a sequence of piece strings
@@ -314,7 +347,13 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
     literal-map probes), consuming >= 1 char, so ``max_word_len``
     steps always finish. Exact string semantics, no scores — the
     published WordPiece INFERENCE rule (the training side is BPE-like
-    likelihood election; bpe_train covers that family)."""
+    likelihood election; bpe_train covers that family).
+
+    Same two-engine model-size dial as ``unigram_viterbi``: the
+    literal-map fold at or below ``fold_max_pieces`` vocabulary
+    entries, the Arrow-batched mapInPandas twin
+    (tokenizer_arrow.wordpiece_segment_arrow) above it — bit-
+    identical, plan size independent of the vocabulary."""
     vlist = [str(v) for v in vocab]
     if len(set(vlist)) != len(vlist) or not vlist:
         raise ValueError("WordPiece vocab must be non-empty and "
@@ -328,6 +367,15 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
         if not stem:
             raise ValueError(
                 f"WordPiece vocab piece {v!r} has an empty stem")
+    if engine == "auto":
+        engine = "fold" if len(vlist) <= fold_max_pieces else "arrow"
+    if engine == "arrow":
+        from .tokenizer_arrow import wordpiece_segment_arrow
+        return wordpiece_segment_arrow(
+            words, vlist, word_col=word_col, unk=unk,
+            max_word_len=max_word_len, cont=WP_CONT)
+    if engine != "fold":
+        raise ValueError(f"unknown engine {engine!r}")
     vmap = _lit_map([(v, 1) for v in vlist])
     K = max(len(v) - len(WP_CONT) if v.startswith(WP_CONT) else len(v)
             for v in vlist)
@@ -382,7 +430,8 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
 
 def wordpiece_encode(df: DataFrame, vocab, text_col: str = "text",
                      id_col: str = "doc_id", unk: str = WP_UNK,
-                     max_word_len: int = 24) -> DataFrame:
+                     max_word_len: int = 24,
+                     engine: str = "auto") -> DataFrame:
     """Encode a corpus with a WordPiece vocabulary — per document
     (id, n_words, n_pieces, n_unk_words). Same three-stage scale
     shape as bpe_encode / unigram_encode: one corpus tokenize into
@@ -390,7 +439,7 @@ def wordpiece_encode(df: DataFrame, vocab, text_col: str = "text",
     wc = _word_counts(df, text_col, id_col)
     seg = wordpiece_segment(
         wc.select("word").distinct(), vocab, unk=unk,
-        max_word_len=max_word_len,
+        max_word_len=max_word_len, engine=engine,
     ).select("word", "n_pieces", "is_unk")
     return (wc.join(seg, "word")
             .groupBy(id_col)

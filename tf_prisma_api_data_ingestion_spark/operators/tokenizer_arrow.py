@@ -1,0 +1,277 @@
+"""Production-vocabulary tokenizer engines: Arrow-batched
+``mapInPandas`` twins of the literal-fold BPE / unigram-LM /
+WordPiece segmentation paths (north-star extension; the reference has
+no tokenizer at all).
+
+WHY THIS MODULE EXISTS — the model-size seam the r10 verdict names:
+the fold engines in operators/bpe.py and operators/subword.py embed
+the MODEL in the PLAN (a merge table as R stacked ``aggregate`` fold
+projections; a piece table as a literal ``create_map``). That is the
+right shape while the model is demo-sized — zero Python, whole-stage
+codegen, bit-replayable in the DuckDB oracle — but the plan grows
+with the vocabulary: a real 30k-merge BPE table would stack 30k fold
+projections and never codegen. Here the model lives in a plain
+Python dict captured by the ``mapInPandas`` closure instead
+(model-sized executor traffic, shipped once per worker), so the PLAN
+is one ArrowEvalPython node regardless of vocabulary size, and the
+per-batch cost is a dict lookup per probe — the standard
+tokenizer-as-UDF shape every production Spark pipeline uses, Arrow-
+batched rather than row-at-a-time.
+
+The kernels are EXACT twins, not approximations: each one replays
+its fold's semantics step for step (the BPE kernel reproduces the
+rank-ordered greedy left-to-right passes including the
+late-created-pair rule; the Viterbi kernel reproduces the pinned
+(score, -n_pieces, -backpointer) tie-break; the WordPiece kernel the
+longest-match probe order and the pos-0 ``##`` guard), so
+engine='fold' and engine='arrow' are bit-identical on any input —
+pinned by the equivalence suite in tests/test_tokenizer_arrow.py and
+by the *-arrow catalog keys, which run the SAME DuckDB oracles as
+their fold twins.
+
+Scale shape is unchanged from the fold paths: these run over the
+DISTINCT-WORD frame (Zipf: vocabulary-sized, not corpus-sized), so
+the Python cost is amortized exactly like the fold cost was. The
+dial that picks the engine lives with each operator
+(bpe.bpe_apply_merges, subword.unigram_viterbi,
+subword.wordpiece_segment): literal fold at or below the model-size
+threshold — keeping the oracle-replayable zero-Python plan — and
+this module above it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------
+# BPE (Sennrich et al. 2016) — rank-ordered greedy merge passes
+# ---------------------------------------------------------------------
+
+
+def bpe_merge_word(syms: list[str],
+                   rank_of: dict[tuple[str, str], list[int]],
+                   pair_at: dict[int, tuple[str, str]]) -> list[str]:
+    """Apply a learned merge table to one word's symbol list with
+    EXACTLY the semantics of the rank-ordered ``merge_fold`` chain
+    (bpe.bpe_apply_merges): one greedy left-to-right non-overlapping
+    pass per rank, in rank order.
+
+    Rather than running every rank's pass (O(R) per word), find the
+    smallest rank GREATER than the last applied one whose pair is
+    currently present and run only that pass. This is equivalent to
+    the full chain: a pass for an absent pair is a no-op, and an
+    occurrence of a LOWER-ranked pair created by a later merge is
+    never merged in the fold chain either (its projection already
+    ran) — which is why the scan requires ``rank > cur`` instead of
+    re-electing a global minimum (the subtle difference from the
+    GPT-2 min-rank loop, which assumes a well-formed trained table;
+    this kernel matches the fold chain on ARBITRARY tables too)."""
+    cur = 0
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            for r in rank_of.get((syms[i], syms[i + 1]), ()):
+                if r > cur and (best is None or r < best):
+                    best = r
+                    break
+        if best is None:
+            return syms
+        a, b = pair_at[best]
+        out: list[str] = []
+        for x in syms:
+            # the fold rule: a freshly merged tail is a||b, which can
+            # never equal a again, so overlaps resolve left-to-right
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+        cur = best
+
+
+def bpe_merge_index(pairs: Sequence[tuple[str, str]]):
+    """Precompute the (pair -> sorted ranks, rank -> pair) index for
+    ``bpe_merge_word``. Ranks are 1-based table order; a duplicated
+    pair keeps both ranks (each fold projection runs once)."""
+    rank_of: dict[tuple[str, str], list[int]] = {}
+    pair_at: dict[int, tuple[str, str]] = {}
+    for r, (a, b) in enumerate(pairs, start=1):
+        rank_of.setdefault((a, b), []).append(r)
+        pair_at[r] = (a, b)
+    return rank_of, pair_at
+
+
+def bpe_apply_merges_arrow(words: DataFrame,
+                           pairs: Sequence[tuple[str, str]],
+                           syms_col: str = "syms") -> DataFrame:
+    """Arrow engine for ``bpe.bpe_apply_merges``: same contract
+    (rewrites ``syms_col`` in place, schema unchanged), model shipped
+    as a closure dict instead of R stacked fold projections."""
+    rank_of, pair_at = bpe_merge_index(pairs)
+    out_schema = words.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[syms_col] = [
+                bpe_merge_word(list(s), rank_of, pair_at)
+                for s in pdf[syms_col]
+            ]
+            yield pdf
+
+    return words.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------
+# Unigram LM (Kudo 2018) — exact int64 Viterbi max-sum decode
+# ---------------------------------------------------------------------
+
+
+def viterbi_word(word: str, pmap: dict[str, int], K: int,
+                 unk_score: int) -> tuple[int, int, list[str]]:
+    """Best segmentation of one word under integer micro-log-prob
+    piece scores — the exact twin of ``subword.viterbi_best``'s fold:
+    best[j] maximizes struct(s, -n_pieces, l - j, pieces) under
+    tuple order, with the length-1 unk fallback edge. Returns
+    (score, n_pieces, pieces). Python tuple comparison matches
+    Spark's struct/array ordering here: ints compare identically and
+    the pieces list is never reached (the l - j backpointer is
+    unique per candidate at a given j)."""
+    n = len(word)
+    best: list[tuple[int, int, int, list[str]]] = [(0, 0, 0, [])]
+    for j in range(1, n + 1):
+        cands = []
+        for l in range(1, K + 1):
+            sub = word[j - l:j]
+            if l == 1:
+                sc = pmap.get(sub, unk_score)
+            else:
+                if j < l:
+                    continue
+                sc0 = pmap.get(sub)
+                if sc0 is None:
+                    continue
+                sc = sc0
+            prev = best[j - l]
+            cands.append((prev[0] + sc, prev[1] - 1, l - j,
+                          prev[3] + [sub]))
+        best.append(max(cands))
+    s, nnp, _, ps = best[n]
+    return s, -nnp, ps
+
+
+def unigram_viterbi_arrow(words: DataFrame,
+                          pairs: Sequence[tuple[str, int]],
+                          word_col: str = "word",
+                          max_word_len: int = 24, unk: str = "<unk>",
+                          unk_score: int = -100_000_000) -> DataFrame:
+    """Arrow engine for ``subword.unigram_viterbi``: same contract
+    (adds pieces / n_pieces / score_micro; over-long and empty words
+    collapse to one ``unk`` piece at ``unk_score``), piece table as a
+    closure dict instead of a literal map."""
+    pmap = {p: int(s) for p, s in pairs}
+    K = max(len(p) for p in pmap)
+    out_schema = T.StructType(
+        list(words.schema.fields)
+        + [T.StructField("pieces", T.ArrayType(T.StringType())),
+           T.StructField("n_pieces", T.LongType()),
+           T.StructField("score_micro", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pieces, n_pieces, scores = [], [], []
+            for w in pdf[word_col]:
+                if w is None or len(w) == 0 or len(w) > max_word_len:
+                    pieces.append([unk])
+                    n_pieces.append(1)
+                    scores.append(unk_score)
+                else:
+                    s, np_, ps = viterbi_word(w, pmap, K, unk_score)
+                    pieces.append(ps)
+                    n_pieces.append(np_)
+                    scores.append(s)
+            pdf = pdf.copy()
+            pdf["pieces"] = pieces
+            pdf["n_pieces"] = n_pieces
+            pdf["score_micro"] = scores
+            yield pdf
+
+    return words.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012) — greedy longest-match-first
+# ---------------------------------------------------------------------
+
+
+def wordpiece_word(word: str, vset: frozenset[str], K: int,
+                   max_word_len: int, unk: str, cont: str = "##",
+                   ) -> tuple[list[str], int, bool]:
+    """Segment one word with the exact semantics of
+    ``subword.wordpiece_segment``'s fold: longest-match probe from K
+    down to 1, continuation pieces keyed with the ``##`` prefix, a
+    raw ``##``-leading substring barred from matching at position 0,
+    over-long / empty / unmatchable words collapsing to ``unk``.
+    Returns (pieces, n_pieces, is_unk)."""
+    n = len(word)
+    if n == 0 or n > max_word_len:
+        return [unk], 1, True
+    pos = 0
+    ps: list[str] = []
+    while pos < n:
+        hit = None
+        for l in range(min(K, n - pos), 0, -1):
+            sub = word[pos:pos + l]
+            if pos == 0:
+                if sub.startswith(cont):
+                    continue
+                key = sub
+            else:
+                key = cont + sub
+            if key in vset:
+                hit = (l, key)
+                break
+        if hit is None:
+            return [unk], 1, True
+        ps.append(hit[1])
+        pos += hit[0]
+    return ps, len(ps), False
+
+
+def wordpiece_segment_arrow(words: DataFrame, vocab: Sequence[str],
+                            word_col: str = "word", unk: str = "[UNK]",
+                            max_word_len: int = 24,
+                            cont: str = "##") -> DataFrame:
+    """Arrow engine for ``subword.wordpiece_segment``: same contract
+    (adds pieces / n_pieces / is_unk), vocabulary as a closure set
+    instead of a literal map."""
+    vset = frozenset(str(v) for v in vocab)
+    K = max(len(v) - len(cont) if v.startswith(cont) else len(v)
+            for v in vset)
+    out_schema = T.StructType(
+        list(words.schema.fields)
+        + [T.StructField("pieces", T.ArrayType(T.StringType())),
+           T.StructField("n_pieces", T.LongType()),
+           T.StructField("is_unk", T.BooleanType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pieces, n_pieces, is_unk = [], [], []
+            for w in pdf[word_col]:
+                ps, np_, bad = wordpiece_word(
+                    w if w is not None else "", vset, K, max_word_len,
+                    unk, cont)
+                pieces.append(ps)
+                n_pieces.append(np_)
+                is_unk.append(bad)
+            pdf = pdf.copy()
+            pdf["pieces"] = pieces
+            pdf["n_pieces"] = n_pieces
+            pdf["is_unk"] = is_unk
+            yield pdf
+
+    return words.mapInPandas(run, out_schema)
