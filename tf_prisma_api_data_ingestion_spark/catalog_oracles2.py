@@ -2427,6 +2427,38 @@ FROM v1 v CROSS JOIN e1 e
 """
 
 
+def _sql_op_bpe_batch_elect(m: int = 4) -> str:
+    """DuckDB twin of bpe.bpe_elect_batch over the documents vocab's
+    initial pair counts: the greedy pairwise symbol-disjoint top-m
+    selection unrolled — s_k is the first pair in (count DESC, left,
+    right) order sharing no symbol with s_1..s_{k-1}."""
+    from .catalog_oracles import _SQL_WS_TOKENS
+    steps = ["s1 AS MATERIALIZED (SELECT l, r, c FROM p1"
+             " ORDER BY c DESC, l ASC, r ASC LIMIT 1)"]
+    for k in range(2, m + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM s{j}" for j in range(1, k))
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p1 p
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev}) q
+                    WHERE p.l IN (q.l, q.r) OR p.r IN (q.l, q.r))
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS batch_rank, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM s{k}"
+        for k in range(1, m + 1))
+    return f"""
+WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},
+p1 AS MATERIALIZED (
+  SELECT v.syms[u.i] AS l, v.syms[u.i + 1] AS r, SUM(v.freq) AS c
+  FROM v0 v, unnest(range(1, len(v.syms))) u(i)
+  GROUP BY 1, 2),
+{",".join(steps)}
+{union}
+"""
+
+
 def _sql_plan_bpe_train(n_merges: int = 8) -> str:
     from .catalog_oracles import _SQL_WS_TOKENS
     rounds = ",".join(_sql_bpe_round(k) for k in range(1, n_merges + 1))
@@ -3543,6 +3575,7 @@ ORACLES: dict[str, str] = {
     "op-bpe-encode-arrow": _sql_op_bpe_encode_registered(),
     "text-unigram-segment-arrow": _sql_text_unigram_segment_registered(),
     "text-wordpiece-encode-arrow": _sql_text_wordpiece_encode_registered(),
+    "op-bpe-batch-elect": _sql_op_bpe_batch_elect(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

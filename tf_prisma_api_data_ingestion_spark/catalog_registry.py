@@ -2386,6 +2386,28 @@ def q_text_wordpiece_encode_arrow(spark, sf_dir):
                             engine="arrow")
 
 
+def q_op_bpe_batch_elect(spark, sf_dir):
+    """One BATCHED BPE election round (operators/bpe.bpe_elect_batch;
+    the SentencePiece / YouTokenToMe trainer speedup): the top-4
+    pairwise symbol-disjoint pairs from the documents vocab's
+    adjacent-pair counts under the pinned (count DESC, left, right)
+    order — the rule that lets bpe_train_batched apply M merges per
+    round and collapse a 30k-merge training loop ~Mx. The corpus-
+    sized work (word count, pair count) is distributed; the greedy
+    disjoint filter runs on a driver-side top-k slice (model-sized,
+    the trained-artifact idiom). The oracle replays the greedy
+    selection unrolled: s_k = first ordered pair sharing no symbol
+    with s_1..s_{k-1}."""
+    from .operators.bpe import (bpe_elect_batch, bpe_init_vocab,
+                                bpe_pair_counts)
+    v = bpe_init_vocab(_t(spark, sf_dir, "documents"))
+    picked = bpe_elect_batch(bpe_pair_counts(v), 4)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(picked)],
+        "batch_rank long, left_sym string, right_sym string,"
+        " pair_count long")
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2829,6 +2851,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bpe-encode-arrow": q_op_bpe_encode_arrow,
     "text-unigram-segment-arrow": q_text_unigram_segment_arrow,
     "text-wordpiece-encode-arrow": q_text_wordpiece_encode_arrow,
+    # r11: batched BPE-training election (top-M symbol-disjoint)
+    "op-bpe-batch-elect": q_op_bpe_batch_elect,
 }
 
 
@@ -2855,9 +2879,7 @@ _R11_WINDOW = [
     "op-bpe-encode-arrow",
     "text-unigram-segment-arrow",
     "text-wordpiece-encode-arrow",
-    # one more r6-tier key fills the remaining slot (rotates to
-    # op-bpe-batch-elect when it lands)
-    "op-skyline",
+    "op-bpe-batch-elect",
     # the 8 keys whose newest driver row is r05
     "op-histogram",
     "op-project-rename",

@@ -175,6 +175,90 @@ def merge_pairs(merges) -> list[tuple[str, str]]:
     return [(str(a), str(b)) for a, b in merges]
 
 
+def bpe_elect_batch(pair_counts: DataFrame,
+                    m: int) -> list[tuple[str, str, int]]:
+    """Greedy top-``m`` PAIRWISE SYMBOL-DISJOINT election under the
+    pinned total order (pair_count DESC, left ASC, right ASC): walk
+    the ordered pairs and keep each one whose symbols do not appear
+    in any already-kept pair — the SentencePiece / YouTokenToMe
+    batched-election rule. Symbol-disjointness is the safety
+    condition: applying a kept pair cannot change any other kept
+    pair's count, so the batch equals ``m`` consecutive sequential
+    elections whenever no conflict (and no stronger newly-created
+    pair) intervenes — the property op-bpe-batch-elect's unrolled
+    oracle and tests/test_bpe_batch.py pin.
+
+    Driver traffic is model-sized: a top-k slice of the ordered
+    frame is fetched (distributed TakeOrdered, no full sort) and the
+    greedy filter runs in Python, re-fetching a doubled slice in the
+    rare case the kept set exhausts it."""
+    if m < 1:
+        raise ValueError(f"batch size must be >= 1, got {m}")
+    ordered = pair_counts.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(),
+        F.col("right_sym").asc())
+    fetch = max(4 * m, 16)
+    while True:
+        rows = ordered.limit(fetch).collect()
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in rows:
+            a, b = r["left_sym"], r["right_sym"]
+            if a in used or b in used:
+                continue
+            picked.append((a, b, int(r["pair_count"])))
+            used.add(a)
+            used.add(b)
+            if len(picked) == m:
+                return picked
+        if len(rows) < fetch:
+            # the ordered frame is exhausted — fewer than m disjoint
+            # pairs exist; truncation is the caller-visible signal
+            return picked
+        fetch *= 2
+
+
+def bpe_train_batched(df: DataFrame, n_merges: int = 8,
+                      batch_m: int = 4, text_col: str = "text",
+                      engine: str = "auto") -> DataFrame:
+    """BPE training with BATCHED elections: each round elects the top
+    ``batch_m`` pairwise symbol-disjoint pairs from one pair count
+    and applies them in one fold/Arrow pass — collapsing the driver
+    loop's round count (and its per-round job floor) ~``batch_m``x
+    versus ``bpe_train``'s one-merge-per-round chain. This is the
+    standard production BPE-trainer speedup (SentencePiece /
+    YouTokenToMe): a 30k-merge vocabulary becomes ~30k/M rounds
+    instead of ~60k driver-loop jobs.
+
+    Semantics: ``batch_m=1`` is exactly ``bpe_train`` (pinned by
+    test). For larger batches the result equals the sequential chain
+    whenever the top-M pairs are symbol-disjoint and no mid-batch
+    merge creates a pair outranking the batch's remainder — the
+    documented approximation, exact on natural-language pair
+    distributions' heavy tail and verified against the unrolled
+    sequential trainer on the gate corpus. Returns the same
+    (merge_rank, left_sym, right_sym, pair_count) artifact, ranks
+    numbered in election order across batches."""
+    vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    schema = ("merge_rank long, left_sym string, right_sym string,"
+              " pair_count long")
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        batch = bpe_elect_batch(bpe_pair_counts(vocab), want)
+        if not batch:
+            # no adjacent pair left (every word fully fused) — stop
+            # with a truncated table, like bpe_train
+            break
+        for a, b, c in batch:
+            merges.append((len(merges) + 1, a, b, c))
+        vocab = bpe_apply_merges(
+            vocab, [(a, b) for a, b, _ in batch],
+            engine=engine).localCheckpoint(eager=False)
+    return spark.createDataFrame(merges, schema)
+
+
 def bpe_apply_merges(words: DataFrame, merges,
                      syms_col: str = "syms", engine: str = "auto",
                      fold_max_merges: int = FOLD_MAX_MERGES
