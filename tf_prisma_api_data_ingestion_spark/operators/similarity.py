@@ -1112,7 +1112,9 @@ def kmeans_train_assign(embeddings: DataFrame, iters: int = 2,
 def embedding_outliers(embeddings: DataFrame, k: float = 3.0,
                        label_col: str = "label",
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       median_mode: str = "exact",
+                       exact_max_group: int | None = None) -> DataFrame:
     """Robust embedding-space outlier summary per cluster: vectors are
     geometrically assigned to their nearest per-label centroid
     (assign_nearest_centroid — exact integer micro² distances), then
@@ -1125,19 +1127,32 @@ def embedding_outliers(embeddings: DataFrame, k: float = 3.0,
     exact integers, both medians are dyadic-rational interpolations of
     integers (< 2^53), so the flag comparison is bit-stable across
     engines and partitionings. Plan shape: the assignment scan, then
-    two exact-percentile aggregations with tiny per-cluster frames
-    broadcast back — the documented exact-median trade-off
-    (percentile_approx is the 100 TB swap-in if clusters are huge).
+    two per-cluster median aggregations with tiny per-cluster frames
+    broadcast back. The exact medians buffer a cluster's d² values in
+    one aggregation buffer — size-gated (r10 advice): ``median_mode``
+    'exact' (oracle-gated default), 'approx' (percentile_approx,
+    bounded buffers — the 100 TB setting where one giant cluster
+    would otherwise OOM the audit), or 'auto' (group-size probe on
+    the materialized assignment, stats.EXACT_MEDIAN_MAX_GROUP
+    threshold unless ``exact_max_group`` overrides).
     Returns (cluster, n, n_outliers, median_d2, mad_d2).
     """
+    from .stats import EXACT_MEDIAN_MAX_GROUP, _median_fn
     asg = assign_nearest_centroid(embeddings, label_col=label_col,
                                   id_col=id_col, vec_col=vec_col)
-    med = asg.groupBy("cluster").agg(
-        F.percentile("d2_own", F.lit(0.5)).alias("_m"))
+    if median_mode == "auto":
+        cap = (EXACT_MEDIAN_MAX_GROUP if exact_max_group is None
+               else exact_max_group)
+        asg = asg.localCheckpoint(eager=False)
+        top = (asg.groupBy("cluster").count()
+               .agg(F.max("count")).first()[0]) or 0
+        median_mode = "exact" if top <= cap else "approx"
+    med_of = _median_fn(median_mode)
+    med = asg.groupBy("cluster").agg(med_of("d2_own").alias("_m"))
     dev = (asg.join(F.broadcast(med), "cluster")
               .withColumn("_d", F.abs(F.col("d2_own") - F.col("_m"))))
     mad = dev.groupBy("cluster").agg(
-        F.percentile("_d", F.lit(0.5)).alias("_md"),
+        med_of("_d").alias("_md"),
         F.first("_m").alias("_m2"))
     flagged = (dev.join(F.broadcast(mad.select("cluster", "_md")),
                         "cluster")

@@ -111,8 +111,35 @@ def grouped_linreg(df: DataFrame, group_col: str, x_int: Column,
     )
 
 
+# Exact F.percentile buffers a whole group's values in one aggregation
+# buffer — at or below this many rows per group that is the right
+# trade (bit-stable medians, oracle-replayable); above it, one giant
+# group is an executor-OOM risk and median_mode='auto' switches to
+# the percentile_approx sketch (bounded memory, value drawn from the
+# group rather than interpolated).
+EXACT_MEDIAN_MAX_GROUP = 2_000_000
+
+
+def _median_fn(median_mode: str, accuracy: int = 10_000):
+    """The median aggregator behind the exact/approx dial shared by
+    mad_outliers and similarity.embedding_outliers. 'approx' casts to
+    double so both modes agree on output schema; with odd-sized
+    groups the sketch returns the same element the exact path
+    interpolates to, which is what the demo-scale equivalence test
+    pins (tests/test_median_dial.py)."""
+    if median_mode == "exact":
+        return lambda c: F.percentile(c, F.lit(0.5))
+    if median_mode == "approx":
+        return lambda c: (F.percentile_approx(c, F.lit(0.5),
+                                              F.lit(accuracy))
+                          .cast("double"))
+    raise ValueError(f"unknown median_mode {median_mode!r}")
+
+
 def mad_outliers(df: DataFrame, group_col: str, y_2dec: Column,
-                 k: float = 3.0) -> DataFrame:
+                 k: float = 3.0, median_mode: str = "exact",
+                 exact_max_group: int = EXACT_MEDIAN_MAX_GROUP
+                 ) -> DataFrame:
     """Robust per-group outlier summary: median, MAD (median absolute
     deviation) and the count of rows with |y − median| > k·MAD.
 
@@ -127,16 +154,26 @@ def mad_outliers(df: DataFrame, group_col: str, y_2dec: Column,
     tiny) → agg(MAD) → broadcast join → final agg. Three aggregations,
     each map-side combinable except the exact percentiles, which shuffle
     the group's values to one reducer — the documented exact-median
-    trade-off; swap in percentile_approx at 100 TB if groups are huge.
+    trade-off, now size-gated: ``median_mode`` is 'exact' (the
+    oracle-gated default), 'approx' (percentile_approx — bounded
+    aggregation buffers, the 100 TB hygiene-pass setting), or 'auto'
+    (one cheap group-size probe on the materialized rows picks exact
+    at or below ``exact_max_group`` rows in the largest group —
+    the dedup_clusters_auto idiom).
     """
     y = _cents(y_2dec).alias("_yc")
     rows = df.select(F.col(group_col), y)
-    med = rows.groupBy(group_col).agg(
-        F.percentile("_yc", F.lit(0.5)).alias("_med"))
+    if median_mode == "auto":
+        rows = rows.localCheckpoint(eager=False)
+        top = (rows.groupBy(group_col).count()
+               .agg(F.max("count")).first()[0]) or 0
+        median_mode = "exact" if top <= exact_max_group else "approx"
+    med_of = _median_fn(median_mode)
+    med = rows.groupBy(group_col).agg(med_of("_yc").alias("_med"))
     dev = (rows.join(F.broadcast(med), group_col)
                .withColumn("_dev", F.abs(F.col("_yc") - F.col("_med"))))
     mad = dev.groupBy(group_col).agg(
-        F.percentile("_dev", F.lit(0.5)).alias("_mad"),
+        med_of("_dev").alias("_mad"),
         F.first("_med").alias("_med2"))
     flagged = (dev.join(F.broadcast(mad.select(group_col, "_mad")), group_col)
                   .groupBy(group_col)
