@@ -2418,19 +2418,25 @@ def q_plan_corpus_datasheet(spark, sf_dir):
     corpus-GLOBAL md5 content hash, keeper = min doc_id — a dup group
     spanning sources charges each source its own members).
 
-    Composes already-verified components — bpe_encode, gopher_rules,
-    c4_rules, the exact_dedup hash-keeper rule — through doc_id equi-
-    joins and one final groupBy: the aggregate report stage after
-    plan-filter-agreement's cross-tab. All four branches are one scan
-    each (the filters map-side), join keys are the compact doc_id, and
-    the output is groups-sized."""
+    Composes already-verified components — bpe_encode, the CHAINED
+    gopher_rules → c4_rules single-scan flag battery, the exact_dedup
+    hash-keeper rule — through doc_id equi-joins and one final
+    groupBy: the aggregate report stage after plan-filter-agreement's
+    cross-tab. r11 (verdict item 6): the two gate batteries are pure
+    per-row projections, so they ride ONE base scan via keep=
+    passthrough (the corpus_clean_v2 single-feature-pass idiom)
+    instead of two scans re-joined on doc_id — bpe_encode and the dup
+    keeper are the two remaining scans, and the base (source, lang)
+    columns now come from the flag frame for free."""
     from .operators.bpe import bpe_encode
     from .operators.text import c4_rules, gopher_rules
     d = _t(spark, sf_dir, "documents")
     enc = bpe_encode(d, BPE_DEMO_MERGES).select(
         "doc_id", "n_words", "n_pieces")
-    g = gopher_rules(d).select("doc_id", "pass_gopher")
-    c = c4_rules(d).select("doc_id", "pass_c4")
+    flags = c4_rules(
+        gopher_rules(d, keep=("source", "lang", "text")),
+        keep=("source", "lang", "pass_gopher"),
+    ).select("doc_id", "source", "lang", "pass_gopher", "pass_c4")
     keep = (d.groupBy(F.md5("text").alias("_h"))
              .agg(F.min("doc_id").alias("_keeper")))
     dup = (d.select("doc_id", F.md5("text").alias("_h"))
@@ -2440,10 +2446,8 @@ def q_plan_corpus_datasheet(spark, sf_dir):
     ppw = F.expr("CASE WHEN n_tokens > 0 THEN"
                  " (2 * n_pieces * 1000000 + n_tokens)"
                  " DIV (2 * n_tokens) ELSE 0 END")
-    return (d.select("doc_id", "source", "lang")
+    return (flags
              .join(enc, "doc_id", "left")
-             .join(g, "doc_id")
-             .join(c, "doc_id")
              .join(dup, "doc_id")
              .groupBy("source", "lang")
              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -204,7 +204,8 @@ def c4_rules(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id",
              min_sentences: int = 3,
              min_line_words: int = 5,
-             badwords: tuple[str, ...] | None = None) -> DataFrame:
+             badwords: tuple[str, ...] | None = None,
+             keep: tuple[str, ...] = ()) -> DataFrame:
     """C4 cleaning-rule battery (Raffel et al. 2020 §2.2) — the
     line-oriented companion to ``gopher_rules``' document-level gates
     (production pipelines run both: C4 prunes boilerplate LINES, Gopher
@@ -240,7 +241,14 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     Scale shape: pure per-row map over one scan — zero shuffles, the
     same cheapest-full-pass profile as gopher_rules; run it FIRST.
     Returns (id, n_lines, n_kept_lines, n_sentences, r_sentences,
-    r_no_lorem, r_no_brace[, r_no_badwords], pass_c4).
+    r_no_lorem, r_no_brace[, r_no_badwords], pass_c4[, *keep]).
+    ``keep`` passes extra columns through the projection (the
+    gopher_rules idiom), which is how composites chain BOTH rule
+    batteries into one scan: c4_rules(gopher_rules(d, keep=(...,
+    text)), keep=(..., 'pass_gopher')) — two adjacent projections
+    Catalyst collapses into a single pass over the corpus, instead of
+    two scans re-joined on doc_id (plan-corpus-datasheet does exactly
+    this).
     """
     low = F.lower(F.col(text_col))
     lines = F.filter(F.split(F.col(text_col), "\n"),
@@ -279,7 +287,8 @@ def c4_rules(df: DataFrame, text_col: str = "text",
         r_no_badwords = ~F.arrays_overlap(tokens(F.col(text_col)), bw)
         cols.append(r_no_badwords.alias("r_no_badwords"))
         gate = gate & r_no_badwords
-    return df.select(*cols, gate.alias("pass_c4"))
+    return df.select(*cols, gate.alias("pass_c4"),
+                     *[F.col(c) for c in keep])
 
 
 def contamination_coverage(df: DataFrame, text_col: str = "text",
