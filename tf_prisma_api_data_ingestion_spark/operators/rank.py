@@ -104,24 +104,39 @@ def exact_global_rank(df: DataFrame, key_col: str, *,
     bnds = range_boundaries(df, key_col, nb)
     # The bucket index increases ALONG the sort direction; key == b
     # lands in the lower bucket either way (deterministic ties). Built
-    # as a first-match CASE chain over the sorted literals, NOT a
-    # higher-order filter(array, lambda): a HOF's `references` set
-    # hides the key column, so InferFiltersFromConstraints pushes the
-    # join's alias constraint to the OFFSETS side as a filter
-    # referencing a left-subtree attribute — an unbindable plan
-    # (observed: `!Filter (size(filter(...v...)) <=> _rk_b)` under the
+    # from plain literal comparisons, NOT a higher-order
+    # filter(array, lambda): a HOF's `references` set hides the key
+    # column, so InferFiltersFromConstraints pushes the join's alias
+    # constraint to the OFFSETS side as a filter referencing a
+    # left-subtree attribute — an unbindable plan (observed:
+    # `!Filter (size(filter(...v...)) <=> _rk_b)` under the
     # all-columns write path). Plain comparisons keep the references
     # honest and the inferred cross-side filter is correctly dropped.
+    #
+    # Shape (r11): a BALANCED nested-when tree — the binary search
+    # over the sorted boundaries as an expression. cond(i) is
+    # monotone in i (once true, stays true), so `bucket <= mid iff
+    # cond(mid)` splits the range exactly and each row evaluates
+    # O(log B) comparisons instead of the previous first-match
+    # chain's O(B) — measured 3.6x cheaper per pass at B=4096
+    # (10.1s vs 36.1s over 5M rows; SCALING.md r11); identical
+    # assignment by construction (0 mismatches in the same run),
+    # pinned by the unchanged consumer oracles and
+    # tests/test_round10.py.
     k = F.col(key_col)
     conds = ([(k > b) for b in reversed(bnds)] if desc
              else [(k <= b) for b in bnds])
-    if conds:
-        chain = F.when(conds[0], F.lit(0))
-        for i, c in enumerate(conds[1:], start=1):
-            chain = chain.when(c, F.lit(i))
-        bucket = chain.otherwise(F.lit(len(bnds)))
-    else:
-        bucket = F.lit(0)
+
+    def tree(lo: int, hi: int) -> Column:
+        # first index in [lo, hi] whose cond holds (hi = len(conds)
+        # means none) — conds monotone, so this is a binary search
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(conds[mid], tree(lo, mid))
+                .otherwise(tree(mid + 1, hi)))
+
+    bucket = tree(0, len(conds))
     d = df.withColumn("_rk_b", bucket)
     w_local = Window.partitionBy("_rk_b", *gcols).orderBy(*order_by)
     ranked = d.withColumn("_rk_lr", F.row_number().over(w_local))
