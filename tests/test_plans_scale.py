@@ -257,3 +257,39 @@ def test_corpus_to_training_bin_invariants(spark):
     kept = {r.doc_id for r in corpus_clean_v2(spark, SF).select("doc_id").collect()}
     assert {r.doc_id for r in out.collect()} <= kept
     out.unpersist()
+
+
+# --- r11 plan shapes ---
+
+@pytest.mark.parametrize("name", ["op-bpe-encode-arrow",
+                                  "text-unigram-segment-arrow",
+                                  "text-wordpiece-encode-arrow"])
+def test_arrow_tokenizer_plan_is_one_mapinpandas(spark, name):
+    # the production-vocabulary property: the model lives in the
+    # closure, so the plan carries exactly ONE MapInPandas node over
+    # the distinct-word frame — it would not grow with a 30k-entry
+    # table, where the fold twin stacks one projection per rank
+    plan = plan_of(spark, name)
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan  # no extra python stages
+
+
+def test_datasheet_single_feature_pass_scan_count(spark):
+    # r11 fold: gopher+c4 ride ONE base scan (7 scans -> 5: flags,
+    # bpe word-count x2, dup keeper x2)
+    plan = plan_of(spark, "plan-corpus-datasheet")
+    assert len(scans(plan)) == 5
+
+
+def test_bucket_tree_keeps_rank_plan_shape(spark):
+    # the balanced boundary tree must not reintroduce the unbindable
+    # HOF-filter plan (rank.py's documented pitfall): no higher-order
+    # 'filter(' in the bucket projection and no unpartitioned window
+    plan = plan_of(spark, "op-equidepth-histogram")
+    assert "!Filter" not in plan
+    # the corpus-sized row_number window stays keyed by the range
+    # bucket; the only unpartitioned windows are the B-row offsets
+    # frame's (sum over _rk_c counts — tiny by construction)
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "_rk_b" in line
