@@ -98,6 +98,11 @@ HEADLINE = (
     "text-unigram-segment",   # unigram-LM Viterbi corpus encoding
     "plan-corpus-datasheet",  # per-(source, lang) release report
     "op-vocab-growth",        # Heaps-law curve over exact-ntile deciles
+    # r11 production-vocabulary tokenizer + batched-trainer
+    # representatives (the unigram/wordpiece Arrow twins share
+    # op-bpe-encode-arrow's one-MapInPandas profile — SCALING r11)
+    "op-bpe-encode-arrow",    # merge table in the mapInPandas closure
+    "op-bpe-batch-elect",     # top-M symbol-disjoint training election
 )
 
 # Same-day sf0.1 reference walls, re-measured under protocol v2 (noop
@@ -139,6 +144,8 @@ SCALING_SF01 = {
     "op-bpe-encode": 1.09, "op-shard-assign": 1.34,
     "text-unigram-segment": 1.48, "plan-corpus-datasheet": 1.54,
     "op-vocab-growth": 1.69,
+    # r11 additions (min-of-2 same-day walls, v2 protocol)
+    "op-bpe-encode-arrow": 1.17, "op-bpe-batch-elect": 0.76,
 }
 
 

@@ -119,13 +119,13 @@ AUDIT = (
     ("text-stupid-backoff", "five count tables from ONE reference-stratum gram pass; scoring = five LEFT hash equi-joins of the positional stream, no windows, no UDFs; corpus total N rides as a broadcast 1-row scalar (r10: no eager count at construction)"),
     # r10
     ("op-equidepth-histogram", "exact ntile via the distributed rank: balanced boundary comparison tree in the scan projection (r11: O(log B) probes per row), windows keyed by range bucket (no unpartitioned global sort — r10 replaces the r6-r9 single-task window), tiny offsets broadcast"),
-    ("op-bpe-encode", "corpus tokenized ONCE into (doc, word) counts; all merge folds stack in one codegen projection over the distinct-word frame; one hash join on the compact word key + one doc agg"),
+    ("op-bpe-encode", "corpus tokenized ONCE into the checkpointed (doc, word) counts (r11: the distinct-word branch previously pruned doc_id into its OWN scan and re-tokenized — 3.4x at the 500k-doc decade); merge folds stack in one codegen projection over the distinct-word frame; one hash join on the compact word key + one doc agg"),
     ("op-shard-assign", "pack windows stay per-source; bin rollup map-side-combinable; shard election is the distributed exact rank over the md5 key (bounded windows + broadcast offsets), never one global sort task"),
     # r10b
-    ("text-unigram-segment", "corpus tokenized ONCE into (doc, word) counts; the Viterbi fold is one codegen projection over the distinct-word frame ending in a vocab-sized localCheckpoint barrier; one hash join on the compact word key + one doc agg"),
+    ("text-unigram-segment", "corpus tokenized ONCE into the checkpointed (doc, word) counts (r11, the bpe_encode fix); the Viterbi fold is one codegen projection over the distinct-word frame ending in a vocab-sized localCheckpoint barrier; one hash join on the compact word key + one doc agg"),
     ("op-unigram-estep", "one corpus word-frequency agg; the piece explode reads the CHECKPOINTED vocab-sized segmentation (the fold is never re-evaluated per emitted element — the Generate-collapse fix in SCALING's r10b table); OOV remap is a literal-map projection; zero-fill join is vocab-sized"),
-    ("text-wordpiece-encode", "same three-stage shape as the BPE/unigram encoders; greedy longest-match runs as descending literal-map probes inside one fold projection with the same checkpoint barrier before the word-key join"),
-    ("plan-corpus-datasheet", "gopher + c4 batteries CHAINED into one base-scan projection via keep= passthrough (r11 single-feature-pass fold: 7 parquet scans -> 5); bpe encode and the md5 keeper are the remaining scans, joined on the compact doc_id; final (source, lang) rollup map-side-combinable"),
+    ("text-wordpiece-encode", "same three-stage shape as the BPE/unigram encoders (checkpointed word counts, r11); greedy longest-match runs as descending literal-map probes inside one fold projection with the same checkpoint barrier before the word-key join"),
+    ("plan-corpus-datasheet", "gopher + c4 batteries CHAINED into one base-scan projection via keep= passthrough, and the encoder's checkpointed (doc, word) counts replace bpe's re-scans (r11: 7 parquet scans -> 3 — flags + the md5 keeper's two sides); final (source, lang) rollup map-side-combinable"),
     ("op-vocab-growth", "md5 decile deal via the distributed exact ntile (boundary CASE chain, bounded windows, broadcast offsets); first occurrences are ONE min-per-word agg; the cumulative window sees 10 aggregate rows, never the corpus"),
     ("op-score-calibration", "classifier and gopher flags are two map-side scan branches joined on doc_id; decile assignment is the distributed exact rank (bounded windows + broadcast offsets); final agg sees 10 groups"),
     ("sim-embedding-outliers", "one Arrow mapInPandas assignment against the driver-broadcast centroid matrix; two exact-percentile aggs with tiny per-cluster frames broadcast back — the fact frame never shuffles twice on the same key"),

@@ -275,10 +275,11 @@ def test_arrow_tokenizer_plan_is_one_mapinpandas(spark, name):
 
 
 def test_datasheet_single_feature_pass_scan_count(spark):
-    # r11 fold: gopher+c4 ride ONE base scan (7 scans -> 5: flags,
-    # bpe word-count x2, dup keeper x2)
+    # r11 fold: gopher+c4 ride ONE base scan and the encoders'
+    # checkpointed word-count frame replaces bpe's two extra scans
+    # (7 parquet scans -> 3: flags, dup keeper x2)
     plan = plan_of(spark, "plan-corpus-datasheet")
-    assert len(scans(plan)) == 5
+    assert len(scans(plan)) == 3
 
 
 def test_bucket_tree_keeps_rank_plan_shape(spark):

@@ -312,10 +312,17 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     Returns (id, n_words, n_pieces, ppw_ppm) per document with >= 1
     token, where ppw_ppm is half-up pieces-per-word in ppm.
     """
+    # localCheckpoint makes "tokenized ONCE" true in the EXECUTED plan:
+    # without it, the distinct-word branch prunes doc_id into its own
+    # scan (no exchange reuse) and the corpus tokenizes twice — the
+    # checkpointed (doc, word, count) frame feeds both the
+    # segmentation and the final join instead (measured 25.6s -> 7.5s
+    # at the 500k-doc decade, SCALING.md r11b)
     wc = (df.select(F.col(id_col),
                     F.explode(tokens(F.col(text_col))).alias("word"))
           .groupBy(id_col, "word")
-          .agg(F.count(F.lit(1)).alias("_c")))
+          .agg(F.count(F.lit(1)).alias("_c"))
+          .localCheckpoint(eager=False))
     chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
     seg = (wc.select("word").distinct()
            .withColumn("syms",

@@ -202,10 +202,15 @@ def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
 
 
 def _word_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # checkpointed so the corpus tokenizes ONCE in the executed plan:
+    # the distinct-word branch would otherwise prune id_col into its
+    # own scan (no exchange reuse) and re-tokenize the whole corpus —
+    # the bpe_encode fix, measured 3.4x at the 500k-doc decade
     return (df.select(F.col(id_col),
                       F.explode(tokens(F.col(text_col))).alias("word"))
               .groupBy(id_col, "word")
-              .agg(F.count(F.lit(1)).alias("_c")))
+              .agg(F.count(F.lit(1)).alias("_c"))
+              .localCheckpoint(eager=False))
 
 
 def unigram_encode(df: DataFrame, pieces, text_col: str = "text",
