@@ -116,6 +116,32 @@ class TestStreamTokenMeter:
         # 'qq'    -> q q </w>                                       = 3
         assert (m["n_words"], m["n_pieces"]) == (3, 9)
 
+    def test_arrow_engine_bit_identical_and_streaming_safe(self, spark):
+        # r11: the production-vocabulary meter — same totals as the
+        # fold engine per row, and the streaming drain with
+        # engine='arrow' matches the fold drain exactly
+        from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+            BPE_DEMO_MERGES)
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_token_meter, token_meter_projection)
+        df = spark.createDataFrame(
+            [("table tab qq",), (None,), ("scatter hash",)],
+            "text string")
+        fold = df.select(token_meter_projection(
+            F.col("text"), BPE_DEMO_MERGES, engine="fold").alias("m"))
+        arrow = df.select(token_meter_projection(
+            F.col("text"), BPE_DEMO_MERGES, engine="arrow").alias("m"))
+        key = lambda r: (r["m"]["n_words"], r["m"]["n_pieces"])
+        assert sorted(map(key, fold.collect())) == \
+            sorted(map(key, arrow.collect()))
+        got_f = sorted(tuple(r) for r in streaming_token_meter(
+            spark, SF, BPE_DEMO_MERGES,
+            query_name="stm_fold_t", engine="fold").collect())
+        got_a = sorted(tuple(r) for r in streaming_token_meter(
+            spark, SF, BPE_DEMO_MERGES,
+            query_name="stm_arrow_t", engine="arrow").collect())
+        assert got_f == got_a
+
     def test_null_text_meters_as_zero(self, spark):
         # r10 advice: size(NULL array) is -1 under non-ANSI settings —
         # a NULL-text document must contribute (0, 0), matching the

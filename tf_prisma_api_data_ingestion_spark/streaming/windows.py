@@ -796,7 +796,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str,
     return spark.table(query_name).select("source", "n_docs", "n_pass")
 
 
-def token_meter_projection(text_col, merges):
+def token_meter_projection(text_col, merges, engine: str = "auto"):
     """Per-document (n_words, n_pieces) under a learned BPE merge
     table as ONE stateless projection — no distinct-word frame, no
     join: each word in the whitespace token array is segmented by the
@@ -805,11 +805,25 @@ def token_meter_projection(text_col, merges):
     OCCURRENCE where the batch encoder (bpe.bpe_encode) amortizes it
     per DISTINCT word via Zipf — the deliberate trade that makes the
     expression streaming-safe (zero cross-row state). Returns a
-    struct column (n_words, n_pieces)."""
-    from ..operators.bpe import END_MARK, merge_fold
+    struct column (n_words, n_pieces).
+
+    Same model-size dial as bpe.bpe_apply_merges (r11): at or below
+    FOLD_MAX_MERGES ranks the fold chain rides in the plan; above
+    it, ``_token_meter_arrow`` — an Arrow-batched scalar pandas_udf
+    whose closure carries the merge table — meters with an
+    identical per-word kernel (tokenizer_arrow.bpe_merge_word), still
+    stateless and streaming-safe. Bit-identity pinned in
+    tests/test_round10b.py."""
+    from ..operators.bpe import FOLD_MAX_MERGES, END_MARK, merge_fold
     from ..operators.text import tokens
 
     pairs = [(str(a), str(b)) for a, b in merges]
+    if engine == "auto":
+        engine = "fold" if len(pairs) <= FOLD_MAX_MERGES else "arrow"
+    if engine == "arrow":
+        return _token_meter_arrow(pairs)(text_col)
+    if engine != "fold":
+        raise ValueError(f"unknown engine {engine!r}")
 
     def pieces_of(word):
         syms = F.concat(F.regexp_extract_all(word, F.lit("."), 0),
@@ -829,10 +843,49 @@ def token_meter_projection(text_col, merges):
                     n_pieces.alias("n_pieces"))
 
 
+def _token_meter_arrow(pairs):
+    """Arrow engine for ``token_meter_projection``: a stateless scalar
+    pandas_udf whose closure carries the merge table — the plan stays
+    one ArrowEvalPython node regardless of rank count (the
+    production-vocabulary path). Tokenization stays SPARK-side (the
+    same ``tokens()`` expression as the fold path, NULL coalesced to
+    an empty array), so the Python kernel only replays the merge
+    passes (tokenizer_arrow.bpe_merge_word — the exact fold-chain
+    twin) and no lower/split semantics can drift between engines."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.bpe import END_MARK
+    from ..operators.text import tokens
+    from ..operators.tokenizer_arrow import bpe_merge_index, bpe_merge_word
+
+    rank_of, pair_at = bpe_merge_index(pairs)
+
+    # no type hints: the module's deferred annotations (`from
+    # __future__ import annotations`) turn them into strings, which
+    # pandas_udf's hint inference rejects — the explicit returnType
+    # alone pins the scalar Series -> DataFrame(struct) shape
+    def _meter(tok):
+        n_words, n_pieces = [], []
+        for words in tok:
+            total = 0
+            for w in words:
+                total += len(bpe_merge_word(
+                    list(w) + [END_MARK], rank_of, pair_at))
+            n_words.append(len(words))
+            n_pieces.append(total)
+        return pd.DataFrame({"n_words": n_words, "n_pieces": n_pieces})
+
+    meter = pandas_udf(_meter, "struct<n_words: bigint, n_pieces: bigint>")
+
+    return lambda text_col: meter(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")))
+
+
 def streaming_token_meter(spark: SparkSession, sf_dir: str, merges,
                           query_name: str = "stream_token_meter",
-                          state_partitions: int = DEFAULT_STATE_PARTITIONS
-                          ) -> DataFrame:
+                          state_partitions: int = DEFAULT_STATE_PARTITIONS,
+                          engine: str = "auto") -> DataFrame:
     """Streaming per-source token metering: documents land as files
     and each source's running document/word/BPE-piece totals update
     per micro-batch — the live token-budget accounting an ingest
@@ -849,7 +902,7 @@ def streaming_token_meter(spark: SparkSession, sf_dir: str, merges,
     docs = (spark.readStream.schema(schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))
-    m = token_meter_projection(F.col("text"), merges)
+    m = token_meter_projection(F.col("text"), merges, engine=engine)
     agg = (docs.select("source", m.alias("_m"))
            .groupBy("source")
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
