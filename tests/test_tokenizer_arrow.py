@@ -139,6 +139,21 @@ class TestUnigramEngines:
         got = {r["word"]: r["pieces"] for r in fold.collect()}
         assert got["abab"] == ["ab", "ab"]
 
+    def test_deep_tie_pieces_identical_across_engines(self, spark):
+        # deep tie: 'aaab' under {'aa': -1, unk=-100} has two
+        # optimal segmentations with equal score, count, AND final
+        # piece — the fold's local DP tie-break picks ['a','aa','b']
+        # (not the global array argmax ['aa','a','b']); the Arrow
+        # kernel must make the identical local choice
+        d = spark.createDataFrame([("aaab",), ("aabaa",), ("aaaa",)],
+                                  "word string")
+        pieces = [("aa", -1_000_000), ("b", -2_000_000)]
+        fold = unigram_viterbi(d, pieces, engine="fold")
+        arrow = unigram_viterbi(d, pieces, engine="arrow")
+        assert _collect_sorted(fold) == _collect_sorted(arrow)
+        got = {r["word"]: r["pieces"] for r in fold.collect()}
+        assert got["aaab"] == ["a", "aa", "b"]
+
     def test_auto_dial_selects_by_model_size(self, spark):
         d = _word_df(spark)
         small = unigram_viterbi(d, UNIGRAM_DEMO_PIECES, engine="auto")
