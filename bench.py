@@ -132,7 +132,9 @@ SCALING_SF01 = {
     "text-bm25-topk": 0.59, "op-pagerank": 3.32,
     "op-triangle-count": 6.09, "op-graph-bfs": 6.76, "op-skyline": 0.29,
     # r6b ML-pipeline batch (v2 re-measurement)
-    "op-knn-classify": 1.56, "op-item-cf": 1.93, "op-bloom-prefilter": 4.38,
+    # bloom-prefilter re-measured r11 (probe hash md5 -> seeded
+    # xxhash64 by default; the md5 wall was 4.38)
+    "op-knn-classify": 1.56, "op-item-cf": 1.93, "op-bloom-prefilter": 1.67,
     # r6c batch (v2 re-measurement)
     "text-lm-likelihood": 1.58, "plan-feature-store": 1.33,
     "plan-rag-context": 2.26,

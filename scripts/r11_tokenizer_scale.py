@@ -166,5 +166,40 @@ def main() -> None:
     spark.stop()
 
 
+def train_1k_demo() -> None:
+    """End-to-end production-path demonstration: train a 1,024-merge
+    vocabulary with batched elections (m=32 -> 32 rounds) on sf0.1,
+    then encode the same corpus with the TRAINED table — the auto
+    dial routes the 1,024-rank apply to the Arrow engine. Run with
+    `python scripts/r11_tokenizer_scale.py train1k`."""
+    import time
+
+    from tf_prisma_api_data_ingestion_spark.actions import materialize
+    from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+        bpe_encode, bpe_train_batched)
+    from tf_prisma_api_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("r11train1k")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    t0 = time.time()
+    merges = bpe_train_batched(docs, n_merges=1024, batch_m=32)
+    rows = merges.orderBy("merge_rank").collect()
+    t_train = time.time() - t0
+    print(f"RES train1k merges={len(rows)} batch_m=32 "
+          f"{t_train:.1f}s", flush=True)
+    pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    t0 = time.time()
+    enc = bpe_encode(docs, pairs)   # auto dial -> arrow at 1k ranks
+    materialize(enc)
+    t_enc = time.time() - t0
+    stats = enc.selectExpr("sum(n_words) w", "sum(n_pieces) p").first()
+    print(f"RES train1k encode {t_enc:.1f}s ppw={stats['p']/stats['w']:.3f}",
+          flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "train1k" in sys.argv:
+        train_1k_demo()
+    else:
+        main()

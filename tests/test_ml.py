@@ -205,3 +205,20 @@ def test_bloom_prefilter_empty_small_side(spark):
     small = spark.createDataFrame([], "sk long")
     assert bloom_prefilter_semi_join(big, small, "k", "sk",
                                      m_bits=1 << 8).count() == 0
+
+
+def test_bloom_prefilter_hash_dial(spark):
+    # both probe hashes give identical answers (false positives die in
+    # the exact join); 'md5' stays available for cross-engine bitmaps
+    big = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    small = spark.createDataFrame([(i,) for i in range(0, 200, 7)],
+                                  "sk long")
+    xx = bloom_prefilter_semi_join(big, small, "k", "sk",
+                                   m_bits=1 << 12, hash_fn="xx")
+    md5 = bloom_prefilter_semi_join(big, small, "k", "sk",
+                                    m_bits=1 << 12, hash_fn="md5")
+    assert sorted(r["k"] for r in xx.collect()) == \
+        sorted(r["k"] for r in md5.collect()) == list(range(0, 200, 7))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_fn"):
+        bloom_prefilter_semi_join(big, small, "k", "sk", hash_fn="sha")
