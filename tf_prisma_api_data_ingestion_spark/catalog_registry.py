@@ -2876,6 +2876,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # most specification-pinned, pytest-heavy entries in that tier.
 # scripts/selfcheck.py re-verifies the FULL catalog locally
 # regardless of the window.
+#
+# Rotation arithmetic, stated for r12 planning: the catalog holds 262
+# gated keys against 50 driver slots per round, so a full cycle takes
+# 5.24 rounds even with zero new keys — the "no key older than
+# rN-5" bar is exactly satisfiable only if new-key growth stays
+# within ~10 slots per 5 rounds. r12's window should be the 13
+# deferred r6 keys (the 11 TPC-H + op-skyline + op-benford) + the
+# stalest r7-tier keys, with any r12 new keys displacing r7 entries
+# (new-keys-first, as every round).
 _R11_WINDOW = [
     # new this round: the Arrow tokenizer engines (production-
     # vocabulary path) — same oracles as their fold twins, so the

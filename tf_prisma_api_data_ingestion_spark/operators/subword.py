@@ -294,7 +294,7 @@ def unigram_mstep(counts: list[tuple[str, int]], unk: str = UNK,
 def unigram_em_train(df: DataFrame, init_pieces, n_rounds: int = 2,
                      text_col: str = "text", max_word_len: int = 24,
                      unk: str = UNK, unk_score: int = -100_000_000,
-                     min_count: int = 1):
+                     min_count: int = 1, engine: str = "auto"):
     """N rounds of hard-EM unigram-LM training: E-step on the cluster
     (exact integer counts), M-step on the driver (model-sized). The
     external-bounded-loop idiom of bpe_train / kmeans_train_assign —
@@ -310,7 +310,8 @@ def unigram_em_train(df: DataFrame, init_pieces, n_rounds: int = 2,
               .localCheckpoint(eager=False))
     for _ in range(n_rounds):
         seg = unigram_viterbi(freq, pairs, max_word_len=max_word_len,
-                              unk=unk, unk_score=unk_score)
+                              unk=unk, unk_score=unk_score,
+                              engine=engine)
         rows = (seg.select("_f", F.explode("pieces").alias("piece"))
                    .groupBy("piece")
                    .agg(F.sum("_f").cast("long").alias("c"))
