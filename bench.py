@@ -142,9 +142,14 @@ SCALING_SF01 = {
     # vectorized assignment — the 11.2s flagged run was the original
     # per-pair DECIMAL formulation, see SCALING's r7b note)
     "text-dsir-score": 1.36, "sim-semdedup": 1.24,
-    # r10 additions (min-of-2/3 same-day walls, v2 protocol)
-    "op-bpe-encode": 1.09, "op-shard-assign": 1.34,
-    "text-unigram-segment": 1.48, "plan-corpus-datasheet": 1.54,
+    # r10 additions (min-of-2/3 same-day walls, v2 protocol);
+    # the three encoder-family keys re-measured r11 after the plan
+    # changes (word-count checkpoint + datasheet single-scan fold) —
+    # the checkpoint pays a small materialization at sf0.1 and wins
+    # 3.4x at the 500k-doc decade (SCALING.md r11b); old walls were
+    # 1.09 / 1.48 / 1.54
+    "op-bpe-encode": 1.85, "op-shard-assign": 1.34,
+    "text-unigram-segment": 1.72, "plan-corpus-datasheet": 2.37,
     "op-vocab-growth": 1.69,
     # r11 additions (min-of-2 same-day walls, v2 protocol)
     "op-bpe-encode-arrow": 1.17, "op-bpe-batch-elect": 0.76,
