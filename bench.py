@@ -130,7 +130,9 @@ SCALING_SF01 = {
     # round-6 additions (v2 re-measurement)
     "dedup-prefix-jaccard": 4.15, "dedup-containment": 1.56,
     "text-bm25-topk": 0.59, "op-pagerank": 3.32,
-    "op-triangle-count": 6.09, "op-graph-bfs": 6.76, "op-skyline": 0.29,
+    # bfs re-measured r11 (per-round visited re-checkpoint dropped +
+    # lazy edges checkpoint; the old wall was 6.76)
+    "op-triangle-count": 6.09, "op-graph-bfs": 5.27, "op-skyline": 0.29,
     # r6b ML-pipeline batch (v2 re-measurement)
     # bloom-prefilter re-measured r11 (probe hash md5 -> seeded
     # xxhash64 by default; the md5 wall was 4.38)

@@ -1038,7 +1038,11 @@ def q_op_graph_bfs(spark, sf_dir):
     depth-limited recursive CTE walk + MIN — the third iterative graph
     kernel beside connected components and PageRank."""
     from .operators.graph import bfs_distances
-    edges = _copurchase_edges(spark, sf_dir)
+    # lazy checkpoint BEFORE the eager source-min probe: the probe
+    # materializes the (expensive) co-purchase pipeline, and without
+    # the checkpoint bfs_distances' sym build re-derives it (shuffle
+    # reuse softens but does not eliminate the recompute)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     src = edges.agg(F.min(F.least("doc_a", "doc_b"))).first()[0]
     return bfs_distances(edges, src, max_hops=4)
 
