@@ -2431,7 +2431,10 @@ def _sql_op_bpe_batch_elect(m: int = 4) -> str:
     """DuckDB twin of bpe.bpe_elect_batch over the documents vocab's
     initial pair counts: the greedy pairwise symbol-disjoint top-m
     selection unrolled — s_k is the first pair in (count DESC, left,
-    right) order sharing no symbol with s_1..s_{k-1}."""
+    right) order sharing no symbol with s_1..s_{k-1}, whose symbols
+    also avoid every kept pair's CONCATENATION and whose own
+    concatenation avoids every kept symbol (the r12
+    concatenation-collision guard, mirroring bpe_elect_batch)."""
     from .catalog_oracles import _SQL_WS_TOKENS
     steps = ["s1 AS MATERIALIZED (SELECT l, r, c FROM p1"
              " ORDER BY c DESC, l ASC, r ASC LIMIT 1)"]
@@ -2442,7 +2445,9 @@ def _sql_op_bpe_batch_elect(m: int = 4) -> str:
 s{k} AS MATERIALIZED (
   SELECT l, r, c FROM p1 p
   WHERE NOT EXISTS (SELECT 1 FROM ({prev}) q
-                    WHERE p.l IN (q.l, q.r) OR p.r IN (q.l, q.r))
+                    WHERE p.l IN (q.l, q.r) OR p.r IN (q.l, q.r)
+                       OR p.l = q.l || q.r OR p.r = q.l || q.r
+                       OR (p.l || p.r) IN (q.l, q.r))
   ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS batch_rank, l AS left_sym,"

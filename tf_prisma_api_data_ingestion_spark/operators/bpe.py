@@ -181,12 +181,19 @@ def bpe_elect_batch(pair_counts: DataFrame,
     pinned total order (pair_count DESC, left ASC, right ASC): walk
     the ordered pairs and keep each one whose symbols do not appear
     in any already-kept pair — the SentencePiece / YouTokenToMe
-    batched-election rule. Symbol-disjointness is the safety
-    condition: applying a kept pair cannot change any other kept
-    pair's count, so the batch equals ``m`` consecutive sequential
-    elections whenever no conflict (and no stronger newly-created
-    pair) intervenes — the property op-bpe-batch-elect's unrolled
-    oracle and tests/test_bpe_batch.py pin.
+    batched-election rule. The safety condition is that applying a
+    kept pair cannot change any other kept pair's count, so the batch
+    equals ``m`` consecutive sequential elections whenever no
+    conflict (and no stronger newly-created pair) intervenes — the
+    property op-bpe-batch-elect's unrolled oracle and
+    tests/test_bpe_batch.py pin. Plain symbol-disjointness is NOT
+    sufficient for it (r11 ADVICE): kept ``('a','b')`` and candidate
+    ``('ab','c')`` share no symbol, yet merging ``('a','b')`` creates
+    new ``'ab'`` symbols that change ``('ab','c')``'s count. So a
+    candidate is also rejected when either of its symbols equals an
+    already-kept pair's CONCATENATION, or when its own concatenation
+    equals an already-kept pair's symbol (merging it would mint
+    symbols that feed a kept pair's count from the other side).
 
     Driver traffic is model-sized: a top-k slice of the ordered
     frame is fetched (distributed TakeOrdered, no full sort) and the
@@ -202,13 +209,21 @@ def bpe_elect_batch(pair_counts: DataFrame,
         rows = ordered.limit(fetch).collect()
         picked: list[tuple[str, str, int]] = []
         used: set[str] = set()
+        made: set[str] = set()  # concatenations a||b of kept pairs
         for r in rows:
             a, b = r["left_sym"], r["right_sym"]
             if a in used or b in used:
                 continue
+            # concatenation-collision guard (see docstring): a kept
+            # merge mints its a||b symbol, so a candidate touching a
+            # kept concatenation — or minting a kept symbol — would
+            # have some kept pair's count change mid-batch
+            if a in made or b in made or (a + b) in used:
+                continue
             picked.append((a, b, int(r["pair_count"])))
             used.add(a)
             used.add(b)
+            made.add(a + b)
             if len(picked) == m:
                 return picked
         if len(rows) < fetch:
@@ -232,11 +247,12 @@ def bpe_train_batched(df: DataFrame, n_merges: int = 8,
 
     Semantics: ``batch_m=1`` is exactly ``bpe_train`` (pinned by
     test). For larger batches the result equals the sequential chain
-    whenever the top-M pairs are symbol-disjoint and no mid-batch
-    merge creates a pair outranking the batch's remainder — the
-    documented approximation, exact on natural-language pair
-    distributions' heavy tail and verified against the unrolled
-    sequential trainer on the gate corpus. Returns the same
+    whenever the kept pairs pass ``bpe_elect_batch``'s disjointness +
+    concatenation-collision guard and no mid-batch merge creates a
+    pair outranking the batch's remainder — the documented
+    approximation, exact on natural-language pair distributions'
+    heavy tail and verified against the unrolled sequential trainer
+    on the gate corpus. Returns the same
     (merge_rank, left_sym, right_sym, pair_count) artifact, ranks
     numbered in election order across batches."""
     vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=False)

@@ -629,8 +629,13 @@ def bloom_prefilter_semi_join(big: DataFrame, small: DataFrame,
 
     if hash_fn == "xx":
         def positions(key_col: Column) -> list[Column]:
-            return [F.abs(F.xxhash64(F.lit(i), key_col)) % m_bits
-                    for i in range(k)]
+            # pmod, not abs-then-%: abs(Long.MIN_VALUE) is still
+            # negative, so abs-% could emit a bit position outside
+            # [0, m_bits) in a ~2^-64 corner — harmless to the exact
+            # result (build and probe compute the identical
+            # expression) but off the advertised FPR formula's domain
+            return [F.pmod(F.xxhash64(F.lit(i), key_col),
+                           F.lit(m_bits)) for i in range(k)]
     elif hash_fn == "md5":
         def positions(key_col: Column) -> list[Column]:
             return [md5_hash60(F.concat(F.lit(f"bf{i}:"),

@@ -180,7 +180,13 @@ def unigram_viterbi(words: DataFrame, pieces, word_col: str = "word",
         raise ValueError(f"unknown engine {engine!r}")
     w = F.col(word_col)
     best = viterbi_best(w, pairs, unk_score)
-    long_w = (F.length(w) > max_word_len) | (F.length(w) == 0)
+    # isNull pins the NULL-word behavior to the Arrow kernel's (one
+    # unk piece): without it length(NULL) makes long_w NULL and the
+    # otherwise() branch propagates NULL pieces — unreachable via the
+    # explode(tokens()) encoders but divergent on caller-supplied
+    # word frames (r11 ADVICE)
+    long_w = (w.isNull() | (F.length(w) > max_word_len)
+              | (F.length(w) == 0))
     out = words.select(
         "*",
         F.when(long_w, F.array(F.lit(unk)))
@@ -421,7 +427,11 @@ def wordpiece_segment(words: DataFrame, vocab, word_col: str = "word",
 
     fin = F.aggregate(F.sequence(F.lit(1), F.lit(max_word_len)), init,
                       step)
-    bad = fin["fail"] | (n > max_word_len) | (n == 0) | (fin["pos"] < n)
+    # w.isNull() first: pins NULL word -> unk, matching the Arrow
+    # kernel's `w or ''` fallback (r11 ADVICE — the fold otherwise
+    # emitted NULL pieces on caller-supplied word frames)
+    bad = (w.isNull() | fin["fail"] | (n > max_word_len) | (n == 0)
+           | (fin["pos"] < n))
     out = words.select(
         "*",
         F.when(bad, F.array(F.lit(unk))).otherwise(fin["ps"])

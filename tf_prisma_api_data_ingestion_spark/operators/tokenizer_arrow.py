@@ -48,6 +48,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+# Characters Java's regex '.' (no DOTALL) refuses to match: the five
+# line terminators. The fold engines split words into symbols with
+# regexp_extract_all(word, '.'), which silently DROPS these; a Python
+# kernel that does list(w) keeps them. tokens()'s ASCII \s split
+# already removes \n and \r, but U+0085/U+2028/U+2029 are not ASCII
+# whitespace and survive into words — so any Arrow twin of a
+# '.'-split fold must strip all five to stay bit-identical (r11
+# ADVICE, medium).
+JAVA_DOT_EXCLUDED = frozenset("\n\r\u0085\u2028\u2029")
+
+
+def java_dot_chars(word: str) -> list[str]:
+    """Split a word into characters exactly like the fold engines'
+    ``regexp_extract_all(word, '.')``: every char except the five
+    Java line terminators (which '.' never matches)."""
+    return [c for c in word if c not in JAVA_DOT_EXCLUDED]
+
+
 # ---------------------------------------------------------------------
 # BPE (Sennrich et al. 2016) — rank-ordered greedy merge passes
 # ---------------------------------------------------------------------

@@ -857,7 +857,9 @@ def _token_meter_arrow(pairs):
 
     from ..operators.bpe import END_MARK
     from ..operators.text import tokens
-    from ..operators.tokenizer_arrow import bpe_merge_index, bpe_merge_word
+    from ..operators.tokenizer_arrow import (bpe_merge_index,
+                                             bpe_merge_word,
+                                             java_dot_chars)
 
     rank_of, pair_at = bpe_merge_index(pairs)
 
@@ -870,8 +872,14 @@ def _token_meter_arrow(pairs):
         for words in tok:
             total = 0
             for w in words:
+                # java_dot_chars, not list(w): the fold splits with
+                # regexp_extract_all(word, '.') whose Java '.' drops
+                # the five line terminators — U+0085/U+2028/U+2029
+                # survive tokens()'s ASCII \s split, so a plain
+                # list(w) would count extra symbols and break the
+                # fold/arrow bit-identity (r11 ADVICE, medium)
                 total += len(bpe_merge_word(
-                    list(w) + [END_MARK], rank_of, pair_at))
+                    java_dot_chars(w) + [END_MARK], rank_of, pair_at))
             n_words.append(len(words))
             n_pieces.append(total)
         return pd.DataFrame({"n_words": n_words, "n_pieces": n_pieces})
