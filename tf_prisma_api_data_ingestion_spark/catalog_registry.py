@@ -2484,11 +2484,16 @@ def q_stream_token_meter(spark, sf_dir):
     """Streaming per-source BPE token metering (streaming/windows.
     streaming_token_meter under BPE_DEMO_MERGES): live token-budget
     accounting while a crawl lands — the tokenizer as a stateless
-    per-row merge-fold projection, state bounded by |sources|. The
-    oracle is the batch twin: the op-bpe-encode oracle's per-doc
-    totals rolled up per source (per-occurrence in-stream segmentation
-    and per-distinct-word batch segmentation are the same function of
-    the data, so the totals agree bit-for-bit)."""
+    per-row projection, state bounded by |sources|. Runs the
+    PRODUCTION default engine: since r12 auto resolves to the Arrow
+    kernel at every model size (the meter pays segmentation per
+    occurrence, so the fold never wins — SCALING.md r11: 6.4x), and
+    this driver row verifies that arrow plan against the batch-twin
+    oracle. The oracle is the op-bpe-encode oracle's per-doc totals
+    rolled up per source (per-occurrence in-stream segmentation and
+    per-distinct-word batch segmentation are the same function of
+    the data, so the totals agree bit-for-bit; the engines are
+    bit-identical by tests/test_round10b.py + test_round12.py)."""
     from .streaming.windows import streaming_token_meter
     # stable digest, not Python's salted hash(): the memory-sink view
     # name must be deterministic across processes (PYTHONHASHSEED)

@@ -807,19 +807,25 @@ def token_meter_projection(text_col, merges, engine: str = "auto"):
     expression streaming-safe (zero cross-row state). Returns a
     struct column (n_words, n_pieces).
 
-    Same model-size dial as bpe.bpe_apply_merges (r11): at or below
-    FOLD_MAX_MERGES ranks the fold chain rides in the plan; above
-    it, ``_token_meter_arrow`` — an Arrow-batched scalar pandas_udf
-    whose closure carries the merge table — meters with an
-    identical per-word kernel (tokenizer_arrow.bpe_merge_word), still
+    engine='auto' resolves to ARROW at every model size (r12 — the
+    opposite default from bpe.bpe_apply_merges, deliberately): the
+    encoders amortize fold cost over the DISTINCT-word frame, but
+    this projection pays it per token OCCURRENCE, so the fold's
+    zero-Python advantage never wins here — SCALING.md's r11 row has
+    the 10,240-rank Arrow drain 6.4x FASTER than even the 8-rank
+    fold drain at sf0.1 (2.58s vs 16.51s). engine='fold' stays
+    available for the zero-Python, oracle-bit-replayable plan.
+    ``_token_meter_arrow`` is an Arrow-batched scalar pandas_udf
+    whose closure carries the merge table and whose per-word kernel
+    (tokenizer_arrow.bpe_merge_word) is the exact fold twin — still
     stateless and streaming-safe. Bit-identity pinned in
-    tests/test_round10b.py."""
-    from ..operators.bpe import FOLD_MAX_MERGES, END_MARK, merge_fold
+    tests/test_round10b.py and tests/test_round12.py."""
+    from ..operators.bpe import END_MARK, merge_fold
     from ..operators.text import tokens
 
     pairs = [(str(a), str(b)) for a, b in merges]
     if engine == "auto":
-        engine = "fold" if len(pairs) <= FOLD_MAX_MERGES else "arrow"
+        engine = "arrow"
     if engine == "arrow":
         return _token_meter_arrow(pairs)(text_col)
     if engine != "fold":
