@@ -2871,91 +2871,95 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The driver's correctness gate walks QUERIES in insertion order and
 # checks exactly the first 50 entries, so the window below IS the
-# round's driver-verification contract. r11 executes the r10
-# VERDICT's #1 item exactly: the 8 keys displaced to r5 staleness
-# (pd-sort, pd-limit-page, op-project-rename, op-window-percent,
-# op-string-agg, op-winsorized-mean, op-table-checksum, op-histogram)
-# + the two keys whose PLANS were rewritten onto the exact-rank
-# primitive in r10 without a driver row for the NEW plan
-# (text-ccnet-buckets, op-equidepth-histogram) + this round's new
-# keys (new-keys-first, the standing precedence) + the stalest r6-
-# tier keys filling the remaining slots. After this round no catalog
-# key's newest driver row is older than r6; the r6 keys deferred to
-# r12 are the 11 TPC-H queries plus op-skyline and op-benford — the
-# most specification-pinned, pytest-heavy entries in that tier.
-# scripts/selfcheck.py re-verifies the FULL catalog locally
-# regardless of the window.
+# round's driver-verification contract.
 #
-# Rotation arithmetic, stated for r12 planning: the catalog holds 262
-# gated keys against 50 driver slots per round, so a full cycle takes
-# 5.24 rounds even with zero new keys — the "no key older than
-# rN-5" bar is exactly satisfiable only if new-key growth stays
-# within ~10 slots per 5 rounds. r12's window should be the 13
-# deferred r6 keys (the 11 TPC-H + op-skyline + op-benford) + the
-# stalest r7-tier keys, with any r12 new keys displacing r7 entries
-# (new-keys-first, as every round).
-_R11_WINDOW = [
-    # new this round: the Arrow tokenizer engines (production-
-    # vocabulary path) — same oracles as their fold twins, so the
-    # driver rows double as cross-engine bit-identity proofs
-    "op-bpe-encode-arrow",
-    "text-unigram-segment-arrow",
-    "text-wordpiece-encode-arrow",
+# WINDOW PRECEDENCE (standing rule, r11 verdict #1): (1) keys whose
+# CURRENT plan has no driver row — new keys and replaced-plan keys —
+# ALWAYS outrank merely-stale keys; (2) then the stalest tier,
+# oldest driver row first; (3) alphabetical within a tier. A key
+# whose plan changes mid-round after the window is set leads the
+# NEXT round's window. scripts/selfcheck.py re-verifies the FULL
+# catalog locally regardless of the window.
+#
+# r12 executes the r11 VERDICT's #1 item exactly: first the 9 keys
+# whose plans were replaced in r11 with only old-plan driver rows
+# (encoder tokenize-once checkpoints, datasheet single-scan fold,
+# token-meter NULL-coalesce, the bucket-tree probe under the three
+# exact-rank consumers), plus the 2 keys whose plans changed THIS
+# round (op-bpe-batch-elect: concatenation-collision guard in the
+# election and its oracle; op-bloom-prefilter: pmod bit positions;
+# stream-token-meter also changed — arrow default + line-terminator
+# kernel fix — and is already among the 9). Then the 13 r6-tier keys
+# rotation deferred from r11 (the 11 TPC-H + op-skyline +
+# op-benford), then the 26 alphabetically-first r7-tier keys. After
+# this round no key's newest driver row is older than r7; the 24
+# remaining r7 keys (op-percentiles .. text-token-count) lead r13's
+# stale tier.
+#
+# Rotation arithmetic: 262 gated keys / 50 slots = 5.24 rounds per
+# full cycle — the "no key older than rN-5" bar holds only if
+# new-key growth stays within ~10 slots per 5 rounds (r12 adds 0).
+_R12_WINDOW = [
+    # replaced-plan keys from r11 (no driver row for their CURRENT
+    # plans until this round)
+    "op-bpe-encode",
+    "text-unigram-segment",
+    "text-wordpiece-encode",
+    "op-unigram-estep",
+    "plan-corpus-datasheet",
+    "stream-token-meter",
+    "op-shard-assign",
+    "op-vocab-growth",
+    "op-score-calibration",
+    # plans changed in r12 (ADVICE fixes) — driver rows for the new
+    # plans this same round, closing the two-round contract-debt gap
     "op-bpe-batch-elect",
-    # the 8 keys whose newest driver row is r05
-    "op-histogram",
-    "op-project-rename",
-    "op-string-agg",
-    "op-table-checksum",
-    "op-window-percent",
-    "op-winsorized-mean",
-    "pd-limit-page",
-    "pd-sort",
-    # the two r10 plan rewrites (exact-rank ntile) — driver rows for
-    # the NEW plans
-    "text-ccnet-buckets",
-    "op-equidepth-histogram",
-    # 36 of the 49 remaining r6-tier keys, stalest tier first
-    "dedup-containment",
-    "dedup-minhash-recall",
-    "dedup-prefix-jaccard",
-    "op-anomaly-seasonal",
-    "op-auc",
     "op-bloom-prefilter",
-    "op-chi2-terms",
-    "op-cramers-v",
-    "op-drift-bins",
-    "op-drift-ks",
-    "op-gini-diversity",
-    "op-graph-bfs",
-    "op-group-cap",
-    "op-item-cf",
-    "op-key-profile",
-    "op-knn-classify",
-    "op-markov-eval",
-    "op-markov-transitions",
-    "op-negative-sample",
-    "op-pagerank",
-    "op-target-encode",
-    "op-te-calibration",
-    "op-triangle-count",
-    "op-weighted-sample",
-    "op-welch-ttest",
-    "plan-feature-store",
-    "plan-leakproof-split",
-    "plan-rag-context",
-    "plan-session-features",
-    "sim-lsh-recall",
-    "sim-multiprobe-topk",
-    "sim-quantize-int8",
-    "stream-drift",
-    "stream-trending-topk",
-    "text-bm25-topk",
-    "text-lm-likelihood",
+    # the 13 r6-tier keys rotation deferred from r11
+    "op-benford",
+    "op-skyline",
+    "tpch-q2",
+    "tpch-q8",
+    "tpch-q9",
+    "tpch-q11",
+    "tpch-q12",
+    "tpch-q13",
+    "tpch-q16",
+    "tpch-q19",
+    "tpch-q20",
+    "tpch-q21",
+    "tpch-q22",
+    # 26 of the 50 r7-tier keys, alphabetical
+    "dedup-clusters",
+    "dedup-clusters-star",
+    "dedup-embedding",
+    "dedup-embedding-lsh",
+    "dedup-exact",
+    "dedup-incremental",
+    "dedup-minhash-md5",
+    "dedup-minhash-recall-sampled",
+    "dedup-ngram-jaccard",
+    "dedup-simhash-md5",
+    "dedup-simhash-md5-pairs",
+    "op-ab-srm",
+    "op-apply-in-pandas",
+    "op-array-functions",
+    "op-array-index",
+    "op-cube",
+    "op-distinct",
+    "op-empty-guard",
+    "op-except",
+    "op-foreach-group",
+    "op-grouping-sets",
+    "op-intersect",
+    "op-json-flatten",
+    "op-lit-cols",
+    "op-map-functions",
+    "op-pandas-udaf",
 ]
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)}
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
