@@ -158,6 +158,40 @@ SCALING_SF01 = {
 }
 
 
+# Reference wall for the canary (same-day in-bench walls on this box,
+# r12: start 0.157 / end 0.124 inside a full sf0.1 suite run).
+# The canary is a fixed data-free CPU probe — sum(xxhash64) over a
+# 50M range in 32 partitions, pure whole-stage-codegen JVM work, no
+# IO, no shuffle of consequence — timed at suite START and END and
+# recorded in the artifact. BENCH_r11 committed two false flags
+# because the host degraded mid-run (documented 4.7x same-JVM spread)
+# and nothing IN the artifact showed it; with the canary pair, a
+# degraded host is visible in BENCH_rN.json itself (canary ratios
+# well above 1) instead of needing a human to re-measure.
+CANARY_REF = 0.13
+
+
+def _canary_wall(spark, materialize) -> float:
+    # pmod before sum: the session runs ANSI mode and a raw
+    # sum(xxhash64) over 50M rows overflows long
+    df = (spark.range(0, 50_000_000, 1, 32)
+               .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS s"))
+    # 4 warm + min-of-4 timed: the hash loop's C2 tier-up takes a few
+    # executions (measured 0.87 -> 0.21s over ~10), so single-pass
+    # canaries would read "degraded" on a clean host. Even so, treat
+    # ratios <= ~1.5 as JIT/ambient noise — the canary exists to make
+    # the 3-5x host degradations (the BENCH_r11 false-flag cause)
+    # visible in the artifact, not to resolve 20% drift.
+    for _ in range(4):
+        materialize(df)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        materialize(df)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -198,6 +232,7 @@ def main() -> None:
     from tf_prisma_api_data_ingestion_spark.actions import materialize
 
     warm_sf = "/root/testdata/sf0.001"
+    canary_start = _canary_wall(spark, materialize)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
@@ -239,6 +274,28 @@ def main() -> None:
             cache.release_all(blocking=True)
         timings[name] = round(best, 3)
 
+    # r12 flag hardening: a query still >2x its SCALING reference after
+    # the in-loop extra pass gets a full min-of-3 RE-MEASURE at suite
+    # end — temporally separated from whatever ambient load inflated
+    # the in-loop passes. BENCH_r11's two flags (2.13x and 5.88x) were
+    # both host degradation that a later idle min-of-3 read at 1.29x
+    # and 0.99x; this puts that adjudication inside the artifact.
+    remeasured: list[str] = []
+    if abs(sf - 0.1) < 1e-9:
+        for name in sorted(n for n, t in timings.items()
+                           if n in SCALING_SF01
+                           and t > 2.0 * SCALING_SF01[n]):
+            remeasured.append(name)
+            fn = QUERIES.get(name) or THROUGHPUT_QUERIES[name]
+            best = timings[name]
+            for _ in range(3):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+                cache.release_all(blocking=True)
+            timings[name] = round(best, 3)
+    canary_end = _canary_wall(spark, materialize)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -246,6 +303,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the host-health record: ratios near 1.0 mean the box was
+        # clean at that moment; a big start or end ratio means the
+        # aggregate (and any flags) ran on a degraded host
+        "canary": {
+            "start_sec": canary_start,
+            "end_sec": canary_end,
+            "ref_sec": CANARY_REF,
+            "start_ratio": round(canary_start / CANARY_REF, 2),
+            "end_ratio": round(canary_end / CANARY_REF, 2),
+        },
     }
     flagged: list[str] = []
     if abs(sf - 0.1) < 1e-9:
@@ -254,6 +321,7 @@ def main() -> None:
         out["vs_scaling"] = ratios
         flagged = sorted(n for n, r in ratios.items() if r > 2.0)
         out["flagged"] = flagged
+        out["remeasured"] = remeasured
     print(json.dumps(out), flush=True)
     # committed artifact: the full detail record, independent of any
     # stdout truncation in the caller's capture
@@ -273,6 +341,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "flagged": flagged,
+        "canary_ratios": [round(canary_start / CANARY_REF, 2),
+                          round(canary_end / CANARY_REF, 2)],
     }), flush=True)
     spark.stop()
 
