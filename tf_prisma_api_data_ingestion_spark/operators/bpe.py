@@ -259,6 +259,19 @@ def bpe_train_batched(df: DataFrame, n_merges: int = 8,
     spark = df.sparkSession
     schema = ("merge_rank long, left_sym string, right_sym string,"
               " pair_count long")
+    # The TRAINER's auto dial resolves to the ARROW apply engine
+    # regardless of batch size (r12, the opposite of the encoder's
+    # dial, deliberately): every round applies a FRESH pair batch, so
+    # the fold plan is re-analyzed per round and its compile cost
+    # never amortizes — and a batch_m=64 fold chain is 64 nested
+    # higher-order aggregates, which Spark evaluates INTERPRETED
+    # (HOFs don't codegen). Measured on the r12 Zipf fixture (60k
+    # distinct words): 42.9s/round-batch with the fold apply vs
+    # 2.5s/round-batch with the Arrow apply. engine='fold' stays
+    # available for the zero-Python, oracle-replayable per-round
+    # plan; both engines are bit-identical
+    # (tests/test_tokenizer_arrow.py).
+    apply_engine = "arrow" if engine == "auto" else engine
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
         want = min(batch_m, n_merges - len(merges))
@@ -271,7 +284,7 @@ def bpe_train_batched(df: DataFrame, n_merges: int = 8,
             merges.append((len(merges) + 1, a, b, c))
         vocab = bpe_apply_merges(
             vocab, [(a, b) for a, b, _ in batch],
-            engine=engine).localCheckpoint(eager=False)
+            engine=apply_engine).localCheckpoint(eager=False)
     return spark.createDataFrame(merges, schema)
 
 
