@@ -122,6 +122,44 @@ class TestNullWordEngineParity:
             assert got[3]["is_unk"] is True, eng
 
 
+class TestPassageProvenance:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "srcA", "a b c d e f"),
+             (2, "srcB", "a b c d x y"),
+             (3, "srcA", "a b c d e f")],
+            "doc_id long, source string, text string")
+
+    def test_hand_case_matrix(self, spark):
+        # window=4 stride=2: d1/d3 share [a b c d] and [c d e f];
+        # d2 shares [a b c d] with both; [c d x y] is single-doc
+        # (dropped). Expected: within-srcA 2 shared hashes, 1 doc
+        # pair each; cross A-B 1 shared hash, 2 doc pairs (d1-d2,
+        # d3-d2); no B-B row (nd=1).
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance)
+        got = sorted(tuple(r) for r in passage_provenance(
+            self._df(spark), window=4, stride=2).collect())
+        assert got == [("srcA", "srcA", 2, 2), ("srcA", "srcB", 1, 2)]
+
+    def test_hot_passage_cap_drops_boilerplate(self, spark):
+        # max_docs_per_hash=2 drops the 3-doc hash [a b c d]; only
+        # the within-srcA [c d e f] evidence survives
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance)
+        got = sorted(tuple(r) for r in passage_provenance(
+            self._df(spark), window=4, stride=2,
+            max_docs_per_hash=2).collect())
+        assert got == [("srcA", "srcA", 1, 1)]
+
+    def test_short_docs_yield_empty(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance)
+        d = spark.createDataFrame([(1, "s", "too short")],
+                                  "doc_id long, source string, text string")
+        assert passage_provenance(d).count() == 0
+
+
 class TestBloomPmodPositions:
     def test_semi_join_still_exact_after_pmod(self, spark):
         from tf_prisma_api_data_ingestion_spark.operators.relational \

@@ -3310,6 +3310,36 @@ GROUP BY 1, 2
 """
 
 
+SQL_DEDUP_PROVENANCE = r"""
+WITH ws AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, len(ws) - 15, 8)) AS t(i)
+  WHERE len(ws) >= 16),
+keep AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 32),
+g AS (
+  SELECT w.h, w.source,
+         CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS nd
+  FROM wins w JOIN keep USING (h)
+  GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_passages,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN a.nd * (a.nd - 1) // 2
+                     ELSE a.nd * b.nd END) AS BIGINT) AS dup_doc_pairs
+FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
+WHERE a.source < b.source OR a.nd > 1
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3581,6 +3611,10 @@ ORACLES: dict[str, str] = {
     "text-unigram-segment-arrow": _sql_text_unigram_segment_registered(),
     "text-wordpiece-encode-arrow": _sql_text_wordpiece_encode_registered(),
     "op-bpe-batch-elect": _sql_op_bpe_batch_elect(),
+    # r12: cross-source passage-duplication provenance matrix —
+    # same window/stride/hot-passage-cap contract as the
+    # dedup-passage twins above
+    "dedup-provenance": SQL_DEDUP_PROVENANCE,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2412,6 +2412,22 @@ def q_op_bpe_batch_elect(spark, sf_dir):
         " pair_count long")
 
 
+def q_dedup_provenance(spark, sf_dir):
+    """Cross-source passage-duplication provenance
+    (operators/dedup.passage_provenance): which sources share
+    16-token passages with which, as a source x source matrix of
+    (shared passage count, implied doc-pair count) — the
+    cross-snapshot duplication table of a multi-crawl curation report
+    (RefinedWeb/FineWeb style). Computed without doc-pair
+    materialization: per-(hash, source) distinct-doc counts, pairwise
+    count PRODUCTS summed per source pair; the dedup-passage-pairs
+    hot-passage cap (2..32 docs per hash) applies identically here
+    and in the oracle. The gate corpus has zero exact-text duplicates
+    but 23 non-empty provenance cells at this granularity."""
+    from .operators.dedup import passage_provenance
+    return passage_provenance(_t(spark, sf_dir, "documents"))
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2866,6 +2882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text-wordpiece-encode-arrow": q_text_wordpiece_encode_arrow,
     # r11: batched BPE-training election (top-M symbol-disjoint)
     "op-bpe-batch-elect": q_op_bpe_batch_elect,
+    # r12: cross-source passage-duplication provenance matrix
+    "dedup-provenance": q_dedup_provenance,
 }
 
 
@@ -2881,25 +2899,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r12 executes the r11 VERDICT's #1 item exactly: first the 9 keys
-# whose plans were replaced in r11 with only old-plan driver rows
-# (encoder tokenize-once checkpoints, datasheet single-scan fold,
-# token-meter NULL-coalesce, the bucket-tree probe under the three
-# exact-rank consumers), plus the 2 keys whose plans changed THIS
-# round (op-bpe-batch-elect: concatenation-collision guard in the
-# election and its oracle; op-bloom-prefilter: pmod bit positions;
+# r12 executes the r11 VERDICT's #1 item exactly: the round's one
+# new key first (new-keys-first), then the 9 keys whose plans were
+# replaced in r11 with only old-plan driver rows (encoder
+# tokenize-once checkpoints, datasheet single-scan fold, token-meter
+# NULL-coalesce, the bucket-tree probe under the three exact-rank
+# consumers), plus the 2 keys whose plans changed THIS round
+# (op-bpe-batch-elect: concatenation-collision guard in the election
+# and its oracle; op-bloom-prefilter: pmod bit positions;
 # stream-token-meter also changed — arrow default + line-terminator
 # kernel fix — and is already among the 9). Then the 13 r6-tier keys
 # rotation deferred from r11 (the 11 TPC-H + op-skyline +
-# op-benford), then the 26 alphabetically-first r7-tier keys. After
-# this round no key's newest driver row is older than r7; the 24
-# remaining r7 keys (op-percentiles .. text-token-count) lead r13's
-# stale tier.
+# op-benford), then the 25 alphabetically-first r7-tier keys. After
+# this round no key's newest driver row is older than r7; the 25
+# remaining r7 keys (op-pandas-udaf, op-percentiles ..
+# text-token-count) lead r13's stale tier.
 #
-# Rotation arithmetic: 262 gated keys / 50 slots = 5.24 rounds per
+# Rotation arithmetic: 263 gated keys / 50 slots = 5.26 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r12 adds 0).
+# new-key growth stays within ~10 slots per 5 rounds (r12 adds 1).
 _R12_WINDOW = [
+    # new this round: cross-source passage-duplication provenance
+    "dedup-provenance",
     # replaced-plan keys from r11 (no driver row for their CURRENT
     # plans until this round)
     "op-bpe-encode",
@@ -2929,7 +2950,7 @@ _R12_WINDOW = [
     "tpch-q20",
     "tpch-q21",
     "tpch-q22",
-    # 26 of the 50 r7-tier keys, alphabetical
+    # 25 of the 50 r7-tier keys, alphabetical
     "dedup-clusters",
     "dedup-clusters-star",
     "dedup-embedding",
@@ -2955,7 +2976,6 @@ _R12_WINDOW = [
     "op-json-flatten",
     "op-lit-cols",
     "op-map-functions",
-    "op-pandas-udaf",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {

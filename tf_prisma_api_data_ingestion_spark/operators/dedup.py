@@ -1079,3 +1079,71 @@ def substring_dup_coverage(df: DataFrame, text_col: str = "text",
               .withColumn("dup_heavy", F.col("dup_ppm") >= F.lit(flag_ppm))
               .select(id_col, "n_tokens", "dup_tokens", "dup_ppm",
                       "n_spans", "dup_heavy"))
+
+
+def passage_provenance(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       source_col: str = "source", window: int = 16,
+                       stride: int = 8,
+                       max_docs_per_hash: int = 32) -> DataFrame:
+    """Cross-source duplication provenance matrix: for every unordered
+    source pair (source_a <= source_b, string order), how many
+    distinct ``window``-token passages the two sources share and how
+    many (doc_a, doc_b) duplicate-evidence pairs those passages imply
+    — the which-source-copies-from-which question every multi-crawl
+    curation report answers (cross-snapshot/cross-dump duplication in
+    the RefinedWeb/FineWeb style), at passage granularity because
+    whole-document exact duplication is usually rarer than passage
+    reuse (the gate corpus has zero exact-text duplicates but 23
+    provenance cells at window=16).
+
+    Scale shape — the matrix is computed WITHOUT materializing doc
+    pairs: the corpus-sized stage is the passage-hash stream
+    (text.passage_hashes, one shuffle on the uniformly-distributed
+    hash); the per-(hash, source) distinct-doc counts form a
+    dup-hash-sized frame; and ``dup_doc_pairs`` is the SUM of count
+    PRODUCTS (nd_a * nd_b per shared hash; nd*(nd-1)/2 within a
+    source), so a passage shared by k docs contributes one integer,
+    never k^2 rows. The same hot-passage cap as dedup-passage-pairs
+    (hashes in 2..``max_docs_per_hash`` distinct docs; boilerplate
+    headers carry no provenance signal and would dominate the sums)
+    bounds both the per-hash fanout and the count products. The
+    (hash, source, nd) frame is localCheckpointed before the
+    self-join — the aliased-sides recompute trap
+    (minhash_lsh_pairs_md5's persist note above).
+
+    Returns (source_a, source_b, n_shared_passages, dup_doc_pairs).
+    """
+    from .text import passage_hashes, tokens
+
+    d2 = df.filter(F.size(tokens(F.col(text_col))) >= window)
+    did, h = passage_hashes(F.col(id_col), F.col(text_col),
+                            window=window, stride=stride)
+    wins = d2.select(did.alias("_id"), F.col(source_col).alias("_src"),
+                     h.alias("_h")).distinct()
+    keep = (wins.groupBy("_h")
+                .agg(F.countDistinct("_id").alias("_ndall"))
+                .filter((F.col("_ndall") >= 2)
+                        & (F.col("_ndall") <= max_docs_per_hash))
+                .select("_h"))
+    hs = (wins.join(keep, "_h")
+              .groupBy("_h", "_src")
+              .agg(F.countDistinct("_id").cast("long").alias("_nd"))
+              .localCheckpoint(eager=False))
+    left = hs.select("_h", F.col("_src").alias("source_a"),
+                     F.col("_nd").alias("_na"))
+    right = hs.select("_h", F.col("_src").alias("source_b"),
+                      F.col("_nd").alias("_nb"))
+    j = (left.join(right, "_h")
+             .filter(F.col("source_a") <= F.col("source_b")))
+    same = F.col("source_a") == F.col("source_b")
+    # nd*(nd-1) is even, so shiftright-by-1 is the exact integer
+    # halving (no double-precision division in the sum)
+    pair_cnt = F.when(
+        same, F.shiftright(F.col("_na") * (F.col("_na") - 1), 1)
+    ).otherwise(F.col("_na") * F.col("_nb"))
+    return (j.filter(~same | (F.col("_na") > 1))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_shared_passages"),
+                  F.sum(pair_cnt).cast("long").alias("dup_doc_pairs")))
