@@ -187,3 +187,11 @@ def test_table_diff_one_side_empty_is_all_added(spark):
     n = spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, v STRING")
     got = table_diff(e, n, ["k"], ["v"]).collect()
     assert {r.change_type for r in got} == {"added"} and len(got) == 2
+
+
+def test_passage_provenance_empty(spark):
+    d = spark.createDataFrame([], "doc_id LONG, source STRING, text STRING")
+    out = dedup.passage_provenance(d)
+    assert out.count() == 0
+    assert out.columns == ["source_a", "source_b",
+                           "n_shared_passages", "dup_doc_pairs"]
