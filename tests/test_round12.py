@@ -160,6 +160,50 @@ class TestPassageProvenance:
         assert passage_provenance(d).count() == 0
 
 
+class TestNearDupProvenance:
+    def test_matches_manual_pair_rollup_on_corpus(self, spark):
+        # the operator must equal rolling up minhash_lsh_pairs_md5's
+        # verified pairs by source by hand — same pipeline, same ppm
+        # integerization
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            minhash_lsh_pairs_md5, near_dup_provenance)
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = sorted(tuple(r) for r in near_dup_provenance(d).collect())
+        pairs = minhash_lsh_pairs_md5(d)
+        src = d.select("doc_id", "source")
+        a = src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("_sa"))
+        b = src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("_sb"))
+        man = (pairs.join(a, "doc_a").join(b, "doc_b")
+               .select(F.least("_sa", "_sb").alias("sa"),
+                       F.greatest("_sa", "_sb").alias("sb"),
+                       F.round(F.col("jaccard_r") * 1_000_000)
+                        .cast("long").alias("ppm")))
+        want = sorted(
+            (r["sa"], r["sb"], r["n"], r["s"]) for r in
+            man.groupBy("sa", "sb")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("ppm").cast("long").alias("s")).collect())
+        assert got == want
+        assert len(got) > 0  # the gate corpus has near-dup evidence
+
+    def test_cross_source_hand_case(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            near_dup_provenance)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the quiet green forest tonight")
+        d = spark.createDataFrame(
+            [(1, "srcA", base),
+             (2, "srcB", base.replace("quiet", "dark")),
+             (3, "srcC", "completely unrelated text about spark "
+                         "query plans and shuffle partitions here")],
+            "doc_id long, source string, text string")
+        got = {(r["source_a"], r["source_b"]): r["dup_pairs"]
+               for r in near_dup_provenance(d).collect()}
+        assert got == {("srcA", "srcB"): 1}
+
+
 class TestBloomPmodPositions:
     def test_semi_join_still_exact_after_pmod(self, spark):
         from tf_prisma_api_data_ingestion_spark.operators.relational \

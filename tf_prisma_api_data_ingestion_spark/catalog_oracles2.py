@@ -3310,6 +3310,20 @@ GROUP BY 1, 2
 """
 
 
+SQL_DEDUP_PROVENANCE_NEAR = f"""
+WITH mh AS ({SQL_DEDUP_MINHASH_MD5}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+       CAST(SUM(CAST(round(mh.jaccard_r * 1000000) AS BIGINT))
+            AS BIGINT) AS jaccard_ppm_sum
+FROM mh JOIN src sa ON sa.doc_id = mh.doc_a
+        JOIN src sb ON sb.doc_id = mh.doc_b
+GROUP BY 1, 2
+"""
+
+
 SQL_DEDUP_PROVENANCE = r"""
 WITH ws AS (
   SELECT doc_id, source,
@@ -3615,6 +3629,7 @@ ORACLES: dict[str, str] = {
     # same window/stride/hot-passage-cap contract as the
     # dedup-passage twins above
     "dedup-provenance": SQL_DEDUP_PROVENANCE,
+    "dedup-provenance-near": SQL_DEDUP_PROVENANCE_NEAR,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

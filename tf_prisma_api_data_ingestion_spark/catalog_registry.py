@@ -2428,6 +2428,19 @@ def q_dedup_provenance(spark, sf_dir):
     return passage_provenance(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_provenance_near(spark, sf_dir):
+    """NEAR-duplicate provenance matrix
+    (operators/dedup.near_dup_provenance): the dedup-provenance
+    sibling at MinHash granularity — verified near-dup doc pairs
+    (dedup-minhash-md5's full oracle-replayed pipeline) rolled up per
+    unordered source pair, with the Jaccard evidence summed in
+    exact-integer ppm so the differential stays float-free. Exact
+    passages catch verbatim reuse; this catches paraphrase-level
+    near-copies."""
+    from .operators.dedup import near_dup_provenance
+    return near_dup_provenance(_t(spark, sf_dir, "documents"))
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2884,6 +2897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bpe-batch-elect": q_op_bpe_batch_elect,
     # r12: cross-source passage-duplication provenance matrix
     "dedup-provenance": q_dedup_provenance,
+    # r12: near-duplicate (MinHash) provenance matrix
+    "dedup-provenance-near": q_dedup_provenance_near,
 }
 
 
@@ -2899,8 +2914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r12 executes the r11 VERDICT's #1 item exactly: the round's one
-# new key first (new-keys-first), then the 9 keys whose plans were
+# r12 executes the r11 VERDICT's #1 item exactly: the round's two
+# new keys first (new-keys-first), then the 9 keys whose plans were
 # replaced in r11 with only old-plan driver rows (encoder
 # tokenize-once checkpoints, datasheet single-scan fold, token-meter
 # NULL-coalesce, the bucket-tree probe under the three exact-rank
@@ -2910,17 +2925,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # stream-token-meter also changed — arrow default + line-terminator
 # kernel fix — and is already among the 9). Then the 13 r6-tier keys
 # rotation deferred from r11 (the 11 TPC-H + op-skyline +
-# op-benford), then the 25 alphabetically-first r7-tier keys. After
-# this round no key's newest driver row is older than r7; the 25
-# remaining r7 keys (op-pandas-udaf, op-percentiles ..
-# text-token-count) lead r13's stale tier.
+# op-benford), then the 24 alphabetically-first r7-tier keys. After
+# this round no key's newest driver row is older than r7; the 26
+# remaining r7 keys (op-map-functions, op-pandas-udaf,
+# op-percentiles .. text-token-count) lead r13's stale tier.
 #
-# Rotation arithmetic: 263 gated keys / 50 slots = 5.26 rounds per
+# Rotation arithmetic: 264 gated keys / 50 slots = 5.28 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r12 adds 1).
+# new-key growth stays within ~10 slots per 5 rounds (r12 adds 2).
 _R12_WINDOW = [
-    # new this round: cross-source passage-duplication provenance
+    # new this round: cross-source duplication provenance at both
+    # granularities (exact passages; MinHash near-dups)
     "dedup-provenance",
+    "dedup-provenance-near",
     # replaced-plan keys from r11 (no driver row for their CURRENT
     # plans until this round)
     "op-bpe-encode",
@@ -2950,7 +2967,7 @@ _R12_WINDOW = [
     "tpch-q20",
     "tpch-q21",
     "tpch-q22",
-    # 25 of the 50 r7-tier keys, alphabetical
+    # 24 of the 50 r7-tier keys, alphabetical
     "dedup-clusters",
     "dedup-clusters-star",
     "dedup-embedding",
@@ -2975,7 +2992,6 @@ _R12_WINDOW = [
     "op-intersect",
     "op-json-flatten",
     "op-lit-cols",
-    "op-map-functions",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {

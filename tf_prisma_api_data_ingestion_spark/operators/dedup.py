@@ -1147,3 +1147,47 @@ def passage_provenance(df: DataFrame, text_col: str = "text",
              .agg(F.count(F.lit(1)).cast("long")
                    .alias("n_shared_passages"),
                   F.sum(pair_cnt).cast("long").alias("dup_doc_pairs")))
+
+
+def near_dup_provenance(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        source_col: str = "source", n: int = 3,
+                        num_hashes: int = 64, bands: int | str = "auto",
+                        threshold: float = 0.2) -> DataFrame:
+    """NEAR-duplicate provenance matrix: ``passage_provenance``'s
+    sibling at MinHash granularity — for every unordered source pair,
+    how many verified near-duplicate document pairs
+    (``minhash_lsh_pairs_md5``: banded LSH candidates, exact-Jaccard
+    verified at ``threshold``) connect the two sources, plus the sum
+    of their Jaccards in exact-integer ppm (mean similarity is
+    jaccard_ppm_sum / dup_pairs, derivable without float aggregation
+    — per-pair ppm values are integers derived from the 4-decimal
+    rounded Jaccard both engines agree on bit-for-bit, so the SUM
+    stays differential-exact where a float mean would be
+    summation-order-dependent). Exact passage sharing catches
+    verbatim reuse; this catches paraphrase-level and
+    boilerplate-heavy near-copies the passage matrix misses.
+
+    Scale shape: inherits the LSH pipeline's (bucketed band
+    self-join, never all-pairs); the rollup joins the (small,
+    dup-pair-sized) verified pairs frame against the (doc_id, source)
+    projection twice and aggregates to a |sources|^2-bounded matrix.
+
+    Returns (source_a, source_b, dup_pairs, jaccard_ppm_sum),
+    source_a <= source_b in string order.
+    """
+    pairs = minhash_lsh_pairs_md5(df, text_col, id_col, n=n,
+                                  num_hashes=num_hashes, bands=bands,
+                                  threshold=threshold)
+    a = df.select(F.col(id_col).alias("doc_a"),
+                  F.col(source_col).alias("_sa"))
+    b = df.select(F.col(id_col).alias("doc_b"),
+                  F.col(source_col).alias("_sb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    return (j.select(F.least("_sa", "_sb").alias("source_a"),
+                     F.greatest("_sa", "_sb").alias("source_b"),
+                     F.round(F.col("jaccard_r") * 1_000_000)
+                      .cast("long").alias("_ppm"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+                  F.sum("_ppm").cast("long").alias("jaccard_ppm_sum")))
