@@ -81,7 +81,12 @@ class TestTokenMeterLineTerminators:
         assert got_f == got_a
         # and the fold semantics are the intended ones: 'ta<U+2028>b'
         # metering exactly like 'tab' (t a b -> ta b -> tab + </w> = 2)
-        one = df.limit(1).select(token_meter_projection(
+        # limit(1) does not guarantee WHICH row survives (r12 ADVICE:
+        # the old form leaned on incidental single-partition ordering)
+        # — build the U+2028 document as its own one-row frame
+        one = spark.createDataFrame(
+            [("ta b plain",)], "text string"
+        ).select(token_meter_projection(
             F.col("text"), merges, engine="fold").alias("m")).head()["m"]
         assert (one["n_words"], one["n_pieces"]) == (2, 2 + 6)
 

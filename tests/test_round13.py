@@ -1,0 +1,121 @@
+"""Round-13 regressions: the oracle half of the line-terminator seam
+(r12 ADVICE), the passage_provenance single-tokenize plan, and the
+tokenizer artifact round-trip."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------- oracle '.'-seam, 3-way
+#
+# r11 closed the ENGINE half of the line-terminator seam (the Arrow
+# kernel matches the fold's Java '.' semantics via java_dot_chars);
+# r12 ADVICE observed the ORACLE half was still open: DuckDB's RE2
+# '.' excludes only \n, so on a word containing U+0085/U+2028/U+2029
+# both Spark engines would diverge from a bare-'.' oracle TOGETHER.
+# catalog_oracles2._RE2_JAVA_DOT now pins the oracle to Java
+# semantics; this corpus makes the seam load-bearing (the gate corpus
+# has no such words).
+
+_SEAM_ROWS = [
+    # U+2028 inside a word: Java '.' drops it, so 'ta b' must
+    # segment exactly like 'tab' in every engine AND the oracle
+    (1, "ta b plain"),
+    # U+0085 and U+2029 inside words; plus a plain twin of doc 1
+    (2, "xy ta b"),
+    (3, "tab plain"),
+    # leading/trailing terminators and an empty-after-split doc
+    (4, " ta b"),
+]
+_SEAM_MERGES = [("t", "a"), ("ta", "b")]
+
+
+class TestBpeOracleLineTerminatorSeam:
+    def _oracle(self):
+        from tf_prisma_api_data_ingestion_spark.catalog_oracles2 import (
+            _sql_op_bpe_encode)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{t.replace(chr(39), chr(39) * 2)}')"
+                for i, t in _SEAM_ROWS)
+            + ") AS t(doc_id, text)")
+        rows = con.execute(_sql_op_bpe_encode(_SEAM_MERGES)).fetchall()
+        return sorted(tuple(r) for r in rows)
+
+    def _spark(self, spark, engine):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode)
+        df = spark.createDataFrame(_SEAM_ROWS, "doc_id long, text string")
+        return sorted(
+            tuple(r) for r in bpe_encode(
+                df, _SEAM_MERGES, engine=engine).collect())
+
+    def test_three_way_identity_on_line_terminator_words(self, spark):
+        oracle = self._oracle()
+        fold = self._spark(spark, "fold")
+        arrow = self._spark(spark, "arrow")
+        assert fold == arrow
+        assert fold == oracle
+
+    def test_u2028_word_meters_like_its_plain_twin(self, spark):
+        # doc 1 ('ta<U+2028>b plain') and doc 3 ('tab plain') must be
+        # indistinguishable to the encoder: t a b -> ta b -> tab,
+        # i.e. 2 words, (1 + 2) + </w>-counted pieces identical
+        fold = {r[0]: r[1:] for r in (
+            tuple(x) for x in self._spark(spark, "fold"))}
+        assert fold[1] == fold[3]
+
+    def test_oracle_class_is_java_dot(self):
+        # the RE2 class must exclude exactly Java '.'-refused chars
+        from tf_prisma_api_data_ingestion_spark.catalog_oracles2 import (
+            _RE2_JAVA_DOT)
+        con = duckdb.connect()
+        got = con.execute(
+            "SELECT regexp_extract_all('a' || chr(10) || chr(13) || "
+            "chr(133) || chr(8232) || chr(8233) || 'b', "
+            f"'{_RE2_JAVA_DOT}')").fetchone()[0]
+        assert got == ["a", "b"]
+
+
+# ------------------------------------- provenance single-tokenize plan
+
+class TestPassageProvenancePlan:
+    def test_single_tokenize_in_executed_plan(self, spark):
+        # r12 VERDICT: the old pre-filter re-evaluated tokens() over
+        # the whole corpus (Filter and Project don't share
+        # subexpressions across nodes). The executed plan must now
+        # carry exactly ONE regexp split of the text column on the
+        # corpus-sized stage.
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance)
+        df = spark.createDataFrame(
+            [(1, "srcA", "a b c d e f"), (2, "srcB", "a b c d x y"),
+             (3, "srcA", "a b c d e f"), (4, "srcB", "q")],
+            "doc_id long, source string, text string")
+        out = passage_provenance(df, window=4, stride=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the tokenize appears once (inside passage_hashes' Generate);
+        # the dropped Filter twin would add a second occurrence
+        assert plan.count("split(") <= 1, plan
+
+    def test_matrix_unchanged_without_prefilter(self, spark):
+        # same hand case as test_round12's TestPassageProvenance plus
+        # a short doc that the internal guard must drop
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance)
+        df = spark.createDataFrame(
+            [(1, "srcA", "a b c d e f"), (2, "srcB", "a b c d x y"),
+             (3, "srcA", "a b c d e f"), (4, "srcB", "q")],
+            "doc_id long, source string, text string")
+        got = {(r["source_a"], r["source_b"]):
+               (r["n_shared_passages"], r["dup_doc_pairs"])
+               for r in passage_provenance(
+                   df, window=4, stride=2).collect()}
+        assert got == {("srcA", "srcA"): (2, 2),
+                       ("srcA", "srcB"): (1, 2)}

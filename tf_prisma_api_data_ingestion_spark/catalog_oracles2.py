@@ -2406,10 +2406,20 @@ e{k} AS (SELECT {_sql_sq(left)} AS l, {_sql_sq(right)} AS r),\
 {_sql_bpe_apply_body(k)}"""
 
 
-_SQL_BPE_V0 = """
+# RE2 twin of Java's regex '.' (no DOTALL): Java's dot refuses all
+# FIVE line terminators, while RE2's bare '.' excludes only \n — so on
+# a word containing U+0085/U+2028/U+2029 (not ASCII whitespace; they
+# survive tokens() inside words) both Spark engines would diverge from
+# a bare-'.' oracle TOGETHER (r12 ADVICE: the engine-vs-oracle half of
+# the line-terminator seam). The explicit class pins the oracle to the
+# Java semantics the engines share (tokenizer_arrow.java_dot_chars).
+_RE2_JAVA_DOT = r"[^\n\r\x{0085}\x{2028}\x{2029}]"
+
+_SQL_BPE_V0 = f"""
 v0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+         list_append(regexp_extract_all(word, '{_RE2_JAVA_DOT}'),
+                     '</w>') AS syms
   FROM (SELECT unnest(t) AS word FROM t)
   GROUP BY word)"""
 
@@ -2495,7 +2505,8 @@ wcc AS MATERIALIZED (
   GROUP BY 1, 2),
 v0 AS MATERIALIZED (
   SELECT word, CAST(1 AS BIGINT) AS freq,
-         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+         list_append(regexp_extract_all(word, '{_RE2_JAVA_DOT}'),
+                     '</w>') AS syms
   FROM (SELECT DISTINCT word FROM wcc)),{rounds},
 seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM v{R})
 SELECT w.doc_id,

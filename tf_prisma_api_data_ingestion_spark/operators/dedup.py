@@ -1114,12 +1114,16 @@ def passage_provenance(df: DataFrame, text_col: str = "text",
 
     Returns (source_a, source_b, n_shared_passages, dup_doc_pairs).
     """
-    from .text import passage_hashes, tokens
+    from .text import passage_hashes
 
-    d2 = df.filter(F.size(tokens(F.col(text_col))) >= window)
+    # No short-doc pre-filter here: passage_hashes guards short docs
+    # internally (text.py — the guard is part of the operator's
+    # contract) and explode drops their empty arrays; a Filter twin
+    # would tokenize the whole corpus a second time (Filter and
+    # Project don't share subexpressions across nodes).
     did, h = passage_hashes(F.col(id_col), F.col(text_col),
                             window=window, stride=stride)
-    wins = d2.select(did.alias("_id"), F.col(source_col).alias("_src"),
+    wins = df.select(did.alias("_id"), F.col(source_col).alias("_src"),
                      h.alias("_h")).distinct()
     keep = (wins.groupBy("_h")
                 .agg(F.countDistinct("_id").alias("_ndall"))
