@@ -119,3 +119,84 @@ class TestPassageProvenancePlan:
                    df, window=4, stride=2).collect()}
         assert got == {("srcA", "srcA"): (2, 2),
                        ("srcA", "srcB"): (1, 2)}
+
+
+# ------------------------------------- incremental provenance (r13)
+
+class TestPassageProvenanceIncremental:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "srcX", "a b c d e f"), (2, "srcY", "a b c d x y"),
+             (3, "srcX", "a b c d e f")],
+            "doc_id long, source string, text string")
+        batch = spark.createDataFrame(
+            [(11, "srcA", "a b c d q r"), (12, "srcB", "c d e f s t"),
+             (13, "srcB", "q")],
+            "doc_id long, source string, text string")
+        return batch, corpus
+
+    def _run(self, spark, **kw):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance_incremental)
+        batch, corpus = self._frames(spark)
+        return {(r["batch_source"], r["corpus_source"]):
+                (r["n_shared_passages"], r["dup_doc_pairs"])
+                for r in passage_provenance_incremental(
+                    batch, corpus, window=4, stride=2, **kw).collect()}
+
+    def test_hand_case_matrix(self, spark):
+        # [a b c d] hits batch{11:srcA} x corpus{1,3:srcX; 2:srcY};
+        # [c d e f] hits batch{12:srcB} x corpus{1,3:srcX};
+        # doc 13 is shorter than the window (internal guard drops it)
+        assert self._run(spark) == {("srcA", "srcX"): (1, 2),
+                                    ("srcA", "srcY"): (1, 1),
+                                    ("srcB", "srcX"): (1, 2)}
+
+    def test_hot_passage_cap_is_corpus_side(self, spark):
+        # cap=2: [a b c d] has 3 distinct CORPUS docs -> dropped;
+        # [c d e f] has 2 -> kept
+        assert self._run(spark, max_docs_per_hash=2) == {
+            ("srcB", "srcX"): (1, 2)}
+
+    def test_empty_batch_and_empty_corpus(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance_incremental)
+        batch, corpus = self._frames(spark)
+        empty = batch.limit(0)
+        assert passage_provenance_incremental(
+            empty, corpus, window=4, stride=2).count() == 0
+        assert passage_provenance_incremental(
+            batch, corpus.limit(0), window=4, stride=2).count() == 0
+
+    def test_no_corpus_self_join_and_batch_side_broadcast(
+            self, spark, monkeypatch):
+        # the checkpoint barrier hides the corpus stage from the final
+        # frame's plan (it executes at materialization, the
+        # dedup-provenance idiom) — disable it to assert the SHAPE:
+        # the corpus hit stream is reduced by a broadcast LeftSemi
+        # against the batch-hash set before any aggregation, and no
+        # frame self-joins
+        # pyspark 4 splits classic/connect: the runtime object is the
+        # classic subclass, whose OWN localCheckpoint shadows the base
+        try:
+            from pyspark.sql.classic.dataframe import (
+                DataFrame as SparkDF)
+        except ImportError:  # pragma: no cover - pyspark < 4
+            from pyspark.sql import DataFrame as SparkDF
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance_incremental)
+        monkeypatch.setattr(SparkDF, "localCheckpoint",
+                            lambda self, eager=True: self)
+        batch, corpus = self._frames(spark)
+        out = passage_provenance_incremental(batch, corpus,
+                                             window=4, stride=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        # values identical with the barrier disabled
+        got = {(r["batch_source"], r["corpus_source"]):
+               (r["n_shared_passages"], r["dup_doc_pairs"])
+               for r in out.collect()}
+        assert got == {("srcA", "srcX"): (1, 2),
+                       ("srcA", "srcY"): (1, 1),
+                       ("srcB", "srcX"): (1, 2)}

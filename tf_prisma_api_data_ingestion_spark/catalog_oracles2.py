@@ -3365,6 +3365,46 @@ GROUP BY 1, 2
 """
 
 
+# Twin of dedup.passage_provenance_incremental with the catalog's
+# batch split (doc_id % 10 = 0 plays the landing batch, the rest the
+# accepted corpus — the dedup-incremental split). The hot-passage cap
+# is over CORPUS distinct docs per hash only (the stable corpus-scale
+# statistic); sides are disjoint so the matrix is ORDERED
+# (batch_source, corpus_source) with plain nd_b * nd_c products.
+SQL_DEDUP_PROVENANCE_INCR = r"""
+WITH ws AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, len(ws) - 15, 8)) AS t(i)
+  WHERE len(ws) >= 16),
+bw AS (SELECT * FROM wins WHERE doc_id % 10 = 0),
+cw AS (SELECT w.* FROM wins w
+       WHERE w.doc_id % 10 <> 0
+         AND EXISTS (SELECT 1 FROM bw WHERE bw.h = w.h)),
+ckeep AS (
+  SELECT h FROM cw GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) <= 32),
+cg AS (
+  SELECT w.h, w.source,
+         CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS nd
+  FROM cw w JOIN ckeep USING (h)
+  GROUP BY 1, 2),
+bg AS (
+  SELECT h, source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM bw GROUP BY 1, 2)
+SELECT b.source AS batch_source, c.source AS corpus_source,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_passages,
+       CAST(SUM(b.nd * c.nd) AS BIGINT) AS dup_doc_pairs
+FROM bg b JOIN cg c ON b.h = c.h
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3641,6 +3681,8 @@ ORACLES: dict[str, str] = {
     # dedup-passage twins above
     "dedup-provenance": SQL_DEDUP_PROVENANCE,
     "dedup-provenance-near": SQL_DEDUP_PROVENANCE_NEAR,
+    # r13: the daily-ingest shape — landing batch vs accepted corpus
+    "dedup-provenance-incremental": SQL_DEDUP_PROVENANCE_INCR,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

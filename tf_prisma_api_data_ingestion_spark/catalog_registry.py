@@ -2441,6 +2441,24 @@ def q_dedup_provenance_near(spark, sf_dir):
     return near_dup_provenance(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_provenance_incremental(spark, sf_dir):
+    """Incremental provenance (operators/dedup.
+    passage_provenance_incremental): the daily-ingest shape —
+    documents with doc_id % 10 == 0 play the landing batch, the rest
+    the accepted corpus (the dedup-incremental split), rolled up to
+    the ORDERED (batch_source, corpus_source) duplication matrix.
+    Batch-sized work: the corpus's passage-hash stream is semi-joined
+    to the broadcast batch-hash set BEFORE any aggregation, and the
+    corpus never self-joins. Hot-passage cap over corpus distinct
+    docs per hash, mirroring incremental_jaccard_pairs' index-side
+    max_df."""
+    from .operators.dedup import passage_provenance_incremental
+    d = _t(spark, sf_dir, "documents")
+    return passage_provenance_incremental(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0))
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2899,6 +2917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-provenance": q_dedup_provenance,
     # r12: near-duplicate (MinHash) provenance matrix
     "dedup-provenance-near": q_dedup_provenance_near,
+    # r13: incremental (landing-batch vs corpus) provenance matrix
+    "dedup-provenance-incremental": q_dedup_provenance_incremental,
 }
 
 

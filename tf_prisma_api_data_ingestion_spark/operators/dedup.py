@@ -1195,3 +1195,88 @@ def near_dup_provenance(df: DataFrame, text_col: str = "text",
              .groupBy("source_a", "source_b")
              .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
                   F.sum("_ppm").cast("long").alias("jaccard_ppm_sum")))
+
+
+def passage_provenance_incremental(batch_df: DataFrame,
+                                   corpus_df: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   source_col: str = "source",
+                                   window: int = 16, stride: int = 8,
+                                   max_docs_per_hash: int = 32,
+                                   broadcast_batch: bool = True
+                                   ) -> DataFrame:
+    """Incremental provenance: ``passage_provenance`` in the
+    daily-ingest shape — a LANDING BATCH checked against the accepted
+    corpus, rolled up to the same source x source duplication matrix,
+    with batch-sized (never corpus-sized) join work and NO corpus
+    self-join. Answers "which existing source does this incoming
+    batch copy from" before the batch is accepted — the per-ingest
+    twin of the full matrix, the way ``incremental_jaccard_pairs`` is
+    the per-ingest twin of the all-pairs Jaccard.
+
+    Scale shape: the corpus contributes ONE linear passage-hash pass
+    (at 100 TB that inventory is a persisted table maintained across
+    ingests — rebuilt per call here, the same caveat as
+    ``incremental_jaccard_pairs``); its hit stream is semi-joined down
+    to the batch's distinct hash set BEFORE the per-(hash, source)
+    aggregation, so everything shuffled is bounded by batch hits, not
+    corpus size. With ``broadcast_batch`` the batch-hash set ships as
+    a broadcast (right for ingest-sized batches; flip it off when a
+    "batch" is itself crawl-scale and the semi-join should shuffle).
+    The hot-passage cap is computed over CORPUS distinct docs per
+    hash — the stable corpus-scale statistic, mirroring
+    ``incremental_jaccard_pairs``' index-side ``max_df`` — because
+    boilerplate passages carry no provenance signal and would
+    dominate the count products. Sides are asymmetric, so the matrix
+    is ORDERED (batch_source, corpus_source) and needs no same-source
+    halving: dup_doc_pairs is the plain SUM of nd_batch * nd_corpus
+    products per shared hash (one integer per hash, never a pair
+    explosion), exactly the full matrix's accounting.
+
+    Callers guarantee batch and corpus doc sets are disjoint (the
+    ingest contract). Returns (batch_source, corpus_source,
+    n_shared_passages, dup_doc_pairs).
+    """
+    from .text import passage_hashes
+
+    bdid, bh = passage_hashes(F.col(id_col), F.col(text_col),
+                              window=window, stride=stride)
+    bwins = (fan_out(batch_df)
+             .select(bdid.alias("_id"), F.col(source_col).alias("_src"),
+                     bh.alias("_h"))
+             .distinct()
+             # two consumers (hash set + per-source counts): barrier so
+             # the batch tokenizes once, not once per branch
+             .localCheckpoint(eager=False))
+    cdid, ch = passage_hashes(F.col(id_col), F.col(text_col),
+                              window=window, stride=stride)
+    cwins = (fan_out(corpus_df)
+             .select(cdid.alias("_id"), F.col(source_col).alias("_src"),
+                     ch.alias("_h")).distinct())
+    bhashes = bwins.select("_h").distinct()
+    if broadcast_batch:
+        bhashes = F.broadcast(bhashes)
+    # two consumers (the cap's ndall and the per-source counts) with
+    # different column pruning — without a barrier the CORPUS
+    # tokenizes twice (no exchange reuse across pruned scans); the
+    # checkpointed frame is batch-hit-sized, not corpus-sized
+    hits = (cwins.join(bhashes, "_h", "left_semi")
+                 .localCheckpoint(eager=False))
+    keep = (hits.groupBy("_h")
+                .agg(F.countDistinct("_id").alias("_ndall"))
+                .filter(F.col("_ndall") <= max_docs_per_hash)
+                .select("_h"))
+    cg = (hits.join(keep, "_h")
+              .groupBy("_h", "_src")
+              .agg(F.countDistinct("_id").cast("long").alias("_ndc")))
+    bg = (bwins.groupBy("_h", "_src")
+               .agg(F.countDistinct("_id").cast("long").alias("_ndb")))
+    j = (bg.select("_h", F.col("_src").alias("batch_source"), "_ndb")
+           .join(cg.select("_h", F.col("_src").alias("corpus_source"),
+                           "_ndc"), "_h"))
+    return (j.groupBy("batch_source", "corpus_source")
+             .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_shared_passages"),
+                  F.sum(F.col("_ndb") * F.col("_ndc")).cast("long")
+                   .alias("dup_doc_pairs")))
