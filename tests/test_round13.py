@@ -200,3 +200,89 @@ class TestPassageProvenanceIncremental:
         assert got == {("srcA", "srcX"): (1, 2),
                        ("srcA", "srcY"): (1, 1),
                        ("srcB", "srcX"): (1, 2)}
+
+
+# ---------------------------------- tokenizer artifact round-trip (r13)
+
+class TestTokenizerArtifactRoundTrip:
+    _CORPUS = [(1, "the cat sat on the mat"), (2, "the bat sat"),
+               (3, "cats chatter the chat"), (4, "mat bat cat")]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self._CORPUS,
+                                     "doc_id long, text string")
+
+    def test_bpe_merge_table_round_trip(self, spark, tmp_path):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode, bpe_train)
+        from tf_prisma_api_data_ingestion_spark.operators.tokenizer_io \
+            import load_bpe_merges, save_bpe_merges
+        docs = self._docs(spark)
+        trained = bpe_train(docs, n_merges=4)
+        in_session = [(r["left_sym"], r["right_sym"])
+                      for r in trained.orderBy("merge_rank").collect()]
+        path = str(tmp_path / "bpe_merges")
+        save_bpe_merges(trained, path)
+        reloaded = load_bpe_merges(spark, path)
+        assert reloaded == in_session
+        # encode over the RELOADED table bit-matches the in-session
+        # encode, on BOTH engines
+        want = sorted(tuple(r) for r in
+                      bpe_encode(docs, in_session).collect())
+        for eng in ("fold", "arrow"):
+            got = sorted(tuple(r) for r in
+                         bpe_encode(docs, reloaded, engine=eng).collect())
+            assert got == want, eng
+
+    def test_unigram_piece_table_round_trip(self, spark, tmp_path):
+        from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+            UNIGRAM_DEMO_PIECES)
+        from tf_prisma_api_data_ingestion_spark.operators.subword import (
+            unigram_em_train, unigram_viterbi)
+        from tf_prisma_api_data_ingestion_spark.operators.tokenizer_io \
+            import load_unigram_pieces, save_unigram_pieces
+        docs = self._docs(spark)
+        trained = unigram_em_train(docs, UNIGRAM_DEMO_PIECES,
+                                   n_rounds=1, max_word_len=12)
+        path = str(tmp_path / "unigram_pieces")
+        save_unigram_pieces(spark, trained, path)
+        reloaded = load_unigram_pieces(spark, path)
+        assert reloaded == [(p, int(s)) for p, s in trained]
+        words = spark.createDataFrame(
+            [("chatter",), ("mat",), ("zzz",)], "word string")
+        want = sorted(
+            (r["word"], tuple(r["pieces"]), r["score_micro"])
+            for r in unigram_viterbi(words, trained,
+                                     max_word_len=12).collect())
+        for eng in ("fold", "arrow"):
+            got = sorted(
+                (r["word"], tuple(r["pieces"]), r["score_micro"])
+                for r in unigram_viterbi(words, reloaded,
+                                         max_word_len=12,
+                                         engine=eng).collect())
+            assert got == want, eng
+
+    def test_wordpiece_vocab_round_trip(self, spark, tmp_path):
+        from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+            WORDPIECE_DEMO_VOCAB)
+        from tf_prisma_api_data_ingestion_spark.operators.subword import (
+            wordpiece_segment)
+        from tf_prisma_api_data_ingestion_spark.operators.tokenizer_io \
+            import load_wordpiece_vocab, save_wordpiece_vocab
+        path = str(tmp_path / "wp_vocab")
+        save_wordpiece_vocab(spark, WORDPIECE_DEMO_VOCAB, path)
+        reloaded = load_wordpiece_vocab(spark, path)
+        assert reloaded == list(WORDPIECE_DEMO_VOCAB)
+        words = spark.createDataFrame(
+            [("chatter",), ("mat",), ("zzz",)], "word string")
+        want = sorted(
+            (r["word"], tuple(r["pieces"]), r["is_unk"])
+            for r in wordpiece_segment(
+                words, WORDPIECE_DEMO_VOCAB, max_word_len=12).collect())
+        for eng in ("fold", "arrow"):
+            got = sorted(
+                (r["word"], tuple(r["pieces"]), r["is_unk"])
+                for r in wordpiece_segment(
+                    words, reloaded, max_word_len=12,
+                    engine=eng).collect())
+            assert got == want, eng
