@@ -2934,88 +2934,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r12 executes the r11 VERDICT's #1 item exactly: the round's two
-# new keys first (new-keys-first), then the 9 keys whose plans were
-# replaced in r11 with only old-plan driver rows (encoder
-# tokenize-once checkpoints, datasheet single-scan fold, token-meter
-# NULL-coalesce, the bucket-tree probe under the three exact-rank
-# consumers), plus the 2 keys whose plans changed THIS round
-# (op-bpe-batch-elect: concatenation-collision guard in the election
-# and its oracle; op-bloom-prefilter: pmod bit positions;
-# stream-token-meter also changed — arrow default + line-terminator
-# kernel fix — and is already among the 9). Then the 13 r6-tier keys
-# rotation deferred from r11 (the 11 TPC-H + op-skyline +
-# op-benford), then the 24 alphabetically-first r7-tier keys. After
-# this round no key's newest driver row is older than r7; the 26
-# remaining r7 keys (op-map-functions, op-pandas-udaf,
-# op-percentiles .. text-token-count) lead r13's stale tier.
+# r13 executes the r12 VERDICT's #1 item: first the 10 keys whose
+# verified pair changed this round — the new key
+# (dedup-provenance-incremental), dedup-provenance (plan change: the
+# redundant pre-tokenize filter dropped), and the 8 BPE-family keys
+# whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
+# (every key embedding _SQL_BPE_V0 or _sql_op_bpe_encode:
+# op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
+# op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
+# plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
+# r7-tier keys, then the 14 alphabetically-first r8-tier keys. After
+# this round no key's newest driver row is older than r8; the 35
+# remaining r8-tier keys (plan-corpus-clean-v2, plan-corpus-mix,
+# plan-curation-report .. text-vocab-coverage, alphabetical) lead
+# r14's stale tier, then the r9 tier.
 #
-# Rotation arithmetic: 264 gated keys / 50 slots = 5.28 rounds per
+# Rotation arithmetic: 265 gated keys / 50 slots = 5.3 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r12 adds 2).
-_R12_WINDOW = [
-    # new this round: cross-source duplication provenance at both
-    # granularities (exact passages; MinHash near-dups)
+# new-key growth stays within ~10 slots per 5 rounds (r13 adds 1).
+_R13_WINDOW = [
+    # verified-pair changed this round (new key first, then the
+    # plan-change, then the 8 oracle-change keys)
+    "dedup-provenance-incremental",
     "dedup-provenance",
-    "dedup-provenance-near",
-    # replaced-plan keys from r11 (no driver row for their CURRENT
-    # plans until this round)
+    "op-bpe-merge-step",
+    "plan-bpe-train",
     "op-bpe-encode",
-    "text-unigram-segment",
-    "text-wordpiece-encode",
-    "op-unigram-estep",
-    "plan-corpus-datasheet",
-    "stream-token-meter",
-    "op-shard-assign",
-    "op-vocab-growth",
-    "op-score-calibration",
-    # plans changed in r12 (ADVICE fixes) — driver rows for the new
-    # plans this same round, closing the two-round contract-debt gap
+    "op-bpe-encode-arrow",
     "op-bpe-batch-elect",
-    "op-bloom-prefilter",
-    # the 13 r6-tier keys rotation deferred from r11
-    "op-benford",
-    "op-skyline",
-    "tpch-q2",
-    "tpch-q8",
-    "tpch-q9",
-    "tpch-q11",
-    "tpch-q12",
-    "tpch-q13",
-    "tpch-q16",
-    "tpch-q19",
-    "tpch-q20",
-    "tpch-q21",
-    "tpch-q22",
-    # 24 of the 50 r7-tier keys, alphabetical
-    "dedup-clusters",
-    "dedup-clusters-star",
-    "dedup-embedding",
-    "dedup-embedding-lsh",
-    "dedup-exact",
-    "dedup-incremental",
-    "dedup-minhash-md5",
-    "dedup-minhash-recall-sampled",
-    "dedup-ngram-jaccard",
-    "dedup-simhash-md5",
-    "dedup-simhash-md5-pairs",
-    "op-ab-srm",
-    "op-apply-in-pandas",
-    "op-array-functions",
-    "op-array-index",
-    "op-cube",
-    "op-distinct",
-    "op-empty-guard",
-    "op-except",
-    "op-foreach-group",
-    "op-grouping-sets",
-    "op-intersect",
-    "op-json-flatten",
-    "op-lit-cols",
+    "stream-token-meter",
+    "plan-corpus-datasheet",
+    "plan-corpus-train",
+    # the 26 remaining r7-tier keys, alphabetical
+    "op-map-functions",
+    "op-pandas-udaf",
+    "op-percentiles",
+    "op-pivot",
+    "op-rollup",
+    "op-sample-hash",
+    "op-semi-anti-join",
+    "op-string-functions",
+    "op-struct-access",
+    "op-udtf-chunk",
+    "op-union-all",
+    "op-unpivot",
+    "op-upper",
+    "op-urlencode",
+    "op-window-rank",
+    "op-window-running-sum",
+    "plan-corpus-report",
+    "sim-bruteforce-topk",
+    "sim-ivf-topk",
+    "sim-lsh-topk",
+    "sink-rollback",
+    "src-url-gen",
+    "text-fingerprint",
+    "text-lang-id",
+    "text-quality",
+    "text-token-count",
+    # 14 of the 49 remaining r8-tier keys, alphabetical
+    "multimodal-decode",
+    "multimodal-frame-sample",
+    "op-bootstrap-ci",
+    "op-cohens-kappa",
+    "op-corr-matrix",
+    "op-k-anonymity",
+    "op-linreg2-group",
+    "op-mrr-retrieval",
+    "op-ndcg-retrieval",
+    "op-rrf-fusion",
+    "op-train-split",
+    "op-wma",
+    "plan-alert-report",
+    "plan-corpus-clean",
 ]
-assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
