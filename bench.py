@@ -117,7 +117,10 @@ HEADLINE = (
 SCALING_SF01 = {
     "tpch-q1": 1.03, "tpch-q3": 0.90, "tpch-q5": 1.48, "tpch-q6": 0.24,
     "pd-groupby": 0.26, "op-groupagg-count": 0.24, "top-k-per-group": 1.00,
-    "asof-join": 0.48, "op-range-join": 0.47, "op-time-rollup": 0.70,
+    # asof-join refreshed r13: canary-healthy (0.44/0.31) min-of-3 read
+    # a stable 0.83-1.02s, consistent with r12's 0.88 — the 0.48 wall
+    # was stale, not host noise (it sat 1.83x from the flag line)
+    "asof-join": 0.83, "op-range-join": 0.47, "op-time-rollup": 0.70,
     "op-gap-fill": 0.52, "op-merge-upsert": 0.37, "dedup-exact": 0.21,
     "dedup-ngram-jaccard": 2.78, "dedup-minhash-lsh": 1.53,
     "dedup-simhash-pairs": 3.25, "dedup-embedding-lsh": 2.11,
