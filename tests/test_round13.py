@@ -286,3 +286,40 @@ class TestTokenizerArtifactRoundTrip:
                     words, reloaded, max_word_len=12,
                     engine=eng).collect())
             assert got == want, eng
+
+
+# ------------------------------ incremental NEAR provenance (r13)
+
+class TestNearDupProvenanceIncremental:
+    def test_hand_case_no_within_side_pairs(self, spark):
+        # b1/b2 are identical batch docs (their pair must NOT appear:
+        # batch never self-joins); c1/c3 are identical corpus docs
+        # (ditto for the index side). Each batch doc vs each of c1/c3:
+        # 7-token texts -> 5 trigrams, 4 shared, union 6 ->
+        # jaccard 0.6667 -> 666700 ppm per pair.
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            near_dup_provenance_incremental)
+        batch = spark.createDataFrame(
+            [(11, "srcA", "the cat sat on the mat today"),
+             (12, "srcB", "the cat sat on the mat today")],
+            "doc_id long, source string, text string")
+        corpus = spark.createDataFrame(
+            [(1, "srcX", "the cat sat on the mat tonight"),
+             (2, "srcY", "completely different text entirely here now"),
+             (3, "srcX", "the cat sat on the mat tonight")],
+            "doc_id long, source string, text string")
+        got = {(r["batch_source"], r["corpus_source"]):
+               (r["dup_pairs"], r["jaccard_ppm_sum"])
+               for r in near_dup_provenance_incremental(
+                   batch, corpus, n=3, threshold=0.2).collect()}
+        assert got == {("srcA", "srcX"): (2, 1333400),
+                       ("srcB", "srcX"): (2, 1333400)}
+
+    def test_empty_batch(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            near_dup_provenance_incremental)
+        corpus = spark.createDataFrame(
+            [(1, "srcX", "the cat sat on the mat tonight")],
+            "doc_id long, source string, text string")
+        assert near_dup_provenance_incremental(
+            corpus.limit(0), corpus).count() == 0

@@ -3405,6 +3405,25 @@ GROUP BY 1, 2
 """
 
 
+def _sql_dedup_provenance_incr_near() -> str:
+    """Twin of dedup.near_dup_provenance_incremental: the
+    dedup-incremental oracle's exact-Jaccard batch-vs-index pairs
+    (same doc_id % 10 split, threshold 0.2) rolled up per ordered
+    source pair, Jaccard summed in exact-integer ppm (the
+    dedup-provenance-near accounting)."""
+    from .catalog_oracles import SQL_DEDUP_INCREMENTAL
+    return f"""
+WITH p AS MATERIALIZED ({SQL_DEDUP_INCREMENTAL})
+SELECT ba.source AS batch_source, ca.source AS corpus_source,
+       CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+       CAST(SUM(CAST(round(p.jaccard_r * 1000000) AS BIGINT))
+            AS BIGINT) AS jaccard_ppm_sum
+FROM p JOIN documents ba ON ba.doc_id = p.new_id
+       JOIN documents ca ON ca.doc_id = p.index_id
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
     "plan-feature-store": SQL_PLAN_FEATURE_STORE,
     "plan-rag-context": SQL_PLAN_RAG_CONTEXT,
@@ -3683,6 +3702,7 @@ ORACLES: dict[str, str] = {
     "dedup-provenance-near": SQL_DEDUP_PROVENANCE_NEAR,
     # r13: the daily-ingest shape — landing batch vs accepted corpus
     "dedup-provenance-incremental": SQL_DEDUP_PROVENANCE_INCR,
+    "dedup-provenance-incr-near": _sql_dedup_provenance_incr_near(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2459,6 +2459,22 @@ def q_dedup_provenance_incremental(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 != 0))
 
 
+def q_dedup_provenance_incr_near(spark, sf_dir):
+    """Incremental NEAR-dup provenance (operators/dedup.
+    near_dup_provenance_incremental): the MinHash-granularity sibling
+    of dedup-provenance-incremental, completing the provenance
+    family's full/incremental x exact/near matrix — which existing
+    source the landing batch paraphrases. dedup-incremental's
+    batch-vs-index exact-Jaccard pairs (same doc_id % 10 split)
+    rolled up per ordered source pair with exact-integer-ppm Jaccard
+    evidence (dedup-provenance-near's float-free accounting)."""
+    from .operators.dedup import near_dup_provenance_incremental
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_provenance_incremental(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0))
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2917,8 +2933,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-provenance": q_dedup_provenance,
     # r12: near-duplicate (MinHash) provenance matrix
     "dedup-provenance-near": q_dedup_provenance_near,
-    # r13: incremental (landing-batch vs corpus) provenance matrix
+    # r13: incremental (landing-batch vs corpus) provenance matrix,
+    # exact-passage and MinHash-near granularities
     "dedup-provenance-incremental": q_dedup_provenance_incremental,
+    "dedup-provenance-incr-near": q_dedup_provenance_incr_near,
 }
 
 
@@ -2934,28 +2952,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r13 executes the r12 VERDICT's #1 item: first the 10 keys whose
-# verified pair changed this round — the new key
-# (dedup-provenance-incremental), dedup-provenance (plan change: the
+# r13 executes the r12 VERDICT's #1 item: first the 11 keys whose
+# verified pair changed this round — the two new keys
+# (dedup-provenance-incremental, dedup-provenance-incr-near),
+# dedup-provenance (plan change: the
 # redundant pre-tokenize filter dropped), and the 8 BPE-family keys
 # whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
 # (every key embedding _SQL_BPE_V0 or _sql_op_bpe_encode:
 # op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
 # op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
 # plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
-# r7-tier keys, then the 14 alphabetically-first r8-tier keys. After
-# this round no key's newest driver row is older than r8; the 35
-# remaining r8-tier keys (plan-corpus-clean-v2, plan-corpus-mix,
-# plan-curation-report .. text-vocab-coverage, alphabetical) lead
-# r14's stale tier, then the r9 tier.
+# r7-tier keys, then the 13 alphabetically-first r8-tier keys. After
+# this round no key's newest driver row is older than r8; the 36
+# remaining r8-tier keys (plan-corpus-clean, plan-corpus-clean-v2,
+# plan-corpus-mix .. text-vocab-coverage, alphabetical) lead r14's
+# stale tier, then the r9 tier.
 #
-# Rotation arithmetic: 265 gated keys / 50 slots = 5.3 rounds per
+# Rotation arithmetic: 266 gated keys / 50 slots = 5.3 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r13 adds 1).
+# new-key growth stays within ~10 slots per 5 rounds (r13 adds 2).
 _R13_WINDOW = [
-    # verified-pair changed this round (new key first, then the
+    # verified-pair changed this round (new keys first, then the
     # plan-change, then the 8 oracle-change keys)
     "dedup-provenance-incremental",
+    "dedup-provenance-incr-near",
     "dedup-provenance",
     "op-bpe-merge-step",
     "plan-bpe-train",
@@ -2992,7 +3012,7 @@ _R13_WINDOW = [
     "text-lang-id",
     "text-quality",
     "text-token-count",
-    # 14 of the 49 remaining r8-tier keys, alphabetical
+    # 13 of the 49 remaining r8-tier keys, alphabetical
     "multimodal-decode",
     "multimodal-frame-sample",
     "op-bootstrap-ci",
@@ -3006,7 +3026,6 @@ _R13_WINDOW = [
     "op-train-split",
     "op-wma",
     "plan-alert-report",
-    "plan-corpus-clean",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {

@@ -1280,3 +1280,47 @@ def passage_provenance_incremental(batch_df: DataFrame,
                    .alias("n_shared_passages"),
                   F.sum(F.col("_ndb") * F.col("_ndc")).cast("long")
                    .alias("dup_doc_pairs")))
+
+
+def near_dup_provenance_incremental(batch_df: DataFrame,
+                                    corpus_df: DataFrame,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    source_col: str = "source",
+                                    n: int = 3, threshold: float = 0.2,
+                                    max_df: int | None = 1000
+                                    ) -> DataFrame:
+    """Incremental NEAR-duplicate provenance: the MinHash-granularity
+    sibling of ``passage_provenance_incremental``, completing the
+    provenance family's 2x2 (full/incremental x exact/near) — which
+    existing source is this landing batch a PARAPHRASE-level copy of.
+    Rides ``incremental_jaccard_pairs`` (batch-vs-index inverted
+    postings, the index never self-joins, index-side df cap), then
+    rolls the batch-pair-sized verified frame up to the ORDERED
+    (batch_source, corpus_source) matrix with the Jaccard evidence
+    summed in exact-integer ppm (``near_dup_provenance``'s
+    float-free accounting: per-pair ppm derives from the 4-decimal
+    round both engines agree on bit-for-bit).
+
+    Scale shape: cost is the incremental pair pipeline's (O(|batch| x
+    avg postings)); the rollup joins the verified-pairs frame against
+    the two (doc_id, source) projections — the batch projection is
+    batch-sized, the corpus projection joins only where a pair hit it
+    — and aggregates to a |sources|^2-bounded matrix.
+
+    Returns (batch_source, corpus_source, dup_pairs,
+    jaccard_ppm_sum)."""
+    pairs = incremental_jaccard_pairs(batch_df, corpus_df, text_col,
+                                      id_col, n=n, threshold=threshold,
+                                      max_df=max_df)
+    a = batch_df.select(F.col(id_col).alias("new_id"),
+                        F.col(source_col).alias("batch_source"))
+    b = corpus_df.select(F.col(id_col).alias("index_id"),
+                         F.col(source_col).alias("corpus_source"))
+    j = pairs.join(a, "new_id").join(b, "index_id")
+    return (j.select("batch_source", "corpus_source",
+                     F.round(F.col("jaccard_r") * 1_000_000)
+                      .cast("long").alias("_ppm"))
+             .groupBy("batch_source", "corpus_source")
+             .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+                  F.sum("_ppm").cast("long").alias("jaccard_ppm_sum")))
