@@ -323,3 +323,30 @@ class TestNearDupProvenanceIncremental:
             "doc_id long, source string, text string")
         assert near_dup_provenance_incremental(
             corpus.limit(0), corpus).count() == 0
+
+
+# --------------------------------- composed provenance report (r13)
+
+class TestProvenanceReport:
+    def test_composition_matches_parents_with_zero_fill(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            near_dup_provenance, passage_provenance, provenance_report)
+        from tf_prisma_api_data_ingestion_spark import tables
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+        exact = {(r["source_a"], r["source_b"]):
+                 (r["n_shared_passages"], r["dup_doc_pairs"])
+                 for r in passage_provenance(docs).collect()}
+        near = {(r["source_a"], r["source_b"]):
+                (r["dup_pairs"], r["jaccard_ppm_sum"])
+                for r in near_dup_provenance(docs).collect()}
+        got = {(r["source_a"], r["source_b"]):
+               (r["n_shared_passages"], r["dup_doc_pairs"],
+                r["near_dup_pairs"], r["jaccard_ppm_sum"])
+               for r in provenance_report(docs).collect()}
+        assert set(got) == set(exact) | set(near)
+        for k, (nsp, ddp, ndp, ppm) in got.items():
+            assert (nsp, ddp) == exact.get(k, (0, 0)), k
+            assert (ndp, ppm) == near.get(k, (0, 0)), k
+        # the composition is non-trivial on the gate corpus: at least
+        # one cell exists in only one granularity (zero-fill is live)
+        assert set(exact) != set(near)

@@ -3405,6 +3405,26 @@ GROUP BY 1, 2
 """
 
 
+def _sql_plan_provenance_report() -> str:
+    """Twin of dedup.provenance_report: the two provenance matrices'
+    oracles verbatim, full-outer-joined per unordered source pair
+    with zero-filled counts."""
+    return f"""
+WITH e AS MATERIALIZED ({SQL_DEDUP_PROVENANCE}),
+n AS MATERIALIZED ({SQL_DEDUP_PROVENANCE_NEAR})
+SELECT COALESCE(e.source_a, n.source_a) AS source_a,
+       COALESCE(e.source_b, n.source_b) AS source_b,
+       CAST(COALESCE(e.n_shared_passages, 0) AS BIGINT)
+         AS n_shared_passages,
+       CAST(COALESCE(e.dup_doc_pairs, 0) AS BIGINT) AS dup_doc_pairs,
+       CAST(COALESCE(n.dup_pairs, 0) AS BIGINT) AS near_dup_pairs,
+       CAST(COALESCE(n.jaccard_ppm_sum, 0) AS BIGINT)
+         AS jaccard_ppm_sum
+FROM e FULL OUTER JOIN n
+  ON e.source_a = n.source_a AND e.source_b = n.source_b
+"""
+
+
 def _sql_dedup_provenance_incr_near() -> str:
     """Twin of dedup.near_dup_provenance_incremental: the
     dedup-incremental oracle's exact-Jaccard batch-vs-index pairs
@@ -3703,6 +3723,7 @@ ORACLES: dict[str, str] = {
     # r13: the daily-ingest shape — landing batch vs accepted corpus
     "dedup-provenance-incremental": SQL_DEDUP_PROVENANCE_INCR,
     "dedup-provenance-incr-near": _sql_dedup_provenance_incr_near(),
+    "plan-provenance-report": _sql_plan_provenance_report(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2475,6 +2475,18 @@ def q_dedup_provenance_incr_near(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 != 0))
 
 
+def q_plan_provenance_report(spark, sf_dir):
+    """Cross-source duplication report (operators/dedup.
+    provenance_report): the exact-passage and MinHash-near provenance
+    matrices full-outer-joined per unordered source pair with
+    zero-filled counts — the duplication section of a multi-crawl
+    datasheet, answering verbatim-reuse and paraphrase-reuse in one
+    table. Composes two independently oracle-verified matrices; the
+    join is |sources|^2-bounded."""
+    from .operators.dedup import provenance_report
+    return provenance_report(_t(spark, sf_dir, "documents"))
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2937,6 +2949,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-passage and MinHash-near granularities
     "dedup-provenance-incremental": q_dedup_provenance_incremental,
     "dedup-provenance-incr-near": q_dedup_provenance_incr_near,
+    # r13: the composed cross-granularity duplication report
+    "plan-provenance-report": q_plan_provenance_report,
 }
 
 
@@ -2952,9 +2966,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r13 executes the r12 VERDICT's #1 item: first the 11 keys whose
-# verified pair changed this round — the two new keys
-# (dedup-provenance-incremental, dedup-provenance-incr-near),
+# r13 executes the r12 VERDICT's #1 item: first the 12 keys whose
+# verified pair changed this round — the three new keys
+# (dedup-provenance-incremental, dedup-provenance-incr-near,
+# plan-provenance-report),
 # dedup-provenance (plan change: the
 # redundant pre-tokenize filter dropped), and the 8 BPE-family keys
 # whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
@@ -2962,20 +2977,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
 # op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
 # plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
-# r7-tier keys, then the 13 alphabetically-first r8-tier keys. After
-# this round no key's newest driver row is older than r8; the 36
-# remaining r8-tier keys (plan-corpus-clean, plan-corpus-clean-v2,
-# plan-corpus-mix .. text-vocab-coverage, alphabetical) lead r14's
-# stale tier, then the r9 tier.
+# r7-tier keys, then the 12 alphabetically-first r8-tier keys. After
+# this round no key's newest driver row is older than r8; the 37
+# remaining r8-tier keys (plan-alert-report, plan-corpus-clean,
+# plan-corpus-clean-v2 .. text-vocab-coverage, alphabetical) lead
+# r14's stale tier, then the r9 tier.
 #
-# Rotation arithmetic: 266 gated keys / 50 slots = 5.3 rounds per
+# Rotation arithmetic: 267 gated keys / 50 slots = 5.3 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r13 adds 2).
+# new-key growth stays within ~10 slots per 5 rounds (r13 adds 3).
 _R13_WINDOW = [
     # verified-pair changed this round (new keys first, then the
     # plan-change, then the 8 oracle-change keys)
     "dedup-provenance-incremental",
     "dedup-provenance-incr-near",
+    "plan-provenance-report",
     "dedup-provenance",
     "op-bpe-merge-step",
     "plan-bpe-train",
@@ -3012,7 +3028,7 @@ _R13_WINDOW = [
     "text-lang-id",
     "text-quality",
     "text-token-count",
-    # 13 of the 49 remaining r8-tier keys, alphabetical
+    # 12 of the 49 remaining r8-tier keys, alphabetical
     "multimodal-decode",
     "multimodal-frame-sample",
     "op-bootstrap-ci",
@@ -3025,7 +3041,6 @@ _R13_WINDOW = [
     "op-rrf-fusion",
     "op-train-split",
     "op-wma",
-    "plan-alert-report",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {

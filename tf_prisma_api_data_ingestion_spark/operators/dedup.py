@@ -1324,3 +1324,48 @@ def near_dup_provenance_incremental(batch_df: DataFrame,
              .groupBy("batch_source", "corpus_source")
              .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
                   F.sum("_ppm").cast("long").alias("jaccard_ppm_sum")))
+
+
+def provenance_report(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source", window: int = 16,
+                      stride: int = 8, max_docs_per_hash: int = 32,
+                      n: int = 3, num_hashes: int = 64,
+                      bands: int | str = "auto",
+                      threshold: float = 0.2) -> DataFrame:
+    """The publishable cross-source duplication report: the exact
+    (``passage_provenance``) and near (``near_dup_provenance``)
+    matrices full-outer-joined per unordered source pair — one table
+    answering both "who shares verbatim text with whom" and "who
+    paraphrases whom", the duplication section of a multi-crawl
+    datasheet (a cell with passages but no near-dup pairs is
+    boilerplate-level reuse below the document Jaccard threshold; the
+    reverse is paraphrase without verbatim overlap). Composes the two
+    independently oracle-verified matrices; counts zero-filled so
+    absent granularities read as 0, not NULL.
+
+    Scale shape: the UNION of the parents' (both |sources|^2-bounded
+    outputs; the join itself is matrix-sized, trivially broadcast).
+
+    Returns (source_a, source_b, n_shared_passages, dup_doc_pairs,
+    near_dup_pairs, jaccard_ppm_sum).
+    """
+    exact = passage_provenance(df, text_col, id_col, source_col,
+                               window=window, stride=stride,
+                               max_docs_per_hash=max_docs_per_hash)
+    near = near_dup_provenance(df, text_col, id_col, source_col, n=n,
+                               num_hashes=num_hashes, bands=bands,
+                               threshold=threshold)
+    z = F.lit(0).cast("long")
+    return (exact.join(near.withColumnRenamed("dup_pairs",
+                                              "near_dup_pairs"),
+                       ["source_a", "source_b"], "full_outer")
+                 .select("source_a", "source_b",
+                         F.coalesce("n_shared_passages", z)
+                          .alias("n_shared_passages"),
+                         F.coalesce("dup_doc_pairs", z)
+                          .alias("dup_doc_pairs"),
+                         F.coalesce("near_dup_pairs", z)
+                          .alias("near_dup_pairs"),
+                         F.coalesce("jaccard_ppm_sum", z)
+                          .alias("jaccard_ppm_sum")))
