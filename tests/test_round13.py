@@ -350,3 +350,48 @@ class TestProvenanceReport:
         # the composition is non-trivial on the gate corpus: at least
         # one cell exists in only one granularity (zero-fill is live)
         assert set(exact) != set(near)
+
+
+# ----------------------------- persisted passage inventory (r13)
+
+class TestPassageInventory:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "srcX", "a b c d e f"), (2, "srcY", "a b c d x y"),
+             (3, "srcX", "a b c d e f")],
+            "doc_id long, source string, text string")
+        batch = spark.createDataFrame(
+            [(11, "srcA", "a b c d q r"), (12, "srcB", "c d e f s t")],
+            "doc_id long, source string, text string")
+        return batch, corpus
+
+    def test_inventory_path_bit_matches_direct(self, spark, tmp_path):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_inventory, passage_provenance_incremental,
+            passage_provenance_incremental_from_inventory)
+        batch, corpus = self._frames(spark)
+        path = str(tmp_path / "inventory")
+        passage_inventory(corpus, window=4, stride=2) \
+            .write.parquet(path)
+        inv = spark.read.parquet(path)
+        direct = sorted(tuple(r) for r in passage_provenance_incremental(
+            batch, corpus, window=4, stride=2).collect())
+        via = sorted(tuple(r) for r in
+                     passage_provenance_incremental_from_inventory(
+                         batch, inv, window=4, stride=2).collect())
+        assert via == direct and len(direct) > 0
+
+    def test_inventory_is_append_only(self, spark):
+        # inventory(A union B) row set == inventory(A) + inventory(B)
+        # for disjoint doc sets — accepting a batch IS an append
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_inventory)
+        batch, corpus = self._frames(spark)
+        whole = sorted(tuple(r) for r in passage_inventory(
+            corpus.unionByName(batch), window=4, stride=2).collect())
+        parts = sorted(
+            tuple(r) for r in passage_inventory(
+                corpus, window=4, stride=2).collect()) + sorted(
+            tuple(r) for r in passage_inventory(
+                batch, window=4, stride=2).collect())
+        assert whole == sorted(parts)

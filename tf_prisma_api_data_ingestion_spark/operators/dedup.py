@@ -1240,6 +1240,73 @@ def passage_provenance_incremental(batch_df: DataFrame,
     """
     from .text import passage_hashes
 
+    cdid, ch = passage_hashes(F.col(id_col), F.col(text_col),
+                              window=window, stride=stride)
+    cwins = (fan_out(corpus_df)
+             .select(cdid.alias("_id"), F.col(source_col).alias("_src"),
+                     ch.alias("_h")).distinct())
+    return _incremental_provenance_rollup(
+        batch_df, cwins, text_col, id_col, source_col, window, stride,
+        max_docs_per_hash, broadcast_batch)
+
+
+def passage_inventory(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source", window: int = 16,
+                      stride: int = 8) -> DataFrame:
+    """The maintained corpus-side artifact for incremental provenance:
+    the distinct (passage_md5, source, doc_id) fact stream. At 100 TB
+    this is a persisted table a daily job APPENDS to — rows are
+    per-(doc, passage) facts, so accepting a batch is exactly
+    appending the batch's own inventory (inventory(A ∪ B) =
+    inventory(A) ∪ inventory(B) for disjoint doc sets; pinned by
+    test) — and ``passage_provenance_incremental_from_inventory``
+    consumes it WITHOUT re-tokenizing the corpus, closing the
+    rebuilt-per-call caveat in ``passage_provenance_incremental``'s
+    docstring. Write it with the ordinary parquet sinks, partitioned
+    however the ingest cadence wants (e.g. by accept date)."""
+    from .text import passage_hashes
+
+    did, h = passage_hashes(F.col(id_col), F.col(text_col),
+                            window=window, stride=stride)
+    return (fan_out(df)
+            .select(did.alias("doc_id"),
+                    F.col(source_col).alias("source"),
+                    h.alias("passage_md5"))
+            .distinct())
+
+
+def passage_provenance_incremental_from_inventory(
+        batch_df: DataFrame, inventory: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        source_col: str = "source", window: int = 16, stride: int = 8,
+        max_docs_per_hash: int = 32,
+        broadcast_batch: bool = True) -> DataFrame:
+    """``passage_provenance_incremental`` consuming a PERSISTED
+    ``passage_inventory`` table instead of re-tokenizing the corpus —
+    the daily-ingest production shape: the corpus-sized linear pass
+    happens once at accept time (append-only inventory), and each
+    landing batch's check touches only the inventory scan plus
+    batch-bounded joins. Bit-identical to the direct form on the same
+    corpus (pinned by test)."""
+    cwins = inventory.select(F.col("doc_id").alias("_id"),
+                             F.col("source").alias("_src"),
+                             F.col("passage_md5").alias("_h"))
+    return _incremental_provenance_rollup(
+        batch_df, cwins, text_col, id_col, source_col, window, stride,
+        max_docs_per_hash, broadcast_batch)
+
+
+def _incremental_provenance_rollup(batch_df: DataFrame,
+                                   cwins: DataFrame, text_col: str,
+                                   id_col: str, source_col: str,
+                                   window: int, stride: int,
+                                   max_docs_per_hash: int,
+                                   broadcast_batch: bool) -> DataFrame:
+    """Shared tail of the two incremental-provenance entry points:
+    batch wins + semi-join-reduced corpus wins -> ordered matrix."""
+    from .text import passage_hashes
+
     bdid, bh = passage_hashes(F.col(id_col), F.col(text_col),
                               window=window, stride=stride)
     bwins = (fan_out(batch_df)
@@ -1249,11 +1316,6 @@ def passage_provenance_incremental(batch_df: DataFrame,
              # two consumers (hash set + per-source counts): barrier so
              # the batch tokenizes once, not once per branch
              .localCheckpoint(eager=False))
-    cdid, ch = passage_hashes(F.col(id_col), F.col(text_col),
-                              window=window, stride=stride)
-    cwins = (fan_out(corpus_df)
-             .select(cdid.alias("_id"), F.col(source_col).alias("_src"),
-                     ch.alias("_h")).distinct())
     bhashes = bwins.select("_h").distinct()
     if broadcast_batch:
         bhashes = F.broadcast(bhashes)
