@@ -395,3 +395,50 @@ class TestPassageInventory:
             tuple(r) for r in passage_inventory(
                 batch, window=4, stride=2).collect())
         assert whole == sorted(parts)
+
+
+# ------------------------------- streaming provenance meter (r13)
+
+class TestStreamingProvenanceMeter:
+    def test_drained_stream_matches_batch_matrix(self, spark):
+        # dup_doc_pairs is algebraically passage_provenance_incremental's
+        # column (sum of nd_b * nd_c per shared hash), so the drained
+        # stream must bit-match the batch matrix on it, cell for cell
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance_incremental)
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_provenance_meter)
+        from tf_prisma_api_data_ingestion_spark import tables
+        sf = "/root/testdata/sf0.001"
+        got = {(r["batch_source"], r["corpus_source"]): r["dup_doc_pairs"]
+               for r in streaming_provenance_meter(
+                   spark, sf, query_name="spv_t13").collect()}
+        d = tables.load(spark, sf, "documents")
+        want = {(r["batch_source"], r["corpus_source"]): r["dup_doc_pairs"]
+                for r in passage_provenance_incremental(
+                    d.filter(F.col("doc_id") % 10 == 0),
+                    d.filter(F.col("doc_id") % 10 != 0)).collect()}
+        assert got == want and len(got) > 0
+
+    def test_hit_doc_passages_counts_incidences(self, spark, tmp_path):
+        # two batch docs sharing one passage with two corpus docs of
+        # one source: hit_doc_passages = 2 (one per batch doc),
+        # dup_doc_pairs = 2 * nd_c = 4
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_provenance_meter)
+        rows = {
+            "doc_id": [10, 20, 1, 3],
+            "source": ["srcA", "srcA", "srcX", "srcX"],
+            "text": ["a b c d q r", "a b c d s t",
+                     "a b c d e f", "a b c d e f"],
+        }
+        pq.write_table(pa.table(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = {(r["batch_source"], r["corpus_source"]):
+               (r["hit_doc_passages"], r["dup_doc_pairs"])
+               for r in streaming_provenance_meter(
+                   spark, str(tmp_path), window=4, stride=2,
+                   query_name="spv_t13b").collect()}
+        assert got == {("srcA", "srcX"): (2, 4)}

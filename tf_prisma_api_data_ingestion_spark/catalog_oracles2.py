@@ -3405,6 +3405,41 @@ GROUP BY 1, 2
 """
 
 
+# Twin of streaming.windows.streaming_provenance_meter — the BATCH
+# equivalence, the stream-token-meter pattern: per-(batch doc,
+# passage) hit incidences against the corpus inventory, so
+# hit_doc_passages = sum over shared hashes of nd_batch and
+# dup_doc_pairs = sum of nd_batch * nd_corpus — the latter
+# algebraically identical to SQL_DEDUP_PROVENANCE_INCR's column.
+SQL_STREAM_PROVENANCE = r"""
+WITH ws AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, len(ws) - 15, 8)) AS t(i)
+  WHERE len(ws) >= 16),
+bw AS (SELECT * FROM wins WHERE doc_id % 10 = 0),
+cw AS (SELECT * FROM wins WHERE doc_id % 10 <> 0),
+ckeep AS (
+  SELECT h FROM cw GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) <= 32),
+cg AS (
+  SELECT w.h, w.source,
+         CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS nd
+  FROM cw w JOIN ckeep USING (h)
+  GROUP BY 1, 2)
+SELECT b.source AS batch_source, c.source AS corpus_source,
+       CAST(COUNT(*) AS BIGINT) AS hit_doc_passages,
+       CAST(SUM(c.nd) AS BIGINT) AS dup_doc_pairs
+FROM bw b JOIN cg c ON b.h = c.h
+GROUP BY 1, 2
+"""
+
+
 def _sql_plan_provenance_report() -> str:
     """Twin of dedup.provenance_report: the two provenance matrices'
     oracles verbatim, full-outer-joined per unordered source pair
@@ -3724,6 +3759,7 @@ ORACLES: dict[str, str] = {
     "dedup-provenance-incremental": SQL_DEDUP_PROVENANCE_INCR,
     "dedup-provenance-incr-near": _sql_dedup_provenance_incr_near(),
     "plan-provenance-report": _sql_plan_provenance_report(),
+    "stream-provenance": SQL_STREAM_PROVENANCE,
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2487,6 +2487,25 @@ def q_plan_provenance_report(spark, sf_dir):
     return provenance_report(_t(spark, sf_dir, "documents"))
 
 
+def q_stream_provenance(spark, sf_dir):
+    """Streaming incremental provenance (streaming/windows.
+    streaming_provenance_meter): the landing batch streams in and
+    each (batch_source, corpus_source) cell's duplication evidence
+    updates per micro-batch — a stateless per-row passage projection
+    (array_distinct before explode replaces a stateful
+    dropDuplicates) into a stateless stream-static join against the
+    corpus inventory and one complete-mode aggregate bounded by
+    |sources|^2. dup_doc_pairs is algebraically
+    passage_provenance_incremental's column, so the drained stream
+    bit-matches the batch matrix there; the oracle replays both
+    columns exactly (the stream-token-meter batch-equivalence
+    pattern)."""
+    from .streaming.windows import streaming_provenance_meter
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return streaming_provenance_meter(spark, sf_dir,
+                                      query_name=f"spv_{tag}")
+
+
 def q_plan_corpus_datasheet(spark, sf_dir):
     """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets" /
     the per-source quality tables every pretraining-data release
@@ -2951,6 +2970,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup-provenance-incr-near": q_dedup_provenance_incr_near,
     # r13: the composed cross-granularity duplication report
     "plan-provenance-report": q_plan_provenance_report,
+    # r13: streaming face of the incremental provenance matrix
+    "stream-provenance": q_stream_provenance,
 }
 
 
@@ -2966,10 +2987,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r13 executes the r12 VERDICT's #1 item: first the 12 keys whose
-# verified pair changed this round — the three new keys
+# r13 executes the r12 VERDICT's #1 item: first the 13 keys whose
+# verified pair changed this round — the four new keys
 # (dedup-provenance-incremental, dedup-provenance-incr-near,
-# plan-provenance-report),
+# plan-provenance-report, stream-provenance),
 # dedup-provenance (plan change: the
 # redundant pre-tokenize filter dropped), and the 8 BPE-family keys
 # whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
@@ -2977,21 +2998,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
 # op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
 # plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
-# r7-tier keys, then the 12 alphabetically-first r8-tier keys. After
-# this round no key's newest driver row is older than r8; the 37
-# remaining r8-tier keys (plan-alert-report, plan-corpus-clean,
-# plan-corpus-clean-v2 .. text-vocab-coverage, alphabetical) lead
+# r7-tier keys, then the 11 alphabetically-first r8-tier keys. After
+# this round no key's newest driver row is older than r8; the 38
+# remaining r8-tier keys (op-wma, plan-alert-report,
+# plan-corpus-clean .. text-vocab-coverage, alphabetical) lead
 # r14's stale tier, then the r9 tier.
 #
-# Rotation arithmetic: 267 gated keys / 50 slots = 5.3 rounds per
+# Rotation arithmetic: 268 gated keys / 50 slots = 5.4 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r13 adds 3).
+# new-key growth stays within ~10 slots per 5 rounds (r13 adds 4).
 _R13_WINDOW = [
     # verified-pair changed this round (new keys first, then the
     # plan-change, then the 8 oracle-change keys)
     "dedup-provenance-incremental",
     "dedup-provenance-incr-near",
     "plan-provenance-report",
+    "stream-provenance",
     "dedup-provenance",
     "op-bpe-merge-step",
     "plan-bpe-train",
@@ -3028,7 +3050,7 @@ _R13_WINDOW = [
     "text-lang-id",
     "text-quality",
     "text-token-count",
-    # 12 of the 49 remaining r8-tier keys, alphabetical
+    # 11 of the 49 remaining r8-tier keys, alphabetical
     "multimodal-decode",
     "multimodal-frame-sample",
     "op-bootstrap-ci",
@@ -3040,7 +3062,6 @@ _R13_WINDOW = [
     "op-ndcg-retrieval",
     "op-rrf-fusion",
     "op-train-split",
-    "op-wma",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {

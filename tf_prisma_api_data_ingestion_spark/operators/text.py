@@ -428,14 +428,24 @@ def passage_hashes(doc_id: Column, text: Column, window: int = 16,
     the job); the guard is part of the operator's contract, not the
     caller's.
     """
+    return doc_id, F.explode(passage_hash_array(text, window, stride))
+
+
+def passage_hash_array(text: Column, window: int = 16,
+                       stride: int = 8) -> Column:
+    """The pre-explode form of ``passage_hashes``: the md5
+    window-hash ARRAY for one document. Exists separately because
+    streaming consumers need per-doc set semantics WITHOUT a stateful
+    dropDuplicates (array_distinct before explode is a stateless
+    per-row dedup — streaming_provenance_meter). Same short-doc
+    guard."""
     ws = tokens(text)
     starts = F.when(
         F.size(ws) >= window,
         F.sequence(F.lit(1), F.size(ws) - (window - 1), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(
+    return F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window))))
-    return doc_id, F.explode(hashes)
 
 
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,

@@ -928,3 +928,76 @@ def streaming_token_meter(spark: SparkSession, sf_dir: str, merges,
         q.awaitTermination()
     return spark.table(query_name).select("source", "n_docs",
                                           "n_words", "n_pieces")
+
+
+def streaming_provenance_meter(spark: SparkSession, sf_dir: str,
+                               window: int = 16, stride: int = 8,
+                               max_docs_per_hash: int = 32,
+                               query_name: str = "stream_provenance",
+                               state_partitions: int =
+                               DEFAULT_STATE_PARTITIONS) -> DataFrame:
+    """Streaming incremental provenance: landing documents stream in
+    (here: the doc_id % 10 == 0 batch of the documents file, the
+    dedup-incremental split) and each (batch_source, corpus_source)
+    cell's running duplication evidence updates per micro-batch — the
+    live which-source-is-this-crawl-copying meter an ingest pipeline
+    watches while a crawl is still in flight, the streaming face of
+    ``passage_provenance_incremental``.
+
+    Streaming shape: the corpus-side per-(passage, source)
+    distinct-doc counts are the STATIC side (in production the
+    persisted ``passage_inventory`` aggregate, maintained at accept
+    time; localCheckpointed here so the static plan doesn't re-derive
+    per micro-batch); the stream side is a stateless per-row
+    projection — array_distinct over the passage-hash array BEFORE
+    explode gives per-doc set semantics without a stateful
+    dropDuplicates — into a stateless stream-static join and ONE
+    complete-mode aggregate bounded by |sources|^2.
+
+    Per-cell columns: hit_doc_passages = (batch doc, passage)
+    incidences that hit the corpus source (= sum over shared hashes
+    of nd_batch); dup_doc_pairs = sum over those incidences of the
+    corpus source's distinct-doc count — algebraically identical to
+    ``passage_provenance_incremental``'s dup_doc_pairs (sum of
+    nd_b * nd_c), so the drained stream bit-matches the batch matrix
+    on that column (pinned by test and by the oracle twin)."""
+    from ..operators.text import passage_hash_array, passage_hashes
+
+    docs_b = (spark.read.option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    did, h = passage_hashes(F.col("doc_id"), F.col("text"),
+                            window=window, stride=stride)
+    cwins = (docs_b.filter(F.col("doc_id") % 10 != 0)
+             .select(did.alias("_id"),
+                     F.col("source").alias("corpus_source"),
+                     h.alias("_h")).distinct()
+             .localCheckpoint(eager=False))
+    keep = (cwins.groupBy("_h")
+                 .agg(F.countDistinct("_id").alias("_ndall"))
+                 .filter(F.col("_ndall") <= max_docs_per_hash)
+                 .select("_h"))
+    cg = (cwins.join(keep, "_h")
+               .groupBy("_h", "corpus_source")
+               .agg(F.countDistinct("_id").cast("long").alias("_nd"))
+               .localCheckpoint(eager=False))
+
+    schema = docs_b.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .filter(F.col("doc_id") % 10 == 0)
+              .select(F.col("source").alias("batch_source"),
+                      F.explode(F.array_distinct(passage_hash_array(
+                          F.col("text"), window, stride))).alias("_h")))
+    agg = (stream.join(cg, "_h")
+           .groupBy("batch_source", "corpus_source")
+           .agg(F.count(F.lit(1)).cast("long")
+                 .alias("hit_doc_passages"),
+                F.sum("_nd").cast("long").alias("dup_doc_pairs")))
+    with _state_partitions(spark, state_partitions):
+        q = (agg.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        "batch_source", "corpus_source", "hit_doc_passages",
+        "dup_doc_pairs")
