@@ -442,3 +442,64 @@ class TestStreamingProvenanceMeter:
                    spark, str(tmp_path), window=4, stride=2,
                    query_name="spv_t13b").collect()}
         assert got == {("srcA", "srcX"): (2, 4)}
+
+
+# --------------------------- daily-ingest e2e (inventory maintenance)
+
+class TestDailyIngestE2E:
+    def test_accept_appends_inventory_and_recrawl_is_caught(
+            self, spark, tmp_path):
+        """The production ingest loop end-to-end with real parquet IO:
+        (1) the accepted corpus's passage inventory is persisted;
+        (2) a landing batch is provenance-checked against it WITHOUT
+        re-tokenizing the corpus; (3) accepting the batch = appending
+        the batch's own inventory rows (append-only contract);
+        (4) a re-crawl of the just-accepted batch, checked against the
+        UPDATED inventory, is caught as duplication of the batch's own
+        source — the growing-corpus behavior the artifact exists for."""
+        from pyspark.sql import functions as F
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_inventory,
+            passage_provenance_incremental_from_inventory)
+        from tf_prisma_api_data_ingestion_spark import tables
+
+        sf = "/root/testdata/sf0.001"
+        d = tables.load(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        batch = d.filter(F.col("doc_id") % 10 == 0)
+        inv_path = str(tmp_path / "inventory")
+
+        # (1) accept-time artifact for the existing corpus
+        passage_inventory(corpus).write.parquet(inv_path)
+
+        # (2) provenance-check the landing batch against the artifact
+        inv = spark.read.parquet(inv_path)
+        before = {(r["batch_source"], r["corpus_source"]): r
+                  for r in passage_provenance_incremental_from_inventory(
+                      batch, inv).collect()}
+        assert len(before) > 0  # the gate corpus shares passages
+
+        # (3) accept: append ONLY the batch's own inventory rows
+        passage_inventory(batch).write.mode("append").parquet(inv_path)
+
+        # (4) a re-crawl of the accepted batch (new doc ids, same text)
+        recrawl = batch.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000))
+        inv2 = spark.read.parquet(inv_path)
+        after = {(r["batch_source"], r["corpus_source"]):
+                 (r["n_shared_passages"], r["dup_doc_pairs"])
+                 for r in passage_provenance_incremental_from_inventory(
+                     recrawl, inv2).collect()}
+        batch_sources = {r["source"] for r in
+                         batch.select("source").distinct().collect()}
+        # every batch source with >= 1 multi-passage doc must now be
+        # flagged against ITSELF (its docs are in the corpus artifact)
+        self_cells = {k for k in after if k[0] == k[1]
+                      and k[0] in batch_sources}
+        assert self_cells, after
+        # and the pre-accept matrix is a subset story: old cells only
+        # grow (the corpus gained docs, never lost them)
+        for k, r in before.items():
+            assert k in after, k
+            assert after[k][0] >= r["n_shared_passages"], k
+            assert after[k][1] >= r["dup_doc_pairs"], k
