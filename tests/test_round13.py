@@ -503,3 +503,92 @@ class TestDailyIngestE2E:
             assert k in after, k
             assert after[k][0] >= r["n_shared_passages"], k
             assert after[k][1] >= r["dup_doc_pairs"], k
+
+
+# ------------------- property: incremental matrix vs python mirror
+
+import hashlib as _hashlib
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_passages(text, window, stride):
+    """Pure-python mirror of text.passage_hashes: md5 of each
+    window-token slice every stride tokens; short docs yield none."""
+    import re as _re
+    toks = [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+    if len(toks) < window:
+        return set()
+    return {
+        _hashlib.md5(
+            " ".join(toks[i:i + window]).encode()).hexdigest()
+        for i in range(0, len(toks) - window + 1, stride)}
+
+
+def _py_incremental_matrix(batch, corpus, window, stride, cap):
+    """Brute-force mirror of passage_provenance_incremental."""
+    from collections import defaultdict
+    bw = defaultdict(set)   # hash -> set of (doc, src) on batch side
+    cw = defaultdict(set)
+    for did, src, text in batch:
+        for h in _py_passages(text, window, stride):
+            bw[h].add((did, src))
+    for did, src, text in corpus:
+        for h in _py_passages(text, window, stride):
+            cw[h].add((did, src))
+    out = defaultdict(lambda: [0, 0])
+    for h, bds in bw.items():
+        cds = cw.get(h)
+        if not cds or len({d for d, _ in cds}) > cap:
+            continue
+        nb, nc = defaultdict(int), defaultdict(int)
+        for _, s in bds:
+            nb[s] += 1
+        for _, s in cds:
+            nc[s] += 1
+        for sb, b in nb.items():
+            for sc, c in nc.items():
+                cell = out[(sb, sc)]
+                cell[0] += 1
+                cell[1] += b * c
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@st.composite
+def _prov_case(draw):
+    vocab = ["aa", "bb", "cc", "dd"]
+    def doc(i):
+        n = draw(st.integers(min_value=0, max_value=10))
+        words = draw(st.lists(st.sampled_from(vocab),
+                              min_size=n, max_size=n))
+        src = draw(st.sampled_from(["s1", "s2", "s3"]))
+        return (i, src, " ".join(words))
+    nb = draw(st.integers(min_value=0, max_value=4))
+    nc = draw(st.integers(min_value=1, max_value=6))
+    batch = [doc(i) for i in range(nb)]
+    corpus = [doc(100 + i) for i in range(nc)]
+    return batch, corpus
+
+
+class TestIncrementalProvenanceProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(_prov_case())
+    def test_matches_python_brute_force(self, spark, case):
+        # tiny vocab + stride 1 windows make hash collisions of
+        # MEANING (same window text in many docs) common, exercising
+        # the count-product accounting; cap=2 exercises the
+        # corpus-side hot-passage drop
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            passage_provenance_incremental)
+        batch, corpus = case
+        schema = "doc_id long, source string, text string"
+        bdf = spark.createDataFrame(batch, schema) if batch else \
+            spark.createDataFrame([], schema)
+        cdf = spark.createDataFrame(corpus, schema)
+        got = {(r["batch_source"], r["corpus_source"]):
+               (r["n_shared_passages"], r["dup_doc_pairs"])
+               for r in passage_provenance_incremental(
+                   bdf, cdf, window=3, stride=1,
+                   max_docs_per_hash=2).collect()}
+        want = _py_incremental_matrix(batch, corpus, 3, 1, 2)
+        assert got == want
