@@ -83,9 +83,29 @@ def _py_dsir(docs, target_ids, buckets):
     return out
 
 
-def _spearman(order_a, order_b, ids):
-    pa = {i: k for k, i in enumerate(order_a)}
-    pb = {i: k for k, i in enumerate(order_b)}
+def _midranks(scores, ids):
+    """Average (mid) ranks with ties sharing one rank — the standard
+    tie-aware Spearman treatment. Positional ranks from a tie-broken
+    sort penalize EXACT ties (which the integer-quantized arithmetic
+    form produces on tiny same-vocabulary docs) as if they were
+    ranking disagreements; a tie is an abstention, not a vote."""
+    order = sorted(ids, key=lambda i: scores[i])
+    ranks = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while (j + 1 < len(order)
+               and scores[order[j + 1]] == scores[order[i]]):
+            j += 1
+        for k in range(i, j + 1):
+            ranks[order[k]] = (i + j) / 2
+        i = j + 1
+    return ranks
+
+
+def _spearman(scores_a, scores_b, ids):
+    pa = _midranks(scores_a, ids)
+    pb = _midranks(scores_b, ids)
     xs = [pa[i] for i in ids]
     ys = [pb[i] for i in ids]
     mx, my = statistics.mean(xs), statistics.mean(ys)
@@ -126,7 +146,7 @@ def test_dsir_arith_tracks_geometric_mean(spark, specs, rng):
     ids = sorted(got)
     by_arith = sorted(ids, key=lambda i: (-got[i], i))
     by_geo = sorted(ids, key=lambda i: (-ref[i][1], i))
-    assert _spearman(by_arith, by_geo, ids) >= 0.9
+    assert _spearman(got, {i: ref[i][1] for i in ids}, ids) >= 0.9
     q = max(1, len(ids) // 4)
     overlap = len(set(by_arith[:q]) & set(by_geo[:q])) / q
     assert overlap >= 0.7
