@@ -592,3 +592,88 @@ class TestIncrementalProvenanceProperty:
                    max_docs_per_hash=2).collect()}
         want = _py_incremental_matrix(batch, corpus, 3, 1, 2)
         assert got == want
+
+
+# ---------------------------------- byte-level (GPT-2 basis) BPE
+
+class TestByteLevelBpe:
+    def test_ascii_corpus_is_isomorphic_to_char_basis(self, spark):
+        # on pure-ASCII text, byte basis == char basis under the
+        # char->hex-pair symbol mapping: same n_pieces per doc
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode)
+        df = spark.createDataFrame(
+            [(1, "table tab ta"), (2, "stable hat")],
+            "doc_id long, text string")
+        char_merges = [("t", "a"), ("ta", "b"), ("tab", "l")]
+        as_hex = lambda s: s if s == "</w>" else s.encode().hex()
+        byte_merges = [(as_hex(a), as_hex(b)) for a, b in char_merges]
+        want = sorted(
+            (r["doc_id"], r["n_words"], r["n_pieces"]) for r in
+            bpe_encode(df, char_merges, basis="chars").collect())
+        got = sorted(
+            (r["doc_id"], r["n_words"], r["n_pieces"]) for r in
+            bpe_encode(df, byte_merges, basis="bytes").collect())
+        assert got == want
+
+    def test_multibyte_chars_split_into_bytes(self, spark):
+        # 'café' is 4 chars but 5 UTF-8 bytes (é = c3 a9): with no
+        # merges, byte basis counts one more symbol than char basis
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_init_vocab)
+        df = spark.createDataFrame([(1, "café")],
+                                   "doc_id long, text string")
+        chars = bpe_init_vocab(df, basis="chars").head()
+        bts = bpe_init_vocab(df, basis="bytes").head()
+        assert len(chars["syms"]) == 4 + 1  # + </w>
+        assert bts["syms"] == ["63", "61", "66", "c3", "a9", "</w>"]
+        # and a merge can reassemble the multi-byte char from bytes
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_apply_merges)
+        out = bpe_apply_merges(
+            bpe_init_vocab(df, basis="bytes"), [("c3", "a9")],
+            engine="fold").head()
+        assert out["syms"] == ["63", "61", "66", "c3a9", "</w>"]
+
+    def test_engines_identical_on_byte_basis(self, spark):
+        from tf_prisma_api_data_ingestion_spark.catalog_registry import (
+            BPE_BYTES_DEMO_MERGES)
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_encode)
+        from tf_prisma_api_data_ingestion_spark import tables
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+        want = sorted(tuple(r) for r in bpe_encode(
+            docs, BPE_BYTES_DEMO_MERGES, basis="bytes",
+            engine="fold").collect())
+        got = sorted(tuple(r) for r in bpe_encode(
+            docs, BPE_BYTES_DEMO_MERGES, basis="bytes",
+            engine="arrow").collect())
+        assert got == want
+
+    def test_byte_training_learns_the_pinned_demo_table(self, spark):
+        # BPE_BYTES_DEMO_MERGES is a TRAINED artifact (sf0.01); the
+        # first 3 byte merges on sf0.001 must at least be valid hex
+        # pairs / grown symbols and deterministic across two runs
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            bpe_train)
+        from tf_prisma_api_data_ingestion_spark import tables
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+        a = [(r["left_sym"], r["right_sym"]) for r in
+             bpe_train(docs, n_merges=3, basis="bytes")
+             .orderBy("merge_rank").collect()]
+        b = [(r["left_sym"], r["right_sym"]) for r in
+             bpe_train(docs, n_merges=3, basis="bytes")
+             .orderBy("merge_rank").collect()]
+        assert a == b and len(a) == 3
+        hexish = set("0123456789abcdef")
+        for l, r in a:
+            for s in (l, r):
+                assert s == "</w>" or set(s) <= hexish, (l, r)
+
+    def test_unknown_basis_raises(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.bpe import (
+            word_syms)
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        with _pytest.raises(ValueError, match="unknown basis"):
+            word_syms(F.lit("x"), basis="nibbles")

@@ -2487,13 +2487,18 @@ WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},{rounds}
 """
 
 
-def _sql_op_bpe_encode(merges) -> str:
+def _sql_op_bpe_encode(merges, sym_split: str | None = None) -> str:
     """DuckDB twin of bpe.bpe_encode with a literal merge table: the
     distinct-word vocab is segmented by the unrolled apply rounds
     (each the same position-based greedy replay the training twin
     uses, with the pair as a VALUES literal), then per-doc totals come
-    from the (doc, word) counts joined on the segmentation."""
+    from the (doc, word) counts joined on the segmentation.
+    ``sym_split`` selects the v0 alphabet (bpe.word_syms' basis dial):
+    default Java-dot characters; the bytes basis passes the hex-pair
+    split."""
     from .catalog_oracles import _SQL_WS_TOKENS
+    if sym_split is None:
+        sym_split = f"regexp_extract_all(word, '{_RE2_JAVA_DOT}')"
     rounds = ",".join(_sql_bpe_apply_round(k, a, b)
                       for k, (a, b) in enumerate(merges, start=1))
     R = len(merges)
@@ -2505,8 +2510,7 @@ wcc AS MATERIALIZED (
   GROUP BY 1, 2),
 v0 AS MATERIALIZED (
   SELECT word, CAST(1 AS BIGINT) AS freq,
-         list_append(regexp_extract_all(word, '{_RE2_JAVA_DOT}'),
-                     '</w>') AS syms
+         list_append({sym_split}, '</w>') AS syms
   FROM (SELECT DISTINCT word FROM wcc)),{rounds},
 seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM v{R})
 SELECT w.doc_id,
@@ -2525,6 +2529,18 @@ def _sql_op_bpe_encode_registered() -> str:
     pattern)."""
     from .catalog_registry import BPE_DEMO_MERGES
     return _sql_op_bpe_encode(BPE_DEMO_MERGES)
+
+
+def _sql_op_bpe_encode_bytes_registered() -> str:
+    """The byte-level (GPT-2 basis) encode oracle: the SAME unrolled
+    apply rounds over a v0 of lowercase UTF-8 hex pairs —
+    hex(encode(word)) is bit-identical between Spark and DuckDB —
+    with the byte-basis literal merge table
+    (catalog_registry.BPE_BYTES_DEMO_MERGES)."""
+    from .catalog_registry import BPE_BYTES_DEMO_MERGES
+    return _sql_op_bpe_encode(
+        BPE_BYTES_DEMO_MERGES,
+        sym_split="regexp_extract_all(lower(hex(encode(word))), '..')")
 
 
 def _sql_op_shard_assign(n_shards: int = 8, budget: int = 512) -> str:
@@ -3760,6 +3776,8 @@ ORACLES: dict[str, str] = {
     "dedup-provenance-incr-near": _sql_dedup_provenance_incr_near(),
     "plan-provenance-report": _sql_plan_provenance_report(),
     "stream-provenance": SQL_STREAM_PROVENANCE,
+    # r13: byte-level (GPT-2 basis) BPE corpus encoding
+    "op-bpe-encode-bytes": _sql_op_bpe_encode_bytes_registered(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2236,6 +2236,15 @@ BPE_DEMO_MERGES: tuple[tuple[str, str], ...] = (
     ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
     ("table", "</w>"), ("a", "</w>"), ("s", "c"), ("h", "a"))
 
+# Byte-level (GPT-2 basis) demo merge table: the top-8 merges
+# bpe_train(basis="bytes") learns on the sf0.01 gate corpus, pinned
+# as literals the same way BPE_DEMO_MERGES is. Symbols are lowercase
+# UTF-8 hex pairs (65='e', 72='r', 6e='n', 6f='o', 77='w', 73='s',
+# 74='t'): er, e</w>, n</w>, er</w>, ow, ow</w>, or, st.
+BPE_BYTES_DEMO_MERGES: tuple[tuple[str, str], ...] = (
+    ("65", "72"), ("65", "</w>"), ("6e", "</w>"), ("6572", "</w>"),
+    ("6f", "77"), ("6f77", "</w>"), ("6f", "72"), ("73", "74"))
+
 
 def q_op_bpe_encode(spark, sf_dir):
     """BPE corpus ENCODER (operators/bpe.bpe_encode; Sennrich et al.
@@ -2504,6 +2513,23 @@ def q_stream_provenance(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return streaming_provenance_meter(spark, sf_dir,
                                       query_name=f"spv_{tag}")
+
+
+def q_op_bpe_encode_bytes(spark, sf_dir):
+    """Byte-level BPE corpus encoding (operators/bpe.bpe_encode with
+    basis='bytes' — the GPT-2/LLaMA tokenizer basis: words split into
+    UTF-8 bytes as lowercase hex pairs, so the base alphabet is a
+    closed 256 symbols, no character is ever out-of-alphabet, and
+    multi-byte scripts merge back together from bytes). Every stage
+    past v0 — pair counts, elections, merge folds, the Arrow apply —
+    is alphabet-agnostic; the basis is a v0 construction dial
+    (bpe.word_syms), and hex(encode(word)) is bit-identical between
+    Spark and DuckDB, so the oracle replay carries over unchanged.
+    Applies BPE_BYTES_DEMO_MERGES (trained on this corpus at
+    basis='bytes', pinned as literals)."""
+    from .operators.bpe import bpe_encode
+    return bpe_encode(_t(spark, sf_dir, "documents"),
+                      BPE_BYTES_DEMO_MERGES, basis="bytes")
 
 
 def q_plan_corpus_datasheet(spark, sf_dir):
@@ -2972,6 +2998,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan-provenance-report": q_plan_provenance_report,
     # r13: streaming face of the incremental provenance matrix
     "stream-provenance": q_stream_provenance,
+    # r13: byte-level (GPT-2 basis) BPE corpus encoding
+    "op-bpe-encode-bytes": q_op_bpe_encode_bytes,
 }
 
 
@@ -2987,10 +3015,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r13 executes the r12 VERDICT's #1 item: first the 13 keys whose
-# verified pair changed this round — the four new keys
+# r13 executes the r12 VERDICT's #1 item: first the 14 keys whose
+# verified pair changed this round — the five new keys
 # (dedup-provenance-incremental, dedup-provenance-incr-near,
-# plan-provenance-report, stream-provenance),
+# plan-provenance-report, stream-provenance, op-bpe-encode-bytes),
 # dedup-provenance (plan change: the
 # redundant pre-tokenize filter dropped), and the 8 BPE-family keys
 # whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
@@ -2998,15 +3026,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
 # op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
 # plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
-# r7-tier keys, then the 11 alphabetically-first r8-tier keys. After
-# this round no key's newest driver row is older than r8; the 38
-# remaining r8-tier keys (op-wma, plan-alert-report,
+# r7-tier keys, then the 10 alphabetically-first r8-tier keys. After
+# this round no key's newest driver row is older than r8; the 39
+# remaining r8-tier keys (op-train-split, op-wma, plan-alert-report,
 # plan-corpus-clean .. text-vocab-coverage, alphabetical) lead
 # r14's stale tier, then the r9 tier.
 #
-# Rotation arithmetic: 268 gated keys / 50 slots = 5.4 rounds per
+# Rotation arithmetic: 269 gated keys / 50 slots = 5.4 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r13 adds 4).
+# new-key growth stays within ~10 slots per 5 rounds (r13 adds 5).
 _R13_WINDOW = [
     # verified-pair changed this round (new keys first, then the
     # plan-change, then the 8 oracle-change keys)
@@ -3014,6 +3042,7 @@ _R13_WINDOW = [
     "dedup-provenance-incr-near",
     "plan-provenance-report",
     "stream-provenance",
+    "op-bpe-encode-bytes",
     "dedup-provenance",
     "op-bpe-merge-step",
     "plan-bpe-train",
@@ -3050,7 +3079,7 @@ _R13_WINDOW = [
     "text-lang-id",
     "text-quality",
     "text-token-count",
-    # 11 of the 49 remaining r8-tier keys, alphabetical
+    # 10 of the 49 remaining r8-tier keys, alphabetical
     "multimodal-decode",
     "multimodal-frame-sample",
     "op-bootstrap-ci",
@@ -3061,7 +3090,6 @@ _R13_WINDOW = [
     "op-mrr-retrieval",
     "op-ndcg-retrieval",
     "op-rrf-fusion",
-    "op-train-split",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {

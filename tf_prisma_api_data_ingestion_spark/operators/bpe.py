@@ -40,18 +40,46 @@ from .text import tokens
 END_MARK = "</w>"
 
 
-def bpe_init_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_syms(word: Column, basis: str = "chars") -> Column:
+    """A word's initial BPE symbol array (without the ``</w>``
+    terminator) under the chosen alphabet basis. Every stage past v0
+    — pair counts, elections, merge folds, the Arrow apply kernel —
+    is alphabet-agnostic, so the basis is purely a v0 construction
+    dial:
+
+    - ``chars``: single characters (Sennrich et al. 2016's original
+      formulation; the Java-regex '.' split both engines and the
+      oracle share).
+    - ``bytes``: UTF-8 bytes as lowercase hex pairs (the GPT-2
+      byte-level formulation: no character ever falls outside the
+      256-symbol base alphabet, so there is no <unk> at the symbol
+      level and multi-byte scripts merge back together from bytes).
+      hex(encode(word)) is bit-identical between Spark and DuckDB
+      (both uppercase; lowered on both sides), so the oracle replay
+      carries over unchanged.
+    """
+    if basis == "chars":
+        return F.regexp_extract_all(word, F.lit("."), 0)
+    if basis == "bytes":
+        return F.regexp_extract_all(
+            F.lower(F.hex(F.encode(word, "UTF-8"))), F.lit(".."), 0)
+    raise ValueError(f"unknown basis {basis!r}")
+
+
+def bpe_init_vocab(df: DataFrame, text_col: str = "text",
+                   basis: str = "chars") -> DataFrame:
     """Corpus -> initial BPE vocab: one row per distinct word with its
-    corpus frequency and the word split into single-character symbols
+    corpus frequency and the word split into base symbols (``basis``:
+    single characters, or UTF-8 bytes as hex pairs — ``word_syms``)
     plus the terminal ``</w>`` marker. The ONLY corpus-sized stage of
     BPE training (one shuffle on the word key, partial counts
     map-side)."""
     w = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    syms = word_syms(F.col("word"), basis)
     return (w.groupBy("word")
              .agg(F.count(F.lit(1)).cast("long").alias("freq"))
              .withColumn("syms",
-                         F.concat(chars, F.array(F.lit(END_MARK)))))
+                         F.concat(syms, F.array(F.lit(END_MARK)))))
 
 
 def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
@@ -121,13 +149,15 @@ def bpe_merge_step(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(df: DataFrame, n_merges: int = 8,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              basis: str = "chars") -> DataFrame:
     """N-round BPE training loop; returns the learned merge TABLE —
     (merge_rank, left_sym, right_sym, pair_count) — the artifact a
     tokenizer consumes. The vocab state is localCheckpointed each round
     (it is distinct-words-sized, not corpus-sized) so lineage stays
     flat; the corpus is scanned exactly once, by ``bpe_init_vocab``."""
-    vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=False)
+    vocab = bpe_init_vocab(df, text_col,
+                           basis=basis).localCheckpoint(eager=False)
     merges = []
     for rank in range(1, n_merges + 1):
         elected = (bpe_elect(bpe_pair_counts(vocab))
@@ -235,7 +265,8 @@ def bpe_elect_batch(pair_counts: DataFrame,
 
 def bpe_train_batched(df: DataFrame, n_merges: int = 8,
                       batch_m: int = 4, text_col: str = "text",
-                      engine: str = "auto") -> DataFrame:
+                      engine: str = "auto",
+                      basis: str = "chars") -> DataFrame:
     """BPE training with BATCHED elections: each round elects the top
     ``batch_m`` pairwise symbol-disjoint pairs from one pair count
     and applies them in one fold/Arrow pass — collapsing the driver
@@ -255,7 +286,8 @@ def bpe_train_batched(df: DataFrame, n_merges: int = 8,
     on the gate corpus. Returns the same
     (merge_rank, left_sym, right_sym, pair_count) artifact, ranks
     numbered in election order across batches."""
-    vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=False)
+    vocab = bpe_init_vocab(df, text_col,
+                           basis=basis).localCheckpoint(eager=False)
     spark = df.sparkSession
     schema = ("merge_rank long, left_sym string, right_sym string,"
               " pair_count long")
@@ -326,7 +358,8 @@ def bpe_apply_merges(words: DataFrame, merges,
 
 
 def bpe_encode(df: DataFrame, merges, text_col: str = "text",
-               id_col: str = "doc_id", engine: str = "auto") -> DataFrame:
+               id_col: str = "doc_id", engine: str = "auto",
+               basis: str = "chars") -> DataFrame:
     """Encode a corpus with a learned BPE merge table — the real
     token-counting basis that replaces the ``bpe_ish_piece_count``
     heuristic proxy (the consumer of ``bpe_train``'s artifact).
@@ -352,10 +385,10 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
           .groupBy(id_col, "word")
           .agg(F.count(F.lit(1)).alias("_c"))
           .localCheckpoint(eager=False))
-    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    syms = word_syms(F.col("word"), basis)
     seg = (wc.select("word").distinct()
            .withColumn("syms",
-                       F.concat(chars, F.array(F.lit(END_MARK)))))
+                       F.concat(syms, F.array(F.lit(END_MARK)))))
     seg = bpe_apply_merges(seg, merges, engine=engine).select(
         "word", F.size("syms").alias("_np"))
     return (wc.join(seg, "word")
