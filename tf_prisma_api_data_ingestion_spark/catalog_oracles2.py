@@ -2532,8 +2532,9 @@ def _sql_op_bpe_encode_registered() -> str:
 
 
 def _sql_op_bpe_encode_bytes_registered() -> str:
-    """The byte-level (GPT-2 basis) encode oracle: the SAME unrolled
-    apply rounds over a v0 of lowercase UTF-8 hex pairs —
+    """The byte-level encode oracle (GPT-2-spirit alphabet; hex-pair
+    internal symbols, not GPT-2 merge-file compatible): the SAME
+    unrolled apply rounds over a v0 of lowercase UTF-8 hex pairs —
     hex(encode(word)) is bit-identical between Spark and DuckDB —
     with the byte-basis literal merge table
     (catalog_registry.BPE_BYTES_DEMO_MERGES)."""
@@ -3774,6 +3775,10 @@ ORACLES: dict[str, str] = {
     # r13: the daily-ingest shape — landing batch vs accepted corpus
     "dedup-provenance-incremental": SQL_DEDUP_PROVENANCE_INCR,
     "dedup-provenance-incr-near": _sql_dedup_provenance_incr_near(),
+    # frozen-index twin: the inventory-fed path is bit-identical to
+    # the direct form by construction (pinned by test), so its oracle
+    # IS the direct form's replay
+    "dedup-provenance-incr-near-inv": _sql_dedup_provenance_incr_near(),
     "plan-provenance-report": _sql_plan_provenance_report(),
     "stream-provenance": SQL_STREAM_PROVENANCE,
     # r13: byte-level (GPT-2 basis) BPE corpus encoding

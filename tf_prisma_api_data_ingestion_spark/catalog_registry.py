@@ -2484,6 +2484,30 @@ def q_dedup_provenance_incr_near(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 != 0))
 
 
+def q_dedup_provenance_incr_near_inv(spark, sf_dir):
+    """Inventory-fed incremental near-dup provenance (operators/
+    dedup.shingle_inventory +
+    near_dup_provenance_incremental_from_inventory): the daily-ingest
+    PRODUCTION shape of dedup-provenance-incr-near — the corpus's
+    inverted shingle postings are PERSISTED once (the append-only
+    artifact a real pipeline maintains at accept time; here written
+    to parquet and read back, so the real IO path is exercised) and
+    the landing batch's paraphrase-provenance matrix is computed from
+    the frozen index without re-shingling the corpus. Bit-identical
+    to the direct form, so the oracle is the direct form's replay —
+    the frozen-index twin. Closes SCALING r13 §5's per-call
+    index-rebuild caveat (10.7x wall at 100x corpus, all rebuild)."""
+    from .operators.dedup import (
+        near_dup_provenance_incremental_from_inventory,
+        shingle_inventory)
+    d = _t(spark, sf_dir, "documents")
+    base = _fresh_dir("incr-near-inv")
+    shingle_inventory(d.filter(F.col("doc_id") % 10 != 0)) \
+        .write.mode("overwrite").parquet(base)
+    return near_dup_provenance_incremental_from_inventory(
+        d.filter(F.col("doc_id") % 10 == 0), spark.read.parquet(base))
+
+
 def q_plan_provenance_report(spark, sf_dir):
     """Cross-source duplication report (operators/dedup.
     provenance_report): the exact-passage and MinHash-near provenance
@@ -2510,17 +2534,23 @@ def q_stream_provenance(spark, sf_dir):
     columns exactly (the stream-token-meter batch-equivalence
     pattern)."""
     from .streaming.windows import streaming_provenance_meter
+    # key-named + pid-scoped tag: the memory-sink namespace is global
+    # to the JVM, so an sf_dir-hash alone risks a (rare) prefix
+    # collision across concurrent sessions silently reading another
+    # query's table (r13 ADVICE)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return streaming_provenance_meter(spark, sf_dir,
-                                      query_name=f"spv_{tag}")
+    return streaming_provenance_meter(
+        spark, sf_dir, query_name=f"spv_{tag}_{os.getpid()}")
 
 
 def q_op_bpe_encode_bytes(spark, sf_dir):
     """Byte-level BPE corpus encoding (operators/bpe.bpe_encode with
-    basis='bytes' — the GPT-2/LLaMA tokenizer basis: words split into
-    UTF-8 bytes as lowercase hex pairs, so the base alphabet is a
-    closed 256 symbols, no character is ever out-of-alphabet, and
-    multi-byte scripts merge back together from bytes). Every stage
+    basis='bytes' — a byte-level alphabet in the GPT-2/LLaMA spirit:
+    words split into UTF-8 bytes as lowercase hex pairs, so the base
+    alphabet is a closed 256 symbols, no character is ever
+    out-of-alphabet, and multi-byte scripts merge back together from
+    bytes; the symbol encoding is hex-pair internal with a ``</w>``
+    terminator, NOT GPT-2 merge-file compatible). Every stage
     past v0 — pair counts, elections, merge folds, the Arrow apply —
     is alphabet-agnostic; the basis is a v0 construction dial
     (bpe.word_syms), and hex(encode(word)) is bit-identical between
@@ -2616,10 +2646,11 @@ def q_stream_token_meter(spark, sf_dir):
     bit-identical by tests/test_round10b.py + test_round12.py)."""
     from .streaming.windows import streaming_token_meter
     # stable digest, not Python's salted hash(): the memory-sink view
-    # name must be deterministic across processes (PYTHONHASHSEED)
+    # name must be deterministic across processes (PYTHONHASHSEED);
+    # pid-scoped against cross-session prefix collisions (r13 ADVICE)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return streaming_token_meter(spark, sf_dir, BPE_DEMO_MERGES,
-                                 query_name=f"stm_{tag}")
+                                 query_name=f"stm_{tag}_{os.getpid()}")
 
 
 def q_op_score_calibration(spark, sf_dir):
@@ -2994,6 +3025,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-passage and MinHash-near granularities
     "dedup-provenance-incremental": q_dedup_provenance_incremental,
     "dedup-provenance-incr-near": q_dedup_provenance_incr_near,
+    # r14: the persisted-index (frozen inventory) production shape
+    "dedup-provenance-incr-near-inv": q_dedup_provenance_incr_near_inv,
     # r13: the composed cross-granularity duplication report
     "plan-provenance-report": q_plan_provenance_report,
     # r13: streaming face of the incremental provenance matrix

@@ -50,13 +50,17 @@ def word_syms(word: Column, basis: str = "chars") -> Column:
     - ``chars``: single characters (Sennrich et al. 2016's original
       formulation; the Java-regex '.' split both engines and the
       oracle share).
-    - ``bytes``: UTF-8 bytes as lowercase hex pairs (the GPT-2
-      byte-level formulation: no character ever falls outside the
-      256-symbol base alphabet, so there is no <unk> at the symbol
-      level and multi-byte scripts merge back together from bytes).
-      hex(encode(word)) is bit-identical between Spark and DuckDB
-      (both uppercase; lowered on both sides), so the oracle replay
-      carries over unchanged.
+    - ``bytes``: UTF-8 bytes as lowercase hex pairs — a byte-level
+      alphabet in the GPT-2 spirit: no character ever falls outside
+      the 256-symbol base alphabet, so there is no <unk> at the
+      symbol level and multi-byte scripts merge back together from
+      bytes. NOT wire-compatible with actual GPT-2/LLaMA artifacts
+      (those remap bytes to printable unicode and carry no
+      end-of-word marker; this symbol encoding is hex-pair internal
+      plus the Sennrich ``</w>`` terminator — real GPT-2 merge
+      tables will not load). hex(encode(word)) is bit-identical
+      between Spark and DuckDB (both uppercase; lowered on both
+      sides), so the oracle replay carries over unchanged.
     """
     if basis == "chars":
         return F.regexp_extract_all(word, F.lit("."), 0)

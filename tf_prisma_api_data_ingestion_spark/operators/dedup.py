@@ -298,36 +298,128 @@ def incremental_jaccard_pairs(new_df: DataFrame, index_df: DataFrame,
     statistic) and hot shingles are dropped from both sides, mirroring
     ``_pair_jaccard``'s skew guard.
 
-    Scale shape: cost is O(|batch| x avg postings) — the index side's
-    inverted postings are joined only where a new doc's shingle hits
-    them; the index never self-joins. At 100 TB the shingle index is a
-    persisted table maintained across ingests; here it is rebuilt per
-    call, which is the only sf-scale difference.
+    Scale shape: cost is O(|batch| x avg postings). The index side's
+    postings are semi-joined down to the batch's (broadcast) distinct
+    shingle-key set BEFORE anything aggregates — including the
+    document-frequency statistic, which is identical restricted to
+    batch-shared shingles because a shingle's index-side df does not
+    depend on the batch, and shingles the batch never mentions cannot
+    form pairs — so every shuffle after the one linear index pass is
+    bounded by batch hits, not corpus size (r14; the exact path's
+    ``_incremental_provenance_rollup`` shape). The index never
+    self-joins. At 100 TB the remaining corpus-sized work is that one
+    linear re-shingling pass; ``shingle_inventory`` +
+    ``incremental_jaccard_pairs_from_inventory`` replace it with a
+    persisted-postings scan, the production daily-ingest shape.
     """
     new_df, index_df = fan_out(new_df), fan_out(index_df)
-    sh_new = new_df.select(F.col(id_col).alias("new_id"),
-                           word_shingles(F.col(text_col), n).alias("sh"))
     sh_idx = index_df.select(F.col(id_col).alias("index_id"),
                              word_shingles(F.col(text_col), n).alias("sh"))
-    inv_idx = tracked_persist(
-        sh_idx.select("index_id", F.size("sh").alias("_mi"),
-                      F.explode("sh").alias("_s"))
-              .select("index_id", "_mi", F.xxhash64("_s").alias("_sk")))
-    inv_new = (sh_new.select("new_id", F.size("sh").alias("_mn"),
+    inv_idx = (sh_idx.select("index_id", F.size("sh").alias("_mi"),
                              F.explode("sh").alias("_s"))
-                     .select("new_id", "_mn", F.xxhash64("_s").alias("_sk")))
-    inv_idx_cold = inv_idx
+                     .select("index_id", "_mi",
+                             F.xxhash64("_s").alias("_sk")))
+    inv_new = _new_side_postings(new_df, text_col, id_col, n)
+    return _incremental_pairs_tail(inv_new, inv_idx, threshold, max_df)
+
+
+def _new_side_postings(new_df: DataFrame, text_col: str, id_col: str,
+                       n: int) -> DataFrame:
+    """The landing batch's (new_id, set size, shingle key) postings —
+    shared head of the direct and inventory-fed incremental pair
+    pipelines."""
+    sh_new = new_df.select(F.col(id_col).alias("new_id"),
+                           word_shingles(F.col(text_col), n).alias("sh"))
+    return (sh_new.select("new_id", F.size("sh").alias("_mn"),
+                          F.explode("sh").alias("_s"))
+                  .select("new_id", "_mn", F.xxhash64("_s").alias("_sk")))
+
+
+def _incremental_pairs_tail(inv_new: DataFrame, inv_idx: DataFrame,
+                            threshold: float, max_df: int | None,
+                            broadcast_batch: bool = True) -> DataFrame:
+    """Shared tail of the incremental pair pipelines: batch postings +
+    index postings -> verified (new_id, index_id, jaccard_r) pairs.
+    The index is semi-joined to the batch's distinct shingle keys
+    first, so the df cap and the pair join both run over the
+    batch-hit-sized frame; the hit frame is localCheckpointed because
+    it has two consumers with different pruning (the df statistic and
+    the pair join) and would otherwise re-scan its lineage per
+    consumer."""
+    inv_new = tracked_persist(inv_new)
+    bkeys = inv_new.select("_sk").distinct()
+    if broadcast_batch:
+        bkeys = F.broadcast(bkeys)
+    hits = (inv_idx.join(bkeys, "_sk", "left_semi")
+                   .localCheckpoint(eager=False))
+    inv_idx_cold = hits
     if max_df is not None:
-        hot = (inv_idx.groupBy("_sk").agg(F.count("*").alias("_df"))
-                      .filter(F.col("_df") > max_df).select("_sk"))
-        inv_idx_cold = inv_idx.join(F.broadcast(hot), "_sk", "left_anti")
+        hot = (hits.groupBy("_sk").agg(F.count("*").alias("_df"))
+                   .filter(F.col("_df") > max_df).select("_sk"))
+        inv_idx_cold = hits.join(F.broadcast(hot), "_sk", "left_anti")
         inv_new = inv_new.join(F.broadcast(hot), "_sk", "left_anti")
     inter = (inv_new.join(inv_idx_cold, "_sk")
                     .groupBy("new_id", "index_id", "_mn", "_mi")
                     .agg(F.count("*").alias("_i")))
     jac = F.col("_i") / (F.col("_mn") + F.col("_mi") - F.col("_i"))
     return (inter.filter(jac >= threshold)
-                 .select("new_id", "index_id", F.round(jac, 4).alias("jaccard_r")))
+                 .select("new_id", "index_id",
+                         F.round(jac, 4).alias("jaccard_r")))
+
+
+def shingle_inventory(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source",
+                      n: int = 3) -> DataFrame:
+    """The maintained corpus-side artifact for incremental NEAR-dup
+    checks: the per-(doc, shingle) inverted-postings fact stream —
+    (doc_id, source, m_shingles, shingle_xx, shingle_n), one row per
+    distinct word n-gram of each document, carrying the document's
+    set size so Jaccard needs no second corpus pass. At 100 TB this
+    is a persisted table a daily job APPENDS to — rows are per-doc
+    facts, so accepting a batch is exactly appending the batch's own
+    inventory (inventory(A ∪ B) = inventory(A) ∪ inventory(B) for
+    disjoint doc sets; pinned by test, the ``passage_inventory``
+    contract) — and ``incremental_jaccard_pairs_from_inventory`` /
+    ``near_dup_provenance_incremental_from_inventory`` consume it
+    WITHOUT re-shingling the corpus, closing the rebuilt-per-call
+    caveat measured at 10.7x wall per 100x corpus (SCALING r13 §5).
+    The shingle width is recorded as a constant ``shingle_n`` column
+    so consumers detect a mismatched artifact instead of silently
+    computing an empty pair set (the window/stride contract)."""
+    sh = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                            F.col(source_col).alias("source"),
+                            word_shingles(F.col(text_col), n).alias("sh"))
+    return (sh.select("doc_id", "source",
+                      F.size("sh").alias("m_shingles"),
+                      F.explode("sh").alias("_s"))
+              .select("doc_id", "source", "m_shingles",
+                      F.xxhash64("_s").alias("shingle_xx"),
+                      F.lit(n).cast("int").alias("shingle_n")))
+
+
+def incremental_jaccard_pairs_from_inventory(
+        new_df: DataFrame, inventory: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        n: int = 3, threshold: float = 0.2,
+        max_df: int | None = 1000,
+        broadcast_batch: bool = True) -> DataFrame:
+    """``incremental_jaccard_pairs`` consuming a PERSISTED
+    ``shingle_inventory`` table instead of re-shingling the corpus —
+    the daily-ingest production shape: the corpus-sized linear pass
+    happens once at accept time (append-only inventory), and each
+    landing batch's check is the inventory scan plus batch-bounded
+    joins. Bit-identical to the direct form on the same corpus
+    (pinned by test). The inventory's recorded ``shingle_n`` must
+    match the caller's ``n`` (checked; a mismatch raises instead of
+    silently yielding an empty pair set)."""
+    _check_inventory_dials(inventory, {"shingle_n": n})
+    inv_idx = inventory.select(F.col("doc_id").alias("index_id"),
+                               F.col("m_shingles").alias("_mi"),
+                               F.col("shingle_xx").alias("_sk"))
+    inv_new = _new_side_postings(fan_out(new_df), text_col, id_col, n)
+    return _incremental_pairs_tail(inv_new, inv_idx, threshold, max_df,
+                                   broadcast_batch)
 
 
 # -------------------------------------------------------------- minhash ---
@@ -1264,7 +1356,14 @@ def passage_inventory(df: DataFrame, text_col: str = "text",
     consumes it WITHOUT re-tokenizing the corpus, closing the
     rebuilt-per-call caveat in ``passage_provenance_incremental``'s
     docstring. Write it with the ordinary parquet sinks, partitioned
-    however the ingest cadence wants (e.g. by accept date)."""
+    however the ingest cadence wants (e.g. by accept date).
+
+    The tokenization dials are recorded as constant ``window`` /
+    ``stride`` columns (RLE'd to nothing in parquet) so a consumer
+    can detect an inventory built under different dials instead of
+    silently computing a wrong or empty matrix —
+    ``passage_provenance_incremental_from_inventory`` checks them on
+    load (r13 ADVICE)."""
     from .text import passage_hashes
 
     did, h = passage_hashes(F.col(id_col), F.col(text_col),
@@ -1273,7 +1372,35 @@ def passage_inventory(df: DataFrame, text_col: str = "text",
             .select(did.alias("doc_id"),
                     F.col(source_col).alias("source"),
                     h.alias("passage_md5"))
-            .distinct())
+            .distinct()
+            .withColumns({"window": F.lit(window).cast("int"),
+                          "stride": F.lit(stride).cast("int")}))
+
+
+def _check_inventory_dials(inventory: DataFrame,
+                           dials: dict[str, int]) -> None:
+    """Raise if a persisted inventory records tokenization dials that
+    differ from the caller's — the silent-empty-matrix failure mode a
+    window/stride (or shingle-width) mismatch would otherwise produce
+    (r13 ADVICE). Inventories written before the dial columns existed
+    are accepted as-is (the must-match contract is then on the
+    caller, per the docstrings). Cost: one min/max aggregate over
+    constant RLE'd columns — negligible next to the provenance job
+    itself."""
+    cols = [c for c in dials if c in inventory.columns]
+    if not cols:
+        return
+    aggs = [f(c) for c in cols for f in (F.min, F.max)]
+    row = inventory.agg(*aggs).first()
+    for i, c in enumerate(cols):
+        lo, hi = row[2 * i], row[2 * i + 1]
+        if lo is None:  # empty inventory: nothing to contradict
+            continue
+        if not (lo == hi == dials[c]):
+            raise ValueError(
+                f"inventory was built with {c}={lo!r}..{hi!r}, "
+                f"caller asked for {c}={dials[c]!r}: rebuild the "
+                f"inventory or pass matching dials")
 
 
 def passage_provenance_incremental_from_inventory(
@@ -1288,7 +1415,11 @@ def passage_provenance_incremental_from_inventory(
     happens once at accept time (append-only inventory), and each
     landing batch's check touches only the inventory scan plus
     batch-bounded joins. Bit-identical to the direct form on the same
-    corpus (pinned by test)."""
+    corpus (pinned by test). The inventory's recorded window/stride
+    columns must match the caller's (checked; a mismatch raises
+    instead of silently yielding a wrong or empty matrix)."""
+    _check_inventory_dials(inventory, {"window": window,
+                                       "stride": stride})
     cwins = inventory.select(F.col("doc_id").alias("_id"),
                              F.col("source").alias("_src"),
                              F.col("passage_md5").alias("_h"))
@@ -1375,17 +1506,61 @@ def near_dup_provenance_incremental(batch_df: DataFrame,
     pairs = incremental_jaccard_pairs(batch_df, corpus_df, text_col,
                                       id_col, n=n, threshold=threshold,
                                       max_df=max_df)
-    a = batch_df.select(F.col(id_col).alias("new_id"),
-                        F.col(source_col).alias("batch_source"))
     b = corpus_df.select(F.col(id_col).alias("index_id"),
                          F.col(source_col).alias("corpus_source"))
-    j = pairs.join(a, "new_id").join(b, "index_id")
+    return _near_provenance_rollup(pairs, batch_df, b, id_col,
+                                   source_col)
+
+
+def _near_provenance_rollup(pairs: DataFrame, batch_df: DataFrame,
+                            corpus_srcs: DataFrame, id_col: str,
+                            source_col: str) -> DataFrame:
+    """Shared tail of the incremental near-dup provenance entry
+    points: verified (new_id, index_id, jaccard_r) pairs -> ordered
+    (batch_source, corpus_source) matrix with exact-integer-ppm
+    Jaccard evidence."""
+    a = batch_df.select(F.col(id_col).alias("new_id"),
+                        F.col(source_col).alias("batch_source"))
+    j = pairs.join(a, "new_id").join(corpus_srcs, "index_id")
     return (j.select("batch_source", "corpus_source",
                      F.round(F.col("jaccard_r") * 1_000_000)
                       .cast("long").alias("_ppm"))
              .groupBy("batch_source", "corpus_source")
              .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
                   F.sum("_ppm").cast("long").alias("jaccard_ppm_sum")))
+
+
+def near_dup_provenance_incremental_from_inventory(
+        batch_df: DataFrame, inventory: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        source_col: str = "source", n: int = 3,
+        threshold: float = 0.2, max_df: int | None = 1000,
+        broadcast_batch: bool = True) -> DataFrame:
+    """``near_dup_provenance_incremental`` consuming a PERSISTED
+    ``shingle_inventory`` table instead of re-shingling the corpus —
+    the near-dup sibling of
+    ``passage_provenance_incremental_from_inventory``, completing the
+    daily-ingest artifact story for BOTH provenance granularities:
+    the corpus pays its linear shingling pass once at accept time,
+    and each landing batch's paraphrase-provenance check is the
+    inventory scan plus batch-bounded joins. Bit-identical to the
+    direct form on the same corpus (pinned by test and gated by the
+    frozen-index oracle twin). The corpus (doc_id -> source) map
+    rides the inventory itself, semi-joined down to the pair hits
+    before the distinct so no corpus-sized shuffle appears."""
+    pairs = tracked_persist(incremental_jaccard_pairs_from_inventory(
+        batch_df, inventory, text_col, id_col, n=n,
+        threshold=threshold, max_df=max_df,
+        broadcast_batch=broadcast_batch))
+    hit_ids = pairs.select(F.col("index_id").alias("doc_id")).distinct()
+    corpus_srcs = (inventory.join(F.broadcast(hit_ids), "doc_id",
+                                  "left_semi")
+                            .select(F.col("doc_id").alias("index_id"),
+                                    F.col("source")
+                                     .alias("corpus_source"))
+                            .distinct())
+    return _near_provenance_rollup(pairs, batch_df, corpus_srcs,
+                                   id_col, source_col)
 
 
 def provenance_report(df: DataFrame, text_col: str = "text",

@@ -18,11 +18,42 @@ has no row order; relying on file order would be the limit(1) trap).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _BPE_SCHEMA = "merge_rank long, left_sym string, right_sym string"
 _UNI_SCHEMA = "ord long, piece string, score_micro long"
 _WP_SCHEMA = "ord long, piece string"
+
+
+def _publish_model(df: DataFrame, path: str) -> None:
+    """Publish a model-sized table as one parquet file via a temp
+    sibling directory + rename, so a concurrent reader never sees the
+    delete-then-write hole a plain ``mode("overwrite")`` opens on the
+    live path (one trainer / many ingest readers is the stated
+    production shape). The rename pair still leaves a sub-millisecond
+    window where the path is absent — POSIX cannot atomically swap
+    directories — so jobs that cannot tolerate even a transient
+    read failure should version the artifact path per training run
+    and flip a pointer instead of overwriting in place."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+    swapped = False
+    if os.path.isdir(path):
+        os.rename(path, old)
+        swapped = True
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if swapped:  # restore the previous artifact on failure
+            os.rename(old, path)
+        raise
+    if swapped:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def save_bpe_merges(merges_df: DataFrame, path: str) -> None:
@@ -31,9 +62,8 @@ def save_bpe_merges(merges_df: DataFrame, path: str) -> None:
     rank-ordered pair columns are the model; extra columns (e.g.
     pair_count) are dropped so the artifact schema is stable across
     trainer variants (single / batched elections)."""
-    (merges_df.select("merge_rank", "left_sym", "right_sym")
-              .coalesce(1)  # model-sized table: one file, atomic swap
-              .write.mode("overwrite").parquet(path))
+    _publish_model(
+        merges_df.select("merge_rank", "left_sym", "right_sym"), path)
 
 
 def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
@@ -51,8 +81,7 @@ def save_unigram_pieces(spark: SparkSession, pairs, path: str) -> None:
     [(piece, score_micro)] output) as parquet with an explicit order
     column."""
     rows = [(i, p, int(s)) for i, (p, s) in enumerate(pairs)]
-    (spark.createDataFrame(rows, _UNI_SCHEMA)
-          .coalesce(1).write.mode("overwrite").parquet(path))
+    _publish_model(spark.createDataFrame(rows, _UNI_SCHEMA), path)
 
 
 def load_unigram_pieces(spark: SparkSession,
@@ -68,8 +97,7 @@ def save_wordpiece_vocab(spark: SparkSession, vocab, path: str) -> None:
     """Persist a WordPiece vocabulary (piece strings, continuation
     pieces carrying the ``##`` prefix) as parquet."""
     rows = [(i, p) for i, p in enumerate(vocab)]
-    (spark.createDataFrame(rows, _WP_SCHEMA)
-          .coalesce(1).write.mode("overwrite").parquet(path))
+    _publish_model(spark.createDataFrame(rows, _WP_SCHEMA), path)
 
 
 def load_wordpiece_vocab(spark: SparkSession, path: str) -> list[str]:
