@@ -2487,7 +2487,103 @@ WITH t AS ({_SQL_WS_TOKENS}),{_SQL_BPE_V0},{rounds}
 """
 
 
-def _sql_op_bpe_encode(merges, sym_split: str | None = None) -> str:
+# DuckDB twin of bpe.gpt2_pieces (the GPT-2 contraction/category
+# pre-tokenizer): RE2 has no lookahead, so instead of the Java regex
+# the partition is replayed as a per-CHARACTER boundary predicate
+# derived from the pattern's leftmost-first alternation semantics —
+# boundary rules between adjacent chars (prev p1/cat q1, cur c/cat k,
+# lag 2-4 and lead 1 for the contraction and trailing-whitespace
+# cases), a running-sum piece id, and two ordered aggregations back to
+# the per-doc piece list. Character categories are pinned to the
+# semantics Java and RE2 share: whitespace is the EXPLICIT class
+# [ \t\n\x0B\f\r] (Java \s), letters/digits the unicode \p{L}/\p{N}.
+# The contraction carve-outs fire only when the apostrophe STARTS a
+# token (preceded by letter/digit/non-space-whitespace or
+# start-of-string — an apostrophe inside an other-run or after an
+# attaching space is swallowed by the run, exactly the regex's
+# behavior). Proven equal to the Spark regex on contractions,
+# category runs, unicode text, and multi-space donation by the
+# three-way parity tests (tests/test_round14.py).
+_SQL_GPT2_TOKENS_WITH = r"""
+gch AS (
+  SELECT d.doc_id, u.i, d.cs[u.i] AS c
+  FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
+        FROM documents) d,
+       UNNEST(generate_series(1, len(d.cs))) AS u(i)),
+gcl AS (
+  SELECT doc_id, i, c,
+         CASE WHEN c IN (' ', chr(9), chr(10), chr(11), chr(12),
+                         chr(13)) THEN 'W'
+              WHEN regexp_matches(c, '\p{L}') THEN 'A'
+              WHEN regexp_matches(c, '\p{N}') THEN 'D'
+              ELSE 'O' END AS k
+  FROM gch),
+gw AS (
+  SELECT doc_id, i, c, k,
+         lag(c, 1) OVER win AS p1, lag(k, 1) OVER win AS q1,
+         lag(c, 2) OVER win AS p2, lag(k, 2) OVER win AS q2,
+         lag(c, 3) OVER win AS p3, lag(k, 3) OVER win AS q3,
+         lag(c, 4) OVER win AS p4, lag(k, 4) OVER win AS q4,
+         lead(c, 1) OVER win AS n1, lead(k, 1) OVER win AS r1
+  FROM gcl
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+gb AS (
+  SELECT doc_id, i, c,
+    CASE
+      WHEN i = 1 THEN 0
+      WHEN q1 <> 'W' AND k = 'W' THEN 1
+      WHEN q1 = 'W' AND k <> 'W' THEN
+        CASE WHEN p1 <> ' ' THEN 1 ELSE 0 END
+      WHEN q1 = 'W' AND k = 'W' THEN
+        CASE WHEN r1 IS NOT NULL AND r1 <> 'W' THEN 1 ELSE 0 END
+      WHEN p1 = chr(39)
+           AND (i = 2 OR q2 IN ('A', 'D') OR (q2 = 'W' AND p2 <> ' '))
+           AND (c IN ('s', 't', 'm', 'd')
+                OR (c = 'r' AND n1 = 'e') OR (c = 'v' AND n1 = 'e')
+                OR (c = 'l' AND n1 = 'l'))
+        THEN 0
+      WHEN p2 = chr(39)
+           AND (i = 3 OR q3 IN ('A', 'D') OR (q3 = 'W' AND p3 <> ' '))
+           AND p1 IN ('s', 't', 'm', 'd')
+        THEN 1
+      WHEN p3 = chr(39)
+           AND (i = 4 OR q4 IN ('A', 'D') OR (q4 = 'W' AND p4 <> ' '))
+           AND ((p2 = 'r' AND p1 = 'e') OR (p2 = 'v' AND p1 = 'e')
+                OR (p2 = 'l' AND p1 = 'l'))
+        THEN 1
+      WHEN q1 <> k THEN 1
+      ELSE 0
+    END AS b
+  FROM gw),
+gp AS (
+  SELECT doc_id, i, c,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS pid
+  FROM gb),
+gt AS (
+  SELECT doc_id, pid, string_agg(c, '' ORDER BY i) AS piece
+  FROM gp GROUP BY doc_id, pid),
+t AS (
+  SELECT doc_id, list(piece ORDER BY pid) AS t
+  FROM gt GROUP BY doc_id)"""
+
+
+def _sql_op_gpt2_pretok() -> str:
+    """Twin of q_op_gpt2_pretok: piece count + md5 fingerprint of the
+    chr(31)-joined piece stream. LEFT JOIN from documents so an
+    empty-text doc reads (0, md5('')) like the Spark side, instead of
+    dropping out of the char-explode."""
+    return f"""
+WITH {_SQL_GPT2_TOKENS_WITH}
+SELECT d.doc_id,
+       CAST(COALESCE(len(t.t), 0) AS BIGINT) AS n_pieces,
+       md5(COALESCE(array_to_string(t.t, chr(31)), '')) AS pieces_md5
+FROM documents d LEFT JOIN t USING (doc_id)
+"""
+
+
+def _sql_op_bpe_encode(merges, sym_split: str | None = None,
+                       tokens_with: str | None = None) -> str:
     """DuckDB twin of bpe.bpe_encode with a literal merge table: the
     distinct-word vocab is segmented by the unrolled apply rounds
     (each the same position-based greedy replay the training twin
@@ -2495,15 +2591,19 @@ def _sql_op_bpe_encode(merges, sym_split: str | None = None) -> str:
     from the (doc, word) counts joined on the segmentation.
     ``sym_split`` selects the v0 alphabet (bpe.word_syms' basis dial):
     default Java-dot characters; the bytes basis passes the hex-pair
-    split."""
+    split. ``tokens_with`` selects the pre-tokenizer CTE chain ending
+    in t(doc_id, t) (bpe.pretok_pieces' dial): default the whitespace
+    split; the gpt2 dial passes the boundary-predicate replay."""
     from .catalog_oracles import _SQL_WS_TOKENS
     if sym_split is None:
         sym_split = f"regexp_extract_all(word, '{_RE2_JAVA_DOT}')"
+    if tokens_with is None:
+        tokens_with = f"t AS ({_SQL_WS_TOKENS})"
     rounds = ",".join(_sql_bpe_apply_round(k, a, b)
                       for k, (a, b) in enumerate(merges, start=1))
     R = len(merges)
     return f"""
-WITH t AS ({_SQL_WS_TOKENS}),
+WITH {tokens_with},
 wcc AS MATERIALIZED (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT doc_id, unnest(t) AS word FROM t)
@@ -2542,6 +2642,18 @@ def _sql_op_bpe_encode_bytes_registered() -> str:
     return _sql_op_bpe_encode(
         BPE_BYTES_DEMO_MERGES,
         sym_split="regexp_extract_all(lower(hex(encode(word))), '..')")
+
+
+def _sql_op_bpe_encode_gpt2_registered() -> str:
+    """The GPT-2-pretokenized byte-level encode oracle: the boundary-
+    predicate pre-tokenizer replay feeding the hex-pair v0 and the
+    unrolled apply rounds, with the pinned
+    catalog_registry.BPE_GPT2_DEMO_MERGES table."""
+    from .catalog_registry import BPE_GPT2_DEMO_MERGES
+    return _sql_op_bpe_encode(
+        BPE_GPT2_DEMO_MERGES,
+        sym_split="regexp_extract_all(lower(hex(encode(word))), '..')",
+        tokens_with=_SQL_GPT2_TOKENS_WITH)
 
 
 def _sql_op_shard_assign(n_shards: int = 8, budget: int = 512) -> str:
@@ -3783,6 +3895,9 @@ ORACLES: dict[str, str] = {
     "stream-provenance": SQL_STREAM_PROVENANCE,
     # r13: byte-level (GPT-2 basis) BPE corpus encoding
     "op-bpe-encode-bytes": _sql_op_bpe_encode_bytes_registered(),
+    # r14: GPT-2 pre-tokenizer + its byte-level encode composition
+    "op-gpt2-pretok": _sql_op_gpt2_pretok(),
+    "op-bpe-encode-gpt2": _sql_op_bpe_encode_gpt2_registered(),
     # Every QUERIES key has an oracle: non-SQL-expressible variants
     # (xxhash64 LSH, HLL, GK) live in THROUGHPUT_QUERIES + tests instead.
 }

@@ -2245,6 +2245,17 @@ BPE_BYTES_DEMO_MERGES: tuple[tuple[str, str], ...] = (
     ("65", "72"), ("65", "</w>"), ("6e", "</w>"), ("6572", "</w>"),
     ("6f", "77"), ("6f77", "</w>"), ("6f", "72"), ("73", "74"))
 
+# GPT-2-pretokenized byte-basis demo merges: the top-8 merges
+# bpe_train(basis="bytes", pretok="gpt2") learns on the sf0.01 gate
+# corpus, pinned as literals. Rank 1 is ("20", "73") — hex for
+# " s" — a merge that can ONLY exist under GPT-2 pre-tokenization,
+# where pieces carry their leading space (the whitespace split never
+# produces a space inside a word); the rest mirror the plain byte
+# basis (er, e</w>, n</w>, er</w>, ow, ow</w>, or).
+BPE_GPT2_DEMO_MERGES: tuple[tuple[str, str], ...] = (
+    ("20", "73"), ("65", "72"), ("65", "</w>"), ("6e", "</w>"),
+    ("6572", "</w>"), ("6f", "77"), ("6f77", "</w>"), ("6f", "72"))
+
 
 def q_op_bpe_encode(spark, sf_dir):
     """BPE corpus ENCODER (operators/bpe.bpe_encode; Sennrich et al.
@@ -2560,6 +2571,46 @@ def q_op_bpe_encode_bytes(spark, sf_dir):
     from .operators.bpe import bpe_encode
     return bpe_encode(_t(spark, sf_dir, "documents"),
                       BPE_BYTES_DEMO_MERGES, basis="bytes")
+
+
+def q_op_gpt2_pretok(spark, sf_dir):
+    """GPT-2 pre-tokenizer (operators/bpe.gpt2_pieces; Radford et al.
+    2019's contraction/category regex, the split every byte-level BPE
+    family applies before merging): per-doc piece count plus an md5
+    fingerprint of the chr(31)-joined piece stream, so the gate pins
+    the EXACT segmentation (content and order), not just counts. The
+    Spark side is one leftmost-first regexp_extract_all (Java regex,
+    lookahead and all); the oracle replays the identical partition as
+    a per-character boundary predicate over lag/lead windows (RE2 has
+    no lookahead), derived from the alternation semantics and proven
+    equal on contractions, category runs, and multi-space donation by
+    the three-way tests (tests/test_round14.py)."""
+    from .operators.bpe import gpt2_pieces
+    p = gpt2_pieces(F.col("text"))
+    # p appears twice; CollapseProject would inline a pre-computed
+    # alias into both consumers anyway, so the double spelling is the
+    # honest plan (two map-side regex evals over a 2-column scan)
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(p).cast("long").alias("n_pieces"),
+                    F.md5(F.concat_ws("\x1f", p)).alias("pieces_md5")))
+
+
+def q_op_bpe_encode_gpt2(spark, sf_dir):
+    """Byte-level BPE encoding under GPT-2 pre-tokenization
+    (operators/bpe.bpe_encode with basis='bytes', pretok='gpt2' —
+    the canonical byte-level-BPE composition: contraction/category
+    regex split, then UTF-8-byte v0, then learned merges). Pieces
+    keep case and their leading space, so the pinned
+    BPE_GPT2_DEMO_MERGES table's rank-1 merge is hex " s" — a merge
+    the whitespace pre-tokenizer can never learn. Same vocab-sized
+    scale shape as op-bpe-encode: the corpus tokenizes once into
+    (doc, piece) counts and the merge chain runs over the
+    distinct-piece frame only."""
+    from .operators.bpe import bpe_encode
+    return bpe_encode(_t(spark, sf_dir, "documents"),
+                      BPE_GPT2_DEMO_MERGES, basis="bytes",
+                      pretok="gpt2")
 
 
 def q_plan_corpus_datasheet(spark, sf_dir):
@@ -3033,6 +3084,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream-provenance": q_stream_provenance,
     # r13: byte-level (GPT-2 basis) BPE corpus encoding
     "op-bpe-encode-bytes": q_op_bpe_encode_bytes,
+    # r14: GPT-2 contraction/category pre-tokenizer + its byte-level
+    # encode composition
+    "op-gpt2-pretok": q_op_gpt2_pretok,
+    "op-bpe-encode-gpt2": q_op_bpe_encode_gpt2,
 }
 
 

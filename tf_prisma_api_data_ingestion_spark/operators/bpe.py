@@ -70,15 +70,71 @@ def word_syms(word: Column, basis: str = "chars") -> Column:
     raise ValueError(f"unknown basis {basis!r}")
 
 
+# The GPT-2 pre-tokenizer (Radford et al. 2019; the regex published in
+# openai/gpt-2 encoder.py and reused by RoBERTa/LLaMA-family BPEs),
+# transcribed to Java regex with TWO pinned dials so both engines and
+# the oracle agree byte-for-byte:
+#   - whitespace is the EXPLICIT Java \s class [ \t\n\x0B\f\r]
+#     (canonical GPT-2 uses Python's unicode \s; Java \s is ASCII and
+#     RE2's \s lacks \x0B, so the explicit class is the only spelling
+#     all three engines share — the repo's tokens() ASCII-whitespace
+#     rule),
+#   - letters/digits are the unicode \p{L} / \p{N} categories, which
+#     Java and RE2 agree on.
+# Alternation order is semantic (leftmost-first): contractions, then
+# optionally-space-prefixed letter/digit/other runs, then the
+# trailing-whitespace lookahead split that donates a run's last space
+# to the following token. Matches partition the string: every char is
+# some alternative's first char.
+_GPT2_WS = " \\t\\n\\x0B\\f\\r"
+GPT2_PRETOK_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^" + _GPT2_WS + "\\p{L}\\p{N}]+"
+    "|[" + _GPT2_WS + "]+(?![^" + _GPT2_WS + "])"
+    "|[" + _GPT2_WS + "]+")
+
+
+def gpt2_pieces(col: Column) -> Column:
+    """GPT-2 pre-tokenizer pieces of the raw text, in order — the
+    contraction/category regex split applied BEFORE the byte-level v0
+    (``word_syms(basis="bytes")``), so punctuation-adjacent text
+    segments the way the canonical byte-level BPE family does
+    ("dog's," -> ["dog", "'s", ","]) instead of the whitespace split's
+    ["dog's,"]. Unlike ``text.tokens`` this neither lowercases nor
+    trims: case and the leading-space convention (a piece keeps the
+    single space that precedes it) are part of the GPT-2 contract.
+    One ``regexp_extract_all`` — sequential leftmost-first matching IS
+    the tokenizer, entirely JVM-side. The DuckDB twin replays the
+    partition as a per-character boundary predicate (RE2 has no
+    lookahead), proven equal on the engines' shared semantics by the
+    three-way parity tests (tests/test_round14.py)."""
+    return F.regexp_extract_all(col, F.lit(GPT2_PRETOK_RE), 0)
+
+
+def pretok_pieces(col: Column, pretok: str = "words") -> Column:
+    """The pre-tokenizer dial shared by the BPE trainer and encoder:
+    ``words`` — lowercased whitespace tokens (``text.tokens``, the
+    repo's standard split); ``gpt2`` — ``gpt2_pieces``."""
+    if pretok == "words":
+        return tokens(col)
+    if pretok == "gpt2":
+        return gpt2_pieces(col)
+    raise ValueError(f"unknown pretok {pretok!r}")
+
+
 def bpe_init_vocab(df: DataFrame, text_col: str = "text",
-                   basis: str = "chars") -> DataFrame:
+                   basis: str = "chars",
+                   pretok: str = "words") -> DataFrame:
     """Corpus -> initial BPE vocab: one row per distinct word with its
     corpus frequency and the word split into base symbols (``basis``:
     single characters, or UTF-8 bytes as hex pairs — ``word_syms``)
-    plus the terminal ``</w>`` marker. The ONLY corpus-sized stage of
-    BPE training (one shuffle on the word key, partial counts
-    map-side)."""
-    w = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    plus the terminal ``</w>`` marker. ``pretok`` picks the
+    pre-tokenizer producing the word stream (``pretok_pieces``). The
+    ONLY corpus-sized stage of BPE training (one shuffle on the word
+    key, partial counts map-side)."""
+    w = df.select(F.explode(pretok_pieces(F.col(text_col),
+                                          pretok)).alias("word"))
     syms = word_syms(F.col("word"), basis)
     return (w.groupBy("word")
              .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -154,14 +210,15 @@ def bpe_merge_step(vocab: DataFrame) -> DataFrame:
 
 def bpe_train(df: DataFrame, n_merges: int = 8,
               text_col: str = "text",
-              basis: str = "chars") -> DataFrame:
+              basis: str = "chars",
+              pretok: str = "words") -> DataFrame:
     """N-round BPE training loop; returns the learned merge TABLE —
     (merge_rank, left_sym, right_sym, pair_count) — the artifact a
     tokenizer consumes. The vocab state is localCheckpointed each round
     (it is distinct-words-sized, not corpus-sized) so lineage stays
     flat; the corpus is scanned exactly once, by ``bpe_init_vocab``."""
-    vocab = bpe_init_vocab(df, text_col,
-                           basis=basis).localCheckpoint(eager=False)
+    vocab = bpe_init_vocab(df, text_col, basis=basis,
+                           pretok=pretok).localCheckpoint(eager=False)
     merges = []
     for rank in range(1, n_merges + 1):
         elected = (bpe_elect(bpe_pair_counts(vocab))
@@ -363,7 +420,7 @@ def bpe_apply_merges(words: DataFrame, merges,
 
 def bpe_encode(df: DataFrame, merges, text_col: str = "text",
                id_col: str = "doc_id", engine: str = "auto",
-               basis: str = "chars") -> DataFrame:
+               basis: str = "chars", pretok: str = "words") -> DataFrame:
     """Encode a corpus with a learned BPE merge table — the real
     token-counting basis that replaces the ``bpe_ish_piece_count``
     heuristic proxy (the consumer of ``bpe_train``'s artifact).
@@ -385,7 +442,8 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     # segmentation and the final join instead (measured 25.6s -> 7.5s
     # at the 500k-doc decade, SCALING.md r11b)
     wc = (df.select(F.col(id_col),
-                    F.explode(tokens(F.col(text_col))).alias("word"))
+                    F.explode(pretok_pieces(F.col(text_col),
+                                            pretok)).alias("word"))
           .groupBy(id_col, "word")
           .agg(F.count(F.lit(1)).alias("_c"))
           .localCheckpoint(eager=False))
