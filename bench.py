@@ -103,6 +103,11 @@ HEADLINE = (
     # op-bpe-encode-arrow's one-MapInPandas profile — SCALING r11)
     "op-bpe-encode-arrow",    # merge table in the mapInPandas closure
     "op-bpe-batch-elect",     # top-M symbol-disjoint training election
+    # r14 additions: the r12/r13 provenance + byte-basis families were
+    # previously invisible to the bench (r13 verdict item 6)
+    "dedup-provenance-incremental",  # landing batch vs corpus matrix
+    "plan-provenance-report", # exact+near matrices full-outer composed
+    "op-bpe-encode-bytes",    # byte-level (GPT-2-spirit) BPE encode
 )
 
 # Same-day sf0.1 reference walls, re-measured under protocol v2 (noop
@@ -158,6 +163,10 @@ SCALING_SF01 = {
     "op-vocab-growth": 1.69,
     # r11 additions (min-of-2 same-day walls, v2 protocol)
     "op-bpe-encode-arrow": 1.17, "op-bpe-batch-elect": 0.76,
+    # r14 additions (canary-bracketed min-of-3 same-day walls,
+    # 0.183/0.121)
+    "dedup-provenance-incremental": 1.89,
+    "plan-provenance-report": 4.16, "op-bpe-encode-bytes": 1.43,
 }
 
 

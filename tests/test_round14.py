@@ -260,6 +260,24 @@ class TestShingleInventoryContracts:
             passage_provenance_incremental_from_inventory(
                 batch, inv, window=6, stride=2).collect()
 
+    def test_inventory_pipeline_plan_is_batch_bounded(self, spark,
+                                                      tmp_path):
+        # the executed plan must (a) semi-join the inventory postings
+        # to the broadcast batch keys (LeftSemi + BroadcastHashJoin),
+        # and (b) never shuffle-join — a SortMergeJoin anywhere means
+        # a corpus-sized side escaped the broadcast/semi structure
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            near_dup_provenance_incremental_from_inventory,
+            shingle_inventory)
+        batch, corpus = self._frames(spark)
+        path = str(tmp_path / "inv_plan")
+        shingle_inventory(corpus).write.parquet(path)
+        inv = spark.read.parquet(path)
+        df = near_dup_provenance_incremental_from_inventory(batch, inv)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
     def test_pre_dial_inventory_accepted(self, spark):
         # an artifact written before the dial columns existed loads
         # under the documented caller-side contract

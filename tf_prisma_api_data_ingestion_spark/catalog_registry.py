@@ -3103,85 +3103,84 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r13 executes the r12 VERDICT's #1 item: first the 14 keys whose
-# verified pair changed this round — the five new keys
-# (dedup-provenance-incremental, dedup-provenance-incr-near,
-# plan-provenance-report, stream-provenance, op-bpe-encode-bytes),
-# dedup-provenance (plan change: the
-# redundant pre-tokenize filter dropped), and the 8 BPE-family keys
-# whose ORACLES changed with the _RE2_JAVA_DOT line-terminator fix
-# (every key embedding _SQL_BPE_V0 or _sql_op_bpe_encode:
-# op-bpe-merge-step, plan-bpe-train, op-bpe-encode,
-# op-bpe-encode-arrow, op-bpe-batch-elect, stream-token-meter,
-# plan-corpus-datasheet, plan-corpus-train). Then the 26 remaining
-# r7-tier keys, then the 10 alphabetically-first r8-tier keys. After
-# this round no key's newest driver row is older than r8; the 39
-# remaining r8-tier keys (op-train-split, op-wma, plan-alert-report,
-# plan-corpus-clean .. text-vocab-coverage, alphabetical) lead
-# r14's stale tier, then the r9 tier.
+# r14 executes the r13 VERDICT's #1 item: first the 7 keys whose
+# verified pair changed this round — the three new keys
+# (dedup-provenance-incr-near-inv, op-gpt2-pretok,
+# op-bpe-encode-gpt2), the two keys riding the refactored
+# incremental-pair tail (dedup-incremental,
+# dedup-provenance-incr-near: the index postings are now semi-joined
+# to the batch's shingle keys BEFORE the df cap — values identical,
+# plan batch-bounded), and the two streaming keys whose memory-sink
+# tags went pid-scoped (stream-provenance, stream-token-meter). Then
+# the FULL 39-key r8 tier (op-train-split .. text-vocab-coverage,
+# alphabetical — the r13 verdict's named gate-freshness debt, cleared
+# in one round), then the 4 alphabetically-first r9-tier keys. After
+# this round no key's newest driver row is older than r9; the 43
+# remaining r9-tier keys lead r15's stale tier, then the r10 tier
+# (41 keys).
 #
-# Rotation arithmetic: 269 gated keys / 50 slots = 5.4 rounds per
+# Rotation arithmetic: 272 gated keys / 50 slots = 5.4 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r13 adds 5).
-_R13_WINDOW = [
+# new-key growth stays within ~10 slots per 5 rounds (r14 adds 3).
+_R14_WINDOW = [
     # verified-pair changed this round (new keys first, then the
-    # plan-change, then the 8 oracle-change keys)
-    "dedup-provenance-incremental",
+    # plan-change keys)
+    "dedup-provenance-incr-near-inv",
+    "op-gpt2-pretok",
+    "op-bpe-encode-gpt2",
+    "dedup-incremental",
     "dedup-provenance-incr-near",
-    "plan-provenance-report",
     "stream-provenance",
-    "op-bpe-encode-bytes",
-    "dedup-provenance",
-    "op-bpe-merge-step",
-    "plan-bpe-train",
-    "op-bpe-encode",
-    "op-bpe-encode-arrow",
-    "op-bpe-batch-elect",
     "stream-token-meter",
-    "plan-corpus-datasheet",
-    "plan-corpus-train",
-    # the 26 remaining r7-tier keys, alphabetical
-    "op-map-functions",
-    "op-pandas-udaf",
-    "op-percentiles",
-    "op-pivot",
-    "op-rollup",
-    "op-sample-hash",
-    "op-semi-anti-join",
-    "op-string-functions",
-    "op-struct-access",
-    "op-udtf-chunk",
-    "op-union-all",
-    "op-unpivot",
-    "op-upper",
-    "op-urlencode",
-    "op-window-rank",
-    "op-window-running-sum",
-    "plan-corpus-report",
-    "sim-bruteforce-topk",
-    "sim-ivf-topk",
-    "sim-lsh-topk",
-    "sink-rollback",
-    "src-url-gen",
-    "text-fingerprint",
-    "text-lang-id",
-    "text-quality",
-    "text-token-count",
-    # 10 of the 49 remaining r8-tier keys, alphabetical
-    "multimodal-decode",
-    "multimodal-frame-sample",
-    "op-bootstrap-ci",
-    "op-cohens-kappa",
-    "op-corr-matrix",
-    "op-k-anonymity",
-    "op-linreg2-group",
-    "op-mrr-retrieval",
-    "op-ndcg-retrieval",
-    "op-rrf-fusion",
+    # the full 39-key r8 tier, alphabetical
+    "op-train-split",
+    "op-wma",
+    "plan-alert-report",
+    "plan-corpus-clean",
+    "plan-corpus-clean-v2",
+    "plan-corpus-mix",
+    "plan-curation-report",
+    "plan-hybrid-retrieval",
+    "plan-kmeans-train",
+    "plan-semdedup-clean",
+    "sim-embed-centroids",
+    "sim-kmeans-step",
+    "sim-semdedup",
+    "sim-semdedup-incr",
+    "sim-silhouette",
+    "src-backoff",
+    "stream-dedup",
+    "stream-quality-gate",
+    "stream-session-window",
+    "stream-sink-parquet",
+    "stream-sliding-window",
+    "stream-stateful-totals",
+    "stream-static-join",
+    "stream-stream-join",
+    "stream-window-agg",
+    "text-c4-rules",
+    "text-contamination",
+    "text-contamination-coverage",
+    "text-corpus-tv",
+    "text-dsir-score",
+    "text-gopher-rules",
+    "text-novelty",
+    "text-pack-sequences",
+    "text-pii-redact",
+    "text-repetition",
+    "text-temperature-sample",
+    "text-tfidf-top-terms",
+    "text-top-tokens",
+    "text-vocab-coverage",
+    # 4 of the 47 r9-tier keys, alphabetical
+    "dedup-substring",
+    "op-bcubed-eval",
+    "op-compact-files",
+    "op-corrupt-capture",
 ]
-assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /

@@ -327,7 +327,8 @@ def bpe_elect_batch(pair_counts: DataFrame,
 def bpe_train_batched(df: DataFrame, n_merges: int = 8,
                       batch_m: int = 4, text_col: str = "text",
                       engine: str = "auto",
-                      basis: str = "chars") -> DataFrame:
+                      basis: str = "chars",
+                      pretok: str = "words") -> DataFrame:
     """BPE training with BATCHED elections: each round elects the top
     ``batch_m`` pairwise symbol-disjoint pairs from one pair count
     and applies them in one fold/Arrow pass — collapsing the driver
@@ -347,8 +348,8 @@ def bpe_train_batched(df: DataFrame, n_merges: int = 8,
     on the gate corpus. Returns the same
     (merge_rank, left_sym, right_sym, pair_count) artifact, ranks
     numbered in election order across batches."""
-    vocab = bpe_init_vocab(df, text_col,
-                           basis=basis).localCheckpoint(eager=False)
+    vocab = bpe_init_vocab(df, text_col, basis=basis,
+                           pretok=pretok).localCheckpoint(eager=False)
     spark = df.sparkSession
     schema = ("merge_rank long, left_sym string, right_sym string,"
               " pair_count long")
