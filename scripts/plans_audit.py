@@ -135,6 +135,8 @@ AUDIT = (
     ("text-unigram-segment-arrow", "exact int64 Viterbi DP as an Arrow kernel — one MapInPandas node over the distinct-word frame, piece table in the closure; plan size independent of vocabulary"),
     ("text-wordpiece-encode-arrow", "greedy longest-match as an Arrow kernel — one MapInPandas node over the distinct-word frame, vocab in the closure; plan size independent of vocabulary"),
     ("op-bpe-batch-elect", "corpus-sized work is the word count + ONE map-side-combinable pair agg; the greedy symbol-disjoint top-M selection reads a driver-side TakeOrdered slice (model-sized), never a full sort"),
+    # r14
+    ("dedup-provenance-incr-near-inv", "persisted-inventory near-dup provenance: the parquet postings scan is the ONLY corpus-sized stage — semi-joined to the broadcast batch shingle-key set before the df cap, so every join after the scan is batch-hit-bounded; no SortMergeJoin anywhere, no re-shingle of the corpus"),
 )
 
 

@@ -191,6 +191,48 @@ class TestGpt2Encode:
         assert got == want and len(got) > 0
 
 
+# ------------------------------- streaming incremental near-dup (r14)
+
+class TestStreamingNearDupMeter:
+    def test_drained_stream_matches_batch_pairs(self, spark):
+        # the meter must drain to bit-equality with the batch pair
+        # pipeline on the same doc_id % 10 split — same pair set,
+        # same 4-decimal jaccard
+        from tf_prisma_api_data_ingestion_spark import tables
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            incremental_jaccard_pairs)
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_near_dup_meter)
+        sf = "/root/testdata/sf0.001"
+        got = sorted(tuple(r) for r in streaming_near_dup_meter(
+            spark, sf, query_name="sin_t14").collect())
+        d = tables.load(spark, sf, "documents")
+        want = sorted(tuple(r) for r in incremental_jaccard_pairs(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0)).collect())
+        assert got == want and len(got) > 0
+
+    def test_hand_case(self, spark, tmp_path):
+        # batch doc 10 shares 4 of its 4 shingles with corpus doc 1
+        # (jaccard 1.0) and 2 of 4 with corpus doc 3 (2/(4+4-2)=0.3333)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from tf_prisma_api_data_ingestion_spark.streaming.windows import (
+            streaming_near_dup_meter)
+        rows = {
+            "doc_id": [10, 1, 3],
+            "source": ["srcA", "srcX", "srcX"],
+            "text": ["a b c d e f", "a b c d e f", "a b c d x y"],
+        }
+        pq.write_table(pa.table(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = {(r["new_id"], r["index_id"]): r["jaccard_r"]
+               for r in streaming_near_dup_meter(
+                   spark, str(tmp_path),
+                   query_name="sin_t14b").collect()}
+        assert got == {(10, 1): 1.0, (10, 3): 0.3333}
+
+
 # ------------------------------------- persisted near-dup inventory
 
 class TestShingleInventoryContracts:

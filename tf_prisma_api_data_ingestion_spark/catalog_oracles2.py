@@ -3804,6 +3804,10 @@ ORACLES: dict[str, str] = {
     "stream-upsert": SQL_STREAM_UPSERT,
     "op-incremental-agg": SQL_OP_INCREMENTAL_AGG,
     "dedup-incremental": SQL_DEDUP_INCREMENTAL,
+    # r14 streaming twin: drains to bit-equality with the batch pair
+    # set (stream-token-meter pattern), so the oracle IS the batch
+    # pair replay
+    "stream-incr-near": SQL_DEDUP_INCREMENTAL,
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
     "asof-join-forward": SQL_ASOF_JOIN_FORWARD,

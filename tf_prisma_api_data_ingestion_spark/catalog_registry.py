@@ -2554,6 +2554,26 @@ def q_stream_provenance(spark, sf_dir):
         spark, sf_dir, query_name=f"spv_{tag}_{os.getpid()}")
 
 
+def q_stream_incr_near(spark, sf_dir):
+    """Streaming incremental near-dup pairs (streaming/windows.
+    streaming_near_dup_meter): the landing batch streams in and every
+    verified (new_id, index_id, jaccard) pair against the accepted
+    corpus materializes per micro-batch — the streaming face of
+    dedup-incremental, completing the dedup family's batch/stream x
+    exact/near x full/incremental cube. Static side = the corpus's
+    df-capped inverted shingle postings (the persisted
+    shingle_inventory shape, localCheckpointed so it computes once);
+    stream side = stateless per-row shingle projection into a
+    stream-static join and ONE complete-mode candidate-pair count;
+    the jaccard/threshold arithmetic is post-agg. Drains to
+    bit-equality with the batch pair set, so the oracle IS
+    dedup-incremental's replay."""
+    from .streaming.windows import streaming_near_dup_meter
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return streaming_near_dup_meter(
+        spark, sf_dir, query_name=f"sin_{tag}_{os.getpid()}")
+
+
 def q_op_bpe_encode_bytes(spark, sf_dir):
     """Byte-level BPE corpus encoding (operators/bpe.bpe_encode with
     basis='bytes' — a byte-level alphabet in the GPT-2/LLaMA spirit:
@@ -3088,6 +3108,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # encode composition
     "op-gpt2-pretok": q_op_gpt2_pretok,
     "op-bpe-encode-gpt2": q_op_bpe_encode_gpt2,
+    # r14: streaming face of the incremental near-dup pair set
+    "stream-incr-near": q_stream_incr_near,
 }
 
 
@@ -3103,7 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r14 executes the r13 VERDICT's #1 item: first the 7 keys whose
+# r14 executes the r13 VERDICT's #1 item: first the 8 keys whose
 # verified pair changed this round — the three new keys
 # (dedup-provenance-incr-near-inv, op-gpt2-pretok,
 # op-bpe-encode-gpt2), the two keys riding the refactored
@@ -3115,16 +3137,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the FULL 39-key r8 tier (op-train-split .. text-vocab-coverage,
 # alphabetical — the r13 verdict's named gate-freshness debt, cleared
 # in one round), then the 4 alphabetically-first r9-tier keys. After
-# this round no key's newest driver row is older than r9; the 43
+# this round no key's newest driver row is older than r9; the 44
 # remaining r9-tier keys lead r15's stale tier, then the r10 tier
 # (41 keys).
 #
-# Rotation arithmetic: 272 gated keys / 50 slots = 5.4 rounds per
+# Rotation arithmetic: 273 gated keys / 50 slots = 5.5 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r14 adds 3).
+# new-key growth stays within ~10 slots per 5 rounds (r14 adds 4).
 _R14_WINDOW = [
     # verified-pair changed this round (new keys first, then the
     # plan-change keys)
+    "stream-incr-near",
     "dedup-provenance-incr-near-inv",
     "op-gpt2-pretok",
     "op-bpe-encode-gpt2",
@@ -3172,11 +3195,12 @@ _R14_WINDOW = [
     "text-tfidf-top-terms",
     "text-top-tokens",
     "text-vocab-coverage",
-    # 4 of the 47 r9-tier keys, alphabetical
+    # 3 of the 47 r9-tier keys, alphabetical (a 4th, op-corrupt-
+    # capture, gave its slot to the late-round stream-incr-near key —
+    # new keys outrank stale ones, the standing precedence rule)
     "dedup-substring",
     "op-bcubed-eval",
     "op-compact-files",
-    "op-corrupt-capture",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

@@ -1001,3 +1001,83 @@ def streaming_provenance_meter(spark: SparkSession, sf_dir: str,
     return spark.table(query_name).select(
         "batch_source", "corpus_source", "hit_doc_passages",
         "dup_doc_pairs")
+
+
+def streaming_near_dup_meter(spark: SparkSession, sf_dir: str,
+                             n: int = 3, threshold: float = 0.2,
+                             max_df: int | None = 1000,
+                             query_name: str = "stream_incr_near",
+                             state_partitions: int =
+                             DEFAULT_STATE_PARTITIONS) -> DataFrame:
+    """Streaming incremental NEAR-dup pairs: landing documents stream
+    in (the doc_id % 10 == 0 batch, the dedup-incremental split) and
+    every verified (new_id, index_id, jaccard) pair against the
+    accepted corpus materializes as the batch arrives — the live
+    is-this-crawl-a-paraphrase meter, the streaming face of
+    ``dedup.incremental_jaccard_pairs`` the way
+    ``streaming_provenance_meter`` is the exact matrix's. Completes
+    the dedup family's batch/stream x exact/near x full/incremental
+    cube.
+
+    Streaming shape: the corpus's inverted shingle postings are the
+    STATIC side (in production the persisted ``shingle_inventory``
+    artifact maintained at accept time; localCheckpointed here so the
+    static plan computes once, not per micro-batch), with the hot-
+    shingle df cap pre-applied STATICALLY — the df statistic is a
+    corpus-side property, so unlike the batch path it needn't be
+    restricted to batch hits (same values either way, the proven
+    invariance). The stream side is a stateless per-row projection:
+    ``word_shingles`` is already distinct, so exploding it gives set
+    semantics with no stateful dropDuplicates; the hot-key anti-join
+    and the stream-static postings join are stateless, and ONE
+    complete-mode count per candidate (new_id, index_id, sizes) pair
+    is the only state — bounded by batch docs x df-capped postings
+    hits, exactly the frame the batch path shuffles. The
+    jaccard/threshold arithmetic runs AFTER the aggregate (stateless
+    post-agg projection; a second streaming agg would be illegal, and
+    none is needed). Drains to bit-equality with the batch pair set
+    (pinned by test and by reusing its oracle verbatim).
+    """
+    from ..operators.dedup import word_shingles
+
+    docs_b = (spark.read.option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    corpus = docs_b.filter(F.col("doc_id") % 10 != 0)
+    sh = word_shingles(F.col("text"), n)
+    inv = (corpus.select(F.col("doc_id").alias("index_id"),
+                         sh.alias("sh"))
+                 .select("index_id", F.size("sh").alias("_mi"),
+                         F.explode("sh").alias("_s"))
+                 .select("index_id", "_mi",
+                         F.xxhash64("_s").alias("_sk")))
+    hot = None
+    if max_df is not None:
+        hot = (inv.groupBy("_sk").agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") > max_df).select("_sk")
+                  .localCheckpoint(eager=False))
+        inv = inv.join(F.broadcast(hot), "_sk", "left_anti")
+    inv = inv.localCheckpoint(eager=False)
+
+    schema = docs_b.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .filter(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("new_id"), sh.alias("sh"))
+              .select("new_id", F.size("sh").alias("_mn"),
+                      F.explode("sh").alias("_s"))
+              .select("new_id", "_mn", F.xxhash64("_s").alias("_sk")))
+    if hot is not None:
+        stream = stream.join(F.broadcast(hot), "_sk", "left_anti")
+    inter = (stream.join(inv, "_sk")
+             .groupBy("new_id", "index_id", "_mn", "_mi")
+             .agg(F.count(F.lit(1)).alias("_i")))
+    with _state_partitions(spark, state_partitions):
+        q = (inter.writeStream.format("memory").queryName(query_name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    jac = F.col("_i") / (F.col("_mn") + F.col("_mi") - F.col("_i"))
+    return (spark.table(query_name)
+            .filter(jac >= threshold)
+            .select("new_id", "index_id",
+                    F.round(jac, 4).alias("jaccard_r")))
