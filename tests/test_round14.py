@@ -191,6 +191,67 @@ class TestGpt2Encode:
         assert got == want and len(got) > 0
 
 
+# ------------------------- persisted MinHash-signature index (r14)
+
+class TestLshInventory:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(10, "srcA", "a b c d e f g h"),
+             (20, "srcB", "a b c d e f x y"),
+             (1, "srcX", "a b c d e f g h"),
+             (3, "srcX", "p q r s t u v w")],
+            "doc_id long, source string, text string")
+
+    def test_pairs_match_postings_path_and_hand_jaccard(self, spark,
+                                                        tmp_path):
+        # identical docs MUST band-collide (jaccard 1.0); every
+        # returned pair must also appear in the exhaustive postings
+        # path with the same 4-decimal jaccard (LSH output is a
+        # verified SUBSET of the exact pair set)
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            incremental_jaccard_pairs,
+            incremental_minhash_pairs_from_inventory, lsh_inventory)
+        d = self._docs(spark)
+        batch = d.filter(F.col("doc_id") >= 10)
+        corpus = d.filter(F.col("doc_id") < 10)
+        path = str(tmp_path / "lsh_inventory")
+        lsh_inventory(corpus).write.parquet(path)
+        got = {(r["new_id"], r["index_id"]): r["jaccard_r"]
+               for r in incremental_minhash_pairs_from_inventory(
+                   batch, spark.read.parquet(path)).collect()}
+        assert got[(10, 1)] == 1.0
+        exact = {(r["new_id"], r["index_id"]): r["jaccard_r"]
+                 for r in incremental_jaccard_pairs(
+                     batch, corpus, max_df=None).collect()}
+        assert set(got) <= set(exact)
+        assert all(exact[k] == v for k, v in got.items())
+
+    def test_inventory_is_append_only(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            lsh_inventory)
+        d = self._docs(spark)
+        a, b = d.filter(F.col("doc_id") < 10), \
+            d.filter(F.col("doc_id") >= 10)
+        whole = sorted(map(repr, lsh_inventory(
+            a.unionByName(b)).collect()))
+        parts = sorted(map(repr, lsh_inventory(a).collect()
+                           + lsh_inventory(b).collect()))
+        assert whole == parts
+
+    def test_dial_mismatch_raises_with_resolved_bands(self, spark):
+        from tf_prisma_api_data_ingestion_spark.operators.dedup import (
+            incremental_minhash_pairs_from_inventory, lsh_inventory)
+        d = self._docs(spark)
+        inv = lsh_inventory(d, bands="auto")  # resolves to 32 @ 0.2
+        with pytest.raises(ValueError, match="bands"):
+            incremental_minhash_pairs_from_inventory(
+                d, inv, bands=16).collect()
+        # "auto" callers interoperate with int callers recording the
+        # same resolved value
+        assert incremental_minhash_pairs_from_inventory(
+            d, inv, bands=32) is not None
+
+
 # ------------------------------- streaming incremental near-dup (r14)
 
 class TestStreamingNearDupMeter:

@@ -3589,6 +3589,46 @@ FROM e FULL OUTER JOIN n
 """
 
 
+def _sql_dedup_incr_lsh() -> str:
+    """Twin of dedup.incremental_minhash_pairs_from_inventory under
+    the catalog's doc_id % 10 split: the minhash-md5 family's
+    signature/banding/verify CTEs (universal-hash seeds, 60-bit md5
+    reduced mod 2^31-1, string band keys, exact string-shingle
+    Jaccard) with the candidate join restricted to batch x corpus —
+    the frozen signature index is bit-identical to re-deriving it, so
+    the replay needs no inventory of its own."""
+    from .catalog_oracles import (_MINHASH_RPB, _SQL_SHINGLES,
+                                  _UH_SEEDS_VALUES)
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+pre AS (SELECT doc_id, shingles,
+            list_transform(shingles,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+              AS xr FROM sh),
+ab(i, a, b) AS (VALUES {_UH_SEEDS_VALUES}),
+seeded AS (
+  SELECT doc_id, ab.i, min((ab.a * u.x + ab.b) % 2147483647) AS mn
+  FROM pre, unnest(xr) u(x), ab
+  GROUP BY doc_id, ab.i),
+sigs AS (
+  SELECT doc_id, i // {_MINHASH_RPB} AS bidx,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bk
+  FROM seeded GROUP BY doc_id, i // {_MINHASH_RPB}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+  FROM sigs a JOIN sigs b ON a.bidx = b.bidx AND a.bk = b.bk
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+verified AS (
+  SELECT c.new_id, c.index_id,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         len(sa.shingles) AS ma, len(sb.shingles) AS mb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
+              JOIN sh sb ON sb.doc_id = c.index_id)
+SELECT new_id, index_id, round(i / (ma + mb - i), 4) AS jaccard_r
+FROM verified WHERE i / (ma + mb - i) >= 0.2
+"""
+
+
 def _sql_dedup_provenance_incr_near() -> str:
     """Twin of dedup.near_dup_provenance_incremental: the
     dedup-incremental oracle's exact-Jaccard batch-vs-index pairs
@@ -3808,6 +3848,9 @@ ORACLES: dict[str, str] = {
     # set (stream-token-meter pattern), so the oracle IS the batch
     # pair replay
     "stream-incr-near": SQL_DEDUP_INCREMENTAL,
+    # r14 persisted-signature-index twin (minhash-md5 family replay,
+    # incremental split)
+    "dedup-incr-lsh-inv": _sql_dedup_incr_lsh(),
     "op-schema-evolution": SQL_OP_SCHEMA_EVOLUTION,
     "op-compact-files": SQL_OP_COMPACT_FILES,
     "asof-join-forward": SQL_ASOF_JOIN_FORWARD,

@@ -2554,6 +2554,30 @@ def q_stream_provenance(spark, sf_dir):
         spark, sf_dir, query_name=f"spv_{tag}_{os.getpid()}")
 
 
+def q_dedup_incr_lsh_inv(spark, sf_dir):
+    """Incremental MinHash+LSH near-dup from a persisted signature
+    index (operators/dedup.lsh_inventory +
+    incremental_minhash_pairs_from_inventory): the MinHash-SIGNATURE
+    half of the r13-verdict artifact story — the corpus's per-doc
+    banded signature keys and string shingle sets are PERSISTED once
+    (written to parquet and read back here, the real IO path) and the
+    landing batch's near-dup pairs come from band-collision
+    candidates verified with exact Jaccard, never re-shingling or
+    re-signing the corpus and never self-joining it. Uses the
+    oracle-replayable universal-hash family (minhash_uh_seeds /
+    md5_hash60), so the DuckDB twin replays signatures, banding,
+    candidates, and verification bit-for-bit with the
+    dedup-incremental doc_id % 10 split."""
+    from .operators.dedup import (
+        incremental_minhash_pairs_from_inventory, lsh_inventory)
+    d = _t(spark, sf_dir, "documents")
+    base = _fresh_dir("incr-lsh-inv")
+    lsh_inventory(d.filter(F.col("doc_id") % 10 != 0)) \
+        .write.mode("overwrite").parquet(base)
+    return incremental_minhash_pairs_from_inventory(
+        d.filter(F.col("doc_id") % 10 == 0), spark.read.parquet(base))
+
+
 def q_stream_incr_near(spark, sf_dir):
     """Streaming incremental near-dup pairs (streaming/windows.
     streaming_near_dup_meter): the landing batch streams in and every
@@ -3110,6 +3134,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op-bpe-encode-gpt2": q_op_bpe_encode_gpt2,
     # r14: streaming face of the incremental near-dup pair set
     "stream-incr-near": q_stream_incr_near,
+    # r14: persisted MinHash-signature index (the LSH half of the
+    # incremental near-dup artifact)
+    "dedup-incr-lsh-inv": q_dedup_incr_lsh_inv,
 }
 
 
@@ -3125,7 +3152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r14 executes the r13 VERDICT's #1 item: first the 8 keys whose
+# r14 executes the r13 VERDICT's #1 item: first the 10 keys whose
 # verified pair changed this round — the three new keys
 # (dedup-provenance-incr-near-inv, op-gpt2-pretok,
 # op-bpe-encode-gpt2), the two keys riding the refactored
@@ -3137,17 +3164,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the FULL 39-key r8 tier (op-train-split .. text-vocab-coverage,
 # alphabetical — the r13 verdict's named gate-freshness debt, cleared
 # in one round), then the 4 alphabetically-first r9-tier keys. After
-# this round no key's newest driver row is older than r9; the 44
+# this round no key's newest driver row is older than r9; the 45
 # remaining r9-tier keys lead r15's stale tier, then the r10 tier
 # (41 keys).
 #
-# Rotation arithmetic: 273 gated keys / 50 slots = 5.5 rounds per
+# Rotation arithmetic: 274 gated keys / 50 slots = 5.5 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r14 adds 4).
+# new-key growth stays within ~10 slots per 5 rounds (r14 adds 5).
 _R14_WINDOW = [
     # verified-pair changed this round (new keys first, then the
     # plan-change keys)
     "stream-incr-near",
+    "dedup-incr-lsh-inv",
     "dedup-provenance-incr-near-inv",
     "op-gpt2-pretok",
     "op-bpe-encode-gpt2",
@@ -3195,12 +3223,12 @@ _R14_WINDOW = [
     "text-tfidf-top-terms",
     "text-top-tokens",
     "text-vocab-coverage",
-    # 3 of the 47 r9-tier keys, alphabetical (a 4th, op-corrupt-
-    # capture, gave its slot to the late-round stream-incr-near key —
-    # new keys outrank stale ones, the standing precedence rule)
+    # 2 of the 47 r9-tier keys, alphabetical (the 3rd and 4th slots
+    # went to the late-round stream-incr-near / dedup-incr-lsh-inv
+    # keys — new keys outrank stale ones, the standing precedence
+    # rule)
     "dedup-substring",
     "op-bcubed-eval",
-    "op-compact-files",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

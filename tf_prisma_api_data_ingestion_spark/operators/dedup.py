@@ -1034,6 +1034,122 @@ def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
                             F.round("jaccard", 4).alias("jaccard_r")))
 
 
+def _lsh_doc_frame(df: DataFrame, text_col: str, id_col: str, n: int,
+                   num_hashes: int, bands: int,
+                   source_col: str | None = None) -> DataFrame:
+    """Per-doc LSH state under the oracle-replayable universal-hash
+    family: (doc_id[, source], shingles, band_keys) — the string
+    shingle set (the exact-verify basis the whole minhash-md5 family
+    shares) and the ``bands`` banded signature keys (band index =
+    array position). Shared head of ``lsh_inventory`` and the
+    incremental pair pipeline's batch side."""
+    rpb = num_hashes // bands
+    seeds = minhash_uh_seeds(num_hashes)
+    keep = ([F.col(source_col).alias("source")]
+            if source_col is not None else [])
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), *keep,
+        word_shingles(F.col(text_col), n).alias("shingles"))
+    base = base.withColumn(
+        "_mh", F.transform("shingles",
+                           lambda s: md5_hash60(s) % _UH_PRIME))
+    sig = F.transform(
+        F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in seeds]),
+        lambda ab: F.array_min(F.transform(
+            F.col("_mh"), lambda x: (ab[0] * x + ab[1]) % _UH_PRIME)))
+    base = base.withColumn("_sig", sig)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(",", F.transform(
+            F.slice(F.col("_sig"), b * rpb + 1, rpb),
+            lambda x: x.cast("string"))))
+    keep_names = ["source"] if source_col is not None else []
+    return base.select("doc_id", *keep_names, "shingles",
+                       band_arr.alias("band_keys"))
+
+
+def lsh_inventory(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", source_col: str = "source",
+                  n: int = 3, num_hashes: int = 64,
+                  bands: int | str = "auto",
+                  threshold: float = 0.2) -> DataFrame:
+    """The maintained corpus-side artifact for incremental near-dup
+    checks at LSH granularity — the MinHash-SIGNATURE half of the
+    r13-verdict artifact story (``shingle_inventory`` is the postings
+    half): one row per document with its string shingle set (the
+    exact-verify basis) and its banded signature keys, under the
+    oracle-replayable universal-hash family (``minhash_uh_seeds`` /
+    ``md5_hash60`` — every value reproducible in ANSI SQL). At 100 TB
+    this is a persisted table a daily job APPENDS to (rows are
+    per-doc facts, so the append-only contract holds), and
+    ``incremental_minhash_pairs_from_inventory`` consumes it without
+    re-shingling OR re-signing the corpus. Where the postings
+    inventory pays one batch-keyed semi-join over ALL shared
+    shingles, this one generates candidates only where a full band
+    collides — the banding-bounded path for corpora whose shared-
+    shingle volume (sum over shingles of df x batch hits) outgrows
+    the df cap. Construction dials are recorded as constant columns
+    (``bands`` stored RESOLVED so "auto" callers and int callers
+    interoperate) and checked on load."""
+    bands = _resolve_bands(bands, num_hashes, threshold)
+    return (_lsh_doc_frame(df, text_col, id_col, n, num_hashes, bands,
+                           source_col=source_col)
+            .withColumns({"shingle_n": F.lit(n).cast("int"),
+                          "num_hashes": F.lit(num_hashes).cast("int"),
+                          "bands": F.lit(bands).cast("int")}))
+
+
+def incremental_minhash_pairs_from_inventory(
+        new_df: DataFrame, inventory: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        n: int = 3, num_hashes: int = 64,
+        bands: int | str = "auto", threshold: float = 0.2,
+        broadcast_batch: bool = True) -> DataFrame:
+    """Incremental MinHash+LSH near-dup: the landing batch's banded
+    signature keys joined against a PERSISTED ``lsh_inventory`` —
+    candidates are (batch doc, corpus doc) pairs agreeing on >= 1
+    full band, each verified with exact Jaccard over the stored
+    string shingle sets. The daily-ingest production shape at LSH
+    granularity: the corpus never re-shingles, never re-signs, and
+    never self-joins; the index-side band explode is a pure scan
+    projection joined to the BROADCAST batch band keys, so everything
+    shuffled is candidate-bounded (banding bounds candidates the way
+    the df cap bounds postings hits). Returns (new_id, index_id,
+    jaccard_r) — verified exactly, like every key in the minhash-md5
+    family. Dials are checked against the inventory's recorded
+    columns (``bands`` compared RESOLVED)."""
+    bands = _resolve_bands(bands, num_hashes, threshold)
+    _check_inventory_dials(inventory, {"shingle_n": n,
+                                       "num_hashes": num_hashes,
+                                       "bands": bands})
+    b = tracked_persist(_lsh_doc_frame(new_df, text_col, id_col, n,
+                                       num_hashes, bands))
+    b_banded = b.select(F.col("doc_id").alias("new_id"),
+                        F.posexplode("band_keys").alias("_bidx", "_bk"))
+    if broadcast_batch:
+        b_banded = F.broadcast(b_banded)
+    i_banded = inventory.select(
+        F.col("doc_id").alias("index_id"),
+        F.posexplode("band_keys").alias("_bidx", "_bk"))
+    cand = (i_banded.join(b_banded, ["_bidx", "_bk"])
+                    .select("new_id", "index_id").distinct()
+                    .localCheckpoint(eager=False))
+    hit_ids = cand.select(F.col("index_id").alias("doc_id")).distinct()
+    sa = b.select(F.col("doc_id").alias("new_id"),
+                  F.col("shingles").alias("_sa"))
+    sb = (inventory.join(F.broadcast(hit_ids), "doc_id", "left_semi")
+                   .select(F.col("doc_id").alias("index_id"),
+                           F.col("shingles").alias("_sb")))
+    verified = (cand.join(sa, "new_id").join(sb, "index_id")
+                .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+                .withColumn("jaccard", F.col("_i") /
+                            (F.size("_sa") + F.size("_sb")
+                             - F.col("_i"))))
+    return (verified.filter(F.col("jaccard") >= threshold)
+                    .select("new_id", "index_id",
+                            F.round("jaccard", 4).alias("jaccard_r")))
+
+
 def simhash_md5(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Oracle-verifiable twin of ``simhash_64``: the 64-bit signature is
