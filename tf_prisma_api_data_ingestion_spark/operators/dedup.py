@@ -1050,14 +1050,29 @@ def _lsh_doc_frame(df: DataFrame, text_col: str, id_col: str, n: int,
     base = fan_out(df).select(
         F.col(id_col).alias("doc_id"), *keep,
         word_shingles(F.col(text_col), n).alias("shingles"))
+    # barrier BEFORE the 64-seed signature transform: without it
+    # CollapseProject inlines the md5 hashing (and the shingle regex
+    # behind it) into EVERY seed's lambda — 64 re-evaluations per row
+    # (the minhash_signature docstring's trap; measured 461s vs ~7s
+    # for a 5k-doc inventory build). minhash_lsh_pairs_md5 pays a
+    # tracked_persist here for the same reason; the lazy
+    # localCheckpoint is the write-path-friendly equivalent.
     base = base.withColumn(
         "_mh", F.transform("shingles",
-                           lambda s: md5_hash60(s) % _UH_PRIME))
+                           lambda s: md5_hash60(s) % _UH_PRIME)) \
+               .localCheckpoint(eager=False)
     sig = F.transform(
         F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in seeds]),
         lambda ab: F.array_min(F.transform(
             F.col("_mh"), lambda x: (ab[0] * x + ab[1]) % _UH_PRIME)))
-    base = base.withColumn("_sig", sig)
+    # second barrier: each of the ``bands`` band lambdas slices
+    # F.col("_sig"), and CollapseProject would inline the whole
+    # 64-seed fold into every one of them — a bands x num_hashes
+    # interpreted expression forest whose analysis/compile alone
+    # costs ~55s flat per query (measured; the similarity.bucket_table
+    # lesson). Materializing _sig keeps the band projection a cheap
+    # slice over a concrete array.
+    base = base.withColumn("_sig", sig).localCheckpoint(eager=False)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.concat_ws(",", F.transform(
