@@ -664,9 +664,16 @@ def q_plan_multimodal_dedup(spark, sf_dir):
     # and the candidate set grows quadratically (measured 23x for 10x
     # data before centering; ~linear after). Centering is exact
     # (dyadic - 0.5) so the oracle replay stays bit-identical.
-    arr = emb.select(F.col("doc_id").alias("vec_id"),
-                     F.array(*[F.col(f"e{k}") - F.lit(0.5)
-                               for k in range(8)]).alias("embedding"))
+    # persist the Arrow-embed output: lsh_near_dup_pairs consumes its
+    # input THREE times before its own barrier (the auto_planes count,
+    # the bucket build, the vector frame), and each expansion re-runs
+    # the MapInPandas embed over the corpus — the r14 before-plan shows
+    # six MapInPandas nodes for one embed (guide §4: pay the Python
+    # boundary once)
+    arr = cache.tracked_persist(
+        emb.select(F.col("doc_id").alias("vec_id"),
+                   F.array(*[F.col(f"e{k}") - F.lit(0.5)
+                             for k in range(8)]).alias("embedding")))
     # planes_per_table=None -> the bucket space SELF-SIZES from the
     # corpus count (similarity.auto_planes: ceil(log2(ceil(n/2))),
     # clamped [8, 32]) so per-bucket population — and with it the

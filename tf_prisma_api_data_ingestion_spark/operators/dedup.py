@@ -250,10 +250,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     plen = F.col("_m") - F.floor(req).cast("long") + 1
     w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
                                           F.col("_s").asc())
-    prefix = (inv.join(dfreq, "_s")
-                 .withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= plen)
-                 .select("_id", "_m", "_s"))
+    # persist: both sides of the candidate self-join read `prefix`, and
+    # without the barrier the df-count + rank window run twice (the r14
+    # before-plan shows the window subtree duplicated)
+    prefix = tracked_persist(
+        inv.join(dfreq, "_s")
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= plen)
+           .select("_id", "_m", "_s"))
     size_ok = ((F.lit(t_den) * F.least(F.col("_pma"), F.col("_pmb"))
                 >= F.lit(t_num) * F.greatest(F.col("_pma"),
                                              F.col("_pmb"))))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 RANK_SCALE = 10**12
 
 
@@ -54,6 +56,14 @@ def pagerank_units(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # the edges x outdeg join is LOOP-INVARIANT: hoist it out of the
+    # iteration so each round pays one join (degree-annotated edges x
+    # ranks) instead of two — the in-loop form re-shuffled e and
+    # re-aggregated outdeg every iteration (guide §2.4: remove shuffles
+    # outright). Inner joins commute, so the per-edge rows and
+    # arithmetic are identical.
+    ed = (e.join(outdeg, "src")
+           .select("src", "dst", "_deg").localCheckpoint(eager=False))
     base = (damping_den - damping_num) * RANK_SCALE // damping_den
     ranks = nodes.withColumn("rank_units", F.lit(RANK_SCALE).cast("long"))
     par = edges.sparkSession.sparkContext.defaultParallelism
@@ -61,10 +71,9 @@ def pagerank_units(edges: DataFrame, src: str = "src", dst: str = "dst",
         # `div` is Spark's exact BIGINT integral division (double
         # division + cast would mis-floor once ranks approach 2^53);
         # DuckDB's `//` matches it exactly on non-negative operands
-        contrib = (e.join(outdeg, "src")
-                    .join(ranks.withColumnRenamed("node", "src"), "src")
-                    .select(F.col("dst").alias("node"),
-                            F.expr("rank_units div _deg").alias("_c")))
+        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                     .select(F.col("dst").alias("node"),
+                             F.expr("rank_units div _deg").alias("_c")))
         incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
         ranks = (nodes.join(incoming, "node", "left")
                  .withColumn("_in", F.coalesce(F.col("_in"), F.lit(0)))
@@ -93,9 +102,18 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
 
     Returns (node, n_triangles) for nodes in at least one triangle.
     """
-    und = (edges.select(F.least(a, b).alias("u"),
-                        F.greatest(a, b).alias("v"))
-           .filter(F.col("u") != F.col("v")).distinct())
+    # persist the canonicalized edge set: it feeds FOUR consumers (the
+    # degree union twice, the orientation join, the closure probe), and
+    # without the barrier each consumer re-expands the caller's whole
+    # edge-building pipeline — the bench's co-purchase projection
+    # appeared 66x in one physical plan (66 scans of orders+lineitem,
+    # 66 TakeOrderedAndProject copies; r14 plans/r14/
+    # op-triangle-count_before.txt). Guide §2.4/§5: one materialization,
+    # every consumer reads the cache.
+    und = tracked_persist(
+        edges.select(F.least(a, b).alias("u"),
+                     F.greatest(a, b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
     deg = (und.select(F.col("u").alias("n"))
            .unionByName(und.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("_d")))
@@ -112,6 +130,9 @@ def triangle_counts(edges: DataFrame, a: str = "doc_a",
                                             F.col("u").alias("t")))
                         .alias("_e"))
                 .select(F.col("_e.s").alias("s"), F.col("_e.t").alias("t")))
+    # both wedge sides read `oriented`; persist so the degree-join runs
+    # once, not once per side (same barrier rationale as `und`)
+    oriented = tracked_persist(oriented)
     w1 = oriented.select(F.col("s").alias("u"), F.col("t").alias("v"))
     w2 = oriented.select(F.col("s").alias("u"), F.col("t").alias("w"))
     wedges = (w1.join(w2, "u")
@@ -160,7 +181,11 @@ def bfs_distances(edges: DataFrame, source, a: str = "doc_a",
                .join(visited.select("node"), "node", "left_anti")
                .withColumn("dist", F.lit(h).cast("int"))
                .coalesce(par).localCheckpoint())
-        if nxt.rdd.isEmpty():
+        # DataFrame.isEmpty (limit-1 probe on the already-checkpointed
+        # frame) — the old nxt.rdd.isEmpty() converted internal rows to
+        # pickled Python objects just to test emptiness (guide §1.4's
+        # df.rdd caveat)
+        if nxt.isEmpty():
             break
         # visited is a union of ALREADY-checkpointed per-hop frames —
         # lineage is flat without re-checkpointing it, and the old

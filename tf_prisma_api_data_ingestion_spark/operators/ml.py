@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import tracked_persist
 from .dedup import as_double_vec, dot, md5_hash60, norm2
 from .relational import top_k_per_group
 
@@ -104,9 +105,14 @@ def item_item_cf(baskets: DataFrame, basket_col: str, item_col: str,
     Returns (item_a, item_b, co, sim_r, rank) with both orientations of
     every pair, so `item_a` is a complete recommendation key.
     """
-    inc = (baskets.select(F.col(basket_col).alias("_b"),
-                          F.col(item_col).alias("_i"))
-                  .distinct())
+    # persist the distinct incidence frame: it feeds the per-item counts
+    # AND both sides of the basket self-join — without the barrier each
+    # consumer re-runs the distinct over the source scan (the r14
+    # before-plan scanned lineitem 12 times)
+    inc = tracked_persist(
+        baskets.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i"))
+               .distinct())
     if max_basket_size is not None:
         ok = (inc.groupBy("_b")
                  .agg(F.count(F.lit(1)).alias("_sz"))

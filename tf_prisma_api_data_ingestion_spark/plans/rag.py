@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import tracked_persist
 from ..operators.text import tokens
 
 
@@ -49,8 +50,14 @@ def rag_contexts(docs: DataFrame, n_queries: int = 5, k: int = 3,
     (den+num)*inter > num*(|A|+|B|), so both engines agree exactly.
     """
     ts = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc_id"), ts.alias("_ts"),
-                       F.size(ts).alias("_dl"))
+    # persist the tokenized corpus: base feeds the query batch, the
+    # candidate anti-join/stats/hits, AND the shortlist token lookup —
+    # without the barrier each consumer re-runs the tokenize regex over
+    # the whole corpus (the r14 before-plan scanned documents 29 times;
+    # guide §5: reuse + recompute cost justify the cache)
+    base = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"), ts.alias("_ts"),
+                    F.size(ts).alias("_dl")))
     qids = (base.orderBy("doc_id").limit(n_queries)
                 .select(F.col("doc_id").alias("query_id"), "_ts"))
     qterms = (qids.select("query_id",
