@@ -47,9 +47,14 @@ def bpe_ish_piece_count(col: Column) -> Column:
 
 
 def marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
-    """How many tokens are in the marker set (with multiplicity)."""
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    """How many tokens are in the marker set (with multiplicity).
+
+    ``isin`` instead of array_contains over a literal array: past
+    spark.sql.optimizer.inSetConversionThreshold (10) the IN compiles
+    to an InSet hash probe per token, where array_contains scans the
+    whole marker list per token (O(1) vs O(|words|); value-identical —
+    r14 checked 0 mismatches over the sf0.1 corpus)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
@@ -82,9 +87,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = tokens(F.col(text_col))
     n_tok = token_count(F.col(text_col))
     n_chars = F.length(F.col(text_col))
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    # translate instead of regexp_replace for the two CHARACTER-CLASS
+    # deletions (the run-collapsing regexes elsewhere can't convert):
+    # a char-map lookup per byte vs a regex engine pass. [a-zA-Z0-9\s]
+    # and \s are pure ASCII sets under Java's default (non-UNICODE)
+    # flags, so the enumerations below are exactly the classes —
+    # value-identical (r14: 0 mismatches over the sf0.1 corpus), just
+    # cheaper per byte, and this scan runs over every corpus document.
+    _ALNUM_WS = ("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\x0b\f\r")
+    punct = F.length(F.translate(F.col(text_col), _ALNUM_WS, ""))
     stop_hits = marker_hits(t, STOPWORDS)
-    mean_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, F.length(F.translate(F.trim(F.col(text_col)), " \t\n\x0b\f\r", "")) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     # composite: reward stopword presence & moderate token length, punish punct

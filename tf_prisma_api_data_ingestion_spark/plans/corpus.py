@@ -87,12 +87,12 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
                                             "quality_score")
 
 
-def corpus_clean_v2(spark: SparkSession, sf_dir: str,
-                    min_quality: float = 0.5, min_tokens: int = 10,
-                    max_dup_frac: float = 0.5,
-                    jaccard_threshold: float = 0.5,
-                    bench_mod: int = 100,
-                    max_df: int = 1000) -> DataFrame:
+def _clean_v2_survivor_rows(spark: SparkSession, sf_dir: str,
+                            min_quality: float = 0.5, min_tokens: int = 10,
+                            max_dup_frac: float = 0.5,
+                            jaccard_threshold: float = 0.5,
+                            bench_mod: int = 100,
+                            max_df: int = 1000) -> DataFrame:
     """The full modern pre-training filter chain: quality -> repetition
     -> benchmark decontamination -> exact dedup -> near-dup keep-list.
 
@@ -101,7 +101,11 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     broadcast-bank contamination check run BEFORE the expensive shingle
     inverted-index join, so the pair machinery sees the smallest possible
     corpus. Benchmark docs (doc_id % bench_mod == 0) are held out of the
-    output entirely. Returns (doc_id, n_tokens, quality_score, dup_frac).
+    output entirely. Returns the surviving documents' FULL rows (source
+    columns plus the feature columns) so downstream stages
+    (``corpus_to_training``) reuse the persisted survivor set instead of
+    re-scanning and re-joining the corpus; ``corpus_clean_v2`` is the
+    report projection over it.
     """
     from ..operators.text import contamination_hits, dup_ngram_frac
 
@@ -141,8 +145,15 @@ def corpus_clean_v2(spark: SparkSession, sf_dir: str,
     keep = (clusters.groupBy("cluster_id")
                     .agg(F.min("doc_id").alias("doc_id"))
                     .select("doc_id"))
-    return docs.join(keep, "doc_id").select("doc_id", "n_tokens",
-                                            "quality_score", "dup_frac")
+    return docs.join(keep, "doc_id")
+
+
+def corpus_clean_v2(spark: SparkSession, sf_dir: str,
+                    **kwargs) -> DataFrame:
+    """Report projection of :func:`_clean_v2_survivor_rows` — the
+    public (doc_id, n_tokens, quality_score, dup_frac) contract."""
+    return _clean_v2_survivor_rows(spark, sf_dir, **kwargs).select(
+        "doc_id", "n_tokens", "quality_score", "dup_frac")
 
 
 def corpus_to_training(spark: SparkSession, sf_dir: str,
@@ -169,13 +180,15 @@ def corpus_to_training(spark: SparkSession, sf_dir: str,
     """
     from ..operators.text import pack_sequences, temperature_sample
 
-    kept = corpus_clean_v2(spark, sf_dir, **clean_kwargs).select("doc_id")
-    # fan_out BEFORE the regex-heavy feature pass: parquet splits by
-    # bytes but a row group is indivisible, so a few-row-group corpus
-    # file scans as few partitions and the quality/shingle CPU
-    # serializes onto them (measured: one 500k-row group -> one core)
-    d = fan_out(tables.load(spark, sf_dir, "documents"))
-    docs = tracked_persist(d.join(kept, "doc_id"))
+    # the survivor rows come straight out of the clean chain's persisted
+    # frame (they already carry doc_id/source/text) — the r13 form
+    # re-scanned the documents table and re-joined it against the
+    # survivor ids, paying one extra corpus scan + join for columns the
+    # clean chain already held (guide §2.4). Persist: the sampler's
+    # per-source counts, the sampler's keep join, and the packer all
+    # consume this frame.
+    docs = tracked_persist(
+        _clean_v2_survivor_rows(spark, sf_dir, **clean_kwargs))
     # per-source sqrt rates over the SURVIVORS (one shared operator with
     # text-temperature-sample — decimal-quantized Z, order-free, exact)
     sampled = temperature_sample(docs, budget=sample_budget)

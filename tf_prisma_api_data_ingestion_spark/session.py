@@ -66,6 +66,26 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
         # barrier would scan 1024 near-empty partitions at small sf
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
+        # Shuffled-hash instead of sort-merge where a hash table fits
+        # (guide §3.1): two independent, value-neutral gates measured
+        # r14 (same-session interleaved A/B, min-of-3; tpch-q5
+        # 1.82->1.46s, plan-provenance-report 3.92->2.99s,
+        # dedup-embedding-lsh 2.30->1.90s — the sort on both shuffle
+        # sides is pure overhead when partitions fit in memory).
+        # - the AQE threshold converts SMJ->SHJ at runtime only when
+        #   EVERY post-shuffle partition is under 64 MB of MEASURED
+        #   bytes — scale-safe by construction (a 100 TB shuffle's
+        #   partitions exceed it and keep sort-merge's spill path);
+        # - preferSortMergeJoin=false lets the static planner pick SHJ
+        #   when the ESTIMATED plan size fits partitions x 10 MB —
+        #   catches joins AQE cannot rewrite (cached/checkpointed
+        #   inputs). Set SPARK_GRAFT_PREFER_SMJ=true on clusters whose
+        #   size estimates are known-bad (post-UDF inputs).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD",
+                               "67108864"))
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
         # Arrow for any pandas-UDF path (the slow path, used sparingly)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep broadcast threshold default (10MB) — dims here are tiny;
