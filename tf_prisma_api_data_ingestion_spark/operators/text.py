@@ -544,8 +544,13 @@ def lm_likelihood(docs: DataFrame, id_col: str = "doc_id",
                           F.explode(pairs).alias("_p"))
                   .select("doc_id", F.col("_p")["0"].alias("w1"),
                           F.col("_p")["1"].alias("w2")))
-    dcnt = stream.groupBy("doc_id", "w1", "w2") \
-                 .agg(F.count(F.lit(1)).alias("m"))
+    # persist the per-(doc, bigram) multiplicities: they feed the corpus
+    # bigram table AND the scoring join — unpersisted, the raw-token
+    # explode + shuffle ran once per consumer (4 document scans in the
+    # r14 before-plan; guide §5)
+    from ..cache import tracked_persist
+    dcnt = tracked_persist(stream.groupBy("doc_id", "w1", "w2")
+                                 .agg(F.count(F.lit(1)).alias("m")))
     c12 = dcnt.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     voc = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -994,11 +999,21 @@ def vocab_growth(df: DataFrame, k: int = 10, text_col: str = "text",
     from .dedup import md5_hash60
     from .rank import exact_ntile
 
+    from ..cache import tracked_persist
+
     d = df.withColumn("_vg_h",
                       md5_hash60(F.col(id_col).cast("string")))
-    b = exact_ntile(d, k, "_vg_h", tiebreak=[id_col], out="bucket")
-    words = b.select("bucket",
-                     F.explode(tokens(F.col(text_col))).alias("word"))
+    # persist both shared frames (guide §5): the ntile machinery
+    # (quantile sketch + rank shuffles) feeds the word explode AND the
+    # per-bucket doc counts; the (bucket, word) stream feeds the token
+    # volumes AND the first-occurrence aggregate — unpersisted, the
+    # rank ran twice and the tokenize twice (6 document scans in the
+    # r14 before-plan)
+    b = tracked_persist(
+        exact_ntile(d, k, "_vg_h", tiebreak=[id_col], out="bucket"))
+    words = tracked_persist(
+        b.select("bucket",
+                 F.explode(tokens(F.col(text_col))).alias("word")))
     tok_b = (words.groupBy("bucket")
              .agg(F.count(F.lit(1)).cast("long").alias("_nt")))
     doc_b = (b.groupBy("bucket")
