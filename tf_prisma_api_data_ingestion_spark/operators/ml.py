@@ -599,10 +599,14 @@ def te_calibration(df: DataFrame, cat_col: str, y01, bins: int = 10,
     after is one combinable aggregation over ``bins`` groups. Returns
     (bin, n, mean_pred_r, rate_r) ordered by bin.
     """
-    enc = target_encode(df, cat_col, y01, smoothing=smoothing) \
+    # persist the (tiny) encoder table: the span aggregate and the
+    # broadcast row join both consume it, and each expansion re-ran
+    # target_encode's full aggregation passes over df (guide §5)
+    enc = tracked_persist(
+        target_encode(df, cat_col, y01, smoothing=smoothing)
         .select("category",
                 F.expr("CAST(round(enc_r * 1000000.0) AS BIGINT)")
-                 .alias("_em"))
+                 .alias("_em")))
     span = enc.agg(F.min("_em").alias("_mn"), F.max("_em").alias("_mx"))
     rows = (df.select(F.col(cat_col).alias("category"),
                       y01.cast("long").alias("_y"))
@@ -649,11 +653,18 @@ def negative_sample(positives: DataFrame, items: DataFrame,
     Returns (user, pos_item, j, neg_item).
     """
     idx = Window.orderBy(F.col("_it").asc())
-    cat = (items.select(F.col(item_col).alias("_it")).distinct()
-                .withColumn("_row", F.row_number().over(idx) - 1))
+    # persist both shared frames (guide §5): the item index is consumed
+    # by the count scalar and the broadcast join (its global row_number
+    # is the expensive single-partition step — run it once), and the
+    # distinct positives feed the candidate build AND the truth
+    # anti-join side
+    cat = tracked_persist(
+        items.select(F.col(item_col).alias("_it")).distinct()
+             .withColumn("_row", F.row_number().over(idx) - 1))
     n_items = cat.agg(F.count(F.lit(1)).alias("_ni"))
-    pos = positives.select(F.col(user_col).alias("user"),
-                           F.col(item_col).alias("pos_item")).distinct()
+    pos = tracked_persist(
+        positives.select(F.col(user_col).alias("user"),
+                         F.col(item_col).alias("pos_item")).distinct())
     cand = (pos.crossJoin(F.broadcast(n_items))
                .withColumn("j", F.explode(
                    F.array(*[F.lit(i) for i in range(m)])))

@@ -1137,13 +1137,19 @@ def embedding_outliers(embeddings: DataFrame, k: float = 3.0,
     threshold unless ``exact_max_group`` overrides).
     Returns (cluster, n, n_outliers, median_d2, mad_d2).
     """
+    from ..cache import tracked_persist
     from .stats import EXACT_MEDIAN_MAX_GROUP, _median_fn
-    asg = assign_nearest_centroid(embeddings, label_col=label_col,
-                                  id_col=id_col, vec_col=vec_col)
+    # persist the assignment: it feeds the median aggregate, the
+    # deviation join and (via dev) the MAD + flag aggregates — without
+    # the barrier the mapInPandas distance kernel re-ran once per
+    # consumer (12 Python-boundary nodes in the r14 plan sweep;
+    # guide §4/§5). The auto mode's count probe reads the same cache.
+    asg = tracked_persist(
+        assign_nearest_centroid(embeddings, label_col=label_col,
+                                id_col=id_col, vec_col=vec_col))
     if median_mode == "auto":
         cap = (EXACT_MEDIAN_MAX_GROUP if exact_max_group is None
                else exact_max_group)
-        asg = asg.localCheckpoint(eager=False)
         top = (asg.groupBy("cluster").count()
                .agg(F.max("count")).first()[0]) or 0
         median_mode = "exact" if top <= cap else "approx"

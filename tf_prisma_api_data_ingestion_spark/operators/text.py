@@ -789,11 +789,16 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     range partition). Returns (id, group, n_bigrams, lm_ppm_r,
     ccnet_bucket) for every doc with >= 1 bigram.
     """
+    from ..cache import tracked_persist
     from .rank import exact_ntile
 
     scored = lm_likelihood(df, id_col=id_col, text_col=text_col)
-    joined = scored.join(df.select(F.col(id_col).alias("doc_id"),
-                                   F.col(group_col)), "doc_id")
+    # persist: exact_ntile consumes its input twice (the eager quantile
+    # boundary sketch at construction plus the ranked lineage), and each
+    # expansion re-runs the whole LM scoring chain (guide §5)
+    joined = tracked_persist(
+        scored.join(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(group_col)), "doc_id"))
     bucketed = exact_ntile(
         joined, 3, "lm_ppm_r", desc=True, tiebreak=["doc_id"],
         group_cols=[group_col], out="_ccb")
@@ -919,25 +924,35 @@ def stupid_backoff_score(df: DataFrame, text_col: str = "text",
     t = tokens(F.col(text_col))
     k = F.greatest(F.size(t) - F.lit(2), F.lit(0))
     tri = F.arrays_zip(F.slice(t, 1, k), F.slice(t, 2, k), F.slice(t, 3, k))
-    stream = (df.select(F.col(id_col), is_ref.alias("_ref"),
-                        F.explode(tri).alias("_g"))
-              .select(id_col, "_ref",
-                      F.col("_g")["0"].alias("w1"),
-                      F.col("_g")["1"].alias("w2"),
-                      F.col("_g")["2"].alias("w3")))
+    from ..cache import tracked_persist
+
+    # persist the positional trigram stream: it feeds the c3 and c2
+    # count tables AND the scored (non-reference) side — unpersisted,
+    # the tokenize + explode ran once per consumer (guide §5)
+    stream = tracked_persist(
+        df.select(F.col(id_col), is_ref.alias("_ref"),
+                  F.explode(tri).alias("_g"))
+          .select(id_col, "_ref",
+                  F.col("_g")["0"].alias("w1"),
+                  F.col("_g")["1"].alias("w2"),
+                  F.col("_g")["2"].alias("w3")))
     ref = stream.filter("_ref")
     c3 = ref.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
     c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx"))
     c2 = ref.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c2"))
     c1ctx = c2.groupBy("w2").agg(F.sum("c2").alias("c1ctx"))
-    # unigram counts over ALL reference tokens (not just trigram slots)
+    # unigram counts over ALL reference tokens (not just trigram slots);
+    # persisted because both the scoring join and the N total read it
     toks_ref = (df.filter(is_ref)
                 .select(F.explode(tokens(F.col(text_col))).alias("w3")))
-    c1 = toks_ref.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = tracked_persist(
+        toks_ref.groupBy("w3").agg(F.count(F.lit(1)).alias("c1")))
     # N rides in as a broadcast 1-row scalar subquery (the repo idiom),
     # NOT an eager .count() literal: constructing this operator fires
     # no Spark job, and the whole chain stays one lazy plan (r9 nit).
-    n_tot = toks_ref.agg(F.count(F.lit(1)).alias("_ntot"))
+    # Derived from the persisted unigram table (sum of group counts ==
+    # token count, exactly) instead of a second tokenize pass.
+    n_tot = c1.agg(F.sum("c1").alias("_ntot"))
     # half-up integral division of non-negative longs
     def dh(a: str, b: str) -> str:
         return f"(2 * ({a}) + ({b})) DIV (2 * ({b}))"
