@@ -53,6 +53,7 @@ running plain single-window ntile SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -82,6 +83,43 @@ def range_boundaries(df: DataFrame, key_col: str,
     return sorted(set(v for v in (vals or []) if v is not None))
 
 
+def _adaptive_buckets(df: DataFrame) -> int:
+    """Scale-adaptive boundary count (r14, guide §2): the bucket count
+    bounds one local-sort task at ~corpus/B, so a CONSTANT tuned for
+    local mode (the session's shuffle-partition setting) re-creates the
+    unbounded-task problem at 100 TB. Derive B from the input's Catalyst
+    size estimate instead — one bucket per ~SPARK_GRAFT_RANK_BUCKET_BYTES
+    (default 64 MB, the same advisory granularity AQE coalesces to) —
+    with the session shuffle setting as the floor (keeps small-scale
+    plans exactly as before: any input under floor×target stays at the
+    floor) and 4096 as the cap (the bucket-assignment when-tree costs
+    O(log B) per row and the boundary sketch ships B-1 numbers to the
+    driver — both fine at 4096, measured r11). Estimate-only: boundary
+    count affects task balance, never values, so a bad estimate costs
+    skew headroom, not correctness."""
+    spark = df.sparkSession
+    floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        raw = (df._jdf.queryExecution()  # noqa: SLF001
+               .optimizedPlan().stats().sizeInBytes())
+        # py4j maps scala.math.BigInt to Python int when it fits; very
+        # large estimates (post-join multiplications) surface as the
+        # Java object — stringify those
+        est = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # stats unavailable (exotic plan) — keep the floor
+        return floor_n
+    if est >= 1 << 60:
+        # leaves without statistics (RDD-backed frames, createDataFrame)
+        # report spark.sql.defaultSizeInBytes = Long.MaxValue and taint
+        # every product above them; past 2^60 (an exabyte — no real
+        # estimate) the number is a sentinel, not a size. Keep the
+        # floor; callers who know better pass ``buckets`` explicitly.
+        return floor_n
+    target = int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_BYTES",
+                                str(64 << 20)))
+    return max(floor_n, min(4096, -(-est // target)))
+
+
 def exact_global_rank(df: DataFrame, key_col: str, *,
                       desc: bool = False,
                       tiebreak: Sequence[str],
@@ -93,14 +131,15 @@ def exact_global_rank(df: DataFrame, key_col: str, *,
     order (``key_col`` asc/desc, then ``tiebreak`` asc), computed with
     bounded tasks as described in the module docstring. ``key_col``
     must be non-null numeric (it feeds the quantile sketch); the
-    boundary count defaults to the session's shuffle-partition
-    setting. ``total_col`` additionally attaches the per-group row
+    boundary count defaults to a scale-adaptive value derived from the
+    input's size estimate (see ``_adaptive_buckets``), floored at the
+    session's shuffle-partition setting. ``total_col`` additionally
+    attaches the per-group row
     count, read off the same tiny counts frame — no extra corpus pass
     (ntile and percentile assignment need it)."""
     gcols = list(group_cols)
     order_by = _order_exprs(key_col, desc, tiebreak)
-    spark = df.sparkSession
-    nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nb = buckets or _adaptive_buckets(df)
     bnds = range_boundaries(df, key_col, nb)
     # The bucket index increases ALONG the sort direction; key == b
     # lands in the lower bucket either way (deterministic ties). Built

@@ -255,9 +255,20 @@ def lsh_bucket_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------
 
+def _slim_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _v double-vec, _n norm): the slim projection every IVF stage
+    consumes. Derived once per ``ivf_topk`` call and persisted so the
+    centroid iterations, the list build and the seed draw share one
+    materialization instead of re-scanning the corpus and re-running the
+    double-vec + norm arithmetic per stage (guide §2.4/§5)."""
+    vd = as_double_vec(F.col(vec_col))
+    return fan_out(df).select(F.col(id_col), vd.alias("_v"),
+                              norm2(vd).alias("_n"))
+
+
 def ivf_centroids(candidates: DataFrame, nc: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  iters: int = 1) -> DataFrame:
+                  iters: int = 1, vecs: DataFrame | None = None) -> DataFrame:
     """Deterministic IVF coarse quantizer: ``nc`` seed vectors are chosen
     by xxhash64(id) order (a distributed TakeOrdered — no full sort, no
     RNG), then optionally refined with k-means iterations: assign every
@@ -266,19 +277,29 @@ def ivf_centroids(candidates: DataFrame, nc: int = 16,
     with array_sort). Each iteration is two hash shuffles over (cid, dim)
     pairs — linear in corpus size, never quadratic.
 
+    ``vecs`` optionally supplies the pre-derived (id, _v, _n) frame from
+    ``_slim_vecs`` (same rows by construction) so a caller holding a
+    persisted copy avoids one corpus re-derivation per stage.
+
     Returns (cid, _cv double-vec, _cn norm) — nc rows, broadcast-sized.
     """
     from pyspark.sql.window import Window
 
-    vd = as_double_vec(F.col(vec_col))
-    seeds = (candidates
-             .select(vd.alias("_cv"), F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
-             .orderBy("_h").limit(nc))
+    if vecs is not None:
+        seeds = (vecs
+                 .select(F.col("_v").alias("_cv"),
+                         F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+                 .orderBy("_h").limit(nc))
+    else:
+        vd = as_double_vec(F.col(vec_col))
+        seeds = (candidates
+                 .select(vd.alias("_cv"), F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+                 .orderBy("_h").limit(nc))
     cents = (seeds.withColumn("cid", F.row_number().over(Window.orderBy("_h")))
                   .select("cid", "_cv", norm2(F.col("_cv")).alias("_cn")))
     for _ in range(iters):
         assigned = ivf_assign(candidates, cents, id_col=id_col,
-                              vec_col=vec_col, nprobe=1)
+                              vec_col=vec_col, nprobe=1, vecs=vecs)
         cents = (assigned
                  .select("cid", F.posexplode("_v").alias("_d", "_x"))
                  .groupBy("cid", "_d").agg(F.avg("_x").alias("_m"))
@@ -291,7 +312,7 @@ def ivf_centroids(candidates: DataFrame, nc: int = 16,
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, vecs: DataFrame | None = None) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest inverted lists by
     cosine against the broadcast nc-row centroid table.
 
@@ -299,12 +320,13 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     linear, no shuffle. The top-nprobe reduction runs on a SLIM
     (id, cid, sim) projection so the window shuffle never amplifies the
     vectors nc×; the vectors are joined back by id afterwards (one hash
-    join AQE can broadcast when the side is small).
+    join AQE can broadcast when the side is small). ``vecs`` optionally
+    supplies the pre-derived ``_slim_vecs`` frame (identical rows) so a
+    persisted copy is reused instead of re-deriving it per call.
 
     Returns (id_col, cid, _v double-vec, _n norm).
     """
-    vd = as_double_vec(F.col(vec_col))
-    v = fan_out(df).select(F.col(id_col), vd.alias("_v"), norm2(vd).alias("_n"))
+    v = vecs if vecs is not None else _slim_vecs(df, id_col, vec_col)
     slim = (v.select(id_col, "_v", "_n")
              .crossJoin(F.broadcast(centroids))
              .withColumn("_sim", dot(F.col("_v"), F.col("_cv"))
@@ -333,10 +355,12 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
 
     Returns (query_id, vec_id, cos_r) like ``brute_force_topk``.
     """
+    vecs = tracked_persist(_slim_vecs(candidates, id_col, vec_col))
     cents = tracked_persist(ivf_centroids(candidates, nc=nc, id_col=id_col,
-                                          vec_col=vec_col, iters=iters))
+                                          vec_col=vec_col, iters=iters,
+                                          vecs=vecs))
     cand = ivf_assign(candidates, cents, id_col=id_col, vec_col=vec_col,
-                      nprobe=1)
+                      nprobe=1, vecs=vecs)
     qa = (ivf_assign(queries, cents, id_col=id_col, vec_col=vec_col,
                      nprobe=nprobe)
           .select(F.col(id_col).alias("query_id"), "cid",
