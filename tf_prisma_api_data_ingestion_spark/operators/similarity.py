@@ -395,12 +395,17 @@ def _subvectors(df: DataFrame, m: int, dsub: int,
 
 def pq_codebooks(candidates: DataFrame, m: int = 16, ksub: int = 16,
                  dim: int = 64, iters: int = 1, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 sv: DataFrame | None = None) -> DataFrame:
     """Deterministic per-subspace PQ codebooks: for each of ``m``
     subspaces, ``ksub`` codewords seeded by xxhash64(id) order and
     refined with k-means iterations (assign by squared L2, recompute as
     per-dimension means — same shape as ``ivf_centroids``, run once per
     subspace in a single plan, never a per-subspace driver loop).
+
+    ``sv`` optionally supplies the pre-derived ``_subvectors`` frame
+    (identical rows by construction) so a caller holding a persisted
+    copy avoids one corpus re-derivation per consumer.
 
     Returns (sub, code, _cv, _c2): m*ksub rows — broadcast-sized at any
     corpus scale (the codebook is a training artifact, not data).
@@ -408,7 +413,8 @@ def pq_codebooks(candidates: DataFrame, m: int = 16, ksub: int = 16,
     from pyspark.sql.window import Window
 
     dsub = dim // m
-    sv = _subvectors(candidates, m, dsub, id_col, vec_col)
+    if sv is None:
+        sv = _subvectors(candidates, m, dsub, id_col, vec_col)
     w = Window.partitionBy("sub").orderBy(F.xxhash64(F.col(id_col).cast("string")),
                                           F.col(id_col))
     books = (sv.withColumn("_rn", F.row_number().over(w))
@@ -441,15 +447,18 @@ def _pq_assign(sv: DataFrame, books: DataFrame) -> DataFrame:
 
 
 def pq_encode(df: DataFrame, books: DataFrame, m: int = 16, dim: int = 64,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sv: DataFrame | None = None) -> DataFrame:
     """Compress each vector to ``m`` codebook ids: (id, sub, code).
 
     This IS the memory story of PQ at 100 TB: m bytes per vector
     (m * log2(ksub) bits) instead of dim * 4 — a 64-dim float corpus
     compresses 32x, so the searchable index of a corpus that doesn't fit
-    in cluster RAM does.
+    in cluster RAM does. ``sv`` optionally reuses a pre-derived
+    ``_subvectors`` frame (identical rows).
     """
-    sv = _subvectors(df, m, dim // m, id_col, vec_col)
+    if sv is None:
+        sv = _subvectors(df, m, dim // m, id_col, vec_col)
     return _pq_assign(sv, books).select(id_col, "sub", "code")
 
 
@@ -475,11 +484,16 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
     means have no bit-stable SQL replay) — rows-only, like the xxhash64
     LSH twins.
     """
+    # one persisted subvector frame shared by the codebook training and
+    # the corpus encode (guide §2.4/§5: each re-derivation was a full
+    # corpus scan + per-row slice arithmetic)
+    sv = tracked_persist(_subvectors(candidates, m, dim // m,
+                                     id_col, vec_col))
     books = tracked_persist(pq_codebooks(candidates, m=m, ksub=ksub, dim=dim,
                                          iters=iters, id_col=id_col,
-                                         vec_col=vec_col))
+                                         vec_col=vec_col, sv=sv))
     codes = pq_encode(candidates, books, m=m, dim=dim,
-                      id_col=id_col, vec_col=vec_col)
+                      id_col=id_col, vec_col=vec_col, sv=sv)
     # per-query ADC lookup table: (query_id, sub, code, partial dot, |c|^2)
     qsv = _subvectors(queries, m, dim // m, id_col, vec_col) \
         .withColumnRenamed(id_col, "query_id")
