@@ -92,9 +92,11 @@ def _adaptive_buckets(df: DataFrame) -> int:
     (default 64 MB, the same advisory granularity AQE coalesces to) —
     with the session shuffle setting as the floor (keeps small-scale
     plans exactly as before: any input under floor×target stays at the
-    floor) and 4096 as the cap (the bucket-assignment when-tree costs
-    O(log B) per row and the boundary sketch ships B-1 numbers to the
-    driver — both fine at 4096, measured r11). Estimate-only: boundary
+    floor) and SPARK_GRAFT_RANK_BUCKET_CAP (default 4096) as the cap
+    (the bucket-assignment when-tree costs O(log B) per row and the
+    boundary sketch ships B-1 numbers to the driver — both fine at
+    4096, measured r11; past the cap the sketch accuracy dial matters
+    more than more buckets). Estimate-only: boundary
     count affects task balance, never values, so a bad estimate costs
     skew headroom, not correctness."""
     spark = df.sparkSession
@@ -117,7 +119,8 @@ def _adaptive_buckets(df: DataFrame) -> int:
         return floor_n
     target = int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_BYTES",
                                 str(64 << 20)))
-    return max(floor_n, min(4096, -(-est // target)))
+    cap = int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_CAP", "4096"))
+    return max(floor_n, min(cap, -(-est // target)))
 
 
 def exact_global_rank(df: DataFrame, key_col: str, *,
