@@ -361,8 +361,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
                                           vecs=vecs))
     cand = ivf_assign(candidates, cents, id_col=id_col, vec_col=vec_col,
                       nprobe=1, vecs=vecs)
+    # query-side twin of the candidate-side share (r15): ivf_assign
+    # consumes its slim frame twice (the centroid scoring and the
+    # join-back), so an unshared call re-derived the queries projection
+    # per consumer — one persisted frame, same rows by construction
+    qvecs = tracked_persist(_slim_vecs(queries, id_col, vec_col))
     qa = (ivf_assign(queries, cents, id_col=id_col, vec_col=vec_col,
-                     nprobe=nprobe)
+                     nprobe=nprobe, vecs=qvecs)
           .select(F.col(id_col).alias("query_id"), "cid",
                   F.col("_v").alias("_qv"), F.col("_n").alias("_qn")))
     joined = (cand.join(F.broadcast(qa), "cid")

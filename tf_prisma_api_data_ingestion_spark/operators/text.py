@@ -186,12 +186,23 @@ def repetition_features(df: DataFrame, text_col: str = "text",
 
 def contamination_hits(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 5,
-                       bench_mod: int = 100) -> DataFrame:
+                       bench_mod: int = 100,
+                       bank_df: DataFrame | None = None) -> DataFrame:
     """Benchmark-overlap decontamination check (the GPT-3/PaLM-style
     n-gram collision test): a corpus document is flagged when any of its
     distinct word n-grams appears in the benchmark set's n-gram bank.
     The benchmark stand-in is the deterministic slice doc_id % bench_mod
     == 0 (in production: the eval suites you must not train on).
+
+    ``bank_df`` optionally supplies the frame the benchmark bank is
+    drawn from (default: ``df`` itself). A caller that only needs hits
+    for a FILTERED corpus subset passes the subset as ``df`` and the
+    full corpus as ``bank_df``: per-doc hits depend only on the doc's
+    own text and the bank, so restricting ``df`` restricts the output's
+    domain without changing any surviving row — while the bank keeps
+    every benchmark document, filtered or not (a quality-failing eval
+    doc must still decontaminate). The r15 corpus plans use this to run
+    the gram explode over quality survivors only.
 
     Scale shape: the bank is eval-suite-sized -> broadcast, so the corpus
     side never shuffles on gram strings; the only shuffle is the per-doc
@@ -202,9 +213,9 @@ def contamination_hits(df: DataFrame, text_col: str = "text",
     is_bench = F.col(id_col) % bench_mod == 0
     g = (df.filter(~is_bench)
            .select(F.col(id_col), F.explode(grams).alias("_g")))
-    bank = (df.filter(is_bench)
-              .select(F.explode(grams).alias("_g"))
-              .distinct())
+    bank = ((bank_df if bank_df is not None else df).filter(is_bench)
+            .select(F.explode(grams).alias("_g"))
+            .distinct())
     hits = (g.join(F.broadcast(bank), "_g")
              .groupBy(id_col).agg(F.count(F.lit(1)).alias("_h")))
     return (df.filter(~is_bench).select(id_col)

@@ -117,13 +117,28 @@ def _clean_v2_survivor_rows(spark: SparkSession, sf_dir: str,
     # ONE pass for every row-local feature: quality AND the repetition
     # fraction are columns of the same select, so the corpus is scanned
     # and tokenized once for both (a per-feature DataFrame + doc_id join
-    # would re-scan and shuffle per feature)
-    q = (quality_features(d, "text")
-         .withColumn("dup_frac", dup_ngram_frac(F.col("text"), 3))
-         .filter((F.col("quality_score") >= min_quality)
-                 & (F.col("n_tokens") >= min_tokens)
-                 & (F.col("dup_frac") <= max_dup_frac)))
-    clean_ids = (contamination_hits(d, n=5, bench_mod=bench_mod)
+    # would re-scan and shuffle per feature). The featured frame is
+    # PERSISTED and shared with the contamination check (r15, guide
+    # §2.4/§6): before, quality and contamination each re-scanned the
+    # documents parquet — 4 scan subtrees in the plan (quality chain,
+    # contamination grams, bank, id spine); now the corpus is read once
+    # and every consumer reads the cache.
+    feat = tracked_persist(
+        quality_features(d, "text")
+        .withColumn("dup_frac", dup_ngram_frac(F.col("text"), 3)))
+    q = feat.filter((F.col("quality_score") >= min_quality)
+                    & (F.col("n_tokens") >= min_tokens)
+                    & (F.col("dup_frac") <= max_dup_frac))
+    # contamination gram explode over the QUALITY SURVIVORS only: the
+    # final survivor set is base = q ⋈ clean_ids, and a doc's hit count
+    # depends only on its own text and the bank, so restricting the
+    # checked corpus to q (a superset of the output) is value-identical
+    # and cuts the 5-gram explode+join to the surviving fraction. The
+    # bank still draws from ALL benchmark docs via the shared persisted
+    # frame (a quality-failing eval doc must still decontaminate —
+    # oracle: bank is unconditional on quality).
+    clean_ids = (contamination_hits(q, n=5, bench_mod=bench_mod,
+                                    bank_df=feat)
                  .filter(~F.col("contaminated"))
                  .select("doc_id"))
     # quality_features preserves source columns, so base still carries

@@ -76,16 +76,22 @@ def get_spark(app_name: str = "tf-prisma-spark", cpus: int | str | None = None,
         #   EVERY post-shuffle partition is under 64 MB of MEASURED
         #   bytes — scale-safe by construction (a 100 TB shuffle's
         #   partitions exceed it and keep sort-merge's spill path);
-        # - preferSortMergeJoin=false lets the static planner pick SHJ
-        #   when the ESTIMATED plan size fits partitions x 10 MB —
-        #   catches joins AQE cannot rewrite (cached/checkpointed
-        #   inputs). Set SPARK_GRAFT_PREFER_SMJ=true on clusters whose
-        #   size estimates are known-bad (post-UDF inputs).
+        # - the STATIC gate (preferSortMergeJoin=false) is OPT-IN as of
+        #   r15 (set SPARK_GRAFT_PREFER_SMJ=false to enable): it picks
+        #   SHJ from ESTIMATED sizes, so on a cluster a post-UDF or
+        #   cached input with a bad estimate gets a hash build side
+        #   that was never measured — an unbounded-memory risk the
+        #   engine should not take by default (r14 verdict #1). The r15
+        #   same-session A/B (scripts/r15_shj_ab.py) measured the
+        #   static gate's local value at <= 0.2 s on the three keys the
+        #   r14 config was tuned on (tpch-q5 1.90->1.68, embedding-lsh
+        #   1.71->1.62, provenance-report neutral) — the AQE gate keeps
+        #   most of the win with none of the estimate risk.
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD",
                                "67108864"))
         .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
         # Arrow for any pandas-UDF path (the slow path, used sparingly)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep broadcast threshold default (10MB) — dims here are tiny;
