@@ -342,26 +342,40 @@ def main() -> None:
         out["remeasured"] = remeasured
     print(json.dumps(out), flush=True)
     # committed artifact: the full detail record, independent of any
-    # stdout truncation in the caller's capture
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
-    with open(detail_path, "w") as fh:
-        json.dump(out, fh, indent=1)
-        fh.write("\n")
+    # stdout truncation in the caller's capture. Written BOTH to the
+    # fixed name (committed, back-compat) and to a per-core-count name:
+    # the driver benches at two core counts back-to-back and the second
+    # run used to clobber the first's detail (PERF_r14 could not build
+    # a scaling table because the c8 run overwrote the 32-core record).
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for detail_path in (os.path.join(here, "bench_detail.json"),
+                        os.path.join(here, f"bench_detail_c{cpus}.json")):
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
     # Compact headline LAST: the detailed line above is ~4 KB and a
     # truncating tail capture can cut its head off (BENCH_r06 recorded
-    # "parsed": null for exactly that reason). This short final line
-    # carries the machine-readable contract on its own.
+    # "parsed": null for exactly that reason). This final line carries
+    # the machine-readable contract on its own — INCLUDING the
+    # per-query timings (r15): the driver keeps only the last ~2000
+    # chars of stdout, and without queries in the tail-safe line
+    # PERF_r14 had per_query={} / n_common=0 and round-over-round
+    # regression detection was aggregate-only. 55 queries serialize to
+    # ~1.5 KB with compact separators — measured against the 2000-char
+    # tail with ~500 chars of headroom; revisit the chunking if the
+    # suite ever grows past ~70 headliners.
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "queries": timings,
         "flagged": flagged,
         "canary_ratios": [round(canary_start / CANARY_REF, 2),
                           round(canary_end / CANARY_REF, 2)],
-    }), flush=True)
+    }, separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -92,7 +92,9 @@ def _adaptive_buckets(df: DataFrame) -> int:
     (default 64 MB, the same advisory granularity AQE coalesces to) —
     with the session shuffle setting as the floor (keeps small-scale
     plans exactly as before: any input under floor×target stays at the
-    floor) and SPARK_GRAFT_RANK_BUCKET_CAP (default 4096) as the cap
+    floor) and SPARK_GRAFT_RANK_BUCKET_CAP (default 4096) as a HARD cap
+    that also bounds the floor (r15: a cluster session at 20000 shuffle
+    partitions must not mint a 20000-leaf when-tree)
     (the bucket-assignment when-tree costs O(log B) per row and the
     boundary sketch ships B-1 numbers to the driver — both fine at
     4096, measured r11; past the cap the sketch accuracy dial matters
@@ -100,14 +102,31 @@ def _adaptive_buckets(df: DataFrame) -> int:
     count affects task balance, never values, so a bad estimate costs
     skew headroom, not correctness."""
     spark = df.sparkSession
-    floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
+        floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # some platforms report a non-numeric value here (e.g. "auto"
+        # under vendor AQE shims) — fall back to the cluster's default
+        # parallelism rather than crashing every default-bucket call
+        floor_n = max(1, spark.sparkContext.defaultParallelism)
+    try:
+        # NOTE private-API coupling (Spark 4.1 pin): queryExecution()/
+        # optimizedPlan().stats() is not public PySpark surface; if a
+        # Spark upgrade moves it, the except below silently degrades to
+        # the (safe, exact) floor — re-check this hook on any upgrade.
         raw = (df._jdf.queryExecution()  # noqa: SLF001
                .optimizedPlan().stats().sizeInBytes())
         # py4j maps scala.math.BigInt to Python int when it fits; very
         # large estimates (post-join multiplications) surface as the
         # Java object — stringify those
         est = raw if isinstance(raw, int) else int(raw.toString())
+        # env knobs parsed inside the same guard: a misconfigured value
+        # (non-numeric, zero, negative) degrades to the floor instead
+        # of raising from every rank/ntile/shard call
+        target = max(1, int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_BYTES",
+                                           str(64 << 20))))
+        cap = max(1, int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_CAP",
+                                        "4096")))
     except Exception:  # stats unavailable (exotic plan) — keep the floor
         return floor_n
     if est >= 1 << 60:
@@ -117,10 +136,11 @@ def _adaptive_buckets(df: DataFrame) -> int:
         # estimate) the number is a sentinel, not a size. Keep the
         # floor; callers who know better pass ``buckets`` explicitly.
         return floor_n
-    target = int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_BYTES",
-                                str(64 << 20)))
-    cap = int(os.environ.get("SPARK_GRAFT_RANK_BUCKET_CAP", "4096"))
-    return max(floor_n, min(cap, -(-est // target)))
+    # cap is a HARD bound applied after the floor: the when-tree costs
+    # O(log B) per row but ships B-1 boundaries through every plan, so
+    # a session set to e.g. 20000 shuffle partitions must not mint a
+    # 20000-leaf tree just because the floor says so
+    return min(cap, max(floor_n, -(-est // target)))
 
 
 def exact_global_rank(df: DataFrame, key_col: str, *,

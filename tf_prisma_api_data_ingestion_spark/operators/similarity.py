@@ -266,6 +266,19 @@ def _slim_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                               norm2(vd).alias("_n"))
 
 
+def _assert_share_frame(df: DataFrame, cols: tuple, param: str) -> None:
+    """Guard for the internal shared-frame params (``vecs``/``sv``): the
+    caller must pass the frame produced by the matching derivation
+    (``_slim_vecs`` / ``_subvectors``) over the SAME rows. Column-name
+    check only — free (no job) — so an external caller who passes some
+    unrelated frame fails loudly instead of silently mis-assigning."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{param} must be the internally derived share frame "
+            f"(missing columns {missing}); pass None to derive it")
+
+
 def ivf_centroids(candidates: DataFrame, nc: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   iters: int = 1, vecs: DataFrame | None = None) -> DataFrame:
@@ -286,6 +299,7 @@ def ivf_centroids(candidates: DataFrame, nc: int = 16,
     from pyspark.sql.window import Window
 
     if vecs is not None:
+        _assert_share_frame(vecs, (id_col, "_v", "_n"), "vecs")
         seeds = (vecs
                  .select(F.col("_v").alias("_cv"),
                          F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
@@ -326,6 +340,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
 
     Returns (id_col, cid, _v double-vec, _n norm).
     """
+    if vecs is not None:
+        _assert_share_frame(vecs, (id_col, "_v", "_n"), "vecs")
     v = vecs if vecs is not None else _slim_vecs(df, id_col, vec_col)
     slim = (v.select(id_col, "_v", "_n")
              .crossJoin(F.broadcast(centroids))
@@ -420,6 +436,8 @@ def pq_codebooks(candidates: DataFrame, m: int = 16, ksub: int = 16,
     dsub = dim // m
     if sv is None:
         sv = _subvectors(candidates, m, dsub, id_col, vec_col)
+    else:
+        _assert_share_frame(sv, (id_col, "sub", "_sv"), "sv")
     w = Window.partitionBy("sub").orderBy(F.xxhash64(F.col(id_col).cast("string")),
                                           F.col(id_col))
     books = (sv.withColumn("_rn", F.row_number().over(w))
@@ -464,6 +482,8 @@ def pq_encode(df: DataFrame, books: DataFrame, m: int = 16, dim: int = 64,
     """
     if sv is None:
         sv = _subvectors(df, m, dim // m, id_col, vec_col)
+    else:
+        _assert_share_frame(sv, (id_col, "sub", "_sv"), "sv")
     return _pq_assign(sv, books).select(id_col, "sub", "code")
 
 
