@@ -8,7 +8,7 @@ here; tests/test_registry.py pins key parity across the split.
 
 from .catalog_queries import *  # noqa: F401,F403
 from .catalog_registry import *  # noqa: F401,F403
-from .catalog_registry import _R14_WINDOW, _copurchase_edges  # noqa: F401
+from .catalog_registry import _R15_WINDOW, _copurchase_edges  # noqa: F401
 from .catalog_queries import _t  # noqa: F401
 from .catalog_oracles import *  # noqa: F401,F403
 from .catalog_oracles2 import *  # noqa: F401,F403

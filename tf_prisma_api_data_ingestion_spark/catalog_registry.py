@@ -3159,87 +3159,81 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # NEXT round's window. scripts/selfcheck.py re-verifies the FULL
 # catalog locally regardless of the window.
 #
-# r14 executes the r13 VERDICT's #1 item: first the 10 keys whose
-# verified pair changed this round — the three new keys
-# (dedup-provenance-incr-near-inv, op-gpt2-pretok,
-# op-bpe-encode-gpt2), the two keys riding the refactored
-# incremental-pair tail (dedup-incremental,
-# dedup-provenance-incr-near: the index postings are now semi-joined
-# to the batch's shingle keys BEFORE the df cap — values identical,
-# plan batch-bounded), and the two streaming keys whose memory-sink
-# tags went pid-scoped (stream-provenance, stream-token-meter). Then
-# the FULL 39-key r8 tier (op-train-split .. text-vocab-coverage,
-# alphabetical — the r13 verdict's named gate-freshness debt, cleared
-# in one round), then the 4 alphabetically-first r9-tier keys. After
-# this round no key's newest driver row is older than r9; the 45
-# remaining r9-tier keys lead r15's stale tier, then the r10 tier
-# (41 keys).
+# r15 executes the r14 VERDICT's #8 item: first the 3 keys whose plan
+# changed THIS round after the r14 gate ran (the shared
+# quality/contamination corpus frame — plan-corpus-train and
+# plan-corpus-clean-v2 — and sim-ivf-topk's query-side slim-vec
+# persist); then the 19 keys whose plan changed in r14 but whose
+# newest driver row predates that change (the graph persists, the
+# text-quality translate/isin rewrite and its consumers, the
+# persisted-frame sweep, and the three keys the join-strategy config
+# was tuned on — their default strategy flipped again this round with
+# the static SHJ gate going opt-in), alphabetical; then the 28
+# alphabetically-first keys of the 44-key r9 stale tier. The 16
+# remaining r9-tier keys (src-get-json .. tpch-q7) lead the next
+# window's stale tier, then the r10 tier (41 keys).
 #
 # Rotation arithmetic: 274 gated keys / 50 slots = 5.5 rounds per
 # full cycle — the "no key older than rN-5" bar holds only if
-# new-key growth stays within ~10 slots per 5 rounds (r14 adds 5).
-_R14_WINDOW = [
-    # verified-pair changed this round (new keys first, then the
-    # plan-change keys)
-    "stream-incr-near",
-    "dedup-incr-lsh-inv",
-    "dedup-provenance-incr-near-inv",
-    "op-gpt2-pretok",
-    "op-bpe-encode-gpt2",
-    "dedup-incremental",
-    "dedup-provenance-incr-near",
-    "stream-provenance",
-    "stream-token-meter",
-    # the full 39-key r8 tier, alphabetical
-    "op-train-split",
-    "op-wma",
-    "plan-alert-report",
-    "plan-corpus-clean",
+# new-key growth stays within ~10 slots per 5 rounds (r15 adds 0).
+_R15_WINDOW = [
+    # plan changed this round (r15) — no driver row for the current plan
+    "plan-corpus-train",
     "plan-corpus-clean-v2",
-    "plan-corpus-mix",
-    "plan-curation-report",
-    "plan-hybrid-retrieval",
-    "plan-kmeans-train",
-    "plan-semdedup-clean",
-    "sim-embed-centroids",
-    "sim-kmeans-step",
-    "sim-semdedup",
-    "sim-semdedup-incr",
-    "sim-silhouette",
-    "src-backoff",
-    "stream-dedup",
-    "stream-quality-gate",
-    "stream-session-window",
-    "stream-sink-parquet",
-    "stream-sliding-window",
-    "stream-stateful-totals",
-    "stream-static-join",
-    "stream-stream-join",
-    "stream-window-agg",
-    "text-c4-rules",
-    "text-contamination",
-    "text-contamination-coverage",
-    "text-corpus-tv",
-    "text-dsir-score",
-    "text-gopher-rules",
-    "text-novelty",
-    "text-pack-sequences",
-    "text-pii-redact",
-    "text-repetition",
-    "text-temperature-sample",
-    "text-tfidf-top-terms",
-    "text-top-tokens",
-    "text-vocab-coverage",
-    # 2 of the 47 r9-tier keys, alphabetical (the 3rd and 4th slots
-    # went to the late-round stream-incr-near / dedup-incr-lsh-inv
-    # keys — new keys outrank stale ones, the standing precedence
-    # rule)
-    "dedup-substring",
-    "op-bcubed-eval",
+    "sim-ivf-topk",
+    # plan changed in r14 after the key's newest driver row, alphabetical
+    "dedup-embedding-lsh",
+    "dedup-prefix-jaccard",
+    "op-graph-bfs",
+    "op-item-cf",
+    "op-negative-sample",
+    "op-pagerank",
+    "op-te-calibration",
+    "op-triangle-count",
+    "op-vocab-growth",
+    "plan-multimodal-dedup",
+    "plan-provenance-report",
+    "plan-rag-context",
+    "sim-embedding-outliers",
+    "text-ccnet-buckets",
+    "text-lang-id",
+    "text-lm-likelihood",
+    "text-quality",
+    "text-stupid-backoff",
+    "tpch-q5",
+    # the 28 alphabetically-first r9-tier keys (stalest tier)
+    "op-compact-files",
+    "op-corrupt-capture",
+    "op-date-functions",
+    "op-derive-ts",
+    "op-incremental-agg",
+    "op-math-functions",
+    "op-max-concurrency",
+    "op-null-functions",
+    "op-probe-step",
+    "op-profile",
+    "op-range-join",
+    "op-schema-evolution",
+    "op-sessionize",
+    "op-time-rollup",
+    "op-window-range-frame",
+    "op-zorder-layout",
+    "pd-filter-eq",
+    "pd-filter-in",
+    "pd-filter-range",
+    "plan-e2e-alert",
+    "plan-filter-agreement",
+    "plan-inventory-report",
+    "plan-quality-train",
+    "sink-csv",
+    "sink-partition",
+    "sketch-cms-topk",
+    "sketch-quantile",
+    "sql-subqueries",
 ]
-assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
-QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)}
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)}
 
 
 # Throughput variants with no ANSI-SQL-expressible oracle (xxhash64 /
